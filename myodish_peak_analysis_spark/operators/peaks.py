@@ -1,0 +1,66 @@
+"""Peak selection operators (SURVEY.md §2.4: P1-P4).
+
+* ``naive_peaks`` — unconstrained local maxima, the semantics of
+  ``find_peaks(stim)`` with all defaults (P4,
+  ``/root/reference/peak_detection.py:296``; the six tuning params there
+  are accepted but ignored — preserved here by simply not taking them).
+* ``with_threshold_keep`` / ``threshold_peaks`` — the envelope threshold
+  filter (P2, ``/root/reference/peak_detection.py:255-260``): keep a peak
+  unless its smoothed value sits below ``baseline + t*(ceiling-baseline)``.
+  Quirk preserved: NumPy ``NaN < x`` is False, so a peak whose envelope is
+  NaN is KEPT by the reference — here the NULL comparison is coalesced to
+  "keep" to match.
+* Constrained detection (P1: distance/prominence/width) is inherently
+  sequential-greedy — it lives in the grouped-map fidelity route
+  (:mod:`.fidelity`), not here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .windows import with_extrema_flags
+
+DEFAULT_THRESHOLD = 0.7  # /root/reference/peak_detection.py:17
+
+
+def naive_peaks(df: DataFrame, value_col: str = "signal_value") -> DataFrame:
+    """All plateau-midpoint local maxima of a channelized signal (P4)."""
+    flagged = with_extrema_flags(df, value_col=value_col)
+    return flagged.filter(F.col("is_peak")).select(
+        "channel_id",
+        F.col("sample_idx").alias("peak_idx"),
+        F.col("time_index").alias("timestamp"),
+        F.col(value_col).alias("peak_value"),
+    )
+
+
+def with_threshold_keep(
+    df: DataFrame,
+    value_col: str = "smooth",
+    baseline_col: str = "baseline",
+    ceiling_col: str = "ceiling",
+    threshold: float = DEFAULT_THRESHOLD,
+    out_col: str = "keep_peak",
+) -> DataFrame:
+    """Boolean column: False iff value < baseline + t*(ceiling-baseline).
+
+    NULL envelopes keep the peak (reference NaN-comparison quirk)."""
+    line = F.col(baseline_col) + F.lit(float(threshold)) * (
+        F.col(ceiling_col) - F.col(baseline_col)
+    )
+    return df.withColumn(
+        out_col, ~F.coalesce(F.col(value_col) < line, F.lit(False))
+    )
+
+
+def threshold_keep_sql_expr(
+    value_col: str = "smooth",
+    baseline_col: str = "baseline",
+    ceiling_col: str = "ceiling",
+    threshold: float = DEFAULT_THRESHOLD,
+) -> str:
+    return (
+        f"NOT COALESCE({value_col} < {baseline_col} + {threshold!r} * "
+        f"({ceiling_col} - {baseline_col}), FALSE)"
+    )

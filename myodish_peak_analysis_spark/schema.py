@@ -1,0 +1,96 @@
+"""Schemas and readers for the harness tables + the channelized signal frame.
+
+The reference's data model is a list of per-channel pandas frames with
+columns ``time_index``/``signal_value`` (``/root/reference/utils.py:15-18``).
+Here that becomes ONE long DataFrame keyed by ``channel_id`` — channels
+are the parallelism unit (SURVEY.md §1.3) — with an explicit
+``sample_idx`` so every windowed operator can order deterministically
+instead of relying on positional list alignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+#: Canonical signal schema (SURVEY.md §1.3).
+SIGNAL_SCHEMA = StructType(
+    [
+        StructField("channel_id", LongType(), False),
+        StructField("sample_idx", LongType(), False),
+        StructField("time_index", DoubleType(), False),
+        StructField("signal_value", DoubleType(), False),
+    ]
+)
+
+HARNESS_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Default sampling rate; the reference hardcodes 100 Hz
+#: (``/root/reference/peak_analysis.py:94,112``).
+DEFAULT_FS = 100.0
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one harness table; Catalyst handles column pruning
+    and predicate pushdown on top of this."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def signal_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    n_channels: int = 8,
+    fs: float = DEFAULT_FS,
+) -> DataFrame:
+    """Channelize the ``events`` table into the canonical signal frame.
+
+    channel_id = user_id % n_channels; within a channel, samples are
+    ordered by (ts, event_id) — event_id breaks timestamp ties
+    deterministically — and re-indexed 0..n-1 at a uniform ``fs``.
+
+    Scale note: one shuffle on channel_id; every downstream window op
+    reuses the same (partitionBy channel_id, orderBy sample_idx) spec so
+    Catalyst plans a single sort per channel partition.
+    """
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("channel_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            (F.col("user_id") % F.lit(n_channels)).cast("long").alias("channel_id"),
+            F.col("ts"),
+            F.col("event_id"),
+            F.col("value").cast("double").alias("signal_value"),
+        )
+        .withColumn("sample_idx", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .withColumn("time_index", F.col("sample_idx") / F.lit(float(fs)))
+        .select("channel_id", "sample_idx", "time_index", "signal_value")
+    )
+
+
+def signal_frame_sql(n_channels: int = 8, fs: float = DEFAULT_FS) -> str:
+    """DuckDB-oracle equivalent of :func:`signal_frame` (a CTE body)."""
+    return f"""
+    SELECT
+        CAST(user_id % {n_channels} AS BIGINT) AS channel_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY user_id % {n_channels} ORDER BY ts, event_id) - 1 AS BIGINT) AS sample_idx,
+        CAST((ROW_NUMBER() OVER (PARTITION BY user_id % {n_channels} ORDER BY ts, event_id) - 1) AS DOUBLE) / {fs} AS time_index,
+        CAST(value AS DOUBLE) AS signal_value
+    FROM events
+    """
