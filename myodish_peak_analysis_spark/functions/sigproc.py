@@ -137,7 +137,10 @@ def peak_prominences(y: np.ndarray, peaks: np.ndarray, wlen: int | None = None):
     proms = np.empty(peaks.size, dtype=np.float64)
     left_bases = np.empty(peaks.size, dtype=np.intp)
     right_bases = np.empty(peaks.size, dtype=np.intp)
-    if wlen is not None and wlen >= 2:
+    if wlen is not None:
+        if wlen < 2:
+            # SciPy raises for wlen < 2 (arg_wlen_as_expected); match it.
+            raise ValueError(f"wlen must be at least 2, got {wlen}")
         # Documented: wlen is rounded up to the next odd integer.
         wlen = int(np.ceil(wlen))
         if wlen % 2 == 0:
@@ -228,7 +231,11 @@ def find_peaks(
     y = np.asarray(y, dtype=np.float64)
     peaks, _, _ = local_maxima_plateau(y)
     if distance is not None and peaks.size:
-        keep = _select_by_distance(peaks, y[peaks], int(distance))
+        if distance < 1:
+            raise ValueError("`distance` must be greater or equal to 1")
+        # SciPy rounds a non-integer distance UP (np.ceil), keeping the
+        # suppression at least as strict as requested.
+        keep = _select_by_distance(peaks, y[peaks], int(np.ceil(distance)))
         peaks = peaks[keep]
     proms = left_bases = right_bases = None
     if (prominence is not None or width is not None) and peaks.size:

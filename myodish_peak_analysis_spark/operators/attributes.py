@@ -2,17 +2,22 @@
 
 The reference walks sample-by-sample from each peak until the smoothed
 signal crosses the diastolic reference (``/root/reference/
-peak_analysis.py:79-113``). The loop semantics reduce to backward/forward
-*as-of* crossing searches (derivation in SURVEY.md §2.5):
+peak_analysis.py:79-113``). The loop fixes the *initial side* at the peak
+and stops at the first sample on the other side (the "new_edge_reference"
+flag is never updated, so the walk runs while the side stays equal to the
+side at the peak):
 
-* side(x)  = smooth[x] >= diastolic[x]   (TTP uses >=; loop at :84-89)
-* side'(x) = smooth[x] <= diastolic[x]   (TTR uses <=; loop at :99-107 —
-  the strict/non-strict asymmetry is load-bearing and preserved)
-* TTP: j = last index < p where side(j) != side(p), else 0 (the walk
-  stops at the channel start); ttp = (p - j)/fs. The reference's
-  ``i == 0 -> NaN`` branch is unreachable for p > 0 (the flag at :82 is
-  never updated, so the loop always takes >= 1 step) — not replicated.
-* TTR: j = first index > p where side'(j) != side'(p); NULL when there is
+* TTP side(x) = smooth[x] >= diastolic[x]  (loop at :84-89). NumPy NaN
+  comparisons are False, so a NaN row is on the FALSE side — a NaN
+  diastolic terminates a True-side walk (verified vs reference; the naive
+  "last index where smooth < diastolic" formulation would skip NaN rows
+  and walk too far).
+* TTR side'(x) = smooth[x] <= diastolic[x] (loop at :99-107 — the
+  strict/non-strict asymmetry is load-bearing and preserved).
+* TTP: j = last index < p with side(j) != side(p); the walk also stops at
+  the channel start, so j falls back to 0; ttp = (p - j)/fs. The
+  reference's ``i == 0 -> NaN`` branch is unreachable for p > 0.
+* TTR: j = first index > p with side'(j) != side'(p); NULL when there is
   no crossing OR the crossing is the channel's last sample (guard :109).
 * Edge guard (:71-76): peaks at idx 0 or >= n-2 get NULL ttp/ttr/duration.
 * duration = ttp + ttr, NULL-propagating (:115-119).
@@ -20,12 +25,13 @@ peak_analysis.py:79-113``). The loop semantics reduce to backward/forward
 * Averages (:124-136): AVG(), which skips NULLs exactly like the
   reference's NaN-filtering list comprehensions.
 
-Implementation: conditional running ``last``/``first`` with
-``ignorenulls=True`` over unbounded frames on the *signal* table — pure
-window functions, evaluated once per row, then restricted to peak rows.
-Both crossing candidates (crossed-below / crossed-above) are computed so
-the current row's side just selects between them — this keeps the
-"condition references the current row" walk expressible declaratively.
+Implementation: the side predicates are made two-valued with
+``coalesce(cmp, FALSE)`` — NULL diastolic/smooth lands on the False side,
+matching NumPy — then conditional running ``last``/``first`` with
+``ignorenulls=True`` over unbounded frames compute, per row, the nearest
+preceding/following index on EACH side; the peak row's own side selects
+between them. Pure window functions over the one canonical
+(channel_id, sample_idx) sort; no joins, no UDFs, no Python.
 """
 
 from __future__ import annotations
@@ -45,26 +51,29 @@ def with_crossings(
     """Add crossing-search helper columns to the signal table."""
     w = channel_window()
     s, d = F.col(smooth_col), F.col(diastolic_col)
+    side_ge = F.coalesce(s >= d, F.lit(False))
+    side_le = F.coalesce(s <= d, F.lit(False))
     back = w.rowsBetween(Window.unboundedPreceding, -1)
     fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    idx = F.col(IDX)
     return (
-        df.withColumn("_side_ge", s >= d)
-        .withColumn("_side_le", s <= d)
+        df.withColumn("_side_ge", side_ge)
+        .withColumn("_side_le", side_le)
         .withColumn(
-            "_last_lt",
-            F.last(F.when(s < d, F.col(IDX)), ignorenulls=True).over(back),
+            "_last_ge_true",
+            F.last(F.when(side_ge, idx), ignorenulls=True).over(back),
         )
         .withColumn(
-            "_last_ge",
-            F.last(F.when(s >= d, F.col(IDX)), ignorenulls=True).over(back),
+            "_last_ge_false",
+            F.last(F.when(~side_ge, idx), ignorenulls=True).over(back),
         )
         .withColumn(
-            "_first_gt",
-            F.first(F.when(s > d, F.col(IDX)), ignorenulls=True).over(fwd),
+            "_first_le_true",
+            F.first(F.when(side_le, idx), ignorenulls=True).over(fwd),
         )
         .withColumn(
-            "_first_le",
-            F.first(F.when(s <= d, F.col(IDX)), ignorenulls=True).over(fwd),
+            "_first_le_false",
+            F.first(F.when(~side_le, idx), ignorenulls=True).over(fwd),
         )
         .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(CHANNEL)))
         .withColumn("_max_idx", F.max(IDX).over(Window.partitionBy(CHANNEL)))
@@ -82,10 +91,14 @@ def peak_attributes(
     p = F.col(IDX)
     edge = (p == 0) | (p >= F.col("_n") - 2)
     ttp_j = F.coalesce(
-        F.when(F.col("_side_ge"), F.col("_last_lt")).otherwise(F.col("_last_ge")),
+        F.when(F.col("_side_ge"), F.col("_last_ge_false")).otherwise(
+            F.col("_last_ge_true")
+        ),
         F.lit(0),
     )
-    ttr_j = F.when(F.col("_side_le"), F.col("_first_gt")).otherwise(F.col("_first_le"))
+    ttr_j = F.when(F.col("_side_le"), F.col("_first_le_false")).otherwise(
+        F.col("_first_le_true")
+    )
     ttp = (p - ttp_j).cast("double") / F.lit(float(fs))
     ttr = F.when(
         ttr_j.isNull() | (ttr_j == F.col("_max_idx")), F.lit(None).cast("double")
@@ -127,23 +140,25 @@ def peak_averages(peaks: DataFrame) -> DataFrame:
 def crossings_sql_cte(src: str, smooth_col: str = "smooth", diastolic_col: str = "diastolic") -> str:
     """CTE ending in ``crossed`` mirroring :func:`with_crossings`."""
     s, d = smooth_col, diastolic_col
+    ge = f"COALESCE({s} >= {d}, FALSE)"
+    le = f"COALESCE({s} <= {d}, FALSE)"
     return f"""
     crossed AS (
         SELECT *,
-               {s} >= {d} AS _side_ge,
-               {s} <= {d} AS _side_le,
-               last_value(CASE WHEN {s} < {d} THEN sample_idx END IGNORE NULLS)
+               {ge} AS _side_ge,
+               {le} AS _side_le,
+               last_value(CASE WHEN {ge} THEN sample_idx END IGNORE NULLS)
                    OVER (PARTITION BY channel_id ORDER BY sample_idx
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _last_lt,
-               last_value(CASE WHEN {s} >= {d} THEN sample_idx END IGNORE NULLS)
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _last_ge_true,
+               last_value(CASE WHEN NOT {ge} THEN sample_idx END IGNORE NULLS)
                    OVER (PARTITION BY channel_id ORDER BY sample_idx
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _last_ge,
-               first_value(CASE WHEN {s} > {d} THEN sample_idx END IGNORE NULLS)
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _last_ge_false,
+               first_value(CASE WHEN {le} THEN sample_idx END IGNORE NULLS)
                    OVER (PARTITION BY channel_id ORDER BY sample_idx
-                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _first_gt,
-               first_value(CASE WHEN {s} <= {d} THEN sample_idx END IGNORE NULLS)
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _first_le_true,
+               first_value(CASE WHEN NOT {le} THEN sample_idx END IGNORE NULLS)
                    OVER (PARTITION BY channel_id ORDER BY sample_idx
-                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _first_le,
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _first_le_false,
                COUNT(*) OVER (PARTITION BY channel_id) AS _n,
                MAX(sample_idx) OVER (PARTITION BY channel_id) AS _max_idx
         FROM {src}
@@ -158,8 +173,12 @@ def peak_attributes_sql_select(
     fs: float = DEFAULT_FS,
 ) -> str:
     """SELECT over ``crossed`` mirroring :func:`peak_attributes`."""
-    ttp_core = f"CAST(sample_idx - COALESCE(CASE WHEN _side_ge THEN _last_lt ELSE _last_ge END, 0) AS DOUBLE) / {fs!r}"
-    ttr_j = "(CASE WHEN _side_le THEN _first_gt ELSE _first_le END)"
+    ttp_core = (
+        f"CAST(sample_idx - COALESCE("
+        f"CASE WHEN _side_ge THEN _last_ge_false ELSE _last_ge_true END, 0) "
+        f"AS DOUBLE) / {fs!r}"
+    )
+    ttr_j = "(CASE WHEN _side_le THEN _first_le_false ELSE _first_le_true END)"
     ttp = f"CASE WHEN sample_idx = 0 OR sample_idx >= _n - 2 THEN NULL ELSE {ttp_core} END"
     ttr = (
         f"CASE WHEN sample_idx = 0 OR sample_idx >= _n - 2 THEN NULL "

@@ -1,42 +1,53 @@
 """Rolling floor/ceiling envelopes + diastolic reference (SURVEY.md §2.3, T2).
 
 Reference semantics (``/root/reference/peak_detection.py:56-169``): for each
-position i, look at the forward frame ``y[i : i+window]``; the floor is the
-min over the frame's interior local minima, the ceiling the max over its
-interior local maxima; frames with no extremum yield NaN; the truncated
-series is then block-padded and SG-smoothed (301/3).
+position ``i`` up to ``m = n - window``, look at the forward frame
+``y[i : i+window]``; the floor is the min over the frame's interior local
+minima, the ceiling the max over its interior local maxima; frames with no
+extremum yield NaN. The truncated length-``m`` series ``raw`` is then
+block-padded with ``pad = max(window, smoothing_window)//2`` copies of its
+head/tail — ``padded = concat(raw[:pad], raw, raw[-pad:])`` — and
+SG-smoothed (301/3, mode='nearest') WITHOUT stripping, so for the defaults
+(``2*pad == window``) the output has exactly length ``n`` again but is a
+*shifted* view: ``out[j]`` smooths ``raw[j-pad]`` for interior ``j``.
 
-Spark decomposition: a frame extremum of ``y[i:i+w]`` is exactly a *global*
-per-channel extremum whose plateau lies strictly inside the frame — SciPy
-can never flag a frame's first/last sample. For width-1 extrema that is
-``i+1 <= j <= i+w-2``, i.e. a conditional rolling aggregate over
-``ROWS BETWEEN 1 FOLLOWING AND w-2 FOLLOWING``:
+Spark decomposition. A frame extremum of ``y[i:i+w]`` is exactly a global
+per-channel extremum whose plateau lies strictly inside the frame
+(``i+1 <= j <= i+w-2``) — a conditional rolling aggregate. Expanding
+``padded[j]`` gives three zones, each a frame aggregate at a different
+offset:
 
-    floor_raw = MIN(CASE WHEN is_valley THEN v END) OVER frame
-    ceil_raw  = MAX(CASE WHEN is_peak   THEN v END) OVER frame
+    j < pad:            padded[j] = raw[j]       -> frame [j+1,     j+w-2]
+    pad <= j < m+pad:   padded[j] = raw[j-pad]   -> frame [j+1-pad, j+w-2-pad]
+    j >= m+pad:         padded[j] = raw[j-2pad]  -> frame [j+1-2pad, j+w-2-2pad]
 
-NULL when no extremum in frame == the reference's NaN, for free. (For a
-multi-sample plateau the frame-membership test keys on the midpoint here;
-the grouped-map fidelity route applies the exact edge rule — deviation
-only when a frame's sole extremum is a plateau straddling its border.)
+NULL when no extremum in frame == the reference's NaN, for free. The SG
+smooth of ``padded`` (nearest mode over the channel domain) is ONE
+``collect_list`` over a ±150-row frame + an ``aggregate`` dot product with
+the coefficient literals — a single window expression per envelope rather
+than 301 ``lag``/``lead`` terms (a Catalyst plan-size hazard observed in
+round 1). NULLs ride through the array as NaN sentinels and poison the
+dot product exactly like the reference's NaN propagation; they convert
+back to NULL on output.
 
-The envelope is then SG-smoothed with the same FIR machinery as the
-signal smooth (nearest-clamp edges; NULLs poison ±150 taps, mirroring the
-reference's NaN spreading through ``savgol_filter``). The reference only
-defines the envelope for ``i < n - window`` and back-fills the tail via
-padding; the spark-native route instead evaluates the (truncating) frame
-at every row — full-length output by construction, deviation confined to
-the last ``window`` rows per channel. Use ``strict_tail=True`` to NULL
-those rows out instead.
+Scale: everything is window functions over one (channel_id, sample_idx)
+sort — no joins, no UDFs, no Python. Channels shorter than
+``window + pad`` rows yield NULL envelopes (the reference itself
+misbehaves below that length: its padding arithmetic needs ``m >= pad``).
+The native route requires ``2*pad == window`` (true for the reference
+defaults 350/301); other combinations break the reference's own
+length-restoration trick — use the fidelity route for those.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import math
 
-from .smooth import fir_smooth_col, fir_smooth_sql_expr
-from .windows import CHANNEL, IDX, channel_window, with_extrema_flags
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
+
+from ..functions.sigproc import savgol_coeffs
+from .windows import CHANNEL, IDX, channel_window, with_extrema_flags
 
 DEFAULT_WINDOW = 350  # aux_window_size, /root/reference/peak_detection.py:15
 DEFAULT_SMOOTH = 301  # aux_smoothing_window
@@ -52,7 +63,10 @@ def with_raw_envelopes(
     ceil_col: str = "ceil_raw",
     flags_present: bool = False,
 ) -> DataFrame:
-    """Conditional rolling min/max over the forward frame interior."""
+    """Conditional rolling min/max over the forward frame interior —
+    the reference's pre-padding ``raw`` envelope evaluated at every row
+    (only rows with ``sample_idx <= n - window - 1`` carry reference
+    semantics; later rows see a truncated frame)."""
     if not flags_present:
         df = with_extrema_flags(df, value_col=value_col)
     w = channel_window().rowsBetween(1, window_size - 2)
@@ -60,6 +74,63 @@ def with_raw_envelopes(
     return df.withColumn(
         floor_col, F.min(F.when(F.col("is_valley"), v)).over(w)
     ).withColumn(ceil_col, F.max(F.when(F.col("is_peak"), v)).over(w))
+
+
+def _padded_envelope_col(
+    value_col: str,
+    kind: str,
+    window_size: int,
+    pad: int,
+) -> Column:
+    """The reference's block-padded raw envelope as a three-zone CASE of
+    conditional frame aggregates. Requires ``_n`` per-channel row count."""
+    flag = F.col("is_peak" if kind == "peak" else "is_valley")
+    v = F.when(flag, F.col(value_col))
+    agg = F.max if kind == "peak" else F.min
+    w = channel_window()
+    hi = window_size - 2
+    zone_a = agg(v).over(w.rowsBetween(1, hi))
+    zone_b = agg(v).over(w.rowsBetween(1 - pad, hi - pad))
+    zone_c = agg(v).over(w.rowsBetween(1 - 2 * pad, hi - 2 * pad))
+    n, idx = F.col("_n"), F.col(IDX)
+    return (
+        F.when(n < window_size + pad, F.lit(None).cast("double"))
+        .when(idx < pad, zone_a)
+        .when(idx < n - window_size + pad, zone_b)
+        .otherwise(zone_c)
+    )
+
+
+def _sg_smooth_array_col(
+    value_col: str,
+    smoothing_window_length: int,
+    polyorder: int,
+) -> Column:
+    """SG smooth with 'nearest' edges as ONE collect_list window + an
+    aggregate dot product. NULL inputs ride as NaN sentinels (collect_list
+    drops NULLs, NaN keeps alignment) and poison the sum; the caller maps
+    NaN back to NULL. Requires ``_max_idx`` helper column."""
+    coeffs = savgol_coeffs(smoothing_window_length, polyorder)
+    half = smoothing_window_length // 2
+    w = channel_window()
+    nan = F.lit(float("nan"))
+    nanv = F.coalesce(F.col(value_col), nan)
+    arr = F.collect_list(nanv).over(w.rowsBetween(-half, half))
+    first_v = F.first(nanv).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    last_v = F.last(nanv).over(w.rowsBetween(0, Window.unboundedFollowing))
+    idx = F.col(IDX)
+    left_miss = F.greatest(F.lit(0), F.lit(half) - idx).cast("int")
+    right_miss = F.greatest(F.lit(0), idx + half - F.col("_max_idx")).cast("int")
+    full = F.concat(
+        F.array_repeat(first_v, left_miss), arr, F.array_repeat(last_v, right_miss)
+    )
+    coeff_arr = F.array(*[F.lit(float(c)) for c in coeffs])
+    dot = F.aggregate(
+        F.zip_with(full, coeff_arr, lambda x, c: x * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.isnan(dot), F.lit(None).cast("double")).otherwise(dot)
 
 
 def with_smoothed_envelopes(
@@ -70,30 +141,31 @@ def with_smoothed_envelopes(
     polyorder: int = DEFAULT_POLY,
     flags_present: bool = False,
 ) -> DataFrame:
-    """floor/ceiling = SG-smoothed raw envelopes (reference defaults
-    350/301/3, ``/root/reference/peak_detection.py:15``)."""
-    df = with_raw_envelopes(
-        df, value_col=value_col, window_size=window_size, flags_present=flags_present
-    )
-    w = channel_window()
-    wall = Window.partitionBy(CHANNEL)
-    df = df.withColumn("_max_idx", F.max(IDX).over(wall))
-    for raw, out in (("floor_raw", "baseline"), ("ceil_raw", "ceiling")):
-        df = (
-            df.withColumn(
-                "_first_val",
-                F.first(raw).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-            )
-            .withColumn(
-                "_last_val",
-                F.last(raw).over(w.rowsBetween(0, Window.unboundedFollowing)),
-            )
-            .withColumn(
-                out, fir_smooth_col(raw, smoothing_window_length, polyorder)
-            )
-            .drop("_first_val", "_last_val")
+    """baseline/ceiling = the reference's padded + SG-smoothed envelopes
+    (defaults 350/301/3, ``/root/reference/peak_detection.py:15``),
+    reproduced exactly — including the ~``pad``-sample shift its padding
+    introduces for interior rows (see module docstring)."""
+    pad = max(window_size, smoothing_window_length) // 2
+    if 2 * pad != window_size:
+        raise ValueError(
+            "native envelope route requires 2*max(window,smooth)//2 == window "
+            f"(got window={window_size}, smooth={smoothing_window_length}); "
+            "use operators.fidelity for non-default parameters"
         )
-    return df.drop("_max_idx")
+    if not flags_present:
+        df = with_extrema_flags(df, value_col=value_col)
+    wall = Window.partitionBy(CHANNEL)
+    df = df.withColumn("_n", F.count(F.lit(1)).over(wall)).withColumn(
+        "_max_idx", F.max(IDX).over(wall)
+    )
+    for kind, out in (("valley", "baseline"), ("peak", "ceiling")):
+        padded = _padded_envelope_col(value_col, kind, window_size, pad)
+        df = df.withColumn(f"_pad_{out}", padded)
+        df = df.withColumn(
+            out,
+            _sg_smooth_array_col(f"_pad_{out}", smoothing_window_length, polyorder),
+        ).drop(f"_pad_{out}")
+    return df.drop("_n", "_max_idx")
 
 
 def with_diastolic(
@@ -135,6 +207,47 @@ def raw_envelopes_sql_cte(
     """
 
 
+def _frame_sql(lo: int, hi: int) -> str:
+    def b(k: int) -> str:
+        if k < 0:
+            return f"{-k} PRECEDING"
+        if k == 0:
+            return "CURRENT ROW"
+        return f"{k} FOLLOWING"
+
+    return (
+        f"OVER (PARTITION BY channel_id ORDER BY sample_idx "
+        f"ROWS BETWEEN {b(lo)} AND {b(hi)})"
+    )
+
+
+def _sg_fir_sql_expr(value_col: str, smoothing_window_length: int, polyorder: int,
+                     first_expr: str, last_expr: str) -> str:
+    """301-term FIR with nearest-clamp edges over ``value_col`` (NULLs
+    poison the sum — DuckDB NULL arithmetic mirrors the Spark NaN
+    sentinel). Term order matches the Spark aggregate: 0.0 + t0 + t1..."""
+    coeffs = savgol_coeffs(smoothing_window_length, polyorder)
+    half = smoothing_window_length // 2
+    terms = ["0.0"]
+    for k, ck in enumerate(coeffs):
+        o = k - half
+        lit = repr(float(ck))
+        if o < 0:
+            tap = (
+                f"CASE WHEN sample_idx - {-o} < 0 THEN {first_expr} "
+                f"ELSE lag({value_col}, {-o}) OVER w END"
+            )
+        elif o > 0:
+            tap = (
+                f"CASE WHEN sample_idx + {o} > _max_idx THEN {last_expr} "
+                f"ELSE lead({value_col}, {o}) OVER w END"
+            )
+        else:
+            tap = value_col
+        terms.append(f"({lit}) * ({tap})")
+    return " + ".join(terms)
+
+
 def smoothed_envelopes_sql_cte(
     src_flagged: str,
     value_col: str = "smooth",
@@ -142,34 +255,62 @@ def smoothed_envelopes_sql_cte(
     smoothing_window_length: int = DEFAULT_SMOOTH,
     polyorder: int = DEFAULT_POLY,
 ) -> str:
-    """CTE chain ending in ``envsmooth`` with baseline/ceiling columns."""
-    base = raw_envelopes_sql_cte(src_flagged, value_col, window_size)
-    floor_expr = fir_smooth_sql_expr(
-        "floor_raw", smoothing_window_length, polyorder,
-        first_expr="_ffirst", last_expr="_flast",
-    )
-    ceil_expr = fir_smooth_sql_expr(
-        "ceil_raw", smoothing_window_length, polyorder,
-        first_expr="_cfirst", last_expr="_clast",
-    )
-    return f"""{base},
-    envbounds AS (
+    """CTE chain ending in ``envsmooth`` with baseline/ceiling columns,
+    mirroring :func:`with_smoothed_envelopes` zone-for-zone."""
+    pad = max(window_size, smoothing_window_length) // 2
+    hi = window_size - 2
+    min_n = window_size + pad
+
+    def zones(agg: str, flag: str) -> tuple[str, str, str]:
+        e = f"{agg}(CASE WHEN {flag} THEN {value_col} END)"
+        return (
+            f"{e} {_frame_sql(1, hi)}",
+            f"{e} {_frame_sql(1 - pad, hi - pad)}",
+            f"{e} {_frame_sql(1 - 2 * pad, hi - 2 * pad)}",
+        )
+
+    fa, fb, fc = zones("MIN", "is_valley")
+    ca, cb, cc = zones("MAX", "is_peak")
+    floor_fir = _sg_fir_sql_expr("_fpad", smoothing_window_length, polyorder,
+                                 "_ffirst", "_flast")
+    ceil_fir = _sg_fir_sql_expr("_cpad", smoothing_window_length, polyorder,
+                                "_cfirst", "_clast")
+    return f"""
+    envzones AS (
         SELECT *,
+               COUNT(*) OVER (PARTITION BY channel_id) AS _n,
                MAX(sample_idx) OVER (PARTITION BY channel_id) AS _max_idx,
-               first_value(floor_raw) OVER w AS _ffirst,
-               last_value(floor_raw) OVER (PARTITION BY channel_id ORDER BY sample_idx
+               {fa} AS _fza, {fb} AS _fzb, {fc} AS _fzc,
+               {ca} AS _cza, {cb} AS _czb, {cc} AS _czc
+        FROM {src_flagged}
+    ),
+    envpad AS (
+        SELECT * EXCLUDE (_fza, _fzb, _fzc, _cza, _czb, _czc),
+               CASE WHEN _n < {min_n} THEN NULL
+                    WHEN sample_idx < {pad} THEN _fza
+                    WHEN sample_idx < _n - {window_size} + {pad} THEN _fzb
+                    ELSE _fzc END AS _fpad,
+               CASE WHEN _n < {min_n} THEN NULL
+                    WHEN sample_idx < {pad} THEN _cza
+                    WHEN sample_idx < _n - {window_size} + {pad} THEN _czb
+                    ELSE _czc END AS _cpad
+        FROM envzones
+    ),
+    envfl AS (
+        SELECT *,
+               first_value(_fpad) OVER (PARTITION BY channel_id ORDER BY sample_idx) AS _ffirst,
+               last_value(_fpad) OVER (PARTITION BY channel_id ORDER BY sample_idx
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS _flast,
-               first_value(ceil_raw) OVER w AS _cfirst,
-               last_value(ceil_raw) OVER (PARTITION BY channel_id ORDER BY sample_idx
+               first_value(_cpad) OVER (PARTITION BY channel_id ORDER BY sample_idx) AS _cfirst,
+               last_value(_cpad) OVER (PARTITION BY channel_id ORDER BY sample_idx
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS _clast
-        FROM enveloped
-        WINDOW w AS (PARTITION BY channel_id ORDER BY sample_idx)
+        FROM envpad
     ),
     envsmooth AS (
-        SELECT * EXCLUDE (_max_idx, _ffirst, _flast, _cfirst, _clast),
-               {floor_expr} AS baseline,
-               {ceil_expr} AS ceiling
-        FROM envbounds
+        SELECT * EXCLUDE (_n, _max_idx, _fpad, _cpad, _ffirst, _flast, _cfirst, _clast),
+               {floor_fir} AS baseline,
+               {ceil_fir} AS ceiling
+        FROM envfl
         WINDOW w AS (PARTITION BY channel_id ORDER BY sample_idx)
     )
     """

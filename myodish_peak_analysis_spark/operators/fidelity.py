@@ -87,6 +87,9 @@ def _frame_extrema_envelope(y: np.ndarray, kind: str, window: int) -> np.ndarray
     n = y.size
     m = n - window
     if m <= 0:
+        # Channel shorter than the frame: the reference would crash on
+        # such input (empty raw envelope indexed downstream); the engine
+        # defines the envelope as empty here and the callers NaN-fill.
         return np.empty(0)
     sign = 1.0 if kind == "peak" else -1.0
     mids, lefts, rights = local_maxima_plateau(sign * y)
@@ -161,15 +164,29 @@ def _crossing_attributes(
     smooth: np.ndarray,
     diastolic: np.ndarray,
     fs: float,
+    dia_len: int | None = None,
 ):
     """TTP/TTR/duration via the as-of crossing formulation
-    (peak_analysis.py:79-119; derivation in operators/attributes.py)."""
+    (peak_analysis.py:79-119; derivation in operators/attributes.py).
+
+    The reference walk stops at the first sample whose *side* differs from
+    the side at the peak, where side = ``smooth >= dia`` (TTP) /
+    ``smooth <= dia`` (TTR) and NumPy NaN comparisons are False — so a
+    NaN row lands on the False side and terminates a True-side walk. The
+    complements are therefore ``~ge`` / ``~le`` (which include NaN rows),
+    NOT ``lt`` / ``gt``.
+
+    ``dia_len`` replicates the reference's extra edge guard
+    ``peak_idx >= len(diastolic) - 2`` (peak_analysis.py:71), which only
+    differs from ``n - 2`` under non-default parameter combinations that
+    break the padding length-restoration.
+    """
     n = smooth.size
+    if dia_len is None:
+        dia_len = n
     idx = np.arange(n, dtype=np.float64)
     with np.errstate(invalid="ignore"):
-        lt = smooth < diastolic
         ge = smooth >= diastolic
-        gt = smooth > diastolic
         le = smooth <= diastolic
 
     def running_last(cond):
@@ -180,42 +197,56 @@ def _crossing_attributes(
         x = np.where(cond, idx, np.nan)
         return pd.Series(x).bfill().shift(-1).to_numpy()
 
-    last_lt, last_ge = running_last(lt), running_last(ge)
-    first_gt, first_le = running_first(gt), running_first(le)
+    last_ge_true, last_ge_false = running_last(ge), running_last(~ge)
+    first_le_true, first_le_false = running_first(le), running_first(~le)
 
     ttp = np.full(peaks.size, np.nan)
     ttr = np.full(peaks.size, np.nan)
     for k, p in enumerate(peaks):
-        if p == 0 or p >= n - 2:
+        if p == 0 or p >= n - 2 or p >= dia_len - 2:
             continue
-        j = last_lt[p] if ge[p] else last_ge[p]
+        j = last_ge_false[p] if ge[p] else last_ge_true[p]
         if np.isnan(j):
             j = 0.0
         ttp[k] = (p - j) / fs
-        jr = first_gt[p] if le[p] else first_le[p]
+        jr = first_le_false[p] if le[p] else first_le_true[p]
         if not np.isnan(jr) and jr != n - 1:
             ttr[k] = (jr - p) / fs
     duration = ttp + ttr
     return ttp, ttr, duration
 
 
+def _fit_to(a: np.ndarray, n: int) -> np.ndarray:
+    """Pad with NaN / trim so envelope vectors align with the n signal
+    rows. For the reference defaults the padding arithmetic already gives
+    length n (when the channel is long enough); this guard makes the
+    engine behavior total — short channels and non-default parameter
+    combinations yield NaN tails instead of IndexError/broadcast crashes
+    (the reference itself would crash or misalign on such input)."""
+    out = np.full(n, np.nan)
+    k = min(n, a.size)
+    out[:k] = a[:k]
+    return out
+
+
 def _analyze_channel(pdf: pd.DataFrame, params: dict) -> pd.DataFrame:
     pdf = pdf.sort_values("sample_idx")
     y = pdf["signal_value"].to_numpy(dtype=np.float64)
     t = pdf["time_index"].to_numpy(dtype=np.float64)
+    n = y.size
     smooth = smooth_signal_ref(
         y, params["smooth_window"], params["smooth_poly"]
     )
-    baseline = envelope_ref(
+    baseline_raw = envelope_ref(
         smooth, "valley", params["window_size"], params["aux_smoothing"], params["aux_poly"]
     )
-    ceiling = envelope_ref(
+    ceiling_raw = envelope_ref(
         smooth, "peak", params["window_size"], params["aux_smoothing"], params["aux_poly"]
     )
-    k = min(len(baseline), len(smooth))
-    diastolic = baseline[:k] + params["relative_to_baseline"] * (
-        ceiling[:k] - baseline[:k]
-    )
+    dia_len = min(baseline_raw.size, ceiling_raw.size)
+    baseline = _fit_to(baseline_raw, n)
+    ceiling = _fit_to(ceiling_raw, n)
+    diastolic = baseline + params["relative_to_baseline"] * (ceiling - baseline)
     peaks = detect_peaks_ref(
         smooth,
         baseline,
@@ -227,7 +258,9 @@ def _analyze_channel(pdf: pd.DataFrame, params: dict) -> pd.DataFrame:
         min_distance=params["min_distance"],
         wlen=params["wlen"],
     )
-    ttp, ttr, duration = _crossing_attributes(peaks, smooth, diastolic, params["fs"])
+    ttp, ttr, duration = _crossing_attributes(
+        peaks, smooth, diastolic, params["fs"], dia_len=dia_len
+    )
     ch = int(pdf["channel_id"].iloc[0])
     return pd.DataFrame(
         {

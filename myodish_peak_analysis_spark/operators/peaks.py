@@ -45,13 +45,16 @@ def with_threshold_keep(
 ) -> DataFrame:
     """Boolean column: False iff value < baseline + t*(ceiling-baseline).
 
-    NULL envelopes keep the peak (reference NaN-comparison quirk)."""
+    NULL *or NaN* envelopes keep the peak (the reference's NumPy quirk:
+    ``NaN < x`` and ``x < NaN`` are both False). Spark SQL orders NaN
+    *greater* than every value, so ``value < NaN-line`` would evaluate
+    TRUE and wrongly drop the peak — guard with isnan on the line (the
+    fidelity route's golden-diff columns carry NaN, not NULL)."""
     line = F.col(baseline_col) + F.lit(float(threshold)) * (
         F.col(ceiling_col) - F.col(baseline_col)
     )
-    return df.withColumn(
-        out_col, ~F.coalesce(F.col(value_col) < line, F.lit(False))
-    )
+    drop = (F.col(value_col) < line) & ~F.isnan(line)
+    return df.withColumn(out_col, ~F.coalesce(drop, F.lit(False)))
 
 
 def threshold_keep_sql_expr(
@@ -60,7 +63,5 @@ def threshold_keep_sql_expr(
     ceiling_col: str = "ceiling",
     threshold: float = DEFAULT_THRESHOLD,
 ) -> str:
-    return (
-        f"NOT COALESCE({value_col} < {baseline_col} + {threshold!r} * "
-        f"({ceiling_col} - {baseline_col}), FALSE)"
-    )
+    line = f"{baseline_col} + {threshold!r} * ({ceiling_col} - {baseline_col})"
+    return f"NOT COALESCE({value_col} < ({line}) AND NOT isnan({line}), FALSE)"

@@ -53,6 +53,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: Minimum per-channel rows for the native envelope route to be non-NULL
+#: (window + pad with the reference defaults 350/301).
+MIN_CHANNEL_ROWS = 525
+
+#: Target rows per channel for auto-channelization: comfortably above
+#: MIN_CHANNEL_ROWS, small enough that one channel (a few MB of doubles)
+#: always fits an executor — the honest memory bound for the per-channel
+#: fidelity route.
+TARGET_CHANNEL_ROWS = 2000
+
+
+def auto_channels(spark: SparkSession, sf_dir: str) -> int:
+    """Data-proportional channel count: ``rows / TARGET_CHANNEL_ROWS``.
+
+    At 100 TB this is millions of channels of *bounded* length —
+    parallelism grows linearly with data while the per-channel memory
+    contract stays constant. (A fixed small modulus, round 1's
+    ``user_id % 8``, caps the whole pipeline at 8 concurrent tasks and
+    makes one channel grow with the dataset — fatal at scale.) The row
+    count is a metadata-only parquet count, not a full scan.
+    """
+    n = read_table(spark, sf_dir, "events").count()
+    return max(1, n // TARGET_CHANNEL_ROWS)
+
+
 def signal_frame(
     spark: SparkSession,
     sf_dir: str,
@@ -64,6 +89,11 @@ def signal_frame(
     channel_id = user_id % n_channels; within a channel, samples are
     ordered by (ts, event_id) — event_id breaks timestamp ties
     deterministically — and re-indexed 0..n-1 at a uniform ``fs``.
+
+    ``n_channels`` must scale with the data (use :func:`auto_channels`);
+    the fixed default 8 exists only so the DuckDB oracle SQL — which needs
+    a literal — and the Spark query agree at the driver's sf0.01 check
+    (10k rows / 8 = 1250 rows/channel >= MIN_CHANNEL_ROWS).
 
     Scale note: one shuffle on channel_id; every downstream window op
     reuses the same (partitionBy channel_id, orderBy sample_idx) spec so

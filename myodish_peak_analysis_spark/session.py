@@ -22,6 +22,9 @@ def get_spark(app_name: str = "myodish-peak-analysis-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Harness parquet stores nanosecond timestamps; Spark 4 rejects
+        # TIMESTAMP(NANOS) unless read as raw longs (VERDICT r1 item 1).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
