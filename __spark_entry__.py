@@ -3,36 +3,101 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Keys without an ``oracle_sql()`` entry are the genuinely
+non-SQL-expressible operators (constrained SciPy-semantics find_peaks:
+greedy distance suppression + prominence — sequential by nature); the
+driver records a rows-only check for those.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from myodish_peak_analysis_spark import oracle as _oracle  # noqa: E402
+from myodish_peak_analysis_spark import queries as _q  # noqa: E402
+from myodish_peak_analysis_spark.llm import queries as _llm_q  # noqa: E402
+from myodish_peak_analysis_spark.llm import oracle as _llm_oracle  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full native peak-analysis pipeline at sf0.001 —
+    channelize → SG smooth → envelopes → diastolic → threshold-filtered
+    peaks → per-peak attributes. One channel: 1000 events at sf0.001 is
+    a single reference-length recording (the native envelope route needs
+    >= 525 rows per channel)."""
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.operators.attributes import (
+        peak_attributes,
+        with_crossings,
+    )
+    from myodish_peak_analysis_spark.operators.envelopes import (
+        with_diastolic,
+        with_smoothed_envelopes,
+    )
+    from myodish_peak_analysis_spark.operators.peaks import with_threshold_keep
+    from myodish_peak_analysis_spark.operators.smooth import with_fir_smooth
+    from myodish_peak_analysis_spark.operators.windows import with_extrema_flags
+    from myodish_peak_analysis_spark.schema import signal_frame
+
+    sig = signal_frame(spark, "/root/testdata/sf0.001", n_channels=1)
+    df = with_extrema_flags(with_fir_smooth(sig), value_col="smooth")
+    df = with_diastolic(with_smoothed_envelopes(df, flags_present=True))
+    df = with_threshold_keep(df, value_col="smooth")
+    df = df.withColumn("_keep", F.col("is_peak") & F.col("keep_peak"))
+    df = with_crossings(df)
+    return peak_attributes(df, keep_col="_keep")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    LLM-data-pipeline extensions over documents/embeddings)."""
+    out = {
+        "signal_frame": _q.q_signal_frame,
+        "extrema_flags": _q.q_extrema_flags,
+        "smooth": _q.q_smooth,
+        "raw_envelopes": _q.q_raw_envelopes,
+        "envelopes": _q.q_envelopes,
+        "diastolic": _q.q_diastolic,
+        "naive_peaks": _q.q_naive_peaks,
+        "threshold_peaks": _q.q_threshold_peaks,
+        "peak_attributes": _q.q_peak_attributes,
+        "peak_averages": _q.q_peak_averages,
+        "stim_normalize": _q.q_stim_normalize,
+        "global_max": _q.q_global_max,
+        "stim_peak_mean": _q.q_stim_peak_mean,
+        "fidelity_peaks": _q.q_fidelity_peaks,
+        "fidelity_signal": _q.q_fidelity_signal,
+    }
+    out.update(_llm_q.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "signal_frame": _oracle.signal_frame_oracle(),
+        "extrema_flags": _oracle.extrema_flags_oracle(),
+        "smooth": _oracle.smooth_oracle(),
+        "raw_envelopes": _oracle.raw_envelopes_oracle(),
+        "envelopes": _oracle.envelopes_oracle(),
+        "diastolic": _oracle.diastolic_oracle(),
+        "naive_peaks": _oracle.naive_peaks_oracle(),
+        "threshold_peaks": _oracle.threshold_peaks_oracle(),
+        "peak_attributes": _oracle.peak_attributes_oracle(),
+        "peak_averages": _oracle.peak_averages_oracle(),
+        "stim_normalize": _oracle.stim_normalize_oracle(),
+        "global_max": _oracle.global_max_oracle(),
+        "stim_peak_mean": _oracle.stim_peak_mean_oracle(),
+        # fidelity_peaks / fidelity_signal: intentionally no oracle
+        # (non-SQL-expressible: SciPy find_peaks constraint semantics).
+    }
+    out.update(_llm_oracle.ORACLES)
+    return out

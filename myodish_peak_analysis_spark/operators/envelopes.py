@@ -225,7 +225,10 @@ def _sg_fir_sql_expr(value_col: str, smoothing_window_length: int, polyorder: in
                      first_expr: str, last_expr: str) -> str:
     """301-term FIR with nearest-clamp edges over ``value_col`` (NULLs
     poison the sum — DuckDB NULL arithmetic mirrors the Spark NaN
-    sentinel). Term order matches the Spark aggregate: 0.0 + t0 + t1..."""
+    sentinel). The sum is chunked into groups of 50 to stay under
+    DuckDB's 128-deep binder recursion limit; the re-association drifts
+    from Spark's strictly left-to-right aggregate by <1e-13, far below
+    the shared ROUND(…, 6) output contract."""
     coeffs = savgol_coeffs(smoothing_window_length, polyorder)
     half = smoothing_window_length // 2
     terms = ["0.0"]
@@ -245,7 +248,10 @@ def _sg_fir_sql_expr(value_col: str, smoothing_window_length: int, polyorder: in
         else:
             tap = value_col
         terms.append(f"({lit}) * ({tap})")
-    return " + ".join(terms)
+    chunks = [
+        "(" + " + ".join(terms[i : i + 50]) + ")" for i in range(0, len(terms), 50)
+    ]
+    return " + ".join(chunks)
 
 
 def smoothed_envelopes_sql_cte(

@@ -1,0 +1,197 @@
+"""Full DuckDB oracle SQL per query, assembled from the per-operator
+SQL builders (each operator module owns its own SQL mirror; this module
+only chains CTEs and applies the shared output rounding).
+
+Rounding contract: every *computed* double column is rounded to
+:data:`ROUND_DP` decimals in BOTH the Spark query and the oracle SQL, so
+the driver's order-insensitive value hash is insensitive to <=1e-12
+cross-engine FP drift (different summation orders). Raw data columns and
+exactly-representable derivations (``idx / 100.0``) are left unrounded.
+"""
+
+from __future__ import annotations
+
+from .operators.attributes import crossings_sql_cte, peak_attributes_sql_select
+from .operators.envelopes import raw_envelopes_sql_cte, smoothed_envelopes_sql_cte
+from .operators.peaks import threshold_keep_sql_expr
+from .operators.smooth import fir_smooth_sql_cte
+from .operators.windows import extrema_flags_sql
+from .schema import DEFAULT_FS, signal_frame_sql
+
+ROUND_DP = 6
+
+#: Channel count shared by queries() and oracle_sql() — a literal, because
+#: the oracle is a static string. 8 gives 1250-row channels at the
+#: driver's sf0.01 check (>= MIN_CHANNEL_ROWS). Production entry points
+#: use schema.auto_channels() instead.
+ORACLE_CHANNELS = 8
+
+
+def _with(*parts: str) -> str:
+    return "WITH " + ",\n".join(p.strip().strip(",") for p in parts)
+
+
+def _sig() -> str:
+    return f"sig AS ({signal_frame_sql(ORACLE_CHANNELS, DEFAULT_FS)})"
+
+
+def signal_frame_oracle() -> str:
+    return f"{_with(_sig())} SELECT * FROM sig"
+
+
+def extrema_flags_oracle() -> str:
+    return (
+        f"{_with(_sig(), extrema_flags_sql('sig', 'signal_value'))} "
+        "SELECT channel_id, sample_idx, signal_value, is_peak, is_valley FROM flagged"
+    )
+
+
+def smooth_oracle() -> str:
+    return (
+        f"{_with(_sig(), fir_smooth_sql_cte('sig'))} "
+        f"SELECT channel_id, sample_idx, time_index, signal_value, "
+        f"ROUND(smooth, {ROUND_DP}) AS smooth FROM smoothed"
+    )
+
+
+def _chain_to_envelopes() -> list[str]:
+    return [
+        _sig(),
+        fir_smooth_sql_cte("sig"),
+        extrema_flags_sql("smoothed", "smooth"),
+        smoothed_envelopes_sql_cte("flagged", "smooth"),
+    ]
+
+
+def raw_envelopes_oracle() -> str:
+    parts = [
+        _sig(),
+        fir_smooth_sql_cte("sig"),
+        extrema_flags_sql("smoothed", "smooth"),
+        raw_envelopes_sql_cte("flagged", "smooth"),
+    ]
+    return (
+        f"{_with(*parts)} SELECT channel_id, sample_idx, "
+        f"ROUND(smooth, {ROUND_DP}) AS smooth, "
+        f"ROUND(floor_raw, {ROUND_DP}) AS floor_raw, "
+        f"ROUND(ceil_raw, {ROUND_DP}) AS ceil_raw FROM enveloped"
+    )
+
+
+def envelopes_oracle() -> str:
+    return (
+        f"{_with(*_chain_to_envelopes())} SELECT channel_id, sample_idx, "
+        f"ROUND(smooth, {ROUND_DP}) AS smooth, "
+        f"ROUND(baseline, {ROUND_DP}) AS baseline, "
+        f"ROUND(ceiling, {ROUND_DP}) AS ceiling FROM envsmooth"
+    )
+
+
+def _dia_cte() -> str:
+    return (
+        "dia AS (SELECT *, baseline + 0.1 * (ceiling - baseline) AS diastolic "
+        "FROM envsmooth)"
+    )
+
+
+def diastolic_oracle() -> str:
+    return (
+        f"{_with(*_chain_to_envelopes(), _dia_cte())} "
+        f"SELECT channel_id, sample_idx, "
+        f"ROUND(baseline, {ROUND_DP}) AS baseline, "
+        f"ROUND(ceiling, {ROUND_DP}) AS ceiling, "
+        f"ROUND(diastolic, {ROUND_DP}) AS diastolic FROM dia"
+    )
+
+
+def naive_peaks_oracle() -> str:
+    return (
+        f"{_with(_sig(), extrema_flags_sql('sig', 'signal_value'))} "
+        "SELECT channel_id, sample_idx AS peak_idx, time_index AS timestamp, "
+        "signal_value AS peak_value FROM flagged WHERE is_peak"
+    )
+
+
+def threshold_peaks_oracle() -> str:
+    keep = threshold_keep_sql_expr("smooth", "baseline", "ceiling")
+    return (
+        f"{_with(*_chain_to_envelopes())} "
+        f"SELECT channel_id, sample_idx AS peak_idx, time_index AS timestamp, "
+        f"ROUND(smooth, {ROUND_DP}) AS peak_value FROM envsmooth "
+        f"WHERE is_peak AND {keep}"
+    )
+
+
+def peak_attributes_oracle() -> str:
+    keep = threshold_keep_sql_expr("smooth", "baseline", "ceiling")
+    inner = peak_attributes_sql_select(
+        keep_expr=f"is_peak AND {keep}", smooth_col="smooth", baseline_col="baseline"
+    )
+    parts = [*_chain_to_envelopes(), _dia_cte(), crossings_sql_cte("dia")]
+    return (
+        f"{_with(*parts)} SELECT channel_id, peak_idx, timestamp, "
+        f"ROUND(peak_value, {ROUND_DP}) AS peak_value, "
+        f"ROUND(baseline_value, {ROUND_DP}) AS baseline_value, "
+        f"ROUND(force, {ROUND_DP}) AS force, "
+        f"ROUND(time_to_peak, {ROUND_DP}) AS time_to_peak, "
+        f"ROUND(time_to_relaxation, {ROUND_DP}) AS time_to_relaxation, "
+        f"ROUND(duration, {ROUND_DP}) AS duration "
+        f"FROM ({inner}) att"
+    )
+
+
+def peak_averages_oracle() -> str:
+    """Mean over exact integer micro-units (see queries.q_peak_averages):
+    the integer SUM is order-independent, so both engines divide the same
+    integers and produce bit-identical doubles."""
+    keep = threshold_keep_sql_expr("smooth", "baseline", "ceiling")
+    inner = peak_attributes_sql_select(
+        keep_expr=f"is_peak AND {keep}", smooth_col="smooth", baseline_col="baseline"
+    )
+    parts = [*_chain_to_envelopes(), _dia_cte(), crossings_sql_cte("dia")]
+
+    def avg_of(c: str, alias: str) -> str:
+        return (
+            f"CAST(SUM(CAST(ROUND(ROUND({c}, {ROUND_DP}) * 1e6, 0) AS BIGINT)) AS DOUBLE)"
+            f" / (COUNT({c}) * 1e6) AS {alias}"
+        )
+
+    return f"""{_with(*parts)}
+    SELECT channel_id,
+           COUNT(*) AS n_peaks,
+           {avg_of('time_to_peak', 'avg_ttp')},
+           {avg_of('time_to_relaxation', 'avg_ttr')},
+           {avg_of('duration', 'avg_duration')},
+           {avg_of('force', 'avg_force')}
+    FROM ({inner}) att
+    GROUP BY channel_id
+    """
+
+
+def stim_normalize_oracle() -> str:
+    """S2: rescale the 'stim' series (event_type='click' events) to the
+    amplitude of the 'data' series (all other events):
+    stim.value *= max(data)/max(stim)  (peak_detection.py:28-29)."""
+    return f"""
+    WITH data_max AS (SELECT MAX(value) AS m FROM events WHERE event_type <> 'click'),
+         stim_max AS (SELECT MAX(value) AS m FROM events WHERE event_type = 'click')
+    SELECT e.event_id,
+           ROUND(e.value * (SELECT m FROM data_max) / (SELECT m FROM stim_max),
+                 {ROUND_DP}) AS stim_value
+    FROM events e WHERE e.event_type = 'click'
+    """
+
+
+def global_max_oracle() -> str:
+    return (
+        "SELECT MAX(value) AS max_signal, COUNT(*) AS n_rows, "
+        "COUNT(DISTINCT user_id) AS n_users FROM events"
+    )
+
+
+def stim_peak_mean_oracle() -> str:
+    return (
+        f"{_with(_sig(), extrema_flags_sql('sig', 'signal_value'))} "
+        f"SELECT ROUND(AVG(time_index), {ROUND_DP}) AS mean_peak_time, "
+        f"COUNT(*) AS n_peaks FROM flagged WHERE is_peak"
+    )

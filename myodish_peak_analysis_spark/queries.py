@@ -1,0 +1,206 @@
+"""Driver-facing query builders: one function per operator from
+SURVEY.md §2, each returning a DataFrame whose column names and rounding
+match the DuckDB oracle in :mod:`.oracle` exactly.
+
+These are also the canonical usage examples of the operator library —
+every function is the idiomatic Spark formulation (window functions over
+one (channel_id, sample_idx) sort; no collect, no Python in the hot
+path) that the oracle SQL mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.attributes import (
+    peak_attributes,
+    peak_averages,
+    with_crossings,
+)
+from .operators.envelopes import (
+    with_diastolic,
+    with_raw_envelopes,
+    with_smoothed_envelopes,
+)
+from .operators.fidelity import fidelity_peaks, fidelity_signal_columns
+from .operators.peaks import with_threshold_keep
+from .operators.smooth import with_fir_smooth
+from .operators.windows import with_extrema_flags
+from .oracle import ORACLE_CHANNELS, ROUND_DP
+from .schema import read_table, signal_frame
+
+
+def _r(c: str):
+    return F.round(F.col(c), ROUND_DP).alias(c)
+
+
+def q_signal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return signal_frame(spark, sf_dir, n_channels=ORACLE_CHANNELS)
+
+
+def q_extrema_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q_signal_frame(spark, sf_dir)
+    return with_extrema_flags(sig, value_col="signal_value").select(
+        "channel_id", "sample_idx", "signal_value", "is_peak", "is_valley"
+    )
+
+
+def q_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q_signal_frame(spark, sf_dir)
+    return with_fir_smooth(sig).select(
+        "channel_id", "sample_idx", "time_index", "signal_value", _r("smooth")
+    )
+
+
+def _smoothed_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q_signal_frame(spark, sf_dir)
+    return with_extrema_flags(with_fir_smooth(sig), value_col="smooth")
+
+
+def q_raw_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_raw_envelopes(
+        _smoothed_flagged(spark, sf_dir), value_col="smooth", flags_present=True
+    )
+    return df.select(
+        "channel_id", "sample_idx", _r("smooth"), _r("floor_raw"), _r("ceil_raw")
+    )
+
+
+def _enveloped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_smoothed_envelopes(
+        _smoothed_flagged(spark, sf_dir), value_col="smooth", flags_present=True
+    )
+
+
+def q_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _enveloped(spark, sf_dir).select(
+        "channel_id", "sample_idx", _r("smooth"), _r("baseline"), _r("ceiling")
+    )
+
+
+def q_diastolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_diastolic(_enveloped(spark, sf_dir))
+    return df.select(
+        "channel_id", "sample_idx", _r("baseline"), _r("ceiling"), _r("diastolic")
+    )
+
+
+def q_naive_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q_signal_frame(spark, sf_dir)
+    flagged = with_extrema_flags(sig, value_col="signal_value")
+    return flagged.filter(F.col("is_peak")).select(
+        "channel_id",
+        F.col("sample_idx").alias("peak_idx"),
+        F.col("time_index").alias("timestamp"),
+        F.col("signal_value").alias("peak_value"),
+    )
+
+
+def q_threshold_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_threshold_keep(_enveloped(spark, sf_dir), value_col="smooth")
+    return df.filter(F.col("is_peak") & F.col("keep_peak")).select(
+        "channel_id",
+        F.col("sample_idx").alias("peak_idx"),
+        F.col("time_index").alias("timestamp"),
+        F.round(F.col("smooth"), ROUND_DP).alias("peak_value"),
+    )
+
+
+def _attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_diastolic(_enveloped(spark, sf_dir))
+    df = with_threshold_keep(df, value_col="smooth")
+    df = df.withColumn("_keep", F.col("is_peak") & F.col("keep_peak"))
+    df = with_crossings(df)
+    return peak_attributes(df, keep_col="_keep")
+
+
+def q_peak_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _attributes(spark, sf_dir).select(
+        "channel_id",
+        "peak_idx",
+        "timestamp",
+        _r("peak_value"),
+        _r("baseline_value"),
+        _r("force"),
+        _r("time_to_peak"),
+        _r("time_to_relaxation"),
+        _r("duration"),
+    )
+
+
+def q_peak_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 NULL-skipping means. For the oracle hash the mean is computed
+    over exact integer micro-units (6-dp-rounded attribute * 1e6): the
+    integer SUM is order-independent, so both engines divide identical
+    integers and produce bit-identical doubles — no round-half boundary
+    flakes from float summation order (observed as exact 1e-6 diffs)."""
+
+    def micro(c: str):
+        return F.round(F.round(F.col(c), ROUND_DP) * 1e6, 0).cast("long")
+
+    def avg_of(c: str, alias: str):
+        return (
+            F.sum(micro(c)).cast("double") / (F.count(F.col(c)) * F.lit(1e6))
+        ).alias(alias)
+
+    att = _attributes(spark, sf_dir)
+    return att.groupBy("channel_id").agg(
+        F.count(F.lit(1)).alias("n_peaks"),
+        avg_of("time_to_peak", "avg_ttp"),
+        avg_of("time_to_relaxation", "avg_ttr"),
+        avg_of("duration", "avg_duration"),
+        avg_of("force", "avg_force"),
+    )
+
+
+def q_stim_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (peak_detection.py:28-29): stim.value *= max(data)/max(stim).
+    Two scalar aggregates joined by broadcast cross-join — no collect, no
+    driver round-trip; at scale this is two map-side-combined aggs plus a
+    1-row broadcast."""
+    events = read_table(spark, sf_dir, "events")
+    stim = events.filter(F.col("event_type") == "click")
+    data = events.filter(F.col("event_type") != "click")
+    scalars = data.agg(F.max("value").alias("_dm")).crossJoin(
+        F.broadcast(stim.agg(F.max("value").alias("_sm")))
+    )
+    return (
+        stim.crossJoin(F.broadcast(scalars))
+        .select(
+            "event_id",
+            F.round(
+                F.col("value") * F.col("_dm") / F.col("_sm"), ROUND_DP
+            ).alias("stim_value"),
+        )
+    )
+
+
+def q_global_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return events.agg(
+        F.max("value").alias("max_signal"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_stim_peak_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    peaks = q_naive_peaks(spark, sf_dir)
+    return peaks.agg(
+        F.round(F.avg("timestamp"), ROUND_DP).alias("mean_peak_time"),
+        F.count(F.lit(1)).alias("n_peaks"),
+    )
+
+
+def q_fidelity_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 constrained find_peaks pipeline (grouped-map pandas UDF) — not
+    SQL-expressible (greedy distance suppression / prominence); the driver
+    records a rows-only check."""
+    return fidelity_peaks(signal_frame(spark, sf_dir, n_channels=ORACLE_CHANNELS))
+
+
+def q_fidelity_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact derived signal columns; rows-only check."""
+    return fidelity_signal_columns(
+        signal_frame(spark, sf_dir, n_channels=ORACLE_CHANNELS)
+    )
