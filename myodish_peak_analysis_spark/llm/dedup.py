@@ -1,0 +1,170 @@
+"""Deduplication operators over the ``documents`` table: exact hash
+dedup, MinHash-LSH near-dup candidate pairs, SimHash signatures, and
+exact n-gram Jaccard.
+
+100 TB designs (and what must NEVER happen at scale):
+
+* Exact dedup: hash-groupBy — one shuffle keyed by md5(text); skew-free
+  (hash keys are uniform), map-side combinable.
+* MinHash: shingle explode → per-doc min-aggregation (map-side partial
+  min, tiny state: PERMS longs/doc) → banded signature keys →
+  ``groupBy(band, key)`` bucket join. Candidate pairs only ever form
+  WITHIN a bucket — never an all-pairs cross join. Expected bucket sizes
+  are O(duplicate-cluster size); a pathological hot bucket is capped by
+  AQE skew-join splitting.
+* SimHash: explode tokens × bits, two partial-aggregate stages — all
+  map-side combinable; output one 48-bit signature per doc. Hamming-near
+  pairs come from banding the signature exactly like MinHash.
+* Exact Jaccard is the *verifier* that runs on LSH candidates, not a
+  discovery mechanism; the deterministic sample here exists so the
+  operator itself is oracle-checkable without an all-pairs join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .params import (
+    MINHASH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    MINHASH_ROWS,
+    SHINGLE_K,
+    SIMHASH_BITS,
+)
+
+_TOKENS = "split(text, ' ')"
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5(text): keeper = lowest doc_id."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    k = SHINGLE_K
+    return (
+        docs.filter(F.expr(f"size({_TOKENS}) >= {k}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size({_TOKENS}) - {k - 1}), "
+                    f"i -> concat_ws(' ', slice({_TOKENS}, i, {k}))))"
+                )
+            ).alias("shingle"),
+        )
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """One row per doc: sig_0..sig_{PERMS-1} = min over shingles of
+    (a_j*h + b_j) mod PRIME. Documents with < SHINGLE_K tokens are
+    excluded (no shingles)."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"sig_{j}"
+        )
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — band_key = md5 of the band's signature
+    slice; equal keys put docs in the same LSH bucket."""
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [f"sig_{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
+        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        bands.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    The join is per-bucket (groupBy band+key), never all-pairs."""
+    keys = minhash_band_keys(minhash_signatures(docs))
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """48-bit SimHash over distinct whitespace tokens (weight 1)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({_TOKENS})")).alias("tok"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+    )
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
+    )
+    per_bit = bits.groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)
+        ).alias("s")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def jaccard_pairs(docs: DataFrame, mod: int = 20, min_jaccard: float = 0.05) -> DataFrame:
+    """Exact distinct-token Jaccard over a deterministic pair sample
+    (doc_id equivalence classes mod ``mod``). In production the pair set
+    comes from :func:`minhash_pairs`; the sample keeps the operator
+    oracle-checkable without an all-pairs join."""
+    t = docs.select(
+        "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.expr("size(filter(a.toks, x -> array_contains(b.toks, x)))")
+    jac = inter.cast("double") / (
+        F.expr("size(a.toks)") + F.expr("size(b.toks)") - inter
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") % mod == F.col("b.doc_id") % mod)
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,1 +1,245 @@
-ORACLES: dict = {}
+"""DuckDB oracle SQL for the LLM-pipeline queries — generated from the
+same constants (:mod:`.params`) as the Spark builders, so stopword
+lists, MinHash permutations, and LSH hyperplanes are literally
+identical in both engines."""
+
+from __future__ import annotations
+
+from .params import (
+    ANN_LSH_TOPK,
+    ANN_QUERY_MOD,
+    ANN_TOPK,
+    FINGERPRINT_GRAM,
+    FINGERPRINT_WINDOW,
+    LSH_PLANE_WEIGHTS,
+    MINHASH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    MINHASH_ROWS,
+    SHINGLE_K,
+    SIMHASH_BITS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    duck_array_lit,
+    sql_in_list,
+)
+from .text import lang_pred_case_sql
+
+_TK = "string_split(text, ' ')"
+
+
+def _text_stats_sql() -> str:
+    stop = sql_in_list(STOPWORDS)
+    return f"""
+    SELECT doc_id,
+           len({_TK}) AS n_words,
+           len(list_distinct({_TK})) AS n_distinct_words,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TK}), 6)
+               AS avg_word_len,
+           ROUND(CAST(len(list_filter({_TK}, x -> x IN {stop})) AS DOUBLE)
+                 / len({_TK}), 6) AS stopword_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio
+    FROM documents
+    """
+
+
+def _minhash_sig_sql() -> str:
+    k = SHINGLE_K
+    sigs = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS sig_{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    return f"""
+    sh AS (
+        SELECT doc_id, ('0x' || substr(md5(g), 1, 7))::BIGINT AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk) - {k - 2}),
+                          i -> array_to_string(tk[i:i+{k - 1}], ' '))) AS g
+            FROM (SELECT doc_id, {_TK} AS tk FROM documents) t
+            WHERE len(tk) >= {k}
+        ) s
+    ),
+    sigs AS (
+        SELECT doc_id, {sigs}
+        FROM sh GROUP BY doc_id
+    )
+    """
+
+
+def _band_keys_sql() -> str:
+    selects = []
+    for b in range(MINHASH_BANDS):
+        cols = ", ".join(
+            f"sig_{b * MINHASH_ROWS + r}::VARCHAR" for r in range(MINHASH_ROWS)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sigs"
+        )
+    return "bandkeys AS (" + " UNION ALL ".join(selects) + ")"
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["dedup_exact"] = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+ORACLES["text_stats"] = _text_stats_sql()
+
+ORACLES["lang_id"] = (
+    f"SELECT doc_id, lang AS labeled_lang, {lang_pred_case_sql('duckdb')} AS pred_lang "
+    "FROM documents"
+)
+
+# Quality score in exact integer 1e-7 units (inputs are 6-dp decimals, so
+# 10x-scaled weights 4/3/3 keep every term integral): both engines sum
+# identical integers — no round-half-boundary drift from double ROUND
+# (Java BigDecimal rounds the shortest decimal representation, DuckDB
+# rounds the binary double; they disagree on exact-looking .5 cases).
+ORACLES["quality_score"] = f"""
+WITH stats AS ({_text_stats_sql()})
+SELECT doc_id,
+       CAST(4 * least(1000000::BIGINT, n_words * 10000)
+            + 3 * (1000000 - CAST(ROUND(punct_ratio * 1e6, 0) AS BIGINT))
+            + 3 * least(1000000::BIGINT,
+                        5 * CAST(ROUND(stopword_ratio * 1e6, 0) AS BIGINT))
+            AS DOUBLE) / 1e7 AS quality_score
+FROM stats
+"""
+
+ORACLES["token_counts"] = f"""
+SELECT doc_id,
+       len({_TK}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_bpe_tokens
+FROM documents
+"""
+
+ORACLES["doc_fingerprints"] = f"""
+WITH grams AS (
+    SELECT doc_id, u.i AS pos,
+           ('0x' || substr(md5(u.g), 1, 15))::BIGINT AS h
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - {FINGERPRINT_GRAM - 2}),
+                      i -> struct_pack(i := i,
+                           g := array_to_string(tk[i:i+{FINGERPRINT_GRAM - 1}], ' ')))) AS u
+        FROM (SELECT doc_id, {_TK} AS tk FROM documents) t
+        WHERE len(tk) >= {FINGERPRINT_GRAM}
+    ) s
+),
+wins AS (
+    SELECT doc_id,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {FINGERPRINT_WINDOW - 1} FOLLOWING)
+               AS fingerprint
+    FROM grams
+)
+SELECT DISTINCT doc_id, fingerprint FROM wins
+"""
+
+ORACLES["minhash_signatures"] = f"WITH {_minhash_sig_sql()} SELECT * FROM sigs"
+
+ORACLES["minhash_pairs"] = f"""
+WITH {_minhash_sig_sql()},
+{_band_keys_sql()}
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM bandkeys a
+JOIN bandkeys b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+ORACLES["simhash"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct({_TK})) AS tok FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h FROM toks),
+bits AS (SELECT doc_id, h, unnest(range(0, {SIMHASH_BITS})) AS b FROM h),
+per_bit AS (
+    SELECT doc_id, b,
+           SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS BIGINT)
+           AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+ORACLES["jaccard_pairs"] = f"""
+WITH t AS (SELECT doc_id, list_distinct({_TK}) AS toks FROM documents)
+SELECT * FROM (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           ROUND(CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks)
+                    - len(list_filter(a.toks, x -> list_contains(b.toks, x)))), 6)
+               AS jaccard
+    FROM t a JOIN t b
+      ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id
+) p WHERE jaccard >= 0.05
+"""
+
+_DOT_SELF = "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])"
+
+ORACLES["embedding_norms"] = f"""
+SELECT vec_id, label, len(embedding) AS dim,
+       ROUND(sqrt({_DOT_SELF}), 6) AS norm
+FROM embeddings
+"""
+
+_BASE_CTE = f"""
+base AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e,
+           sqrt({_DOT_SELF}) AS nrm
+    FROM embeddings
+)
+"""
+
+ORACLES["ann_cosine_topk"] = f"""
+WITH {_BASE_CTE},
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM base
+      WHERE vec_id % {ANN_QUERY_MOD} = 0),
+pairs AS (
+    SELECT q.query_id, c.vec_id,
+           ROUND(list_dot_product(q.qe, c.e) / (q.qn * c.nrm), 6) AS cosine
+    FROM base c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM pairs
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {ANN_TOPK}
+"""
+
+
+def _bucket_sql() -> str:
+    parts = [
+        f"(CASE WHEN list_dot_product(e, {duck_array_lit(w)}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(LSH_PLANE_WEIGHTS)
+    ]
+    return " + ".join(parts)
+
+
+ORACLES["ann_lsh_topk"] = f"""
+WITH {_BASE_CTE},
+bucketed AS (SELECT *, CAST({_bucket_sql()} AS INTEGER) AS bucket FROM base),
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket AS qb FROM bucketed
+      WHERE vec_id % {ANN_QUERY_MOD} = 0),
+pairs AS (
+    SELECT q.query_id, c.vec_id,
+           ROUND(list_dot_product(q.qe, c.e) / (q.qn * c.nrm), 6) AS cosine
+    FROM bucketed c JOIN q ON c.bucket = q.qb AND c.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM pairs
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {ANN_LSH_TOPK}
+"""

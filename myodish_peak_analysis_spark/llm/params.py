@@ -1,0 +1,77 @@
+"""Shared deterministic constants for the LLM-pipeline operators.
+
+Both the Spark query builders and the DuckDB oracle SQL are generated
+from THESE values, so the two engines always agree on stopword lists,
+MinHash permutations, and LSH hyperplanes. Everything is derived from
+md5 of fixed strings — no RNG, no environment dependence.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+# --- text analysis ---------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr": ("le", "les", "et", "des", "est", "dans", "une"),
+}
+
+#: BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# --- fingerprinting / dedup ------------------------------------------------
+
+FINGERPRINT_GRAM = 5  #: tokens per winnowing k-gram
+FINGERPRINT_WINDOW = 4  #: winnowing window (rolling min over this many grams)
+
+SHINGLE_K = 3  #: tokens per MinHash shingle
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+MINHASH_PRIME = 536870909  # largest prime < 2^29; a*h+b stays < 2^58
+
+
+def _h(s: str, hexdigits: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:hexdigits], 16)
+
+
+#: (a_j, b_j) for sig_j = min over shingles of (a_j*h32 + b_j) % PRIME.
+MINHASH_COEFFS = tuple(
+    (_h(f"minhash-a-{j}", 7) | 1, _h(f"minhash-b-{j}", 7))
+    for j in range(MINHASH_PERMS)
+)
+
+SIMHASH_BITS = 48
+
+# --- similarity search -----------------------------------------------------
+
+EMBEDDING_DIM = 64
+LSH_PLANES = 4  #: 2^4 = 16 buckets — sized so sf0.01's 500 vectors keep
+#: ~30 candidates per bucket; at scale raise planes with log2(n).
+ANN_QUERY_MOD = 50  #: query set = vec_id % ANN_QUERY_MOD == 0
+ANN_TOPK = 10
+ANN_LSH_TOPK = 5
+
+#: Deterministic ±1 hyperplanes (sign from md5 parity), embedded as
+#: literals in both engines.
+LSH_PLANE_WEIGHTS = tuple(
+    tuple(1.0 if _h(f"plane-{p}-{d}", 2) % 2 == 0 else -1.0 for d in range(EMBEDDING_DIM))
+    for p in range(LSH_PLANES)
+)
+
+
+def sql_in_list(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def spark_array_lit(vals) -> str:
+    return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+
+
+def duck_array_lit(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"

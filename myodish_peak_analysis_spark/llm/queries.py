@@ -1,1 +1,91 @@
-QUERIES: dict = {}
+"""Driver-facing LLM-pipeline queries over documents/embeddings.
+Each entry in QUERIES has a matching DuckDB mirror in ``llm.oracle``
+(except where noted); column names and rounding are matched exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schema import read_table
+from . import dedup, similarity, text
+
+
+def _long(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.with_text_stats(read_table(spark, sf_dir, "documents"))
+    return _long(out, "n_words", "n_distinct_words")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_lang_id(read_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_quality_score(read_table(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.with_token_counts(read_table(spark, sf_dir, "documents"))
+    return _long(out, "n_ws_tokens", "n_bpe_tokens")
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(read_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(read_table(spark, sf_dir, "documents"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.embedding_norms(read_table(spark, sf_dir, "embeddings"))
+    return _long(out, "dim")
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.cosine_topk(read_table(spark, sf_dir, "embeddings"))
+    return _long(out, "rank")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.lsh_topk(read_table(spark, sf_dir, "embeddings"))
+    return _long(out, "rank")
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "doc_fingerprints": q_doc_fingerprints,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "jaccard_pairs": q_jaccard_pairs,
+    "embedding_norms": q_embedding_norms,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}

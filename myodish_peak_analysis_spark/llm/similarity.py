@@ -1,0 +1,121 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``):
+brute-force cosine top-k as the correctness baseline and a
+random-hyperplane LSH-bucketed variant as the scale path.
+
+100 TB design: the brute-force route is O(Q·N) and exists only as the
+oracle baseline / final re-ranker. The LSH route buckets every vector by
+the sign pattern of ``LSH_PLANES`` fixed hyperplane projections; search
+joins query and candidates ON the bucket key — a hash join keyed by
+bucket, never a cross join. Plane count grows with log2(N) to keep
+buckets bounded; multi-probe (flipping low-margin bits) is the standard
+recall knob. All dot products are ``zip_with``+``aggregate`` higher-order
+functions — JVM-side, no Python, no UDF.
+
+Ranking determinism: cosine is quantized to 6 dp BEFORE ranking in both
+engines, then tie-broken by vec_id, so cross-engine FP drift (~1e-15)
+can never reorder the top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .params import (
+    ANN_LSH_TOPK,
+    ANN_QUERY_MOD,
+    ANN_TOPK,
+    LSH_PLANE_WEIGHTS,
+    spark_array_lit,
+)
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def embedding_norms(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(_dot("embedding", "embedding")), 6).alias("norm"),
+    )
+
+
+def _with_norm(emb: DataFrame) -> DataFrame:
+    return emb.withColumn("_norm", F.sqrt(_dot("embedding", "embedding")))
+
+
+def cosine_topk(emb: DataFrame, k: int = ANN_TOPK, query_mod: int = ANN_QUERY_MOD) -> DataFrame:
+    """Brute-force cosine top-k of every query (vec_id % query_mod == 0)
+    against all other vectors. Queries are the broadcast side."""
+    base = _with_norm(emb)
+    q = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    c = base.select("vec_id", "embedding", "_norm")
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("_norm")), 6
+    )
+    ranked = joined.select(
+        "query_id", "vec_id", cos.alias("cosine")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
+def lsh_bucket_col() -> F.Column:
+    """Bucket id = sign bits of the fixed hyperplane projections."""
+    bucket = F.lit(0)
+    for p, weights in enumerate(LSH_PLANE_WEIGHTS):
+        proj = _dot("embedding", spark_array_lit(weights))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id", lsh_bucket_col().alias("bucket"))
+
+
+def lsh_topk(emb: DataFrame, k: int = ANN_LSH_TOPK, query_mod: int = ANN_QUERY_MOD) -> DataFrame:
+    """ANN top-k: exact cosine, but only among candidates sharing the
+    query's LSH bucket — the join is keyed ON the bucket."""
+    base = _with_norm(emb).withColumn("bucket", lsh_bucket_col())
+    q = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = base.select("vec_id", "embedding", "_norm", "bucket")
+    joined = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = F.round(
+        _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("_norm")), 6
+    )
+    ranked = joined.select(
+        "query_id", "vec_id", cos.alias("cosine")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)

@@ -1,0 +1,154 @@
+"""Text-analysis operators over the ``documents`` table: per-document
+stats, language ID, quality scoring, token counting, and winnowing
+fingerprints.
+
+All of these are pure ``pyspark.sql.functions`` expressions — no UDFs,
+no Python in the hot path — so they scale as embarrassingly parallel
+projections (plus one per-document window for the fingerprint rolling
+min). At 100 TB: documents are independent rows; the only shuffle is the
+fingerprint DISTINCT, which is bounded by fingerprints-per-doc (a few
+dozen), not text size.
+
+The reference library has no text operators; these are the
+LLM-training-data extensions required by the build brief, expressed
+Spark-first with DuckDB oracle mirrors in :mod:`.oracle`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .params import (
+    FINGERPRINT_GRAM,
+    FINGERPRINT_WINDOW,
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    sql_in_list,
+)
+
+_TOKENS = "split(text, ' ')"
+
+
+def _hits_expr(words) -> str:
+    return f"size(filter({_TOKENS}, x -> x IN {sql_in_list(words)}))"
+
+
+def with_text_stats(docs: DataFrame) -> DataFrame:
+    """n_words / distinct words / avg word length / stopword + punct
+    ratios per document."""
+    n_words = F.expr(f"size({_TOKENS})")
+    no_space = F.length(F.regexp_replace("text", " ", ""))
+    punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.expr(f"size(array_distinct({_TOKENS}))").alias("n_distinct_words"),
+        F.round(no_space.cast("double") / n_words, 6).alias("avg_word_len"),
+        F.round(
+            F.expr(_hits_expr(STOPWORDS)).cast("double") / n_words, 6
+        ).alias("stopword_ratio"),
+        F.round(punct.cast("double") / F.length("text"), 6).alias("punct_ratio"),
+    )
+
+
+def lang_pred_case_sql(dialect: str = "spark") -> str:
+    """Shared CASE expression choosing the language with the most marker
+    hits (ties break toward 'en' → es → de → fr). Identical text works in
+    both engines once the token-split function name is swapped."""
+    toks = _TOKENS if dialect == "spark" else "string_split(text, ' ')"
+    fil = "filter" if dialect == "spark" else "list_filter"
+    size = "size" if dialect == "spark" else "len"
+
+    def hits(words):
+        return f"{size}({fil}({toks}, x -> x IN {sql_in_list(words)}))"
+
+    h = {k: hits(v) for k, v in LANG_MARKERS.items()}
+    return (
+        f"CASE WHEN {h['es']} > {h['en']} AND {h['es']} >= {h['de']} "
+        f"AND {h['es']} >= {h['fr']} THEN 'es' "
+        f"WHEN {h['de']} > {h['en']} AND {h['de']} >= {h['fr']} THEN 'de' "
+        f"WHEN {h['fr']} > {h['en']} THEN 'fr' ELSE 'en' END"
+    )
+
+
+def with_lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID (n-gram-free heuristic: marker-word
+    hit counts per language, argmax with deterministic tie-break)."""
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.expr(lang_pred_case_sql("spark")).alias("pred_lang"),
+    )
+
+
+def with_quality_score(docs: DataFrame) -> DataFrame:
+    """Composite quality score in [0,1]: length saturation (0.4) + low
+    punctuation (0.3) + stopword presence (0.3, natural-language-ness).
+
+    Computed in exact integer 1e-7 units (the ratio inputs are 6-dp
+    decimals, so 10x-scaled weights 4/3/3 keep every term integral) and
+    divided once at the end — the oracle sums the same integers, so the
+    cross-engine result is bit-identical with no round-half boundary
+    cases."""
+    stats = with_text_stats(docs)
+    one_m = F.lit(1000000).cast("long")
+    punct_u = F.round(F.col("punct_ratio") * 1e6, 0).cast("long")
+    stop_u = F.round(F.col("stopword_ratio") * 1e6, 0).cast("long")
+    q_e7 = (
+        F.lit(4) * F.least(one_m, F.col("n_words").cast("long") * 10000)
+        + F.lit(3) * (one_m - punct_u)
+        + F.lit(3) * F.least(one_m, F.lit(5) * stop_u)
+    )
+    return stats.select(
+        "doc_id", (q_e7.cast("double") / F.lit(1e7)).alias("quality_score")
+    )
+
+
+def with_token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letter runs / digit runs
+    / single punctuation) per document."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({_TOKENS})").alias("n_ws_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{TOKEN_REGEX}', 0))").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprints: k-token-gram rolling hashes, minimum per
+    sliding window, distinct (doc_id, fingerprint).
+
+    The rolling hash is the first 15 hex digits of md5 (60 bits) — chosen
+    because both Spark (``conv``) and DuckDB (``'0x…'::BIGINT``) convert
+    it identically. Value-based window minima make winnowing tie-stable
+    across engines. Documents shorter than the gram are excluded (same
+    WHERE in the oracle).
+    """
+    g, w = FINGERPRINT_GRAM, FINGERPRINT_WINDOW
+    grams = docs.filter(F.expr(f"size({_TOKENS}) >= {g}")).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size({_TOKENS}) - {g - 1}), "
+                f"i -> concat_ws(' ', slice({_TOKENS}, i, {g})))"
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    return (
+        hashed.withColumn("fingerprint", F.min("h").over(win))
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )

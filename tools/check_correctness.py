@@ -24,6 +24,30 @@ from myodish_peak_analysis_spark.session import get_spark  # noqa: E402
 SF_DIR = "/root/testdata/sf0.01"
 
 
+def _oracle_child(sql: str, out_path: str) -> None:
+    con = duckdb.connect()
+    for t in HARNESS_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    con.sql(sql).df().to_parquet(out_path)
+
+
+def run_oracle(sql: str) -> pd.DataFrame:
+    """Run the oracle in a forked subprocess: the heavy 301-tap windowed
+    FIR queries leave allocator-retained memory behind; in-process they
+    cumulatively OOM later queries sharing the process with the JVM."""
+    import multiprocessing as mp
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+        ctx = mp.get_context("fork")
+        p = ctx.Process(target=_oracle_child, args=(sql, f.name))
+        p.start()
+        p.join()
+        if p.exitcode != 0:
+            raise RuntimeError(f"oracle subprocess exit {p.exitcode}")
+        return pd.read_parquet(f.name)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -75,11 +99,6 @@ def main() -> None:
     only = set(sys.argv[1:])
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in HARNESS_TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_ok = n_bad = 0
@@ -100,7 +119,7 @@ def main() -> None:
             continue
         t0 = time.time()
         try:
-            odf = con.sql(oracles[name]).df()
+            odf = run_oracle(oracles[name])
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_bad += 1
