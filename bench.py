@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>, "rows": {...}}
+
+Every query is forced through a noop sink (not ``count()``) so column
+pruning cannot skip the actual compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from myodish_peak_analysis_spark.api import PeakPipeline  # noqa: E402
+from myodish_peak_analysis_spark.llm import dedup, similarity, text  # noqa: E402
+from myodish_peak_analysis_spark.operators.fidelity import fidelity_peaks  # noqa: E402
+from myodish_peak_analysis_spark.schema import (  # noqa: E402
+    auto_channels,
+    read_table,
+    signal_frame,
+)
+from myodish_peak_analysis_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+
+    n_channels = auto_channels(spark, SF_DIR)
+    sig = signal_frame(spark, SF_DIR, n_channels=n_channels).cache()
+    sig.count()  # warm: channelization + page cache
+    docs = read_table(spark, SF_DIR, "documents").cache()
+    docs.count()
+    emb = read_table(spark, SF_DIR, "embeddings").cache()
+    emb.count()
+
+    queries = {
+        "native_peak_pipeline": lambda: (
+            PeakPipeline(sig).smooth().envelopes().diastolic().detect_peaks().attributes()
+        ),
+        "native_peak_averages": lambda: (
+            PeakPipeline(sig).smooth().envelopes().diastolic().detect_peaks().averages()
+        ),
+        "fidelity_peaks": lambda: fidelity_peaks(sig),
+        "dedup_exact": lambda: dedup.exact_dedup(docs),
+        "minhash_pairs": lambda: dedup.minhash_pairs(docs),
+        "simhash": lambda: dedup.simhash_signatures(docs),
+        "text_stats": lambda: text.with_text_stats(docs),
+        "doc_fingerprints": lambda: text.doc_fingerprints(docs),
+        "ann_cosine_topk": lambda: similarity.cosine_topk(emb),
+        "ann_lsh_topk": lambda: similarity.lsh_topk(emb),
+    }
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, build in queries.items():
+        df = build()
+        t0 = time.time()
+        force(df)  # timed: the full compute through a noop sink
+        times[name] = round(time.time() - t0, 3)
+        rows[name] = df.count()  # untimed bookkeeping
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "rows": rows,
+                "sf": sf,
+                "n_channels": n_channels,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

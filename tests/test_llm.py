@@ -1,0 +1,150 @@
+"""LLM-pipeline operator tests on constructed documents/embeddings
+with known ground truth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from myodish_peak_analysis_spark.llm import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " with a tiny tail"),  # near-dup of 0
+        (3, "completely different words about spark window functions here"),
+        (4, "too short"),  # < 3 tokens excluded from shingle ops
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_duplicates(docs):
+    out = {r.keeper_doc_id: r.n_copies for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sigs = {r.doc_id: tuple(r)[1:] for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    assert 4 not in sigs  # too short for shingles
+
+
+def test_minhash_pairs_finds_duplicates(docs):
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in dedup.minhash_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_equal_different_differ(docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    assert sh[0] == sh[1]
+    assert sh[0] != sh[3]
+
+
+def test_jaccard_identical_is_one(docs):
+    out = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, mod=1).collect()
+    }
+    assert out[(0, 1)] == pytest.approx(1.0)
+    assert out[(0, 2)] > 0.5  # near-dup
+    assert out.get((0, 3), 0.0) < 0.2
+
+
+def test_fingerprints_exclude_short_docs(docs):
+    out = dedup if False else text.doc_fingerprints(docs)
+    ids = {r.doc_id for r in out.collect()}
+    assert 4 not in ids and 0 in ids
+    # identical docs -> identical fingerprint sets
+    fps = text.doc_fingerprints(docs).collect()
+    s0 = {r.fingerprint for r in fps if r.doc_id == 0}
+    s1 = {r.fingerprint for r in fps if r.doc_id == 1}
+    assert s0 == s1 and len(s0) > 0
+
+
+def test_text_stats_hand_computed(spark):
+    d = spark.createDataFrame([(0, "the cat sat!")], "doc_id long, text string")
+    r = text.with_text_stats(d).collect()[0]
+    assert r.n_words == 3
+    assert r.n_distinct_words == 3
+    assert r.stopword_ratio == pytest.approx(1 / 3, abs=1e-6)
+    assert r.punct_ratio == pytest.approx(1 / 12, abs=1e-6)
+
+
+def test_lang_id_marker_words(spark):
+    d = spark.createDataFrame(
+        [
+            (0, "el perro de la casa que ladra y corre en los campos"),
+            (1, "the dog and the cat of the house in a field"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in text.with_lang_id(d.withColumn("lang", F.lit("x"))).collect()}
+    assert out[0] == "es" and out[1] == "en"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),  # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+        (50, [-1.0, 0.0, 0.0, 0.0], 2),  # second query (50 % 50 == 0)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_embedding_norms(emb):
+    out = {r.vec_id: r.norm for r in similarity.embedding_norms(emb).collect()}
+    assert out[0] == pytest.approx(1.0)
+    assert out[1] == pytest.approx((0.81 + 0.01) ** 0.5, abs=1e-6)
+
+
+def test_cosine_topk_ranks_known_neighbor_first(emb):
+    out = similarity.cosine_topk(emb, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    top_q0 = sorted(by_q[0])[0]
+    assert top_q0[1] == 1  # vec 1 is the nearest to vec 0
+    assert 0 not in [v for _, v, _ in by_q[0]]  # self excluded
+
+
+def test_lsh_topk_cosines_agree_with_brute(emb):
+    brute = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in similarity.cosine_topk(emb, k=4).collect()
+    }
+    for r in similarity.lsh_topk(emb, k=4).collect():
+        key = (r.query_id, r.vec_id)
+        if key in brute:
+            assert r.cosine == pytest.approx(brute[key])
+
+
+def test_multimodal_image_metadata_fake(spark):
+    rows = [(0, "image", bytearray(b"payload-A"), "s"), (1, "image", bytearray(b"B"), "s"),
+            (2, "audio", bytearray(b"C" * 32000), "s")]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.image_metadata(media, fake=True).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_bytes == 9 and 1 <= out[0].width <= 1920
+    audio = multimodal.audio_metadata(media, fake=True).collect()
+    assert audio[0].duration_s == pytest.approx(2.0)
+
+
+def test_multimodal_strict_mode_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image_impl(b"x", fake=False)
+
+
+def test_multimodal_frame_sampling_fake(spark):
+    rows = [(0, "video", bytearray(b"F" * 640), "s")]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = multimodal.sample_frames(media, every_n=2, fake=True).collect()
+    assert len(frames) == 5  # 640//64 = 10 frames, every 2nd
+    assert len({r.frame_hash for r in frames}) == 5
