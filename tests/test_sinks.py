@@ -1,0 +1,62 @@
+"""Sink tests: selection/limit logic without a renderer, durable
+parquet round-trip with partition pruning."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from myodish_peak_analysis_spark import sinks
+from myodish_peak_analysis_spark.api import PeakPipeline
+from myodish_peak_analysis_spark.schema import signal_frame
+
+from tests.conftest import SF001
+
+
+@pytest.fixture(scope="module")
+def detected(spark):
+    sig = signal_frame(spark, SF001, n_channels=1)
+    pipe = PeakPipeline(sig).smooth().envelopes().diastolic().detect_peaks()
+    return pipe.df.cache(), pipe.attributes().cache()
+
+
+def test_detection_view_collects_one_channel(detected):
+    signal, peaks = detected
+    sig_pdf, peaks_pdf = sinks.detection_view(signal, channel_id=0, peaks=peaks)
+    assert {"signal_value", "smooth", "baseline", "ceiling"} <= set(sig_pdf.columns)
+    assert len(sig_pdf) == 1000
+    assert len(peaks_pdf) > 0
+
+
+def test_collect_limit_guard(detected):
+    signal, _ = detected
+    import myodish_peak_analysis_spark.sinks as s
+
+    with pytest.raises(ValueError):
+        s._collect(signal, limit=10)
+
+
+def test_beat_times_flags_select_series(detected):
+    _, peaks = detected
+    pdf = sinks.beat_times_view(peaks, 0, ttp=True)
+    assert list(pdf.columns) == ["timestamp", "time_to_peak"]
+    pdf = sinks.beat_times_view(peaks, 0, show_all=True)
+    assert {"time_to_peak", "time_to_relaxation", "duration"} <= set(pdf.columns)
+
+
+def test_figure_requires_plotly(detected):
+    signal, _ = detected
+    if not sinks.HAVE_PLOTLY:
+        with pytest.raises(ImportError):
+            sinks.detection_view(signal, 0, to_figure=True)
+
+
+def test_write_parquet_partitioned(detected, spark, tmp_path):
+    _, peaks = detected
+    path = os.path.join(str(tmp_path), "peaks")
+    sinks.write_parquet(peaks, path)
+    back = spark.read.parquet(path)
+    assert back.count() == peaks.count()
+    # partition pruning: channel filter must hit PartitionFilters
+    plan = back.filter(F.col("channel_id") == 0)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(channel_id" in plan
