@@ -142,6 +142,29 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def neardup_verified(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """The production near-dup pipeline: MinHash-LSH candidates verified
+    by exact distinct-token Jaccard. Candidates come only from band
+    buckets (O(cluster size) join), the exact check touches only those
+    pairs — never all-pairs."""
+    cand = minhash_pairs(docs)
+    t = docs.select("doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks"))
+    j = (
+        cand.join(t.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a")
+        .withColumnRenamed("toks", "toks_a")
+        .join(t.withColumnRenamed("doc_id", "doc_id_b"), "doc_id_b")
+        .withColumnRenamed("toks", "toks_b")
+    )
+    inter = F.expr("size(filter(toks_a, x -> array_contains(toks_b, x)))")
+    jac = inter.cast("double") / (
+        F.expr("size(toks_a)") + F.expr("size(toks_b)") - inter
+    )
+    return (
+        j.select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def jaccard_pairs(docs: DataFrame, mod: int = 20, min_jaccard: float = 0.05) -> DataFrame:
     """Exact distinct-token Jaccard over a deterministic pair sample
     (doc_id equivalence classes mod ``mod``). In production the pair set

@@ -183,6 +183,28 @@ SELECT * FROM (
 ) p WHERE jaccard >= 0.05
 """
 
+ORACLES["neardup_verified"] = f"""
+WITH {_minhash_sig_sql()},
+{_band_keys_sql()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM bandkeys a
+    JOIN bandkeys b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+t AS (SELECT doc_id, list_distinct({_TK}) AS toks FROM documents)
+SELECT * FROM (
+    SELECT cand.doc_id_a, cand.doc_id_b,
+           ROUND(CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS DOUBLE)
+                 / (len(ta.toks) + len(tb.toks)
+                    - len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))), 6)
+               AS jaccard
+    FROM cand
+    JOIN t ta ON ta.doc_id = cand.doc_id_a
+    JOIN t tb ON tb.doc_id = cand.doc_id_b
+) v WHERE jaccard >= 0.5
+"""
+
 _DOT_SELF = "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])"
 
 ORACLES["embedding_norms"] = f"""
@@ -225,6 +247,17 @@ def _bucket_sql() -> str:
     ]
     return " + ".join(parts)
 
+
+ORACLES["embedding_neardup"] = f"""
+WITH {_BASE_CTE},
+bucketed AS (SELECT *, CAST({_bucket_sql()} AS INTEGER) AS bucket FROM base)
+SELECT * FROM (
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) p WHERE cosine >= 0.4
+"""
 
 ORACLES["ann_lsh_topk"] = f"""
 WITH {_BASE_CTE},

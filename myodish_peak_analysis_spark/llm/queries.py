@@ -59,6 +59,14 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(read_table(spark, sf_dir, "documents"))
 
 
+def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.neardup_verified(read_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup(read_table(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.embedding_norms(read_table(spark, sf_dir, "embeddings"))
     return _long(out, "dim")
@@ -85,6 +93,8 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "jaccard_pairs": q_jaccard_pairs,
+    "neardup_verified": q_neardup_verified,
+    "embedding_neardup": q_embedding_neardup,
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,

@@ -90,6 +90,37 @@ def lsh_buckets(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", lsh_bucket_col().alias("bucket"))
 
 
+def embedding_neardup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, candidates restricted to a
+    shared LSH bucket (the dedup-by-embedding flavor of the ANN index:
+    the join is keyed on the bucket, never a cross join; at scale, raise
+    LSH_PLANES with log2(N) and multi-probe for recall)."""
+    base = _with_norm(emb).withColumn("bucket", lsh_bucket_col())
+    a = base.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("_norm").alias("norm_a"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("_norm").alias("norm_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    joined = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("vec_id_a") < F.col("vec_id_b")),
+    )
+    cos = F.round(
+        _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6
+    )
+    return joined.select("vec_id_a", "vec_id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def lsh_topk(emb: DataFrame, k: int = ANN_LSH_TOPK, query_mod: int = ANN_QUERY_MOD) -> DataFrame:
     """ANN top-k: exact cosine, but only among candidates sharing the
     query's LSH bucket — the join is keyed ON the bucket."""
