@@ -119,6 +119,20 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["vocab_top100"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TK}) AS token FROM documents),
+counts AS (
+    SELECT token, COUNT(*) AS term_count,
+           COUNT(DISTINCT doc_id) AS doc_frequency
+    FROM toks GROUP BY token
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY term_count DESC, token) AS rank
+    FROM counts
+)
+SELECT * FROM ranked WHERE rank <= 100
+"""
+
 ORACLES["doc_fingerprints"] = f"""
 WITH grams AS (
     SELECT doc_id, u.i AS pos,

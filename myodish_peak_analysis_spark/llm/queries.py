@@ -39,6 +39,11 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _long(out, "n_ws_tokens", "n_bpe_tokens")
 
 
+def q_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.vocab_counts(read_table(spark, sf_dir, "documents"), top_n=100)
+    return _long(out, "rank")
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprints(read_table(spark, sf_dir, "documents"))
 
@@ -88,6 +93,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
+    "vocab_top100": q_vocab_top100,
     "doc_fingerprints": q_doc_fingerprints,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,

@@ -117,6 +117,32 @@ def with_token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def vocab_counts(docs: DataFrame, top_n: int | None = None) -> DataFrame:
+    """Corpus vocabulary: global token counts + document frequency —
+    the wordcount backbone of tokenizer/vocab construction. Explode +
+    two-level aggregate; both aggregations are map-side combinable, so
+    the shuffle carries only (token, partial-count) pairs. ``top_n``
+    adds a deterministic (count DESC, token ASC) rank cutoff."""
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_count"),
+        F.countDistinct("doc_id").alias("doc_frequency"),
+    )
+    if top_n is None:
+        return counts
+    from pyspark.sql.window import Window
+
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("term_count").desc(), F.col("token"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= top_n)
+
+
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """Winnowing fingerprints: k-token-gram rolling hashes, minimum per
     sliding window, distinct (doc_id, fingerprint).

@@ -1,0 +1,90 @@
+"""Hypothesis property tests for the NumPy signal kernels: each kernel
+is compared against an independent brute-force formulation on random
+inputs (no SciPy in this environment, so the brute versions ARE the
+spec — written straight from the documented behavior)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from myodish_peak_analysis_spark.functions.sigproc import (
+    find_peaks,
+    local_maxima_plateau,
+    savgol_coeffs,
+    savgol_filter_nearest,
+)
+
+signals = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    min_size=3,
+    max_size=120,
+)
+
+
+def brute_local_maxima(y):
+    """Straight-from-the-docs plateau maxima: strictly greater than the
+    previous differing sample and the next differing sample."""
+    out = []
+    n = len(y)
+    i = 1
+    while i < n - 1:
+        if y[i - 1] < y[i]:
+            j = i
+            while j + 1 < n and y[j + 1] == y[i]:
+                j += 1
+            if j + 1 < n and y[j + 1] < y[i]:
+                out.append((i + j) // 2)
+            i = j
+        i += 1
+    return out
+
+
+@given(signals)
+@settings(max_examples=200, deadline=None)
+def test_local_maxima_matches_brute(y):
+    y = np.asarray(y)
+    mids, lefts, rights = local_maxima_plateau(y)
+    assert list(mids) == brute_local_maxima(list(y))
+
+
+@given(signals)
+@settings(max_examples=100, deadline=None)
+def test_distance_suppression_invariants(y):
+    y = np.asarray(y)
+    peaks = find_peaks(y, distance=5)
+    # kept peaks are pairwise >= distance apart
+    assert all(b - a >= 5 for a, b in zip(peaks, peaks[1:]))
+    # every suppressed peak is within distance of a kept, higher-or-equal peak
+    all_peaks = set(local_maxima_plateau(y)[0].tolist())
+    kept = set(peaks.tolist())
+    for p in all_peaks - kept:
+        assert any(abs(p - k) < 5 and y[k] >= y[p] for k in kept)
+
+
+@given(signals, st.integers(min_value=1, max_value=3))
+@settings(max_examples=100, deadline=None)
+def test_savgol_polynomial_reproduction(coeffs_seed, degree):
+    # build a polynomial from the hypothesis-provided values as coeffs
+    rng = np.random.default_rng(abs(hash(tuple(coeffs_seed))) % (2**32))
+    c = rng.normal(size=degree + 1)
+    x = np.arange(60, dtype=float)
+    y = sum(ck * x**k for k, ck in enumerate(c))
+    out = savgol_filter_nearest(y, 9, 3)
+    assert np.allclose(out[4:-4], y[4:-4], rtol=1e-6, atol=1e-6)
+
+
+@given(st.integers(min_value=1, max_value=12))
+@settings(max_examples=30, deadline=None)
+def test_savgol_coeffs_partition_of_unity(half):
+    w = 2 * half + 1
+    for p in range(0, min(w - 1, 5)):
+        c = savgol_coeffs(w, p)
+        assert abs(c.sum() - 1.0) < 1e-9
+
+
+@given(signals)
+@settings(max_examples=100, deadline=None)
+def test_prominence_filter_is_monotone(y):
+    y = np.asarray(y)
+    lo = find_peaks(y, prominence=0.5)
+    hi = find_peaks(y, prominence=2.0)
+    assert set(hi.tolist()) <= set(lo.tolist())
