@@ -165,6 +165,55 @@ def neardup_verified(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     )
 
 
+def dedup_clusters(docs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Connected components over the verified near-dup graph: every doc
+    gets a ``cluster_id`` = the smallest doc_id reachable through
+    near-dup edges (itself if it has none). The canonical "keep one per
+    cluster" step of a dedup pipeline.
+
+    Implementation: min-label propagation — each round joins labels
+    across edges and keeps the elementwise min — run to fixpoint
+    (convergence checked per round; cluster diameters are tiny for
+    near-dup graphs, so this is 2-3 rounds in practice). At 100 TB use
+    the large-star/small-star formulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") to bound rounds at
+    O(log^2 n); the per-round join here is the same keyed shuffle.
+    """
+    pairs = neardup_verified(docs)
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def jaccard_pairs(docs: DataFrame, mod: int = 20, min_jaccard: float = 0.05) -> DataFrame:
     """Exact distinct-token Jaccard over a deterministic pair sample
     (doc_id equivalence classes mod ``mod``). In production the pair set

@@ -219,6 +219,42 @@ SELECT * FROM (
 ) v WHERE jaccard >= 0.5
 """
 
+# Connected components as a recursive CTE: min reachable doc_id over the
+# undirected near-dup edge set (mirrors the Spark label propagation).
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_minhash_sig_sql()},
+{_band_keys_sql()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM bandkeys a
+    JOIN bandkeys b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+t AS (SELECT doc_id, list_distinct({_TK}) AS toks FROM documents),
+verified AS (
+    SELECT * FROM (
+        SELECT cand.doc_id_a, cand.doc_id_b,
+               CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS DOUBLE)
+               / (len(ta.toks) + len(tb.toks)
+                  - len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))) AS j
+        FROM cand
+        JOIN t ta ON ta.doc_id = cand.doc_id_a
+        JOIN t tb ON tb.doc_id = cand.doc_id_b
+    ) v WHERE ROUND(j, 6) >= 0.5
+),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM verified
+    UNION ALL
+    SELECT doc_id_b AS src, doc_id_a AS dst FROM verified
+),
+reach AS (
+    SELECT doc_id AS src, doc_id AS dst FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
 _DOT_SELF = "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])"
 
 ORACLES["embedding_norms"] = f"""

@@ -68,6 +68,10 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_verified(read_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(read_table(spark, sf_dir, "documents"))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup(read_table(spark, sf_dir, "embeddings"))
 
@@ -100,6 +104,7 @@ QUERIES = {
     "simhash": q_simhash,
     "jaccard_pairs": q_jaccard_pairs,
     "neardup_verified": q_neardup_verified,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_neardup": q_embedding_neardup,
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,

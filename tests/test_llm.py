@@ -66,6 +66,32 @@ def test_fingerprints_exclude_short_docs(docs):
     assert s0 == s1 and len(s0) > 0
 
 
+def test_dedup_clusters_transitive(spark):
+    # a~b and b~c near-dups (but a,c also similar) -> one cluster {a,b,c}
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, base),
+        (11, base + " lambda"),
+        (12, base + " lambda mu"),
+        (13, "unrelated totally different content about nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs).collect()}
+    assert out[10] == out[11] == out[12] == 10
+    assert out[13] == 13
+
+
+def test_fidelity_nondefault_params_no_crash(spark):
+    # ADVICE r1 item 5: non-default window combos used to break length
+    # restoration and crash; now they NaN-fill and run.
+    from myodish_peak_analysis_spark.operators.fidelity import fidelity_peaks
+    from myodish_peak_analysis_spark.schema import signal_frame
+
+    sig = signal_frame(spark, "/root/testdata/sf0.001", n_channels=1)
+    out = fidelity_peaks(sig, window_size=351, aux_smoothing=51).collect()
+    assert isinstance(out, list)  # no IndexError / broadcast ValueError
+
+
 def test_text_stats_hand_computed(spark):
     d = spark.createDataFrame([(0, "the cat sat!")], "doc_id long, text string")
     r = text.with_text_stats(d).collect()[0]
