@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stim_normalize": _q.q_stim_normalize,
         "global_max": _q.q_global_max,
         "stim_peak_mean": _q.q_stim_peak_mean,
+        "session_stats": _q.q_session_stats,
         "fidelity_peaks": _q.q_fidelity_peaks,
         "fidelity_signal": _q.q_fidelity_signal,
     }
@@ -96,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "stim_normalize": _oracle.stim_normalize_oracle(),
         "global_max": _oracle.global_max_oracle(),
         "stim_peak_mean": _oracle.stim_peak_mean_oracle(),
+        "session_stats": _oracle.session_stats_oracle(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle
         # (non-SQL-expressible: SciPy find_peaks constraint semantics).
     }

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from myodish_peak_analysis_spark.api import PeakPipeline  # noqa: E402
 from myodish_peak_analysis_spark.llm import dedup, similarity, text  # noqa: E402
 from myodish_peak_analysis_spark.operators.fidelity import fidelity_peaks  # noqa: E402
+from myodish_peak_analysis_spark.operators.sessions import session_stats  # noqa: E402
 from myodish_peak_analysis_spark.schema import (  # noqa: E402
     auto_channels,
     read_table,
@@ -58,6 +59,9 @@ def main() -> None:
             PeakPipeline(sig).smooth().envelopes().diastolic().detect_peaks().averages()
         ),
         "fidelity_peaks": lambda: fidelity_peaks(sig),
+        "session_stats": lambda: session_stats(
+            read_table(spark, SF_DIR, "events")
+        ),
         "dedup_exact": lambda: dedup.exact_dedup(docs),
         "minhash_pairs": lambda: dedup.minhash_pairs(docs),
         "simhash": lambda: dedup.simhash_signatures(docs),

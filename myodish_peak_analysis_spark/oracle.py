@@ -189,6 +189,12 @@ def global_max_oracle() -> str:
     )
 
 
+def session_stats_oracle() -> str:
+    from .operators.sessions import sessions_sql
+
+    return sessions_sql()
+
+
 def stim_peak_mean_oracle() -> str:
     return (
         f"{_with(_sig(), extrema_flags_sql('sig', 'signal_value'))} "

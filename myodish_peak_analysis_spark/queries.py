@@ -192,6 +192,12 @@ def q_stim_peak_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessions import session_stats
+
+    return session_stats(read_table(spark, sf_dir, "events"))
+
+
 def q_fidelity_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 constrained find_peaks pipeline (grouped-map pandas UDF) — not
     SQL-expressible (greedy distance suppression / prominence); the driver

@@ -88,6 +88,24 @@ def streaming_naive_peaks(signal_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop documents whose md5(text) was already
+    seen within the watermark horizon. Uses the built-in
+    ``dropDuplicatesWithinWatermark`` state store, so state is bounded
+    by the horizon (an unbounded ``dropDuplicates`` would grow state
+    forever — never ship that). The ingest-time dedup stage of a
+    streaming training-data pipeline."""
+    return (
+        docs_stream.withColumn("text_hash", F.md5("text"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
 def streaming_windowed_stats(
     events_stream: DataFrame,
     window: str = "10 seconds",

@@ -1,0 +1,44 @@
+"""Sessionization unit tests on hand-computed event sequences."""
+
+from myodish_peak_analysis_spark.operators.sessions import (
+    session_stats,
+    with_sessions,
+)
+
+US = 1_000_000_000  # 1 second in nanos (raw harness ts unit)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, value double"
+    )
+
+
+def test_gap_rule_splits_sessions(spark):
+    rows = [
+        (0, 0 * US, 1, 1.0),
+        (1, 10 * US, 1, 1.0),  # same session (gap 10s < 1800s)
+        (2, 2000 * US, 1, 1.0),  # new session (gap 1990s)
+        (3, 5 * US, 2, 1.0),  # other user: own session
+    ]
+    out = with_sessions(_events(spark, rows)).collect()
+    seq = {r.event_id: r.session_seq for r in out}
+    assert seq[0] == seq[1] == 1
+    assert seq[2] == 2
+    assert seq[3] == 1
+
+
+def test_session_stats_aggregates(spark):
+    rows = [
+        (0, 0 * US, 1, 2.5),
+        (1, 60 * US, 1, 1.5),
+        (2, 10_000 * US, 1, 1.0),
+    ]
+    stats = {
+        (r.user_id, r.session_seq): r for r in session_stats(_events(spark, rows)).collect()
+    }
+    s1 = stats[(1, 1)]
+    assert s1.n_events == 2
+    assert s1.duration_s == 60.0
+    assert s1.sum_value == 4.0
+    assert stats[(1, 2)].n_events == 1

@@ -79,6 +79,36 @@ def test_streaming_peaks_single_batch_matches_batch_semantics(spark, tmp_path):
     assert got == [(1, 2.0), (3, 3.0)]
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    import datetime as dt
+
+    from myodish_peak_analysis_spark.streaming.peaks import streaming_exact_dedup
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (0, "same text", base),
+        (1, "same text", base + dt.timedelta(seconds=1)),  # dup, dropped
+        (2, "other text", base + dt.timedelta(seconds=2)),
+    ]
+    src = os.path.join(str(tmp_path), "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = sorted(r.doc_id for r in spark.sql("select * from dedup_sink").collect())
+    finally:
+        q.stop()
+    assert len(kept) == 2 and 2 in kept
+    assert not (0 in kept and 1 in kept)
+
+
 def test_streaming_windowed_stats(spark, tmp_path):
     import datetime as dt
 
