@@ -221,37 +221,9 @@ def _frame_sql(lo: int, hi: int) -> str:
     )
 
 
-def _sg_fir_sql_expr(value_col: str, smoothing_window_length: int, polyorder: int,
-                     first_expr: str, last_expr: str) -> str:
-    """301-term FIR with nearest-clamp edges over ``value_col`` (NULLs
-    poison the sum — DuckDB NULL arithmetic mirrors the Spark NaN
-    sentinel). The sum is chunked into groups of 50 to stay under
-    DuckDB's 128-deep binder recursion limit; the re-association drifts
-    from Spark's strictly left-to-right aggregate by <1e-13, far below
-    the shared ROUND(…, 6) output contract."""
+def _coeffs_sql_lit(smoothing_window_length: int, polyorder: int) -> str:
     coeffs = savgol_coeffs(smoothing_window_length, polyorder)
-    half = smoothing_window_length // 2
-    terms = ["0.0"]
-    for k, ck in enumerate(coeffs):
-        o = k - half
-        lit = repr(float(ck))
-        if o < 0:
-            tap = (
-                f"CASE WHEN sample_idx - {-o} < 0 THEN {first_expr} "
-                f"ELSE lag({value_col}, {-o}) OVER w END"
-            )
-        elif o > 0:
-            tap = (
-                f"CASE WHEN sample_idx + {o} > _max_idx THEN {last_expr} "
-                f"ELSE lead({value_col}, {o}) OVER w END"
-            )
-        else:
-            tap = value_col
-        terms.append(f"({lit}) * ({tap})")
-    chunks = [
-        "(" + " + ".join(terms[i : i + 50]) + ")" for i in range(0, len(terms), 50)
-    ]
-    return " + ".join(chunks)
+    return "[" + ", ".join(repr(float(c)) for c in coeffs) + "]::DOUBLE[]"
 
 
 def smoothed_envelopes_sql_cte(
@@ -262,10 +234,18 @@ def smoothed_envelopes_sql_cte(
     polyorder: int = DEFAULT_POLY,
 ) -> str:
     """CTE chain ending in ``envsmooth`` with baseline/ceiling columns,
-    mirroring :func:`with_smoothed_envelopes` zone-for-zone."""
+    mirroring :func:`with_smoothed_envelopes` construct-for-construct:
+    NaN-sentinel values collected by a windowed ``list()`` (frame order,
+    NULLs preserved as NaN), nearest-clamp edge repair via
+    ``list_transform(range(missing), …)`` repeats, and one
+    ``list_dot_product`` against the coefficient literal — 2 window
+    expressions total instead of 602 lag/lead terms (which were both a
+    binder-recursion hazard and a memory hog in DuckDB)."""
     pad = max(window_size, smoothing_window_length) // 2
     hi = window_size - 2
     min_n = window_size + pad
+    half = smoothing_window_length // 2
+    coeffs = _coeffs_sql_lit(smoothing_window_length, polyorder)
 
     def zones(agg: str, flag: str) -> tuple[str, str, str]:
         e = f"{agg}(CASE WHEN {flag} THEN {value_col} END)"
@@ -277,10 +257,19 @@ def smoothed_envelopes_sql_cte(
 
     fa, fb, fc = zones("MIN", "is_valley")
     ca, cb, cc = zones("MAX", "is_peak")
-    floor_fir = _sg_fir_sql_expr("_fpad", smoothing_window_length, polyorder,
-                                 "_ffirst", "_flast")
-    ceil_fir = _sg_fir_sql_expr("_cpad", smoothing_window_length, polyorder,
-                                "_cfirst", "_clast")
+
+    def full_arr(prefix: str) -> str:
+        return (
+            f"list_concat(list_concat("
+            f"list_transform(range(greatest(0, {half} - sample_idx)), i -> {prefix}first), "
+            f"{prefix}arr), "
+            f"list_transform(range(greatest(0, sample_idx + {half} - _max_idx)), i -> {prefix}last))"
+        )
+
+    def out_expr(prefix: str) -> str:
+        dot = f"list_dot_product({full_arr(prefix)}, {coeffs})"
+        return f"CASE WHEN isnan({dot}) THEN NULL ELSE {dot} END"
+
     return f"""
     envzones AS (
         SELECT *,
@@ -292,31 +281,36 @@ def smoothed_envelopes_sql_cte(
     ),
     envpad AS (
         SELECT * EXCLUDE (_fza, _fzb, _fzc, _cza, _czb, _czc),
-               CASE WHEN _n < {min_n} THEN NULL
+               COALESCE(CASE WHEN _n < {min_n} THEN NULL
                     WHEN sample_idx < {pad} THEN _fza
                     WHEN sample_idx < _n - {window_size} + {pad} THEN _fzb
-                    ELSE _fzc END AS _fpad,
-               CASE WHEN _n < {min_n} THEN NULL
+                    ELSE _fzc END, 'NaN'::DOUBLE) AS _fpad,
+               COALESCE(CASE WHEN _n < {min_n} THEN NULL
                     WHEN sample_idx < {pad} THEN _cza
                     WHEN sample_idx < _n - {window_size} + {pad} THEN _czb
-                    ELSE _czc END AS _cpad
+                    ELSE _czc END, 'NaN'::DOUBLE) AS _cpad
         FROM envzones
     ),
-    envfl AS (
+    envarr AS (
         SELECT *,
-               first_value(_fpad) OVER (PARTITION BY channel_id ORDER BY sample_idx) AS _ffirst,
-               last_value(_fpad) OVER (PARTITION BY channel_id ORDER BY sample_idx
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS _flast,
-               first_value(_cpad) OVER (PARTITION BY channel_id ORDER BY sample_idx) AS _cfirst,
-               last_value(_cpad) OVER (PARTITION BY channel_id ORDER BY sample_idx
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS _clast
+               list(_fpad) OVER wfr AS _farr,
+               list(_cpad) OVER wfr AS _carr,
+               first_value(_fpad) OVER wh AS _ffirst,
+               last_value(_fpad) OVER wt AS _flast,
+               first_value(_cpad) OVER wh AS _cfirst,
+               last_value(_cpad) OVER wt AS _clast
         FROM envpad
+        WINDOW wfr AS (PARTITION BY channel_id ORDER BY sample_idx
+                       ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING),
+               wh AS (PARTITION BY channel_id ORDER BY sample_idx),
+               wt AS (PARTITION BY channel_id ORDER BY sample_idx
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     ),
     envsmooth AS (
-        SELECT * EXCLUDE (_n, _max_idx, _fpad, _cpad, _ffirst, _flast, _cfirst, _clast),
-               {floor_fir} AS baseline,
-               {ceil_fir} AS ceiling
-        FROM envfl
-        WINDOW w AS (PARTITION BY channel_id ORDER BY sample_idx)
+        SELECT * EXCLUDE (_n, _max_idx, _fpad, _cpad, _farr, _carr,
+                          _ffirst, _flast, _cfirst, _clast),
+               {out_expr('_f')} AS baseline,
+               {out_expr('_c')} AS ceiling
+        FROM envarr
     )
     """
