@@ -5,9 +5,11 @@ as one chainable pipeline over a channelized signal DataFrame.
 All 14 reference tuning parameters are constructor arguments with the
 reference's defaults (``/root/reference/peak_detection.py:12-18``); each
 stage is a pure DataFrame→DataFrame transformation, so the whole chain
-stays one lazy Catalyst plan (the reference recomputes each envelope
-twice per analysis — here ``.cache()`` on the derived frame replaces
-that, and nothing is computed until an action runs).
+stays one lazy Catalyst plan and nothing is computed until an action
+runs. The reference recomputes each envelope twice per analysis; here,
+call ``.cache()`` after the expensive stages when running multiple
+actions (e.g. ``attributes()`` and ``averages()``) so the derived frame
+is materialized once.
 
 Example::
 
@@ -95,6 +97,11 @@ class PeakPipeline:
         out.p = self.p
         out._value_col = self._value_col
         return out
+
+    def cache(self) -> "PeakPipeline":
+        """Persist the current derived frame — call after ``envelopes()``
+        /``detect_peaks()`` when multiple downstream actions will run."""
+        return self._next(self.df.cache())
 
     # --- detection stages (PeakDetection parity) ---------------------------
 

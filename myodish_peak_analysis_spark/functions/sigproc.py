@@ -138,9 +138,10 @@ def peak_prominences(y: np.ndarray, peaks: np.ndarray, wlen: int | None = None):
     left_bases = np.empty(peaks.size, dtype=np.intp)
     right_bases = np.empty(peaks.size, dtype=np.intp)
     if wlen is not None:
-        if wlen < 2:
-            # SciPy raises for wlen < 2 (arg_wlen_as_expected); match it.
-            raise ValueError(f"wlen must be at least 2, got {wlen}")
+        if wlen <= 1:
+            # SciPy's _arg_wlen_as_expected accepts any value > 1
+            # (ceiling it), raising only for <= 1; match exactly.
+            raise ValueError(f"`wlen` must be larger than 1, got {wlen}")
         # Documented: wlen is rounded up to the next odd integer.
         wlen = int(np.ceil(wlen))
         if wlen % 2 == 0:
@@ -229,10 +230,11 @@ def find_peaks(
     (plateau midpoints) of the surviving peaks.
     """
     y = np.asarray(y, dtype=np.float64)
+    if distance is not None and distance < 1:
+        # SciPy validates distance up front, before looking for maxima.
+        raise ValueError("`distance` must be greater or equal to 1")
     peaks, _, _ = local_maxima_plateau(y)
     if distance is not None and peaks.size:
-        if distance < 1:
-            raise ValueError("`distance` must be greater or equal to 1")
         # SciPy rounds a non-integer distance UP (np.ceil), keeping the
         # suppression at least as strict as requested.
         keep = _select_by_distance(peaks, y[peaks], int(np.ceil(distance)))

@@ -36,6 +36,16 @@ from .params import (
 _TOKENS = "split(text, ' ')"
 
 
+def _jaccard_expr(toks_a: str, toks_b: str):
+    """Exact distinct-token Jaccard of two (already-distinct) token
+    array columns — shared by the sampled and the LSH-verified variants
+    so thresholds/tokenization can never diverge between them."""
+    inter = F.expr(f"size(filter({toks_a}, x -> array_contains({toks_b}, x)))")
+    return inter.cast("double") / (
+        F.expr(f"size({toks_a})") + F.expr(f"size({toks_b})") - inter
+    )
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by md5(text): keeper = lowest doc_id."""
     return (
@@ -155,37 +165,44 @@ def neardup_verified(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
         .join(t.withColumnRenamed("doc_id", "doc_id_b"), "doc_id_b")
         .withColumnRenamed("toks", "toks_b")
     )
-    inter = F.expr("size(filter(toks_a, x -> array_contains(toks_b, x)))")
-    jac = inter.cast("double") / (
-        F.expr("size(toks_a)") + F.expr("size(toks_b)") - inter
-    )
+    jac = _jaccard_expr("toks_a", "toks_b")
     return (
         j.select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
 
 
-def dedup_clusters(docs: DataFrame, max_iters: int = 10) -> DataFrame:
+def dedup_clusters(docs: DataFrame, max_iters: int = 64) -> DataFrame:
     """Connected components over the verified near-dup graph: every doc
     gets a ``cluster_id`` = the smallest doc_id reachable through
     near-dup edges (itself if it has none). The canonical "keep one per
     cluster" step of a dedup pipeline.
 
-    Implementation: min-label propagation — each round joins labels
-    across edges and keeps the elementwise min — run to fixpoint
-    (convergence checked per round; cluster diameters are tiny for
-    near-dup graphs, so this is 2-3 rounds in practice). At 100 TB use
-    the large-star/small-star formulation (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") to bound rounds at
-    O(log^2 n); the per-round join here is the same keyed shuffle.
+    Implementation: min-label propagation to FIXPOINT — each round joins
+    labels across edges and keeps the elementwise min; convergence is
+    checked per round and the loop runs until no label changes (cluster
+    diameters are 2-3 for near-dup graphs in practice; ``max_iters`` is
+    a runaway backstop, and converging within it is required for the
+    oracle contract — the DuckDB mirror computes the exact transitive
+    closure). The edge set is computed ONCE and cached (it contains the
+    whole MinHash+Jaccard subplan); per-round labels are unpersisted as
+    soon as the next round materializes. At 100 TB use the
+    large-star/small-star formulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") to bound rounds at O(log^2 n);
+    the per-round join here is the same keyed shuffle.
     """
     pairs = neardup_verified(docs)
-    edges = pairs.select(
-        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
-    ).union(
-        pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+            )
+        )
+        .cache()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -208,9 +225,18 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 10) -> DataFrame:
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iters} rounds — "
+            "pathological near-dup chain; raise max_iters or switch to the "
+            "large-star/small-star formulation"
+        )
     return labels
 
 
@@ -223,10 +249,7 @@ def jaccard_pairs(docs: DataFrame, mod: int = 20, min_jaccard: float = 0.05) -> 
         "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks")
     )
     a, b = t.alias("a"), t.alias("b")
-    inter = F.expr("size(filter(a.toks, x -> array_contains(b.toks, x)))")
-    jac = inter.cast("double") / (
-        F.expr("size(a.toks)") + F.expr("size(b.toks)") - inter
-    )
+    jac = _jaccard_expr("a.toks", "b.toks")
     return (
         a.join(
             b,

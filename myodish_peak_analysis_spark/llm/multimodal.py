@@ -91,7 +91,6 @@ def _decode_audio_impl(payload: bytes, fake: bool):
             "audio codec not available in this environment; pass fake=True "
             "or plug soundfile/ffmpeg in here"
         )
-    h = hashlib.md5(payload).hexdigest()
     return (len(payload) / 16000.0, 16000)
 
 

@@ -53,7 +53,15 @@ def session_stats(events: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
         (
             (F.max("ts_us") - F.min("ts_us")).cast("double") / F.lit(float(MICROS))
         ).alias("duration_s"),
-        F.round(F.sum(F.round(F.col("value"), 6)), 6).alias("sum_value"),
+        # exact integer micro-units: the SUM is order-independent, so the
+        # oracle compares identical integers (double summation order
+        # differs between engines and flakes at round-half boundaries)
+        (
+            F.sum(F.round(F.round(F.col("value"), 6) * 1e6, 0).cast("long")).cast(
+                "double"
+            )
+            / F.lit(1e6)
+        ).alias("sum_value"),
     )
 
 
@@ -82,6 +90,7 @@ def sessions_sql(gap_seconds: float = 1800.0) -> str:
            MAX(ts_n) AS session_end,
            COUNT(*) AS n_events,
            CAST(MAX(ts_n) - MIN(ts_n) AS DOUBLE) / {float(MICROS)!r} AS duration_s,
-           ROUND(SUM(ROUND(value, 6)), 6) AS sum_value
+           CAST(SUM(CAST(ROUND(ROUND(value, 6) * 1e6, 0) AS BIGINT)) AS DOUBLE)
+               / 1e6 AS sum_value
     FROM sess GROUP BY user_id, session_seq
     """

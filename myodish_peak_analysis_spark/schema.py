@@ -100,11 +100,16 @@ def signal_frame(
     Catalyst plans a single sort per channel partition.
     """
     events = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("channel_id").orderBy("ts", "event_id")
+    # Order by MICROSECOND-truncated ts: Spark reads the parquet nanos as
+    # raw longs but DuckDB truncates to its microsecond TIMESTAMP, so a
+    # same-microsecond pair whose event_id order differs from its
+    # nanosecond order would get swapped sample_idx values between the
+    # two engines. Microseconds + event_id is the portable sort key.
+    w = Window.partitionBy("channel_id").orderBy("ts_us", "event_id")
     return (
         events.select(
             (F.col("user_id") % F.lit(n_channels)).cast("long").alias("channel_id"),
-            F.col("ts"),
+            F.expr("ts DIV 1000").alias("ts_us"),
             F.col("event_id"),
             F.col("value").cast("double").alias("signal_value"),
         )
