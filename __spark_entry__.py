@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_peaks": _q.q_naive_peaks,
         "threshold_peaks": _q.q_threshold_peaks,
         "peak_attributes": _q.q_peak_attributes,
+        "crossing_points": _q.q_crossing_points,
         "peak_averages": _q.q_peak_averages,
         "stim_normalize": _q.q_stim_normalize,
         "global_max": _q.q_global_max,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "naive_peaks": _oracle.naive_peaks_oracle(),
         "threshold_peaks": _oracle.threshold_peaks_oracle(),
         "peak_attributes": _oracle.peak_attributes_oracle(),
+        "crossing_points": _oracle.crossing_points_oracle(),
         "peak_averages": _oracle.peak_averages_oracle(),
         "stim_normalize": _oracle.stim_normalize_oracle(),
         "global_max": _oracle.global_max_oracle(),

@@ -119,49 +119,69 @@ class PeakPipeline:
             v, F.col(v) * F.col("_dm") / F.col("_sm")
         ).drop("_dm", "_sm")
 
-    def smooth(self) -> "PeakPipeline":
+    def smooth(
+        self,
+        smoothing_window_length: int | None = None,
+        polyorder: int | None = None,
+    ) -> "PeakPipeline":
+        """Per-call overrides fall back to the constructor defaults —
+        the reference's ``if x is None: x = self.x`` pattern
+        (peak_detection.py:65-78)."""
         out = self._next(
             with_fir_smooth(
                 self.df,
                 value_col=self.p["signal_column"],
                 out_col="smooth",
-                window_length=self.p["smooth_window"],
-                polyorder=self.p["smooth_poly"],
+                window_length=smoothing_window_length or self.p["smooth_window"],
+                polyorder=polyorder or self.p["smooth_poly"],
             )
         )
         if self.p["compute_from"] == "smooth":
             out._value_col = "smooth"
         return out
 
-    def envelopes(self) -> "PeakPipeline":
+    def envelopes(
+        self,
+        window_size: int | None = None,
+        smoothing_window_length: int | None = None,
+        polyorder: int | None = None,
+    ) -> "PeakPipeline":
         df = with_extrema_flags(self.df, value_col=self._value_col)
         df = with_smoothed_envelopes(
             df,
             value_col=self._value_col,
-            window_size=self.p["window_size"],
-            smoothing_window_length=self.p["aux_smoothing"],
-            polyorder=self.p["aux_poly"],
+            window_size=window_size or self.p["window_size"],
+            smoothing_window_length=smoothing_window_length
+            or self.p["aux_smoothing"],
+            polyorder=polyorder or self.p["aux_poly"],
             flags_present=True,
         )
         return self._next(df)
 
-    def diastolic(self) -> "PeakPipeline":
-        return self._next(
-            with_diastolic(
-                self.df, relative_to_baseline=self.p["relative_to_baseline"]
-            )
+    def diastolic(self, relative_to_baseline: float | None = None) -> "PeakPipeline":
+        rel = (
+            self.p["relative_to_baseline"]
+            if relative_to_baseline is None
+            else relative_to_baseline
         )
+        return self._next(with_diastolic(self.df, relative_to_baseline=rel))
 
-    def detect_peaks(self) -> "PeakPipeline":
+    def detect_peaks(self, threshold: float | None = None) -> "PeakPipeline":
         """Native route: plateau-midpoint maxima + envelope threshold
         filter (P2/P3). For SciPy-constraint parity (distance /
         prominence / width) use :meth:`fidelity_peaks`."""
-        df = with_threshold_keep(
-            self.df, value_col=self._value_col, threshold=self.p["threshold"]
-        )
+        th = self.p["threshold"] if threshold is None else threshold
+        df = with_threshold_keep(self.df, value_col=self._value_col, threshold=th)
         return self._next(
             df.withColumn("_keep", F.col("is_peak") & F.col("keep_peak"))
         )
+
+    def crossing_points(self) -> DataFrame:
+        """The reference's ttp_points/ttr_points per peak."""
+        from .operators.attributes import peak_crossing_points
+
+        df = with_crossings(self.df, smooth_col=self._value_col)
+        return peak_crossing_points(df, keep_col="_keep", fs=self.p["fs"])
 
     def detect_stim_peaks(self, **_ignored) -> DataFrame:
         """P4: unconstrained maxima of the stim series. Tuning kwargs are

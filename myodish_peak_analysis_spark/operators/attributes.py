@@ -75,8 +75,31 @@ def with_crossings(
             "_first_le_false",
             F.first(F.when(~side_le, idx), ignorenulls=True).over(fwd),
         )
+        # smooth value AT the crossing row (same conditional window, value
+        # instead of index) — for the reference's ttp_points/ttr_points
+        # (peak_analysis.py:95,113)
+        .withColumn(
+            "_last_ge_true_v",
+            F.last(F.when(side_ge, s), ignorenulls=True).over(back),
+        )
+        .withColumn(
+            "_last_ge_false_v",
+            F.last(F.when(~side_ge, s), ignorenulls=True).over(back),
+        )
+        .withColumn(
+            "_first_le_true_v",
+            F.first(F.when(side_le, s), ignorenulls=True).over(fwd),
+        )
+        .withColumn(
+            "_first_le_false_v",
+            F.first(F.when(~side_le, s), ignorenulls=True).over(fwd),
+        )
         .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(CHANNEL)))
         .withColumn("_max_idx", F.max(IDX).over(Window.partitionBy(CHANNEL)))
+        .withColumn(
+            "_first_smooth",
+            F.first(s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
     )
 
 
@@ -123,6 +146,53 @@ def peak_attributes(
     )
 
 
+def peak_crossing_points(
+    df_crossed: DataFrame,
+    keep_col: str = "is_peak",
+    fs: float = DEFAULT_FS,
+) -> DataFrame:
+    """The reference's ``ttp_points``/``ttr_points``
+    (peak_analysis.py:95,113): per valid peak, the (time, smooth-value)
+    coordinate where each crossing walk stopped. The value columns reuse
+    the same conditional windows as the index search, so they land on
+    the same row; when the TTP walk falls back to the channel start
+    (no opposite-side row), the value is the channel's first smooth
+    sample — exactly ``smooth[0]`` in the reference loop."""
+    p = F.col(IDX)
+    edge = (p == 0) | (p >= F.col("_n") - 2)
+    ttp_j = F.coalesce(
+        F.when(F.col("_side_ge"), F.col("_last_ge_false")).otherwise(
+            F.col("_last_ge_true")
+        ),
+        F.lit(0),
+    )
+    ttp_v = F.coalesce(
+        F.when(F.col("_side_ge"), F.col("_last_ge_false_v")).otherwise(
+            F.col("_last_ge_true_v")
+        ),
+        F.col("_first_smooth"),
+    )
+    ttr_j = F.when(F.col("_side_le"), F.col("_first_le_false")).otherwise(
+        F.col("_first_le_true")
+    )
+    ttr_v = F.when(F.col("_side_le"), F.col("_first_le_false_v")).otherwise(
+        F.col("_first_le_true_v")
+    )
+    ttp = (p - ttp_j).cast("double") / F.lit(float(fs))
+    ttr = (ttr_j - p).cast("double") / F.lit(float(fs))
+    ttr_valid = ttr_j.isNotNull() & (ttr_j != F.col("_max_idx"))
+    t = F.col("time_index")
+    null_d = F.lit(None).cast("double")
+    return df_crossed.filter(F.col(keep_col)).select(
+        CHANNEL,
+        F.col(IDX).alias("peak_idx"),
+        F.when(edge, null_d).otherwise(t - ttp).alias("ttp_point_t"),
+        F.when(edge, null_d).otherwise(ttp_v).alias("ttp_point_v"),
+        F.when(edge | ~ttr_valid, null_d).otherwise(t + ttr).alias("ttr_point_t"),
+        F.when(edge | ~ttr_valid, null_d).otherwise(ttr_v).alias("ttr_point_v"),
+    )
+
+
 def peak_averages(peaks: DataFrame) -> DataFrame:
     """Per-channel NULL-skipping means (G1,
     ``/root/reference/peak_analysis.py:124-136``)."""
@@ -159,10 +229,52 @@ def crossings_sql_cte(src: str, smooth_col: str = "smooth", diastolic_col: str =
                first_value(CASE WHEN NOT {le} THEN sample_idx END IGNORE NULLS)
                    OVER (PARTITION BY channel_id ORDER BY sample_idx
                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _first_le_false,
+               last_value(CASE WHEN {ge} THEN {s} END IGNORE NULLS)
+                   OVER (PARTITION BY channel_id ORDER BY sample_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _last_ge_true_v,
+               last_value(CASE WHEN NOT {ge} THEN {s} END IGNORE NULLS)
+                   OVER (PARTITION BY channel_id ORDER BY sample_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _last_ge_false_v,
+               first_value(CASE WHEN {le} THEN {s} END IGNORE NULLS)
+                   OVER (PARTITION BY channel_id ORDER BY sample_idx
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _first_le_true_v,
+               first_value(CASE WHEN NOT {le} THEN {s} END IGNORE NULLS)
+                   OVER (PARTITION BY channel_id ORDER BY sample_idx
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _first_le_false_v,
                COUNT(*) OVER (PARTITION BY channel_id) AS _n,
-               MAX(sample_idx) OVER (PARTITION BY channel_id) AS _max_idx
+               MAX(sample_idx) OVER (PARTITION BY channel_id) AS _max_idx,
+               first_value({s}) OVER (PARTITION BY channel_id ORDER BY sample_idx) AS _first_smooth
         FROM {src}
     )
+    """
+
+
+def crossing_points_sql_select(
+    keep_expr: str = "is_peak",
+    fs: float = DEFAULT_FS,
+) -> str:
+    """SELECT over ``crossed`` mirroring :func:`peak_crossing_points`."""
+    ttp_j = "COALESCE(CASE WHEN _side_ge THEN _last_ge_false ELSE _last_ge_true END, 0)"
+    ttp_v = (
+        "COALESCE(CASE WHEN _side_ge THEN _last_ge_false_v ELSE _last_ge_true_v END, "
+        "_first_smooth)"
+    )
+    ttr_j = "(CASE WHEN _side_le THEN _first_le_false ELSE _first_le_true END)"
+    ttr_v = "(CASE WHEN _side_le THEN _first_le_false_v ELSE _first_le_true_v END)"
+    edge = "sample_idx = 0 OR sample_idx >= _n - 2"
+    ttr_invalid = f"{ttr_j} IS NULL OR {ttr_j} = _max_idx"
+    ttp = f"CAST(sample_idx - {ttp_j} AS DOUBLE) / {fs!r}"
+    ttr = f"CAST({ttr_j} - sample_idx AS DOUBLE) / {fs!r}"
+    return f"""
+    SELECT channel_id,
+           sample_idx AS peak_idx,
+           CASE WHEN {edge} THEN NULL ELSE time_index - ({ttp}) END AS ttp_point_t,
+           CASE WHEN {edge} THEN NULL ELSE {ttp_v} END AS ttp_point_v,
+           CASE WHEN {edge} OR {ttr_invalid} THEN NULL
+                ELSE time_index + ({ttr}) END AS ttr_point_t,
+           CASE WHEN {edge} OR {ttr_invalid} THEN NULL ELSE {ttr_v} END AS ttr_point_v
+    FROM crossed
+    WHERE {keep_expr}
     """
 
 

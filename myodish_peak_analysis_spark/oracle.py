@@ -140,6 +140,22 @@ def peak_attributes_oracle() -> str:
     )
 
 
+def crossing_points_oracle() -> str:
+    from .operators.attributes import crossing_points_sql_select
+
+    keep = threshold_keep_sql_expr("smooth", "baseline", "ceiling")
+    inner = crossing_points_sql_select(keep_expr=f"is_peak AND {keep}")
+    parts = [*_chain_to_envelopes(), _dia_cte(), crossings_sql_cte("dia")]
+    return (
+        f"{_with(*parts)} SELECT channel_id, peak_idx, "
+        f"ROUND(ttp_point_t, {ROUND_DP}) AS ttp_point_t, "
+        f"ROUND(ttp_point_v, {ROUND_DP}) AS ttp_point_v, "
+        f"ROUND(ttr_point_t, {ROUND_DP}) AS ttr_point_t, "
+        f"ROUND(ttr_point_v, {ROUND_DP}) AS ttr_point_v "
+        f"FROM ({inner}) cp"
+    )
+
+
 def peak_averages_oracle() -> str:
     """Mean over exact integer micro-units (see queries.q_peak_averages):
     the integer SUM is order-independent, so both engines divide the same

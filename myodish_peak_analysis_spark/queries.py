@@ -128,6 +128,24 @@ def q_peak_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crossing_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.attributes import peak_crossing_points
+
+    df = with_diastolic(_enveloped(spark, sf_dir))
+    df = with_threshold_keep(df, value_col="smooth")
+    df = df.withColumn("_keep", F.col("is_peak") & F.col("keep_peak"))
+    df = with_crossings(df)
+    out = peak_crossing_points(df, keep_col="_keep")
+    return out.select(
+        "channel_id",
+        "peak_idx",
+        _r("ttp_point_t"),
+        _r("ttp_point_v"),
+        _r("ttr_point_t"),
+        _r("ttr_point_v"),
+    )
+
+
 def q_peak_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 NULL-skipping means. For the oracle hash the mean is computed
     over exact integer micro-units (6-dp-rounded attribute * 1e6): the

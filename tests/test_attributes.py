@@ -138,6 +138,84 @@ def test_crossing_at_last_sample_is_null_ttr(spark):
     assert got[2][1] is None
 
 
+def reference_walk_points(smooth, dia, peak_idx, fs=100.0):
+    """Reference ttp_points/ttr_points (peak_analysis.py:95,113):
+    (timestamp -/+ i/fs, smooth[p -/+ i]) when the attribute is non-NaN."""
+    n = len(smooth)
+    t = [k / fs for k in range(n)]
+    if peak_idx == 0 or peak_idx >= n - 2:
+        return (None, None, None, None)
+
+    def ge(i):
+        return not (math.isnan(smooth[i]) or math.isnan(dia[i])) and smooth[i] >= dia[i]
+
+    def le(i):
+        return not (math.isnan(smooth[i]) or math.isnan(dia[i])) and smooth[i] <= dia[i]
+
+    i = 0
+    edge = ge(peak_idx)
+    new_edge = not edge
+    while edge != new_edge and peak_idx - i > 0:
+        i += 1
+        edge = ge(peak_idx - i)
+    ttp_pt = (t[peak_idx] - i / fs, smooth[peak_idx - i]) if i != 0 else (None, None)
+
+    i = 0
+    edge = le(peak_idx)
+    new_edge = not edge
+    while edge != new_edge and peak_idx + i < n - 1:
+        i += 1
+        edge = le(peak_idx + i)
+    if peak_idx + i == n - 1:
+        ttr_pt = (None, None)
+    else:
+        ttr_pt = (t[peak_idx] + i / fs, smooth[peak_idx + i])
+    return (*ttp_pt, *ttr_pt)
+
+
+def test_crossing_points_match_reference_loop(spark):
+    import numpy as np
+
+    from myodish_peak_analysis_spark.operators.attributes import (
+        peak_crossing_points,
+    )
+
+    rng = np.random.default_rng(11)
+    smooth = rng.normal(1.0, 1.0, 100).tolist()
+    dia = rng.normal(1.0, 0.3, 100).tolist()
+    dia[20] = math.nan
+    peaks = [8, 30, 55, 80]
+    n = len(smooth)
+    rows = [
+        (
+            0,
+            i,
+            i / 100.0,
+            float(smooth[i]),
+            None if math.isnan(smooth[i]) else float(smooth[i]),
+            None if math.isnan(dia[i]) else float(dia[i]),
+            i in peaks,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "channel_id long, sample_idx long, time_index double, signal_value double, "
+        "smooth double, diastolic double, is_peak boolean",
+    )
+    got = {
+        r.peak_idx: (r.ttp_point_t, r.ttp_point_v, r.ttr_point_t, r.ttr_point_v)
+        for r in peak_crossing_points(with_crossings(df)).collect()
+    }
+    for p in peaks:
+        exp = reference_walk_points(smooth, dia, p)
+        for e, g, name in zip(exp, got[p], ("ttp_t", "ttp_v", "ttr_t", "ttr_v")):
+            if e is None:
+                assert g is None, f"peak {p} {name}: expected None, got {g}"
+            else:
+                assert g == pytest.approx(e), f"peak {p} {name}"
+
+
 def test_random_channels_match_reference_loop(spark):
     rng = np.random.default_rng(7)
     smooth = rng.normal(1.0, 1.0, 120).tolist()
