@@ -119,6 +119,45 @@ SELECT doc_id,
 FROM documents
 """
 
+_G2 = (
+    "list_transform(range(1, greatest(len(tk) - 1, 1) + 1), "
+    "i -> array_to_string(tk[i:i+1], ' '))"
+)
+
+ORACLES["gopher_quality"] = f"""
+WITH base AS (
+    SELECT doc_id,
+           len(tk)::BIGINT AS n_words,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tk) AS mean_wl,
+           CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS sym,
+           1.0 - CAST(len(list_distinct({_G2})) AS DOUBLE) / len({_G2}) AS rep
+    FROM (SELECT doc_id, text, {_TK} AS tk FROM documents) t
+)
+SELECT doc_id, n_words,
+       ROUND(mean_wl, 6) AS mean_word_len,
+       ROUND(sym, 6) AS symbol_ratio,
+       ROUND(rep, 6) AS dup_2gram_ratio,
+       n_words >= 5 AND n_words <= 10000 AS ok_word_count,
+       mean_wl >= 2.0 AND mean_wl <= 12.0 AS ok_word_len,
+       sym <= 0.2 AS ok_symbols,
+       rep <= 0.5 AS ok_repetition,
+       (n_words >= 5 AND n_words <= 10000) AND (mean_wl >= 2.0 AND mean_wl <= 12.0)
+           AND sym <= 0.2 AND rep <= 0.5 AS keep
+FROM base
+"""
+
+ORACLES["pii_scrub"] = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g'),
+           '[0-9]{6,}', '<NUM>', 'g') AS scrubbed_text,
+       CAST(length(text) - length(regexp_replace(regexp_replace(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g'),
+           '[0-9]{6,}', '<NUM>', 'g')) AS BIGINT) AS chars_removed
+FROM documents
+"""
+
 ORACLES["vocab_top100"] = f"""
 WITH toks AS (SELECT doc_id, unnest({_TK}) AS token FROM documents),
 counts AS (

@@ -39,6 +39,14 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _long(out, "n_ws_tokens", "n_bpe_tokens")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_gopher_quality(read_table(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_pii_scrub(read_table(spark, sf_dir, "documents"))
+
+
 def q_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text.vocab_counts(read_table(spark, sf_dir, "documents"), top_n=100)
     return _long(out, "rank")
@@ -98,6 +106,8 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "vocab_top100": q_vocab_top100,
+    "gopher_quality": q_gopher_quality,
+    "pii_scrub": q_pii_scrub,
     "doc_fingerprints": q_doc_fingerprints,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,

@@ -117,6 +117,65 @@ def with_token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def with_gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    word-count range, mean word length range, symbol ratio cap, and
+    duplicate-2-gram repetition cap — each emitted as a boolean plus the
+    combined ``keep`` verdict. Pure expressions, trivially parallel."""
+    n_words = F.expr(f"size({_TOKENS})").cast("long")
+    no_space = F.length(F.regexp_replace("text", " ", ""))
+    mean_wl = no_space.cast("double") / n_words
+    punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+    symbol_ratio = punct.cast("double") / F.length("text")
+    # duplicate 2-gram fraction: 1 - distinct/total
+    grams2 = (
+        f"transform(sequence(1, greatest(size({_TOKENS}) - 1, 1)), "
+        f"i -> concat_ws(' ', slice({_TOKENS}, i, 2)))"
+    )
+    rep = (
+        F.lit(1.0)
+        - F.expr(f"size(array_distinct({grams2}))").cast("double")
+        / F.expr(f"size({grams2})")
+    )
+    ok_words = (n_words >= 5) & (n_words <= 10000)
+    ok_wl = (mean_wl >= 2.0) & (mean_wl <= 12.0)
+    ok_sym = symbol_ratio <= 0.2
+    ok_rep = rep <= 0.5
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(rep, 6).alias("dup_2gram_ratio"),
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_rep.alias("ok_repetition"),
+        (ok_words & ok_wl & ok_sym & ok_rep).alias("keep"),
+    )
+
+
+#: Portable redaction patterns (identical semantics in Java regex and
+#: RE2): emails and long digit runs.
+PII_PATTERNS = (
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+", "<EMAIL>"),
+    ("number", "[0-9]{6,}", "<NUM>"),
+)
+
+
+def with_pii_scrub(docs: DataFrame) -> DataFrame:
+    """Redact emails and long digit runs; report per-doc redaction
+    counts (the scrub stage of a training-data pipeline)."""
+    scrubbed = F.col("text")
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        (F.length("text") - F.length(scrubbed)).cast("long").alias("chars_removed"),
+    )
+
+
 def vocab_counts(docs: DataFrame, top_n: int | None = None) -> DataFrame:
     """Corpus vocabulary: global token counts + document frequency —
     the wordcount backbone of tokenizer/vocab construction. Explode +
