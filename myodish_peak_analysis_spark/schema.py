@@ -49,7 +49,15 @@ DEFAULT_FS = 100.0
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one harness table; Catalyst handles column pruning
-    and predicate pushdown on top of this."""
+    and predicate pushdown on top of this.
+
+    Defensively enables nanosecond-as-long parquet reads on the GIVEN
+    session: the driver supplies its own SparkSession (not our
+    :func:`~myodish_peak_analysis_spark.session.get_spark`), and without
+    this conf Spark 4 throws PARQUET_TYPE_ILLEGAL on the harness
+    ``events`` table's TIMESTAMP(NANOS) column. The conf is dynamic
+    (verified: a plain session fails, conf.set then succeeds)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
