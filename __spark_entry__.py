@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_max": _q.q_global_max,
         "stim_peak_mean": _q.q_stim_peak_mean,
         "session_stats": _q.q_session_stats,
+        "asof_view_before_purchase": _q.q_asof_view_before_purchase,
+        "resample_hourly": _q.q_resample_hourly,
         "fidelity_peaks": _q.q_fidelity_peaks,
         "fidelity_signal": _q.q_fidelity_signal,
     }
@@ -100,6 +102,8 @@ def oracle_sql() -> dict[str, str]:
         "global_max": _oracle.global_max_oracle(),
         "stim_peak_mean": _oracle.stim_peak_mean_oracle(),
         "session_stats": _oracle.session_stats_oracle(),
+        "asof_view_before_purchase": _oracle.asof_oracle(),
+        "resample_hourly": _oracle.resample_oracle(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle
         # (non-SQL-expressible: SciPy find_peaks constraint semantics).
     }

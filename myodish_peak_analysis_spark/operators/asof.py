@@ -1,0 +1,128 @@
+"""General-purpose as-of join + time-bucket resampling with gap-fill.
+
+Spark has no native ASOF JOIN (DuckDB does; its oracle uses the real
+thing). The standard scalable formulation is the union-sort trick:
+
+    tag left rows (side=1) and right rows (side=0), union them, and per
+    ``by``-key take the running LAST right-payload at or before each
+    row; left rows then carry the as-of match. One shuffle on the key,
+    one in-partition sort — same cost profile as any window stage, and
+    strictly better than the naive range-join (which explodes to
+    O(left x right) per key before filtering).
+
+This is exactly the formulation behind the TTP/TTR crossing searches
+(operators/attributes.py); here it is exposed as a first-class operator
+over arbitrary tables.
+
+Resampling (``resample_lttb``-style down-bucketing + last-observation-
+carried-forward gap fill) composes the same primitives: bucket by
+integer-divided time, aggregate, then ``last(value, ignorenulls)`` over
+the bucket sequence to fill empty buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: tuple[str, ...],
+    suffix: str = "_asof",
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest ``on``
+    value <= the left row's (``<`` when ``strict``), within the same
+    ``by`` group. Left rows without a prior right row keep NULLs.
+
+    Ordering contract: ties on ``on`` between a left and a right row
+    resolve with the right row visible (non-strict) / hidden (strict) —
+    matching DuckDB's ``ASOF JOIN ... ON l.on >= r.on`` semantics.
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        by,
+        on,
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    ).withColumn("_side", F.lit(0))
+    lt_cols = lt.columns
+    for c in rt.columns:
+        if c not in lt_cols:
+            lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    for c in lt_cols:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
+    rt = rt.select(*lt.columns)  # align column order for union
+    # Sort: right rows before left rows at equal `on` (non-strict makes
+    # the same-timestamp right row visible); strict flips that.
+    side_order = F.col("_side").asc() if not strict else F.col("_side").desc()
+    u = lt.union(rt)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in right_cols:
+        u = u.withColumn(
+            f"{c}{suffix}",
+            F.last(F.when(F.col("_side") == 0, F.col(f"_r_{c}")), ignorenulls=True).over(
+                w
+            ),
+        )
+    return u.filter(F.col("_side") == 1).drop(
+        "_side", *[f"_r_{c}" for c in right_cols]
+    )
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Downsample to fixed buckets (``ts DIV width``) with avg/min/max/
+    count per (key, bucket) — map-side combinable, one shuffle."""
+    bucket = (F.col(ts_col) / F.lit(bucket_width)).cast("long")
+    return (
+        df.withColumn("_bucket", bucket)
+        .groupBy(by, "_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .withColumnRenamed("_bucket", "bucket")
+    )
+
+
+def gap_fill(
+    resampled: DataFrame,
+    by: str,
+    bucket_col: str = "bucket",
+    fill_cols: tuple[str, ...] = ("avg_value",),
+) -> DataFrame:
+    """Densify the bucket axis per key (sequence join) and forward-fill
+    the value columns (last observation carried forward). The dense axis
+    comes from a per-key min/max sequence — no driver-side loop."""
+    bounds = resampled.groupBy(by).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    dense = bounds.select(
+        by, F.explode(F.expr("sequence(_lo, _hi)")).alias(bucket_col)
+    )
+    joined = dense.join(resampled, [by, bucket_col], "left")
+    w = (
+        Window.partitionBy(by)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined.withColumn("_filled", F.col(fill_cols[0]).isNotNull())
+    for c in fill_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

@@ -205,6 +205,47 @@ def global_max_oracle() -> str:
     )
 
 
+def asof_oracle() -> str:
+    """DuckDB's native ASOF JOIN is the oracle for the union-sort trick."""
+    return """
+    WITH e AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+    p AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts_us, max_by(value, event_id) AS view_value
+          FROM e WHERE event_type = 'view' GROUP BY user_id, ts_us)
+    SELECT p.event_id, p.user_id, p.ts_us, p.value,
+           v.view_value AS prior_view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+    """
+
+
+def resample_oracle() -> str:
+    hour_us = 3600 * 1_000_000
+    return f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+    r AS (
+        SELECT user_id, ts_us // {hour_us} AS bucket, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(ROUND(value, {ROUND_DP}) * 1e6, 0) AS BIGINT)) AS DOUBLE)
+                   / (COUNT(*) * 1e6) AS avg_value,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM e GROUP BY user_id, ts_us // {hour_us}
+    ),
+    bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM r GROUP BY user_id),
+    dense AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM bounds),
+    j AS (
+        SELECT d.user_id, d.bucket, r.n, r.avg_value, r.min_value, r.max_value,
+               r.avg_value IS NOT NULL AS observed
+        FROM dense d LEFT JOIN r ON d.user_id = r.user_id AND d.bucket = r.bucket
+    )
+    SELECT user_id, bucket, observed, n,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+           min_value, max_value
+    FROM j
+    """
+
+
 def session_stats_oracle() -> str:
     from .operators.sessions import sessions_sql
 

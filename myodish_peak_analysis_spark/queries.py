@@ -210,6 +210,62 @@ def q_stim_peak_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the same user's most recent prior (or
+    simultaneous) view event's value — a general as-of join. Right side
+    is pre-deduplicated to one row per (user, microsecond) with
+    max_by(event_id) so the match is deterministic in both engines."""
+    from .operators.asof import asof_join
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    out = asof_join(
+        purchases, views, on="ts_us", by="user_id", right_cols=("view_value",)
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "value",
+        F.col("view_value_asof").alias("prior_view_value"),
+    )
+
+
+def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample of event values with LOCF gap fill.
+    The bucket average uses exact integer micro-units (order-free sum)
+    for the oracle hash."""
+    from .operators.asof import gap_fill
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+    hour_us = 3600 * 1_000_000
+    micro = F.round(F.round(F.col("value"), ROUND_DP) * 1e6, 0).cast("long")
+    resampled = (
+        events.withColumn("bucket", F.expr(f"ts_us DIV {hour_us}"))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(micro).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+                "avg_value"
+            ),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    out = gap_fill(resampled, by="user_id", fill_cols=("avg_value",))
+    return out.select(
+        "user_id", "bucket", "_filled", "n", "avg_value", "min_value", "max_value"
+    ).withColumnRenamed("_filled", "observed")
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sessions import session_stats
 

@@ -1,0 +1,51 @@
+"""As-of join and resample/gap-fill unit tests on hand-computed frames."""
+
+from myodish_peak_analysis_spark.operators.asof import asof_join, gap_fill, resample
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_basic_and_tie_semantics(spark):
+    left = _df(
+        spark,
+        [(1, 10, 1.0), (1, 20, 2.0), (1, 5, 3.0)],
+        "k long, t long, v double",
+    )
+    right = _df(
+        spark,
+        [(1, 10, 100.0), (1, 15, 150.0)],
+        "k long, t long, rv double",
+    )
+    out = {
+        r.t: r.rv_asof
+        for r in asof_join(left, right, on="t", by="k", right_cols=("rv",)).collect()
+    }
+    assert out[10] == 100.0  # tie: non-strict sees the equal-time right row
+    assert out[20] == 150.0
+    assert out[5] is None  # nothing prior
+
+
+def test_asof_strict_hides_equal_time_row(spark):
+    left = _df(spark, [(1, 10, 1.0)], "k long, t long, v double")
+    right = _df(spark, [(1, 10, 100.0), (1, 9, 90.0)], "k long, t long, rv double")
+    out = asof_join(
+        left, right, on="t", by="k", right_cols=("rv",), strict=True
+    ).collect()
+    assert out[0].rv_asof == 90.0
+
+
+def test_resample_and_gap_fill(spark):
+    df = _df(
+        spark,
+        [(1, 0, 10.0), (1, 5, 20.0), (1, 25, 40.0)],
+        "k long, t long, v double",
+    )
+    r = resample(df, ts_col="t", value_col="v", by="k", bucket_width=10)
+    got = {x.bucket: (x.n, x.avg_value) for x in r.collect()}
+    assert got[0] == (2, 15.0) and got[2] == (1, 40.0)
+    filled = gap_fill(r, by="k")
+    rows = {x.bucket: (x.avg_value, x._filled) for x in filled.collect()}
+    assert rows[1] == (15.0, False)  # gap bucket carried forward
+    assert rows[2] == (40.0, True)
