@@ -127,13 +127,17 @@ class PeakPipeline:
         """Per-call overrides fall back to the constructor defaults —
         the reference's ``if x is None: x = self.x`` pattern
         (peak_detection.py:65-78)."""
+        if smoothing_window_length is None:
+            smoothing_window_length = self.p["smooth_window"]
+        if polyorder is None:  # `is None`, not `or`: polyorder 0 is valid
+            polyorder = self.p["smooth_poly"]
         out = self._next(
             with_fir_smooth(
                 self.df,
                 value_col=self.p["signal_column"],
                 out_col="smooth",
-                window_length=smoothing_window_length or self.p["smooth_window"],
-                polyorder=polyorder or self.p["smooth_poly"],
+                window_length=smoothing_window_length,
+                polyorder=polyorder,
             )
         )
         if self.p["compute_from"] == "smooth":
@@ -146,14 +150,19 @@ class PeakPipeline:
         smoothing_window_length: int | None = None,
         polyorder: int | None = None,
     ) -> "PeakPipeline":
+        if window_size is None:
+            window_size = self.p["window_size"]
+        if smoothing_window_length is None:
+            smoothing_window_length = self.p["aux_smoothing"]
+        if polyorder is None:  # `is None`, not `or`: polyorder 0 is valid
+            polyorder = self.p["aux_poly"]
         df = with_extrema_flags(self.df, value_col=self._value_col)
         df = with_smoothed_envelopes(
             df,
             value_col=self._value_col,
-            window_size=window_size or self.p["window_size"],
-            smoothing_window_length=smoothing_window_length
-            or self.p["aux_smoothing"],
-            polyorder=polyorder or self.p["aux_poly"],
+            window_size=window_size,
+            smoothing_window_length=smoothing_window_length,
+            polyorder=polyorder,
             flags_present=True,
         )
         return self._next(df)

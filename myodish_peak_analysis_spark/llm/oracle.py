@@ -152,9 +152,8 @@ SELECT doc_id,
        regexp_replace(regexp_replace(text,
            '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g'),
            '[0-9]{6,}', '<NUM>', 'g') AS scrubbed_text,
-       CAST(length(text) - length(regexp_replace(regexp_replace(text,
-           '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g'),
-           '[0-9]{6,}', '<NUM>', 'g')) AS BIGINT) AS chars_removed
+       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_number
 FROM documents
 """
 

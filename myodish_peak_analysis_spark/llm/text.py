@@ -164,16 +164,18 @@ PII_PATTERNS = (
 
 
 def with_pii_scrub(docs: DataFrame) -> DataFrame:
-    """Redact emails and long digit runs; report per-doc redaction
-    counts (the scrub stage of a training-data pipeline)."""
+    """Redact emails and long digit runs; report true per-doc redaction
+    counts per pattern (the scrub stage of a training-data pipeline)."""
     scrubbed = F.col("text")
-    for _, pat, repl in PII_PATTERNS:
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.expr(f"size(regexp_extract_all(text, '{pat}', 0))")
+            .cast("long")
+            .alias(f"n_{name}")
+        )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
-    return docs.select(
-        "doc_id",
-        scrubbed.alias("scrubbed_text"),
-        (F.length("text") - F.length(scrubbed)).cast("long").alias("chars_removed"),
-    )
+    return docs.select("doc_id", scrubbed.alias("scrubbed_text"), *counts)
 
 
 def vocab_counts(docs: DataFrame, top_n: int | None = None) -> DataFrame:

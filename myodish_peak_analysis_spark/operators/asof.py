@@ -42,13 +42,29 @@ def asof_join(
     Ordering contract: ties on ``on`` between a left and a right row
     resolve with the right row visible (non-strict) / hidden (strict) —
     matching DuckDB's ``ASOF JOIN ... ON l.on >= r.on`` semantics.
+
+    Preconditions (enforced by construction in the callers, documented
+    here): the right side must be UNIQUE per ``(by, on)`` — duplicate
+    right keys make the match shuffle-order-dependent (pre-aggregate
+    with ``max_by`` as ``q_asof_view_before_purchase`` does) — and right
+    rows with a NULL ``on`` are dropped (a NULL timestamp can never be
+    "the most recent prior"; DuckDB ASOF agrees: ``l.on >= NULL`` is
+    never true).
     """
     lt = left.withColumn("_side", F.lit(1))
-    rt = right.select(
-        by,
-        on,
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-    ).withColumn("_side", F.lit(0))
+    rt = (
+        right.filter(F.col(on).isNotNull())
+        .select(
+            by,
+            on,
+            # One struct payload: stays non-null for the running `last`
+            # even when every payload FIELD is NULL, so a right row with
+            # a NULL value is still the match (its NULL is returned)
+            # rather than being skipped for an older row.
+            F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_r_payload"),
+        )
+        .withColumn("_side", F.lit(0))
+    )
     lt_cols = lt.columns
     for c in rt.columns:
         if c not in lt_cols:
@@ -63,19 +79,23 @@ def asof_join(
     u = lt.union(rt)
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), side_order)
+        # nulls_last: a left row with a NULL `on` must not see the whole
+        # right side (and right NULL-`on` rows were dropped above).
+        .orderBy(F.col(on).asc_nulls_last(), side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in right_cols:
-        u = u.withColumn(
-            f"{c}{suffix}",
-            F.last(F.when(F.col("_side") == 0, F.col(f"_r_{c}")), ignorenulls=True).over(
-                w
-            ),
-        )
-    return u.filter(F.col("_side") == 1).drop(
-        "_side", *[f"_r_{c}" for c in right_cols]
+    u = u.withColumn(
+        "_match",
+        F.when(
+            F.col(on).isNotNull(),  # a NULL-`on` left row matches nothing
+            F.last(
+                F.when(F.col("_side") == 0, F.col("_r_payload")), ignorenulls=True
+            ).over(w),
+        ),
     )
+    for c in right_cols:
+        u = u.withColumn(f"{c}{suffix}", F.col(f"_match.{c}"))
+    return u.filter(F.col("_side") == 1).drop("_side", "_r_payload", "_match")
 
 
 def resample(
@@ -87,7 +107,12 @@ def resample(
 ) -> DataFrame:
     """Downsample to fixed buckets (``ts DIV width``) with avg/min/max/
     count per (key, bucket) — map-side combinable, one shuffle."""
-    bucket = (F.col(ts_col) / F.lit(bucket_width)).cast("long")
+    # exact integer FLOOR division via the pmod identity: plain DIV (and
+    # DuckDB's //) truncate toward zero, which would merge the buckets
+    # either side of t=0 into one double-width bucket; float division +
+    # cast additionally loses precision past 2^53 (nanosecond longs)
+    w = int(bucket_width)
+    bucket = F.expr(f"({ts_col} - pmod({ts_col}, {w})) DIV {w}")
     return (
         df.withColumn("_bucket", bucket)
         .groupBy(by, "_bucket")
@@ -116,13 +141,19 @@ def gap_fill(
     dense = bounds.select(
         by, F.explode(F.expr("sequence(_lo, _hi)")).alias(bucket_col)
     )
-    joined = dense.join(resampled, [by, bucket_col], "left")
+    # `_filled` comes from a join-side marker, not from any value column
+    # (a genuinely-observed bucket can carry NULL values)
+    joined = dense.join(
+        resampled.withColumn("_obs", F.lit(True)), [by, bucket_col], "left"
+    )
     w = (
         Window.partitionBy(by)
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = joined.withColumn("_filled", F.col(fill_cols[0]).isNotNull())
+    out = joined.withColumn("_filled", F.coalesce(F.col("_obs"), F.lit(False))).drop(
+        "_obs"
+    )
     for c in fill_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out

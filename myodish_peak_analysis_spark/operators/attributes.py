@@ -56,43 +56,30 @@ def with_crossings(
     back = w.rowsBetween(Window.unboundedPreceding, -1)
     fwd = w.rowsBetween(1, Window.unboundedFollowing)
     idx = F.col(IDX)
-    return (
+    # The crossing search records BOTH the index and the smooth value of
+    # the crossing row as one struct, so a NULL smooth at the crossing
+    # row cannot make ignorenulls skip to a different row for the value
+    # than for the index (the struct is non-null whenever the side
+    # condition holds, even if its value field is NULL).
+    pair = F.struct(idx.alias("i"), s.alias("v"))
+    df = (
         df.withColumn("_side_ge", side_ge)
         .withColumn("_side_le", side_le)
         .withColumn(
-            "_last_ge_true",
-            F.last(F.when(side_ge, idx), ignorenulls=True).over(back),
+            "_last_ge_true_s",
+            F.last(F.when(side_ge, pair), ignorenulls=True).over(back),
         )
         .withColumn(
-            "_last_ge_false",
-            F.last(F.when(~side_ge, idx), ignorenulls=True).over(back),
+            "_last_ge_false_s",
+            F.last(F.when(~side_ge, pair), ignorenulls=True).over(back),
         )
         .withColumn(
-            "_first_le_true",
-            F.first(F.when(side_le, idx), ignorenulls=True).over(fwd),
+            "_first_le_true_s",
+            F.first(F.when(side_le, pair), ignorenulls=True).over(fwd),
         )
         .withColumn(
-            "_first_le_false",
-            F.first(F.when(~side_le, idx), ignorenulls=True).over(fwd),
-        )
-        # smooth value AT the crossing row (same conditional window, value
-        # instead of index) — for the reference's ttp_points/ttr_points
-        # (peak_analysis.py:95,113)
-        .withColumn(
-            "_last_ge_true_v",
-            F.last(F.when(side_ge, s), ignorenulls=True).over(back),
-        )
-        .withColumn(
-            "_last_ge_false_v",
-            F.last(F.when(~side_ge, s), ignorenulls=True).over(back),
-        )
-        .withColumn(
-            "_first_le_true_v",
-            F.first(F.when(side_le, s), ignorenulls=True).over(fwd),
-        )
-        .withColumn(
-            "_first_le_false_v",
-            F.first(F.when(~side_le, s), ignorenulls=True).over(fwd),
+            "_first_le_false_s",
+            F.first(F.when(~side_le, pair), ignorenulls=True).over(fwd),
         )
         .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(CHANNEL)))
         .withColumn("_max_idx", F.max(IDX).over(Window.partitionBy(CHANNEL)))
@@ -100,6 +87,13 @@ def with_crossings(
             "_first_smooth",
             F.first(s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
+    )
+    for name in ("_last_ge_true", "_last_ge_false", "_first_le_true", "_first_le_false"):
+        df = df.withColumn(name, F.col(f"{name}_s.i")).withColumn(
+            f"{name}_v", F.col(f"{name}_s.v")
+        )
+    return df.drop(
+        "_last_ge_true_s", "_last_ge_false_s", "_first_le_true_s", "_first_le_false_s"
     )
 
 
@@ -212,39 +206,45 @@ def crossings_sql_cte(src: str, smooth_col: str = "smooth", diastolic_col: str =
     s, d = smooth_col, diastolic_col
     ge = f"COALESCE({s} >= {d}, FALSE)"
     le = f"COALESCE({s} <= {d}, FALSE)"
+    pair = f"struct_pack(i := sample_idx, v := {s})"
+    back = (
+        "OVER (PARTITION BY channel_id ORDER BY sample_idx "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    fwd = (
+        "OVER (PARTITION BY channel_id ORDER BY sample_idx "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+    )
     return f"""
-    crossed AS (
+    crossed0 AS (
         SELECT *,
                {ge} AS _side_ge,
                {le} AS _side_le,
-               last_value(CASE WHEN {ge} THEN sample_idx END IGNORE NULLS)
-                   OVER (PARTITION BY channel_id ORDER BY sample_idx
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _last_ge_true,
-               last_value(CASE WHEN NOT {ge} THEN sample_idx END IGNORE NULLS)
-                   OVER (PARTITION BY channel_id ORDER BY sample_idx
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _last_ge_false,
-               first_value(CASE WHEN {le} THEN sample_idx END IGNORE NULLS)
-                   OVER (PARTITION BY channel_id ORDER BY sample_idx
-                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _first_le_true,
-               first_value(CASE WHEN NOT {le} THEN sample_idx END IGNORE NULLS)
-                   OVER (PARTITION BY channel_id ORDER BY sample_idx
-                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _first_le_false,
-               last_value(CASE WHEN {ge} THEN {s} END IGNORE NULLS)
-                   OVER (PARTITION BY channel_id ORDER BY sample_idx
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _last_ge_true_v,
-               last_value(CASE WHEN NOT {ge} THEN {s} END IGNORE NULLS)
-                   OVER (PARTITION BY channel_id ORDER BY sample_idx
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _last_ge_false_v,
-               first_value(CASE WHEN {le} THEN {s} END IGNORE NULLS)
-                   OVER (PARTITION BY channel_id ORDER BY sample_idx
-                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _first_le_true_v,
-               first_value(CASE WHEN NOT {le} THEN {s} END IGNORE NULLS)
-                   OVER (PARTITION BY channel_id ORDER BY sample_idx
-                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _first_le_false_v,
+               last_value(CASE WHEN {ge} THEN {pair} END IGNORE NULLS)
+                   {back} AS _last_ge_true_s,
+               last_value(CASE WHEN NOT {ge} THEN {pair} END IGNORE NULLS)
+                   {back} AS _last_ge_false_s,
+               first_value(CASE WHEN {le} THEN {pair} END IGNORE NULLS)
+                   {fwd} AS _first_le_true_s,
+               first_value(CASE WHEN NOT {le} THEN {pair} END IGNORE NULLS)
+                   {fwd} AS _first_le_false_s,
                COUNT(*) OVER (PARTITION BY channel_id) AS _n,
                MAX(sample_idx) OVER (PARTITION BY channel_id) AS _max_idx,
                first_value({s}) OVER (PARTITION BY channel_id ORDER BY sample_idx) AS _first_smooth
         FROM {src}
+    ),
+    crossed AS (
+        SELECT * EXCLUDE (_last_ge_true_s, _last_ge_false_s,
+                          _first_le_true_s, _first_le_false_s),
+               (_last_ge_true_s).i AS _last_ge_true,
+               (_last_ge_true_s).v AS _last_ge_true_v,
+               (_last_ge_false_s).i AS _last_ge_false,
+               (_last_ge_false_s).v AS _last_ge_false_v,
+               (_first_le_true_s).i AS _first_le_true,
+               (_first_le_true_s).v AS _first_le_true_v,
+               (_first_le_false_s).i AS _first_le_false,
+               (_first_le_false_s).v AS _first_le_false_v
+        FROM crossed0
     )
     """
 

@@ -106,12 +106,18 @@ def q_threshold_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _detected_crossed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared chain: envelopes → diastolic → threshold keep → crossings.
+    Both the attributes and the crossing-points queries consume this, so
+    they can never diverge over which peaks they report."""
     df = with_diastolic(_enveloped(spark, sf_dir))
     df = with_threshold_keep(df, value_col="smooth")
     df = df.withColumn("_keep", F.col("is_peak") & F.col("keep_peak"))
-    df = with_crossings(df)
-    return peak_attributes(df, keep_col="_keep")
+    return with_crossings(df)
+
+
+def _attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return peak_attributes(_detected_crossed(spark, sf_dir), keep_col="_keep")
 
 
 def q_peak_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,11 +137,7 @@ def q_peak_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_crossing_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.attributes import peak_crossing_points
 
-    df = with_diastolic(_enveloped(spark, sf_dir))
-    df = with_threshold_keep(df, value_col="smooth")
-    df = df.withColumn("_keep", F.col("is_peak") & F.col("keep_peak"))
-    df = with_crossings(df)
-    out = peak_crossing_points(df, keep_col="_keep")
+    out = peak_crossing_points(_detected_crossed(spark, sf_dir), keep_col="_keep")
     return out.select(
         "channel_id",
         "peak_idx",

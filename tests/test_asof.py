@@ -36,6 +36,30 @@ def test_asof_strict_hides_equal_time_row(spark):
     assert out[0].rv_asof == 90.0
 
 
+def test_asof_null_payload_is_still_the_match(spark):
+    # The most recent right row has a NULL value: the match must be that
+    # row (returning NULL), not an older row with a value — DuckDB ASOF
+    # semantics.
+    left = _df(spark, [(1, 10, 1.0)], "k long, t long, v double")
+    right = _df(spark, [(1, 5, None), (1, 1, 90.0)], "k long, t long, rv double")
+    out = asof_join(left, right, on="t", by="k", right_cols=("rv",)).collect()
+    assert out[0].rv_asof is None
+
+
+def test_asof_null_timestamps_never_match(spark):
+    left = _df(spark, [(1, 10, 1.0), (1, None, 2.0)], "k long, t long, v double")
+    right = _df(spark, [(1, None, 99.0)], "k long, t long, rv double")
+    out = {r.v: r.rv_asof for r in asof_join(left, right, on="t", by="k", right_cols=("rv",)).collect()}
+    assert out[1.0] is None  # NULL-t right row is not a prior observation
+    assert out[2.0] is None  # NULL-t left row matches nothing
+
+
+def test_resample_negative_ts_floor_division(spark):
+    df = _df(spark, [(1, -5, 1.0), (1, 5, 2.0)], "k long, t long, v double")
+    r = {x.bucket: x.n for x in resample(df, "t", "v", "k", 10).collect()}
+    assert r == {-1: 1, 0: 1}  # floor, not truncate-toward-zero
+
+
 def test_resample_and_gap_fill(spark):
     df = _df(
         spark,
