@@ -99,6 +99,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _long(out, "rank")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (deterministic k-means coarse quantizer + nprobe search).
+    No oracle: iterative k-means is not SQL-expressible — the driver
+    records a rows-only check; tests assert recall vs the brute top-k."""
+    out = similarity.ivf_topk(read_table(spark, sf_dir, "embeddings"))
+    return _long(out, "rank")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -119,4 +127,5 @@ QUERIES = {
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }

@@ -90,6 +90,140 @@ def lsh_buckets(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", lsh_bucket_col().alias("bucket"))
 
 
+def _centroid_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector by cosine — broadcast the (tiny)
+    centroid table, rank per vector. Quantized + id-tie-broken for
+    determinism."""
+    joined = vecs.crossJoin(F.broadcast(centroids))
+    cos = F.round(
+        _dot("embedding", "c_emb") / (F.col("_norm") * F.col("c_norm")), 9
+    )
+    ranked = joined.withColumn("_cos", cos).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(
+                F.col("_cos").desc(), F.col("centroid_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rk") == 1).select(
+        "vec_id", "embedding", "_norm", "centroid_id"
+    )
+
+
+def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3) -> DataFrame:
+    """IVF coarse quantizer: deterministic k-means (init = the k lowest
+    vec_ids, ``iters`` fixed Lloyd rounds) → (vec_id, centroid_id)
+    posting lists.
+
+    Scale shape: centroids are always broadcast (k vectors); assignment
+    is a map-side broadcast join; the centroid update is one shuffle
+    keyed by (centroid, dim) with map-side partial sums. At 100 TB run
+    the update on a uniform sample — the quantizer only needs cluster
+    geometry, not every point.
+    """
+    base = _with_norm(emb).select("vec_id", "embedding", "_norm").cache()
+    centroids = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("_norm").alias("c_norm"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _centroid_assign(base, centroids)
+        dims = assigned.select(
+            "centroid_id", F.posexplode("embedding").alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_sm"))
+            .select(
+                "centroid_id",
+                F.expr("transform(_sm, s -> CAST(s.m AS FLOAT))").alias("c_emb"),
+            )
+        )
+        centroids = means.withColumn(
+            "c_norm", F.sqrt(_dot("c_emb", "c_emb"))
+        )
+    out = _centroid_assign(base, centroids).select("vec_id", "centroid_id")
+    base.unpersist()
+    return out
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = ANN_LSH_TOPK,
+    query_mod: int = ANN_QUERY_MOD,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: search only the members of the query's ``nprobe``
+    nearest coarse clusters — the candidate join is keyed on
+    centroid_id (posting-list lookup), never a cross join."""
+    base = _with_norm(emb).cache()
+    index = ivf_index(emb, k=n_clusters)
+    members = base.join(index, "vec_id")
+    q = members.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    # nprobe probing: rank the final centroids (re-derived as member
+    # means) against each query vector, take the top nprobe clusters.
+    cdims = members.select(
+        "centroid_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    cents = (
+        cdims.groupBy("centroid_id", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_sm"))
+        .select(
+            "centroid_id",
+            F.expr("transform(_sm, s -> CAST(s.m AS DOUBLE))").alias("c_emb"),
+        )
+        .withColumn("c_norm", F.sqrt(_dot("c_emb", "c_emb")))
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_cos",
+            F.round(_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 9),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_cos").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "centroid_id")
+    )
+    cand = qprobe.join(members, "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("_norm")), 6
+    )
+    ranked = cand.select("query_id", "vec_id", cos.alias("cosine")).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    out = ranked.filter(F.col("rank") <= k)
+    return out
+
+
 def embedding_neardup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, candidates restricted to a
     shared LSH bucket (the dedup-by-embedding flavor of the ANN index:

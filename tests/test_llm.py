@@ -141,6 +141,39 @@ def test_cosine_topk_ranks_known_neighbor_first(emb):
     assert 0 not in [v for _, v, _ in by_q[0]]  # self excluded
 
 
+def test_ivf_index_clusters_similar_vectors_together(spark):
+    # Two tight direction clusters -> same centroid per cluster.
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 0))
+    for i in range(8, 16):
+        rows.append((i, [0.0, 0.01 * i, 1.0, 0.0], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    idx = {r.vec_id: r.centroid_id for r in similarity.ivf_index(emb, k=2, iters=3).collect()}
+    assert len({idx[i] for i in range(8)}) == 1
+    assert len({idx[i] for i in range(8, 16)}) == 1
+    assert idx[0] != idx[8]
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(8)], 0) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    brute = {}
+    for r in similarity.cosine_topk(emb, k=5, query_mod=50).collect():
+        brute.setdefault(r.query_id, set()).add(r.vec_id)
+    ivf = {}
+    for r in similarity.ivf_topk(emb, k=5, query_mod=50, n_clusters=4, nprobe=2).collect():
+        ivf.setdefault(r.query_id, set()).add(r.vec_id)
+    # probing half the clusters: expect decent (not perfect) recall
+    recalls = [len(brute[q] & ivf.get(q, set())) / 5 for q in brute]
+    assert sum(recalls) / len(recalls) >= 0.4
+
+
 def test_lsh_topk_cosines_agree_with_brute(emb):
     brute = {
         (r.query_id, r.vec_id): r.cosine
