@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q.q_session_stats,
         "asof_view_before_purchase": _q.q_asof_view_before_purchase,
         "resample_hourly": _q.q_resample_hourly,
+        "value_histogram": _q.q_value_histogram,
+        "range_pairs": _q.q_range_pairs,
+        "json_props": _q.q_json_props,
         "fidelity_peaks": _q.q_fidelity_peaks,
         "fidelity_signal": _q.q_fidelity_signal,
     }
@@ -104,6 +107,9 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": _oracle.session_stats_oracle(),
         "asof_view_before_purchase": _oracle.asof_oracle(),
         "resample_hourly": _oracle.resample_oracle(),
+        "value_histogram": _oracle.value_histogram_oracle(),
+        "range_pairs": _oracle.range_pairs_oracle(),
+        "json_props": _oracle.json_props_oracle(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle
         # (non-SQL-expressible: SciPy find_peaks constraint semantics).
     }

@@ -21,7 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from myodish_peak_analysis_spark.api import PeakPipeline  # noqa: E402
-from myodish_peak_analysis_spark.llm import dedup, similarity, text  # noqa: E402
+from myodish_peak_analysis_spark.llm import dedup, sampling, similarity, text  # noqa: E402
+from myodish_peak_analysis_spark.operators.analytics import (  # noqa: E402
+    range_pairs,
+    value_histogram,
+)
 from myodish_peak_analysis_spark.operators.fidelity import fidelity_peaks  # noqa: E402
 from myodish_peak_analysis_spark.operators.sessions import session_stats  # noqa: E402
 from myodish_peak_analysis_spark.schema import (  # noqa: E402
@@ -62,6 +66,15 @@ def main() -> None:
         "session_stats": lambda: session_stats(
             read_table(spark, SF_DIR, "events")
         ),
+        "value_histogram": lambda: value_histogram(
+            read_table(spark, SF_DIR, "events")
+        ),
+        "range_pairs_1h": lambda: range_pairs(
+            read_table(spark, SF_DIR, "events").withColumn(
+                "ts_us", F.expr("ts DIV 1000")
+            )
+        ),
+        "stratified_sample": lambda: sampling.stratified_sample(docs),
         "dedup_exact": lambda: dedup.exact_dedup(docs),
         "minhash_pairs": lambda: dedup.minhash_pairs(docs),
         "simhash": lambda: dedup.simhash_signatures(docs),

@@ -364,3 +364,17 @@ ranked AS (
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {ANN_LSH_TOPK}
 """
+
+from .sampling import mixture_weights_sql, stratified_sample_sql  # noqa: E402
+
+ORACLES["stratified_sample"] = stratified_sample_sql()
+ORACLES["mixture_weights"] = mixture_weights_sql()
+
+ORACLES["topk_per_source"] = """
+SELECT doc_id, source, n_chars, rank FROM (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rank
+    FROM documents
+) t WHERE rank <= 5
+"""

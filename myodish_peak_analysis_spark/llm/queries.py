@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..schema import read_table
-from . import dedup, similarity, text
+from . import dedup, sampling, similarity, text
 
 
 def _long(df: DataFrame, *cols: str) -> DataFrame:
@@ -107,6 +107,28 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _long(out, "rank")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling (hash-of-doc_id
+    per-mille buckets — reproducible, engine-independent)."""
+    return sampling.stratified_sample(read_table(spark, sf_dir, "documents"))
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source resampling weights toward a uniform mixture."""
+    return sampling.mixture_weights(read_table(spark, sf_dir, "documents"))
+
+
+def q_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 longest documents per source via the skew-safe two-phase
+    salted top-k (final ranks identical to a single global window)."""
+    from ..operators.analytics import topk_per_group
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return topk_per_group(docs, "source", "n_chars", "doc_id", k=5)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -128,4 +150,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "stratified_sample": q_stratified_sample,
+    "mixture_weights": q_mixture_weights,
+    "topk_per_source": q_topk_per_source,
 }

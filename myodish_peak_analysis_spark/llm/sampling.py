@@ -1,0 +1,127 @@
+"""Dataset-composition operators for training-data pipelines:
+deterministic stratified sampling and per-source mixture weights.
+
+A 100 TB corpus is never trained on verbatim — pipelines downsample
+overrepresented strata (language, source/domain) and compute per-source
+resampling weights so the final mixture matches a target distribution.
+Both operators here are single-pass, shuffle-light, and — unlike
+``df.sample()`` — fully deterministic and reproducible across engines
+and runs, which is what makes them oracle-checkable.
+
+Scale notes:
+
+* :func:`stratified_sample` is a pure filter (no shuffle at all): the
+  keep/drop decision is a multiplicative-hash of the stable ``doc_id``,
+  so re-running on a grown corpus keeps exactly the rows it kept
+  before (reservoir/Bernoulli samplers don't). The hash is plain
+  64-bit integer arithmetic so the DuckDB oracle computes the identical
+  value — no engine-specific hash function involved.
+* :func:`mixture_weights` is two map-side-combined aggregates (one per
+  source — O(sources) shuffle rows) plus a 1-row broadcast of the
+  corpus totals. The weight divides exact integers, so it is
+  bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Knuth's multiplicative hash constant (2654435761 = 2^32 * phi^-1,
+#: public domain — TAOCP vol. 3 §6.4); doc_id * C % 1000 is a cheap,
+#: well-mixed per-mille bucket that any SQL engine evaluates identically.
+HASH_MULTIPLIER = 2654435761
+
+#: Default per-mille keep rates per language: downsample the dominant
+#: 'en' stratum, keep the long tail at a higher rate (the usual
+#: rebalancing direction for a web corpus).
+DEFAULT_RATES_PER_MILLE = {"en": 200, "*": 600}
+
+
+def _permille_bucket() -> F.Column:
+    return (F.col("doc_id") * F.lit(HASH_MULTIPLIER)) % F.lit(1000)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_per_mille: dict[str, int] | None = None,
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Keep each document iff its deterministic per-mille bucket
+    (``doc_id * 2654435761 % 1000``) falls below its stratum's keep
+    rate. Returns the surviving rows with their bucket, so downstream
+    stages can re-stratify without recomputing the hash."""
+    rates = dict(rates_per_mille or DEFAULT_RATES_PER_MILLE)
+    default = rates.pop("*", 0)
+    rate = F.lit(default)
+    for stratum, permille in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(permille)).otherwise(rate)
+    return (
+        docs.withColumn("permille", _permille_bucket().cast("long"))
+        .filter(F.col("permille") < rate)
+        .select("doc_id", stratum_col, "source", "permille")
+    )
+
+
+def stratified_sample_sql(
+    rates_per_mille: dict[str, int] | None = None, stratum_col: str = "lang"
+) -> str:
+    """DuckDB mirror of :func:`stratified_sample` (same rate table)."""
+    rates = dict(rates_per_mille or DEFAULT_RATES_PER_MILLE)
+    default = rates.pop("*", 0)
+    whens = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {p}" for s, p in sorted(rates.items())
+    )
+    return f"""
+    SELECT doc_id, {stratum_col}, source,
+           (doc_id * {HASH_MULTIPLIER}) % 1000 AS permille
+    FROM documents
+    WHERE (doc_id * {HASH_MULTIPLIER}) % 1000
+          < (CASE {whens} ELSE {default} END)
+    """
+
+
+def mixture_weights(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-source resampling weight toward a uniform mixture:
+    ``weight = total_chars / (n_sources * src_chars)`` — >1 means the
+    source must be upsampled, <1 downsampled. All inputs to the final
+    division are exact integers, so the double result is bit-identical
+    in any IEEE engine."""
+    per_src = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("src_chars"),
+    )
+    totals = per_src.agg(
+        F.sum("src_chars").alias("_total"),
+        F.count(F.lit(1)).alias("_nsrc"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            "n_docs",
+            "src_chars",
+            (
+                F.col("_total").cast("double")
+                / (F.col("_nsrc") * F.col("src_chars")).cast("double")
+            ).alias("weight"),
+        )
+    )
+
+
+def mixture_weights_sql(group_col: str = "source") -> str:
+    """DuckDB mirror of :func:`mixture_weights`."""
+    return f"""
+    WITH per_src AS (
+        SELECT {group_col}, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS src_chars
+        FROM documents GROUP BY {group_col}
+    ),
+    totals AS (
+        SELECT CAST(SUM(src_chars) AS BIGINT) AS _total,
+               COUNT(*) AS _nsrc
+        FROM per_src
+    )
+    SELECT {group_col}, n_docs, src_chars,
+           CAST(_total AS DOUBLE) / CAST(_nsrc * src_chars AS DOUBLE) AS weight
+    FROM per_src, totals
+    """

@@ -1,0 +1,187 @@
+"""General log-analytics operators over the events table: fixed-width
+histograms, bounded range (interval) self-joins, semi-structured JSON
+property extraction, and a two-phase salted top-k.
+
+These extend the reference's surface the same way the sessionization /
+as-of operators do (the reference itself has no event analytics — see
+SURVEY.md §2.9 "explicit absences"); each is designed for the 100 TB
+shape first and mirrored by a DuckDB oracle in :mod:`..oracle`.
+
+Scale notes per operator:
+
+* :func:`value_histogram` — a single map-side-combined ``groupBy`` on a
+  computed bin key; the shuffle carries one row per (bin), i.e. O(bins),
+  not O(rows). Safe at any scale.
+* :func:`range_pairs` — the naive formulation is a per-key cross join
+  (O(n²) per user at 100 TB). This one buckets time into window-width
+  epochs and joins on ``(user_id, bucket)`` with the left side exploded
+  to two adjacent buckets, so the shuffle key is fine-grained and every
+  candidate pair is produced exactly once; the O(n²) blow-up is bounded
+  to rows co-resident in a 2-window span.
+* :func:`json_props_stats` — ``get_json_object`` runs JVM-side
+  (no Python); the aggregate is map-side combined to O(event_types).
+* :func:`topk_per_group` — two-phase: a salted partial top-k bounds
+  every window partition to O(rows/salt), then the merge window sees
+  only ``salt * k`` rows per group. A single hot group (skewed
+  ``source``) therefore cannot OOM one task, which a plain
+  ``row_number() OVER (PARTITION BY group)`` would at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Pair window for :func:`range_pairs` (1 hour in microseconds).
+DEFAULT_WINDOW_US = 3_600 * 1_000_000
+
+#: Salt fan-out for the partial phase of :func:`topk_per_group`.
+TOPK_SALT = 16
+
+
+def value_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    bin_width: float = 25.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col``: bin id, count, min/max and
+    an exact-integer-micro-unit mean (bit-identical across engines, see
+    oracle.ROUND_DP contract).
+
+    ``floor(value / bin_width)`` is exact in IEEE doubles for identical
+    inputs, so the bin key needs no rounding guard.
+    """
+    bin_id = F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    micro = F.round(F.round(F.col(value_col), round_dp) * 1e6, 0).cast("long")
+    return (
+        events.groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            (F.sum(micro).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+def range_pairs(
+    events: DataFrame,
+    window_us: int = DEFAULT_WINDOW_US,
+    by: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """All ordered same-key event pairs ``(a, b)`` with
+    ``a.ts <= b.ts <= a.ts + window_us`` — a bounded range self-join.
+
+    Bucketed formulation: bucket time by ``window_us``; a qualifying
+    ``b`` can only live in ``a``'s bucket or the next one, so the left
+    side is exploded to those two join keys and the join runs on the
+    fine-grained ``(by, bucket)`` key. Each pair is matched exactly once
+    (``b`` has one bucket; the two exploded keys differ). Ties at equal
+    timestamps are ordered by ``id_col`` so the pair set is
+    deterministic.
+    """
+    e = events.select(
+        F.col(id_col).alias("_id"),
+        F.col(by).alias("_by"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).alias("_val"),
+    )
+    bucket = F.expr(f"_ts DIV {window_us}")
+    left = e.select(
+        F.col("_id").alias("left_id"),
+        F.col("_by").alias("_by"),
+        F.col("_ts").alias("_lts"),
+        F.col("_val").alias("left_value"),
+        F.explode(F.array(bucket, bucket + 1)).alias("_jb"),
+    )
+    right = e.select(
+        F.col("_id").alias("right_id"),
+        F.col("_by").alias("_by"),
+        F.col("_ts").alias("_rts"),
+        F.col("_val").alias("right_value"),
+        bucket.alias("_jb"),
+    )
+    gap = F.col("_rts") - F.col("_lts")
+    ordered = (F.col("_lts") < F.col("_rts")) | (
+        (F.col("_lts") == F.col("_rts")) & (F.col("left_id") < F.col("right_id"))
+    )
+    return (
+        left.join(right, on=["_by", "_jb"])
+        .filter((gap >= 0) & (gap <= window_us) & ordered)
+        .select(
+            F.col("_by").alias(by),
+            "left_id",
+            "right_id",
+            gap.alias("gap_us"),
+            "left_value",
+            "right_value",
+        )
+    )
+
+
+def json_props_stats(
+    events: DataFrame,
+    props_col: str = "props",
+    json_path: str = "$.k",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Extract an integer property from the semi-structured ``props``
+    JSON column and aggregate it per ``group_col``. The extraction is
+    ``get_json_object`` (JVM expression, codegen'd — no Python); the
+    mean divides the exact integer sum, so it is bit-identical to the
+    oracle's."""
+    k = F.get_json_object(F.col(props_col), json_path).cast("long")
+    return (
+        events.select(F.col(group_col), k.alias("_k"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            (F.sum("_k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    k: int = 5,
+    descending: bool = True,
+    salt: int = TOPK_SALT,
+) -> DataFrame:
+    """Deterministic top-k rows per group, two-phase for skew safety.
+
+    Phase 1 ranks within ``(group, salt)`` — salt is derived from the
+    tie-break column, so it is deterministic but spreads a hot group
+    over ``salt`` tasks — and keeps k per sub-group. Phase 2 re-ranks
+    the surviving ``salt * k`` rows per group. The final ``rank`` is
+    identical to a single global window (the global top-k must survive
+    every sub-group top-k), which is what the oracle computes.
+    """
+    from pyspark.sql import Window
+
+    def order_exprs() -> list[Column]:
+        c = F.col(order_col).desc() if descending else F.col(order_col).asc()
+        return [c, F.col(tie_col).asc()]
+
+    part = F.pmod(F.xxhash64(F.col(tie_col)), F.lit(salt))
+    w1 = Window.partitionBy(group_col, part).orderBy(*order_exprs())
+    partial = (
+        df.withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order_exprs())
+    return (
+        partial.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -258,3 +258,55 @@ def stim_peak_mean_oracle() -> str:
         f"SELECT ROUND(AVG(time_index), {ROUND_DP}) AS mean_peak_time, "
         f"COUNT(*) AS n_peaks FROM flagged WHERE is_peak"
     )
+
+
+def value_histogram_oracle() -> str:
+    """Mirror of operators.analytics.value_histogram (bin_width=25.0)."""
+    return f"""
+    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(ROUND(ROUND(value, {ROUND_DP}) * 1e6, 0) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1e6) AS avg_value
+    FROM events
+    GROUP BY 1
+    """
+
+
+def range_pairs_oracle() -> str:
+    """Naive inequality join — the oracle for the bucketed range join in
+    operators.analytics.range_pairs (window = 1 h)."""
+    from .operators.analytics import DEFAULT_WINDOW_US
+
+    return f"""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+    SELECT a.user_id,
+           a.event_id AS left_id,
+           b.event_id AS right_id,
+           b.ts_us - a.ts_us AS gap_us,
+           a.value AS left_value,
+           b.value AS right_value
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND b.ts_us >= a.ts_us
+     AND b.ts_us - a.ts_us <= {DEFAULT_WINDOW_US}
+     AND (a.ts_us < b.ts_us
+          OR (a.ts_us = b.ts_us AND a.event_id < b.event_id))
+    """
+
+
+def json_props_oracle() -> str:
+    """Mirror of operators.analytics.json_props_stats ($.k per type)."""
+    return """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events) t
+    GROUP BY event_type
+    """

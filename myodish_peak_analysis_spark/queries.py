@@ -274,6 +274,33 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(read_table(spark, sf_dir, "events"))
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values — O(bins) shuffle rows via
+    map-side combine; the mean is exact-integer so it hash-matches."""
+    from .operators.analytics import value_histogram
+
+    return value_histogram(read_table(spark, sf_dir, "events"))
+
+
+def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range self-join (same-user event pairs within 1 h) via
+    the two-bucket explode trick; oracle is the naive inequality join."""
+    from .operators.analytics import range_pairs
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+    return range_pairs(events)
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: integer property from the props JSON
+    column, aggregated per event_type (JVM-side get_json_object)."""
+    from .operators.analytics import json_props_stats
+
+    return json_props_stats(read_table(spark, sf_dir, "events"))
+
+
 def q_fidelity_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 constrained find_peaks pipeline (grouped-map pandas UDF) — not
     SQL-expressible (greedy distance suppression / prominence); the driver

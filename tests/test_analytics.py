@@ -1,0 +1,136 @@
+"""Unit tests for the log-analytics operators (histogram, bucketed
+range join, JSON props, two-phase top-k) and the dataset-composition
+operators (stratified sampling, mixture weights) on hand-computed
+inputs."""
+
+from pyspark.sql import Window, functions as F
+
+from myodish_peak_analysis_spark.llm.sampling import (
+    HASH_MULTIPLIER,
+    mixture_weights,
+    stratified_sample,
+)
+from myodish_peak_analysis_spark.operators.analytics import (
+    json_props_stats,
+    range_pairs,
+    topk_per_group,
+    value_histogram,
+)
+
+
+def test_value_histogram_bins_and_stats(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (24.9,), (25.0,), (30.0,), (-1.0,)], "value double"
+    )
+    out = {r.bin: r for r in value_histogram(df, bin_width=25.0).collect()}
+    assert set(out) == {-1, 0, 1}
+    assert out[0].n == 2 and out[0].min_value == 0.0 and out[0].max_value == 24.9
+    assert out[1].n == 2 and out[1].avg_value == 27.5
+    assert out[-1].n == 1  # floor(-1/25) = -1, not truncation toward 0
+
+
+def _pair_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double"
+    )
+
+
+def test_range_pairs_matches_naive_join(spark):
+    # Timestamps straddle bucket boundaries on purpose; window = 100 us.
+    rows = [
+        (0, 1, 10, 1.0),
+        (1, 1, 95, 2.0),   # bucket 0; pairs with 0 (gap 85)
+        (2, 1, 105, 3.0),  # bucket 1; pairs with 0 (gap 95, cross-bucket) and 1
+        (3, 1, 300, 4.0),  # isolated
+        (4, 2, 12, 5.0),   # other user: no cross-user pairs
+        (5, 1, 105, 6.0),  # tie with 2: ordered by event_id, single pair
+    ]
+    df = _pair_events(spark, rows)
+    got = {
+        (r.left_id, r.right_id, r.gap_us)
+        for r in range_pairs(df, window_us=100).collect()
+    }
+    naive = df.alias("a").join(
+        df.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts_us") >= F.col("a.ts_us"))
+        & (F.col("b.ts_us") - F.col("a.ts_us") <= 100)
+        & (
+            (F.col("a.ts_us") < F.col("b.ts_us"))
+            | (
+                (F.col("a.ts_us") == F.col("b.ts_us"))
+                & (F.col("a.event_id") < F.col("b.event_id"))
+            )
+        ),
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in naive.select(
+            "a.event_id", "b.event_id", F.col("b.ts_us") - F.col("a.ts_us")
+        ).collect()
+    }
+    assert got == want
+    assert (0, 2, 95) in got  # the cross-bucket pair is found exactly once
+    assert (2, 5, 0) in got and (5, 2, 0) not in got  # tie-break once
+
+
+def test_json_props_stats(spark):
+    df = spark.createDataFrame(
+        [("a", '{"k": 1}'), ("a", '{"k": 3}'), ("b", '{"k": 10}')],
+        "event_type string, props string",
+    )
+    out = {r.event_type: r for r in json_props_stats(df).collect()}
+    assert out["a"].n == 2 and out["a"].sum_k == 4 and out["a"].avg_k == 2.0
+    assert out["b"].min_k == 10 and out["b"].max_k == 10
+
+
+def test_topk_per_group_equals_single_window(spark):
+    # 1 hot group (40 rows) + 1 small group; ties in the order column.
+    rows = [(i, "hot", i % 7) for i in range(40)] + [(100, "cold", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = topk_per_group(df, "source", "n_chars", "doc_id", k=3, salt=4)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    want = (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", "s0") for i in range(1000)],
+        "doc_id long, lang string, source string",
+    )
+    out = stratified_sample(df, {"en": 100, "*": 500})
+    kept = out.collect()
+    # Deterministic: same rows on a second run.
+    assert sorted(r.doc_id for r in kept) == sorted(
+        r.doc_id for r in stratified_sample(df, {"en": 100, "*": 500}).collect()
+    )
+    # Every kept row satisfies its stratum's rate; buckets match the hash.
+    for r in kept:
+        assert r.permille == (r.doc_id * HASH_MULTIPLIER) % 1000
+        assert r.permille < (100 if r.lang == "en" else 500)
+    # Rates are approximately honored (well-mixed hash).
+    n_en = sum(1 for r in kept if r.lang == "en")
+    n_fr = len(kept) - n_en
+    assert 20 <= n_en <= 80  # ~50 expected of 500 candidates
+    assert 175 <= n_fr <= 325  # ~250 expected
+
+
+def test_mixture_weights_uniformize(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 300), (2, "a", 300), (3, "b", 200), (4, "c", 100)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r.source: r for r in mixture_weights(df).collect()}
+    total, nsrc = 900, 3
+    assert out["a"].n_docs == 2 and out["a"].src_chars == 600
+    for s, chars in (("a", 600), ("b", 200), ("c", 100)):
+        assert out[s].weight == total / (nsrc * chars)
+    # Resampling by weight equalizes the mixture: weight * src_chars const.
+    sizes = {s: out[s].weight * out[s].src_chars for s in out}
+    assert max(sizes.values()) - min(sizes.values()) < 1e-9
