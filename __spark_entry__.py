@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _q.q_value_histogram,
         "range_pairs": _q.q_range_pairs,
         "json_props": _q.q_json_props,
+        "user_value_median": _q.q_user_value_median,
         "fidelity_peaks": _q.q_fidelity_peaks,
         "fidelity_signal": _q.q_fidelity_signal,
     }
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": _oracle.value_histogram_oracle(),
         "range_pairs": _oracle.range_pairs_oracle(),
         "json_props": _oracle.json_props_oracle(),
+        "user_value_median": _oracle.user_value_median_oracle(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle
         # (non-SQL-expressible: SciPy find_peaks constraint semantics).
     }

@@ -378,3 +378,26 @@ SELECT doc_id, source, n_chars, rank FROM (
     FROM documents
 ) t WHERE rank <= 5
 """
+
+ORACLES["tfidf_top_terms"] = """
+WITH t2 AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM t2 WHERE term <> '' GROUP BY doc_id, term
+),
+dfc AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfc.df_docs,
+           (tf.tf * n.n_docs * 1000000) // dfc.df_docs AS score
+    FROM tf JOIN dfc USING (term), n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df_docs, score, rank FROM ranked WHERE rank <= 3
+"""

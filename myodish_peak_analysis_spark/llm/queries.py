@@ -129,6 +129,13 @@ def q_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(docs, "source", "n_chars", "doc_id", k=5)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per doc by the integer-exact tf-idf
+    surrogate (rank-equivalent to tf·N/df, no float idf)."""
+    out = text.tfidf_top_terms(read_table(spark, sf_dir, "documents"))
+    return _long(out, "tf", "df_docs")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -153,4 +160,5 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "mixture_weights": q_mixture_weights,
     "topk_per_source": q_topk_per_source,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }

@@ -239,3 +239,40 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
         .select("doc_id", "fingerprint")
         .distinct()
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k most distinctive terms per document by an integer-exact
+    tf-idf surrogate: ``score = tf * n_docs * 1_000_000 DIV df`` — rank-
+    equivalent to tf * (N/df) but computed entirely in 64-bit integer
+    arithmetic, so the score (and therefore the ranking) is bit-identical
+    in any engine; no log/float idf to drift cross-engine.
+
+    Scale: term frequencies and document frequencies are two map-side-
+    combined aggregates; the tf⋈df join shuffles on ``term`` (vocab-
+    sized, Zipf-skewed — AQE skew-join splits the head terms) and the
+    corpus total is a 1-row broadcast. The final top-k is a per-doc
+    window over k' = n_distinct_terms(doc) rows — bounded by document
+    length, never by corpus size.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    totals = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("score", F.expr("tf * _n_docs * 1000000 DIV df_docs"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df_docs", "score", "rank")
+    )

@@ -185,3 +185,40 @@ def topk_per_group(
         partial.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def grouped_median(
+    df: DataFrame,
+    by: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Exact per-group median via the explicit rank formulation (mean of
+    the one or two middle elements), identical in any SQL engine — no
+    engine-specific interpolation (`percentile_cont` variants disagree
+    across engines; this never does, because both engines average the
+    same <=2 doubles).
+
+    Scale: one hash exchange on ``by`` plus an in-partition sort — the
+    same cost as any grouped window. Groups are users, so no group
+    outgrows a task; for a pathological single giant group use the
+    two-phase :func:`topk_per_group` pattern on the rank instead.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(by),
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(by)).alias("n"),
+    )
+    mid = (F.col("_rn") * 2 == F.col("n")) | (F.col("_rn") * 2 == F.col("n") + 1) | (
+        F.col("_rn") * 2 == F.col("n") + 2
+    )
+    # middle one (odd n: rn = (n+1)/2) or middle two (even n: rn = n/2, n/2+1)
+    return (
+        ranked.filter(mid)
+        .groupBy(by, "n")
+        .agg(F.avg(value_col).alias("median"))
+    )

@@ -310,3 +310,21 @@ def json_props_oracle() -> str:
           FROM events) t
     GROUP BY event_type
     """
+
+
+def user_value_median_oracle() -> str:
+    """Mirror of operators.analytics.grouped_median: mean of the one or
+    two middle elements by explicit rank (rn*2 ∈ {n, n+1, n+2})."""
+    return """
+    WITH v AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id, n, AVG(value) AS median
+    FROM v
+    WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+    GROUP BY user_id, n
+    """

@@ -301,6 +301,14 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_props_stats(read_table(spark, sf_dir, "events"))
 
 
+def q_user_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user median via the explicit rank formulation — no
+    engine-specific percentile interpolation, so it hash-matches."""
+    from .operators.analytics import grouped_median
+
+    return grouped_median(read_table(spark, sf_dir, "events"))
+
+
 def q_fidelity_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 constrained find_peaks pipeline (grouped-map pandas UDF) — not
     SQL-expressible (greedy distance suppression / prominence); the driver

@@ -134,3 +134,38 @@ def test_mixture_weights_uniformize(spark):
     # Resampling by weight equalizes the mixture: weight * src_chars const.
     sizes = {s: out[s].weight * out[s].src_chars for s in out}
     assert max(sizes.values()) - min(sizes.values()) < 1e-9
+
+
+def test_grouped_median_odd_even_groups(spark):
+    rows = [
+        (0, 1, 5.0), (1, 1, 1.0), (2, 1, 3.0),          # odd: median 3.0
+        (3, 2, 4.0), (4, 2, 1.0), (5, 2, 2.0), (6, 2, 100.0),  # even: 3.0
+        (7, 3, 7.5),                                     # singleton
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    from myodish_peak_analysis_spark.operators.analytics import grouped_median
+
+    out = {r.user_id: r for r in grouped_median(df).collect()}
+    assert out[1].median == 3.0 and out[1].n == 3
+    assert out[2].median == 3.0 and out[2].n == 4  # (2+4)/2
+    assert out[3].median == 7.5 and out[3].n == 1
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms(spark):
+    from myodish_peak_analysis_spark.llm.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common rare rare"),
+            (1, "common unique"),
+            (2, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=1).collect()
+    best = {r.doc_id: r for r in out}
+    # 'rare' (df=1, tf=2) beats 'common' (df=3) for doc 0; 'unique' for doc 1.
+    assert best[0].term == "rare" and best[0].score == 2 * 3 * 1_000_000 // 1
+    assert best[1].term == "unique"
+    assert best[2].term == "common"  # only term present
+    assert all(r.rank == 1 for r in out)
