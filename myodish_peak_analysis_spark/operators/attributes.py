@@ -54,7 +54,19 @@ def with_crossings(
     side_ge = F.coalesce(s >= d, F.lit(False))
     side_le = F.coalesce(s <= d, F.lit(False))
     back = w.rowsBetween(Window.unboundedPreceding, -1)
-    fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    # "Nearest FOLLOWING row where cond" via a running last() over the
+    # DESCENDING sort: rows with idx > current are the frame's preceding
+    # rows there, and last(..., ignorenulls) picks the one nearest the
+    # current row, i.e. the smallest following idx. This is Spark's O(n)
+    # growing-frame path; the direct first() over (1, unboundedFollowing)
+    # is the O(n^2) rescan-per-row UnboundedFollowing frame (measured
+    # ~1.5s of the sf0.1 pipeline before the rewrite). Costs one extra
+    # in-partition sort, no extra shuffle.
+    fwd = (
+        Window.partitionBy(CHANNEL)
+        .orderBy(F.col(IDX).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     idx = F.col(IDX)
     # The crossing search records BOTH the index and the smooth value of
     # the crossing row as one struct, so a NULL smooth at the crossing
@@ -75,11 +87,11 @@ def with_crossings(
         )
         .withColumn(
             "_first_le_true_s",
-            F.first(F.when(side_le, pair), ignorenulls=True).over(fwd),
+            F.last(F.when(side_le, pair), ignorenulls=True).over(fwd),
         )
         .withColumn(
             "_first_le_false_s",
-            F.first(F.when(~side_le, pair), ignorenulls=True).over(fwd),
+            F.last(F.when(~side_le, pair), ignorenulls=True).over(fwd),
         )
         .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(CHANNEL)))
         .withColumn("_max_idx", F.max(IDX).over(Window.partitionBy(CHANNEL)))

@@ -117,7 +117,13 @@ def _sg_smooth_array_col(
     nanv = F.coalesce(F.col(value_col), nan)
     arr = F.collect_list(nanv).over(w.rowsBetween(-half, half))
     first_v = F.first(nanv).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    last_v = F.last(nanv).over(w.rowsBetween(0, Window.unboundedFollowing))
+    # nanv is never NULL (coalesced to NaN), so the channel-tail value is
+    # the last row of the WHOLE partition — the unbounded-both frame is
+    # Spark's O(n) entire-partition path, vs the O(n^2) per-row rescan an
+    # UnboundedFollowing frame ((0, unboundedFollowing)) would cost.
+    last_v = F.last(nanv).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     idx = F.col(IDX)
     left_miss = F.greatest(F.lit(0), F.lit(half) - idx).cast("int")
     right_miss = F.greatest(F.lit(0), idx + half - F.col("_max_idx")).cast("int")
