@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from myodish_peak_analysis_spark import oracle as _oracle  # noqa: E402
 from myodish_peak_analysis_spark import queries as _q  # noqa: E402
 from myodish_peak_analysis_spark.llm import queries as _llm_q  # noqa: E402
+from myodish_peak_analysis_spark.operators import relational as _relational  # noqa: E402
 from myodish_peak_analysis_spark.llm import oracle as _llm_oracle  # noqa: E402
 
 
@@ -82,6 +83,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_pairs": _q.q_range_pairs,
         "json_props": _q.q_json_props,
         "user_value_median": _q.q_user_value_median,
+        "pricing_summary": _q.q_pricing_summary,
+        "top_revenue_orders": _q.q_top_revenue_orders,
+        "nation_revenue": _q.q_nation_revenue,
         "fidelity_peaks": _q.q_fidelity_peaks,
         "fidelity_signal": _q.q_fidelity_signal,
     }
@@ -112,6 +116,9 @@ def oracle_sql() -> dict[str, str]:
         "range_pairs": _oracle.range_pairs_oracle(),
         "json_props": _oracle.json_props_oracle(),
         "user_value_median": _oracle.user_value_median_oracle(),
+        "pricing_summary": _relational.pricing_summary_sql(),
+        "top_revenue_orders": _relational.segment_revenue_topk_sql(),
+        "nation_revenue": _relational.nation_revenue_sql(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle
         # (non-SQL-expressible: SciPy find_peaks constraint semantics).
     }

@@ -27,6 +27,10 @@ from myodish_peak_analysis_spark.operators.analytics import (  # noqa: E402
     value_histogram,
 )
 from myodish_peak_analysis_spark.operators.fidelity import fidelity_peaks  # noqa: E402
+from myodish_peak_analysis_spark.operators.relational import (  # noqa: E402
+    pricing_summary,
+    segment_revenue_topk,
+)
 from myodish_peak_analysis_spark.operators.sessions import session_stats  # noqa: E402
 from myodish_peak_analysis_spark.schema import (  # noqa: E402
     auto_channels,
@@ -82,6 +86,14 @@ def main() -> None:
         "doc_fingerprints": lambda: text.doc_fingerprints(docs),
         "ann_cosine_topk": lambda: similarity.cosine_topk(emb),
         "ann_lsh_topk": lambda: similarity.lsh_topk(emb),
+        "pricing_summary": lambda: pricing_summary(
+            read_table(spark, SF_DIR, "lineitem")
+        ),
+        "top_revenue_orders": lambda: segment_revenue_topk(
+            read_table(spark, SF_DIR, "customer"),
+            read_table(spark, SF_DIR, "orders"),
+            read_table(spark, SF_DIR, "lineitem"),
+        ),
     }
 
     times: dict[str, float] = {}

@@ -1,0 +1,290 @@
+"""Relational analytics over the harness's TPC-H-shaped tables.
+
+The reference is a single-signal analysis tool and has no relational
+surface (SURVEY.md §2.9), but the build brief's engine must also serve
+the warehouse-shaped queries a training-data pipeline runs around its
+corpus tables (join lineage tables, per-source revenue-style rollups,
+top-k reports). These three operators are the canonical shapes — one
+wide aggregate, one star-schema top-k, one multi-way join — expressed
+declaratively so Catalyst/AQE pick the physical strategy.
+
+Cross-engine exactness: every money aggregate is computed in integer
+cents (``round(x*100)`` → BIGINT) and divided back to dollars ONCE at
+the end, so Spark and the DuckDB oracle sum identical integers in any
+order — float-sum order sensitivity (and DuckDB's round-half rule
+divergence) never enters. See ``[[duckdb-spark-parity-gotchas]]``.
+
+Scale notes (100 TB):
+* ``pricing_summary`` — map-side partial aggregation into ≤ a few dozen
+  groups; the shuffle moves one row per (partition × group). The cent
+  sums fit BIGINT to ~1e18 cents³; at true 100 TB move the two
+  triple-product columns to DECIMAL(38,0) (same code path in both
+  engines).
+* ``segment_revenue_topk`` — the filtered customer dim is explicitly
+  ``broadcast()``; orders⋈lineitem is the big co-partitioned hash join
+  on ``orderkey`` (AQE handles skew). The top-k is Spark's distributed
+  TakeOrdered (per-partition heads, then a k-row merge on the driver) —
+  never a global sort materialization.
+* ``nation_revenue`` — dims (nation, region, supplier) are broadcast;
+  the fact-side joins shuffle on their keys once each. Deterministic
+  output: revenue is an exact integer before the final division.
+
+Unlike ``events.ts`` (TIMESTAMP(NANOS) → int64), the relational tables'
+date columns read as TIMESTAMP_NTZ; cutoffs are timezone-free timestamp
+literals and the exposed order-date is integer days since epoch
+(``datediff`` on dates) — both deterministic in any session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Date cutoffs as ISO literals; Spark casts them to TIMESTAMP_NTZ and
+# DuckDB to TIMESTAMP — both timezone-free, so the comparison is exact
+# in any session timezone.
+CUT_Q1 = "1998-09-02"
+CUT_Q3 = "1998-03-15"
+FROM_Q5 = "1996-01-01"
+TO_Q5 = "1997-01-01"
+
+
+def _ts(col: str) -> F.Column:
+    return F.col(col)
+
+
+def _tslit(iso: str) -> F.Column:
+    return F.lit(iso).cast("timestamp_ntz")
+
+
+def _epoch_day(col: str) -> F.Column:
+    """Integer days since 1970-01-01 of a TIMESTAMP_NTZ column (date cast
+    is timezone-free)."""
+    return F.datediff(
+        F.col(col).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+
+
+def _cents(col: str) -> F.Column:
+    """Exact integer cents for a 2-decimal double column."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = CUT_Q1) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus),
+    integer-exact sums of quantity, base price, discounted price and
+    charge, plus the three averages and the row count.
+
+    disc_price = ep*(1-disc) is ep_c*(100-disc_c) in 1e-4 dollars;
+    charge = ep*(1-disc)*(1+tax) is the triple product in 1e-6 dollars.
+    """
+    ep_c, disc_c, tax_c = _cents("l_extendedprice"), _cents("l_discount"), _cents("l_tax")
+    qty_c = _cents("l_quantity")
+    rows = lineitem.filter(_ts("l_shipdate") <= _tslit(cutoff)).select(
+        "l_returnflag",
+        "l_linestatus",
+        qty_c.alias("_q"),
+        ep_c.alias("_ep"),
+        disc_c.alias("_d"),
+        (ep_c * (100 - disc_c)).alias("_dp"),
+        (ep_c * (100 - disc_c) * (100 + tax_c)).alias("_ch"),
+    )
+    agg = rows.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("_q").alias("_sq"),
+        F.sum("_ep").alias("_sep"),
+        F.sum("_dp").alias("_sdp"),
+        F.sum("_ch").alias("_sch"),
+        F.sum("_d").alias("_sd"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("_sq") / 100.0, 6).alias("sum_qty"),
+        F.round(F.col("_sep") / 100.0, 6).alias("sum_base_price"),
+        F.round(F.col("_sdp") / 1e4, 6).alias("sum_disc_price"),
+        F.round(F.col("_sch") / 1e6, 6).alias("sum_charge"),
+        F.round(F.col("_sq") / 100.0 / n, 6).alias("avg_qty"),
+        F.round(F.col("_sep") / 100.0 / n, 6).alias("avg_price"),
+        F.round(F.col("_sd") / 100.0 / n, 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def segment_revenue_topk(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = CUT_Q3,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped: top-k unshipped orders of one market segment by
+    revenue. The customer dim (one segment, ~1/5 of an already-small
+    table) is broadcast; orders⋈lineitem hash-joins on the shared
+    orderkey. Ties broken by orderkey, so the k rows are deterministic."""
+    cust = F.broadcast(
+        customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    )
+    ords = orders.filter(_ts("o_orderdate") < _tslit(cutoff)).select(
+        "o_orderkey", "o_custkey", _epoch_day("o_orderdate").alias("o_orderdate_day")
+    )
+    items = lineitem.filter(_ts("l_shipdate") > _tslit(cutoff)).select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("_rev"),
+    )
+    joined = (
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
+        .join(items, ords.o_orderkey == items.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate_day")
+        .agg(F.sum("_rev").alias("_rev_c"))
+    )
+    return (
+        joined.orderBy(F.col("_rev_c").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+        .select(
+            "o_orderkey",
+            "o_orderdate_day",
+            F.round(F.col("_rev_c") / 1e4, 6).alias("revenue"),
+        )
+    )
+
+
+def nation_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = FROM_Q5,
+    date_to: str = TO_Q5,
+) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation of one
+    region over one order-date year, counting only lineitems whose
+    supplier sits in the customer's nation. nation⋈region collapses to a
+    broadcast nationkey set; supplier is broadcast; the two fact joins
+    (orders⋈customer-pruned-orders, lineitem⋈orders) shuffle on their
+    keys and AQE re-plans the post-filter sizes."""
+    nations = F.broadcast(
+        nation.join(
+            region.filter(F.col("r_name") == region_name),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        nations, customer.c_nationkey == nations.n_nationkey
+    ).select("c_custkey", F.col("c_nationkey").alias("cust_nk"), "n_name")
+    ords = orders.filter(
+        (_ts("o_orderdate") >= _tslit(date_from))
+        & (_ts("o_orderdate") < _tslit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    supp = F.broadcast(
+        supplier.select("s_suppkey", F.col("s_nationkey").alias("supp_nk"))
+    )
+    items = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("_rev"),
+    )
+    joined = (
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
+        .join(items, ords.o_orderkey == items.l_orderkey)
+        .join(supp, items.l_suppkey == supp.s_suppkey)
+        .filter(F.col("cust_nk") == F.col("supp_nk"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum("_rev").alias("_rev_c"))
+        .select("n_name", F.round(F.col("_rev_c") / 1e4, 6).alias("revenue"))
+    )
+
+
+# --- DuckDB oracle builders ------------------------------------------------
+
+def pricing_summary_sql(cutoff: str = CUT_Q1) -> str:
+    """Mirror of :func:`pricing_summary`: same integer-cent arithmetic,
+    same single final divisions. SUM(BIGINT) is HUGEINT in DuckDB —
+    cast back before the division so dtypes match Spark's long sums."""
+    return f"""
+    WITH c AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ep,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+               CAST(ROUND(l_tax * 100) AS BIGINT) AS t
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+    ),
+    s AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(SUM(ep) AS BIGINT) AS sep,
+               CAST(SUM(ep * (100 - d)) AS BIGINT) AS sdp,
+               CAST(SUM(ep * (100 - d) * (100 + t)) AS BIGINT) AS sch,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               COUNT(*) AS count_order
+        FROM c GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sq / 100.0, 6) AS sum_qty,
+           ROUND(sep / 100.0, 6) AS sum_base_price,
+           ROUND(sdp / 1e4, 6) AS sum_disc_price,
+           ROUND(sch / 1e6, 6) AS sum_charge,
+           ROUND(sq / 100.0 / count_order, 6) AS avg_qty,
+           ROUND(sep / 100.0 / count_order, 6) AS avg_price,
+           ROUND(sd / 100.0 / count_order, 6) AS avg_disc,
+           count_order
+    FROM s
+    """
+
+
+def segment_revenue_topk_sql(
+    segment: str = "BUILDING",
+    cutoff: str = CUT_Q3,
+    k: int = 10,
+) -> str:
+    return f"""
+    SELECT o.o_orderkey,
+           CAST(datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS o_orderdate_day,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                      AS BIGINT) / 1e4, 6) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{segment}'
+      AND o.o_orderdate < TIMESTAMP '{cutoff}'
+      AND l.l_shipdate > TIMESTAMP '{cutoff}' 
+    GROUP BY o.o_orderkey, o_orderdate_day
+    ORDER BY CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                  AS BIGINT) DESC, o.o_orderkey ASC
+    LIMIT {k}
+    """
+
+
+def nation_revenue_sql(
+    region_name: str = "ASIA",
+    date_from: str = FROM_Q5,
+    date_to: str = TO_Q5,
+) -> str:
+    return f"""
+    SELECT n.n_name,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                      AS BIGINT) / 1e4, 6) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE r.r_name = '{region_name}'
+      AND s.s_nationkey = c.c_nationkey
+      AND o.o_orderdate >= TIMESTAMP '{date_from}'
+      AND o.o_orderdate < TIMESTAMP '{date_to}' 
+    GROUP BY n.n_name
+    """

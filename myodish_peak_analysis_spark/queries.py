@@ -309,6 +309,38 @@ def q_user_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_median(read_table(spark, sf_dir, "events"))
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped wide aggregate over lineitem, integer-cent exact."""
+    from .operators.relational import pricing_summary
+
+    return pricing_summary(read_table(spark, sf_dir, "lineitem"))
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped star-join top-k (broadcast dim + hash fact join)."""
+    from .operators.relational import segment_revenue_topk
+
+    return segment_revenue_topk(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way join with broadcast dims."""
+    from .operators.relational import nation_revenue
+
+    return nation_revenue(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "supplier"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "region"),
+    )
+
+
 def q_fidelity_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 constrained find_peaks pipeline (grouped-map pandas UDF) — not
     SQL-expressible (greedy distance suppression / prominence); the driver

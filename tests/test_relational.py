@@ -1,0 +1,107 @@
+"""Hand-computed checks of the TPC-H-shaped relational operators on
+tiny frames (the sf0.01 oracle run covers them at scale)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from myodish_peak_analysis_spark.operators.relational import (
+    nation_revenue,
+    pricing_summary,
+    segment_revenue_topk,
+)
+
+LI_SCHEMA = (
+    "l_orderkey long, l_suppkey long, l_quantity double, "
+    "l_extendedprice double, l_discount double, l_tax double, "
+    "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz"
+)
+
+
+def _li(spark, rows):
+    return spark.createDataFrame(rows, LI_SCHEMA)
+
+
+def test_pricing_summary_exact_arithmetic(spark):
+    d = datetime(1997, 1, 1)
+    late = datetime(1999, 1, 1)  # after the 1998-09-02 cutoff -> excluded
+    li = _li(
+        spark,
+        [
+            (1, 1, 2.0, 10.00, 0.10, 0.05, "A", "F", d),
+            (1, 1, 3.0, 20.00, 0.00, 0.08, "A", "F", d),
+            (2, 1, 1.0, 5.00, 0.05, 0.00, "R", "O", d),
+            (3, 1, 9.0, 99.00, 0.01, 0.01, "A", "F", late),
+        ],
+    )
+    out = {(r.l_returnflag, r.l_linestatus): r for r in pricing_summary(li).collect()}
+    af = out[("A", "F")]
+    assert af.count_order == 2
+    assert af.sum_qty == 5.0
+    assert af.sum_base_price == 30.0
+    # 10*0.9 + 20*1.0 = 29.0 ; charge 10*0.9*1.05 + 20*1.0*1.08 = 31.05
+    assert af.sum_disc_price == 29.0
+    assert af.sum_charge == 31.05
+    assert af.avg_qty == 2.5 and af.avg_price == 15.0 and af.avg_disc == 0.05
+    assert ("R", "O") in out and ("A", "F") in out and len(out) == 2
+
+
+def test_segment_topk_deterministic_ties(spark):
+    d_old = datetime(1998, 1, 1)
+    d_ship = datetime(1998, 6, 1)
+    cust = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "BUILDING"), (3, "MACHINERY")],
+        "c_custkey long, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, d_old), (11, 2, d_old), (12, 3, d_old)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz",
+    )
+    li = _li(
+        spark,
+        [
+            # orders 10 and 11 have IDENTICAL revenue -> tie broken by key
+            (10, 1, 1.0, 100.00, 0.00, 0.00, "N", "O", d_ship),
+            (11, 1, 1.0, 100.00, 0.00, 0.00, "N", "O", d_ship),
+            (12, 1, 1.0, 999.00, 0.00, 0.00, "N", "O", d_ship),  # wrong segment
+        ],
+    )
+    got = segment_revenue_topk(cust, orders, li, k=2).collect()
+    assert [(r.o_orderkey, r.revenue) for r in got] == [(10, 100.0), (11, 100.0)]
+    # epoch day of 1998-01-01
+    assert got[0].o_orderdate_day == (datetime(1998, 1, 1) - datetime(1970, 1, 1)).days
+
+
+def test_nation_revenue_local_supplier_only(spark):
+    d = datetime(1996, 6, 1)
+    nation = spark.createDataFrame(
+        [(0, "N_A", 2), (1, "N_B", 2), (2, "N_C", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    region = spark.createDataFrame(
+        [(2, "ASIA"), (0, "AFRICA")], "r_regionkey int, r_name string"
+    )
+    cust = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2)], "c_custkey long, c_nationkey int"
+    )
+    supplier = spark.createDataFrame(
+        [(7, 0), (8, 1)], "s_suppkey long, s_nationkey int"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, d), (11, 2, d), (12, 3, d)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz",
+    )
+    li = _li(
+        spark,
+        [
+            (10, 7, 1.0, 50.00, 0.00, 0.00, "N", "O", d),  # cust N_A, supp N_A: counts
+            (10, 8, 1.0, 70.00, 0.00, 0.00, "N", "O", d),  # supp N_B != cust N_A: no
+            (11, 8, 1.0, 30.00, 0.50, 0.00, "N", "O", d),  # cust N_B, supp N_B: 15.0
+            (12, 7, 1.0, 99.00, 0.00, 0.00, "N", "O", d),  # cust N_C not in ASIA
+        ],
+    )
+    out = {
+        r.n_name: r.revenue
+        for r in nation_revenue(cust, orders, li, supplier, nation, region).collect()
+    }
+    assert out == {"N_A": 50.0, "N_B": 15.0}
