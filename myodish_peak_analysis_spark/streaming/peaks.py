@@ -106,6 +106,172 @@ def streaming_exact_dedup(
     )
 
 
+_ENV_OUT_SCHEMA = "channel_id long, sample_idx long, floor_raw double, ceil_raw double"
+#: run-length + extrema-deque state for the streaming envelope:
+#: next_emit     — next sample index whose frame may be emitted
+#: run_start     — first index of the currently OPEN equal-value run
+#: run_value     — the open run's value (NaN sentinel = no run yet)
+#: prev_run_value— value of the run before the open one (NaN = none)
+#: ex_idx/ex_val/ex_valley — decided extrema still inside any future frame
+_ENV_STATE_SCHEMA = (
+    "next_emit long, run_start long, run_value double, prev_run_value double, "
+    "ex_idx array<long>, ex_val array<double>, ex_valley array<boolean>"
+)
+
+
+def make_envelope_fn(window_size: int):
+    """Build the stateful per-channel function for
+    :func:`streaming_raw_envelopes` (closure over ``window_size``)."""
+
+    hi = window_size - 2  # frame interior is [i+1, i+hi]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (channel_id,) = key
+        if state.exists:
+            next_emit, run_start, run_value, prev_run_value, ex_idx, ex_val, ex_valley = (
+                state.get
+            )
+            run_value = None if math.isnan(run_value) else run_value
+            prev_run_value = None if math.isnan(prev_run_value) else prev_run_value
+            ex = list(zip(ex_idx, ex_val, ex_valley))
+        else:
+            next_emit, run_start, run_value, prev_run_value, ex = 0, -1, None, None, []
+
+        def close_run(end_idx: int, next_value: float) -> None:
+            # The open run [run_start, end_idx] closed by a differing
+            # next_value: decide its plateau-midpoint flag. A channel-
+            # leading run (no previous run) never flags — matching the
+            # batch rule where a NULL border comparison coalesces False.
+            if prev_run_value is None:
+                return
+            mid = (run_start + end_idx) // 2
+            if prev_run_value < run_value and next_value < run_value:
+                ex.append((mid, run_value, False))
+            elif prev_run_value > run_value and next_value > run_value:
+                ex.append((mid, run_value, True))
+
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("sample_idx")
+            for idx, v in zip(pdf["sample_idx"], pdf["signal_value"]):
+                idx, v = int(idx), float(v)
+                if run_value is None:
+                    run_start, run_value = idx, v
+                elif v != run_value:
+                    close_run(idx - 1, v)
+                    prev_run_value, run_start, run_value = run_value, idx, v
+            # Emit every i whose frame interior [i+1, i+hi] lies strictly
+            # before the open run (all its flags are decided).
+            while next_emit + hi < run_start:
+                i = next_emit
+                floor = min(
+                    (val for j, val, isv in ex if isv and i + 1 <= j <= i + hi),
+                    default=None,
+                )
+                ceil = max(
+                    (val for j, val, isv in ex if not isv and i + 1 <= j <= i + hi),
+                    default=None,
+                )
+                out_rows.append((int(channel_id), i, floor, ceil))
+                next_emit += 1
+            ex = [(j, val, isv) for j, val, isv in ex if j >= next_emit + 1]
+
+        state.update(
+            (
+                next_emit,
+                run_start,
+                float("nan") if run_value is None else run_value,
+                float("nan") if prev_run_value is None else prev_run_value,
+                [j for j, _, _ in ex],
+                [val for _, val, _ in ex],
+                [isv for _, _, isv in ex],
+            )
+        )
+        yield pd.DataFrame(
+            out_rows, columns=["channel_id", "sample_idx", "floor_raw", "ceil_raw"]
+        )
+
+    return fn
+
+
+def streaming_raw_envelopes(signal_stream: DataFrame, window_size: int = 350) -> DataFrame:
+    """Streaming analogue of the batch raw envelope (W1/W2,
+    ``operators.envelopes.with_raw_envelopes``): per position ``i``, the
+    min over decided valleys / max over decided peaks in the forward
+    frame interior ``[i+1, i+window_size-2]`` — plateau-midpoint flags
+    included, via an online run-length algorithm.
+
+    Emits exactly the positions whose frame is fully decided (interior
+    flags need the next *differing* sample, so emission trails the open
+    run); those rows are bit-identical to the batch operator's output on
+    the same prefix — see ``test_streaming.py``.
+
+    State is O(window_size) per channel: four scalars plus the decided
+    extrema still inside any future frame (≤ window_size entries, ~8 KB
+    at the 350 default). At 100 TB the state store shards by channel
+    exactly like the batch hash partitioning. Samples must arrive in
+    ``sample_idx`` order per channel across micro-batches; an
+    arbitrarily long plateau stalls (never corrupts) emission, because
+    its flag is undecidable until a differing sample arrives."""
+    return signal_stream.groupBy("channel_id").applyInPandasWithState(
+        make_envelope_fn(window_size),
+        _ENV_OUT_SCHEMA,
+        _ENV_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionization via the built-in
+    ``session_window`` — the streaming analogue of
+    ``operators.sessions.session_stats`` (same gap semantics: a session
+    closes when no event arrives within ``gap``).
+
+    Built-in session windows keep state only for OPEN sessions and purge
+    closed ones past the watermark — bounded state without custom code,
+    which is why this beats an ``applyInPandasWithState`` re-implementation
+    at 100 TB (the state store handles merging, timeout, and recovery)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("s"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_static_enrich(
+    events_stream: DataFrame,
+    user_dim: DataFrame,
+    on_stream: str = "user_id",
+    on_dim: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static broadcast enrichment: join each micro-batch against
+    a static dimension table. The dim side is explicitly ``broadcast()``
+    — a stream-static join must never shuffle the unbounded side, and a
+    broadcast keeps the stream side's partitioning (and its state-store
+    co-location) intact. Left join: unmatched events survive with NULL
+    attributes, so enrichment can never drop data."""
+    return events_stream.join(
+        F.broadcast(user_dim),
+        events_stream[on_stream] == user_dim[on_dim],
+        "left",
+    )
+
+
 def streaming_windowed_stats(
     events_stream: DataFrame,
     window: str = "10 seconds",

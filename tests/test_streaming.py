@@ -138,3 +138,112 @@ def test_streaming_windowed_stats(spark, tmp_path):
     assert (1, 0, 2, 20.0) in got  # window [0,10): two events, max 20
     assert (1, 10, 1, 5.0) in got
     assert (2, 0, 1, 7.0) in got
+
+
+def test_streaming_envelopes_match_batch_on_decided_prefix(spark, tmp_path):
+    import numpy as np
+
+    from myodish_peak_analysis_spark.operators.envelopes import with_raw_envelopes
+    from myodish_peak_analysis_spark.streaming.peaks import streaming_raw_envelopes
+
+    rng = np.random.default_rng(7)
+    vals = np.round(np.cumsum(rng.standard_normal(80)), 3)
+    vals[20:23] = vals[20]  # a plateau, to exercise the midpoint rule
+    rows = [(0, i, float(v)) for i, v in enumerate(vals)]
+    # split mid-frame so state must carry runs + extrema across batches
+    src = _write_batches(spark, str(tmp_path), [rows[:37], rows[37:]])
+
+    stream = (
+        spark.readStream.schema(SIG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_raw_envelopes(stream, window_size=12)
+        .writeStream.format("memory")
+        .queryName("env_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.sample_idx: (r.floor_raw, r.ceil_raw)
+            for r in spark.sql("select * from env_sink").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = with_raw_envelopes(
+        spark.createDataFrame(rows, SIG_SCHEMA), value_col="signal_value",
+        window_size=12,
+    )
+    expect = {
+        r.sample_idx: (r.floor_raw, r.ceil_raw) for r in batch.collect()
+    }
+    assert len(got) > 50  # most of the 80 samples are decided
+    for i, pair in got.items():
+        assert pair == expect[i], f"idx {i}: {pair} != {expect[i]}"
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    import datetime as dt
+
+    from myodish_peak_analysis_spark.streaming.peaks import streaming_sessionize
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (base, 1, 1.0),
+        (base + dt.timedelta(minutes=10), 1, 2.0),   # same session (gap 30m)
+        (base + dt.timedelta(minutes=50), 1, 4.0),   # new session
+        (base + dt.timedelta(minutes=5), 2, 8.0),
+    ]
+    src = os.path.join(str(tmp_path), "sess")
+    spark.createDataFrame(rows, "ts timestamp, user_id long, value double").write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, user_id long, value double").parquet(src)
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start.minute, r.n_events, r.sum_value)
+            for r in spark.sql("select * from sess_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, 0, 2, 3.0) in got
+    assert (1, 50, 1, 4.0) in got
+    assert (2, 5, 1, 8.0) in got
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    import datetime as dt
+
+    from myodish_peak_analysis_spark.streaming.peaks import stream_static_enrich
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [(base, 1, 1.0), (base, 99, 2.0)]
+    src = os.path.join(str(tmp_path), "enr")
+    spark.createDataFrame(rows, "ts timestamp, user_id long, value double").write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, user_id long, value double").parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "ACME")], "c_custkey long, c_name string"
+    )
+    q = (
+        stream_static_enrich(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enr_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.user_id, r.c_name) for r in spark.sql("select * from enr_sink").collect()}
+    finally:
+        q.stop()
+    assert got == {(1, "ACME"), (99, None)}  # left join keeps unmatched
