@@ -401,3 +401,21 @@ ranked AS (
 )
 SELECT doc_id, term, tf, df_docs, score, rank FROM ranked WHERE rank <= 3
 """
+
+ORACLES["contamination"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 4
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(t[i:i+3], ' ') AS gram
+    FROM toks, unnest(range(1, len(t) - 2)) AS r(i)
+),
+train AS (SELECT * FROM grams WHERE doc_id % 25 <> 0),
+bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 25 = 0),
+sizes AS (SELECT bench_id, COUNT(*) AS bench_grams FROM bench GROUP BY bench_id)
+SELECT t.doc_id, b.bench_id, COUNT(*) AS n_shared, s.bench_grams
+FROM train t JOIN bench b USING (gram) JOIN sizes s USING (bench_id)
+GROUP BY t.doc_id, b.bench_id, s.bench_grams
+"""

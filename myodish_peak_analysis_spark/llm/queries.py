@@ -136,6 +136,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _long(out, "tf", "df_docs")
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap decontamination report (8-gram exact overlap)."""
+    # gram=4 on the short synthetic docs (~50 tokens) — real pipelines
+    # use 8-13; the overlap-join shape is identical.
+    out = text.contamination_pairs(read_table(spark, sf_dir, "documents"), gram=4)
+    return _long(out, "n_shared", "bench_grams")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -161,4 +169,5 @@ QUERIES = {
     "mixture_weights": q_mixture_weights,
     "topk_per_source": q_topk_per_source,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "contamination": q_contamination,
 }

@@ -276,3 +276,53 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df_docs", "score", "rank")
     )
+
+
+def contamination_pairs(
+    docs: DataFrame, gram: int = 8, bench_mod: int = 25
+) -> DataFrame:
+    """Benchmark decontamination: for every (training doc, benchmark doc)
+    pair sharing at least one token ``gram``-gram, the count of DISTINCT
+    shared grams and the benchmark's total distinct gram count — the
+    overlap report a training pipeline uses to drop contaminated docs.
+
+    The harness has no separate eval table, so the benchmark side is the
+    deterministic ``doc_id % bench_mod == 0`` slice of ``documents`` (a
+    stand-in for the real eval-set table; swap the DataFrame to use one).
+
+    Scale: both sides reduce to DISTINCT (doc, gram) first, so the join
+    is keyed on the gram string — never all-pairs; 8-grams are near-
+    unique, so bucket fan-out is tiny and a pathological boilerplate
+    gram is an AQE skew split. The benchmark side is small by
+    construction (eval sets are), so Spark broadcasts it. Counts are
+    exact distinct-gram counts per pair — map-side combined.
+    """
+    def grams_of(df: DataFrame, id_alias: str) -> DataFrame:
+        return (
+            df.filter(F.expr(f"size({_TOKENS}) >= {gram}"))
+            .select(
+                F.col("doc_id").alias(id_alias),
+                F.explode(
+                    F.expr(
+                        f"array_distinct(transform(sequence(1, size({_TOKENS}) - {gram - 1}), "
+                        f"i -> concat_ws(' ', slice({_TOKENS}, i, {gram}))))"
+                    )
+                ).alias("gram"),
+            )
+        )
+
+    train = grams_of(docs.filter(F.col("doc_id") % bench_mod != 0), "doc_id")
+    bench_docs = docs.filter(F.col("doc_id") % bench_mod == 0)
+    bench = grams_of(bench_docs, "bench_id")
+    bench_sizes = bench.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_grams")
+    )
+    overlap = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        overlap.join(F.broadcast(bench_sizes), "bench_id")
+        .select("doc_id", "bench_id", "n_shared", "bench_grams")
+    )

@@ -169,3 +169,27 @@ def test_tfidf_top_terms_ranks_distinctive_terms(spark):
     assert best[1].term == "unique"
     assert best[2].term == "common"  # only term present
     assert all(r.rank == 1 for r in out)
+
+
+def test_contamination_pairs_counts_distinct_shared_grams(spark):
+    from myodish_peak_analysis_spark.llm.text import contamination_pairs
+
+    docs = spark.createDataFrame(
+        [
+            # doc 0 is the benchmark (0 % 25 == 0)
+            (0, "a b c d e f"),
+            # shares grams "a b c d" and "b c d e" with the benchmark;
+            # the repeated window contributes only DISTINCT grams
+            (1, "a b c d e a b c d e"),
+            (2, "x y z w v u"),  # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_pairs(docs, gram=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id, r.bench_id) == (1, 0)
+    # doc 1 distinct shared grams: 'a b c d', 'b c d e' -> 2; and
+    # 'c d e a', 'd e a b', 'e a b c' don't appear in the benchmark.
+    assert r.n_shared == 2
+    assert r.bench_grams == 3  # benchmark has 3 distinct 4-grams
