@@ -419,3 +419,15 @@ SELECT t.doc_id, b.bench_id, COUNT(*) AS n_shared, s.bench_grams
 FROM train t JOIN bench b USING (gram) JOIN sizes s USING (bench_id)
 GROUP BY t.doc_id, b.bench_id, s.bench_grams
 """
+
+# Reconstructs the deterministic fake image codec in pure SQL: the
+# mapInPandas route and this query must agree byte-for-byte, proving the
+# distributed plumbing (not the codec) is correct.
+ORACLES["media_metadata"] = """
+SELECT doc_id AS media_id,
+       ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1 AS width,
+       ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1 AS height,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+"""

@@ -144,6 +144,28 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _long(out, "n_shared", "bench_grams")
 
 
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked end-to-end: build a media
+    table from documents (payload = UTF-8 text bytes), run the
+    Arrow-batched ``mapInPandas`` image-metadata decode with the
+    deterministic md5-derived fake codec, and emit typed metadata. The
+    fake is reproducible in pure SQL (md5 hex slicing), so the oracle
+    verifies the WHOLE distributed path — schema, batching, UDF
+    signature — produces engine-identical rows. Swapping the fake for
+    Pillow touches only the ``_decode_image_impl`` hook."""
+    from . import multimodal
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        "source",
+    )
+    out = multimodal.image_metadata(media, fake=True)
+    return _long(out, "width", "height")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -170,4 +192,5 @@ QUERIES = {
     "topk_per_source": q_topk_per_source,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
+    "media_metadata": q_media_metadata,
 }
