@@ -247,3 +247,83 @@ def test_stream_static_enrich(spark, tmp_path):
     finally:
         q.stop()
     assert got == {(1, "ACME"), (99, None)}  # left join keeps unmatched
+
+
+def test_streaming_envelope_fn_property_vs_batch(spark):
+    """Drive the stateful function directly (stub GroupState) over many
+    random signals — plateaus, NaN-free monotone runs, random splits —
+    and require bit-equality with the batch operator on every emitted
+    row. One multi-channel batch job covers all cases."""
+    import numpy as np
+    import pandas as pd
+
+    from myodish_peak_analysis_spark.operators.envelopes import with_raw_envelopes
+    from myodish_peak_analysis_spark.streaming.peaks import make_envelope_fn
+
+    class StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    rng = np.random.default_rng(42)
+    W = 10
+    cases = []
+    for c in range(12):
+        n = int(rng.integers(15, 120))
+        if c % 3 == 0:  # heavily quantized -> many plateaus
+            vals = rng.integers(0, 4, n).astype(float)
+        elif c % 3 == 1:
+            vals = np.round(np.cumsum(rng.standard_normal(n)), 2)
+        else:  # monotone stretch then noise
+            vals = np.concatenate(
+                [np.arange(n // 2, dtype=float), rng.standard_normal(n - n // 2)]
+            )
+        cases.append((c, vals))
+
+    rows = [
+        (c, i, float(v)) for c, vals in cases for i, v in enumerate(vals)
+    ]
+    batch = with_raw_envelopes(
+        spark.createDataFrame(rows, SIG_SCHEMA),
+        value_col="signal_value",
+        window_size=W,
+    )
+    expect = {
+        (r.channel_id, r.sample_idx): (r.floor_raw, r.ceil_raw)
+        for r in batch.collect()
+    }
+
+    fn = make_envelope_fn(W)
+    total_emitted = 0
+    for c, vals in cases:
+        state = StubState()
+        cut = int(rng.integers(1, len(vals)))  # random micro-batch split
+        emitted = []
+        for lo, hi in ((0, cut), (cut, len(vals))):
+            pdf = pd.DataFrame(
+                {
+                    "channel_id": c,
+                    "sample_idx": range(lo, hi),
+                    "signal_value": vals[lo:hi],
+                }
+            )
+            for out in fn((c,), iter([pdf]), state):
+                emitted.extend(out.itertuples(index=False))
+        for r in emitted:
+            got = (
+                None if pd.isna(r.floor_raw) else r.floor_raw,
+                None if pd.isna(r.ceil_raw) else r.ceil_raw,
+            )
+            assert got == expect[(r.channel_id, r.sample_idx)], (
+                c, r.sample_idx, got, expect[(r.channel_id, r.sample_idx)]
+            )
+        total_emitted += len(emitted)
+    assert total_emitted > 300  # the property actually exercised rows
