@@ -425,9 +425,9 @@ GROUP BY t.doc_id, b.bench_id, s.bench_grams
 # distributed plumbing (not the codec) is correct.
 ORACLES["media_metadata"] = """
 SELECT doc_id AS media_id,
-       ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1 AS width,
-       ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1 AS height,
-       octet_length(encode(text)) AS n_bytes,
-       md5(text) AS content_hash
-FROM documents
+       ('0x' || substr(md5(coalesce(text, '')), 1, 4))::BIGINT % 1920 + 1 AS width,
+       ('0x' || substr(md5(coalesce(text, '')), 5, 4))::BIGINT % 1080 + 1 AS height,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       md5(coalesce(text, '')) AS content_hash
+FROM documents -- coalesce mirrors the Spark route's NULL-payload -> b'' branch
 """

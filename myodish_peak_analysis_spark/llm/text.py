@@ -313,7 +313,9 @@ def contamination_pairs(
 
     train = grams_of(docs.filter(F.col("doc_id") % bench_mod != 0), "doc_id")
     bench_docs = docs.filter(F.col("doc_id") % bench_mod == 0)
-    bench = grams_of(bench_docs, "bench_id")
+    # bench feeds both the join and bench_sizes; persist so the (small)
+    # benchmark tokenize/explode runs once, not once per consumer.
+    bench = grams_of(bench_docs, "bench_id").persist()
     bench_sizes = bench.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("bench_grams")
     )

@@ -48,10 +48,6 @@ FROM_Q5 = "1996-01-01"
 TO_Q5 = "1997-01-01"
 
 
-def _ts(col: str) -> F.Column:
-    return F.col(col)
-
-
 def _tslit(iso: str) -> F.Column:
     return F.lit(iso).cast("timestamp_ntz")
 
@@ -79,7 +75,7 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = CUT_Q1) -> DataFrame:
     """
     ep_c, disc_c, tax_c = _cents("l_extendedprice"), _cents("l_discount"), _cents("l_tax")
     qty_c = _cents("l_quantity")
-    rows = lineitem.filter(_ts("l_shipdate") <= _tslit(cutoff)).select(
+    rows = lineitem.filter(F.col("l_shipdate") <= _tslit(cutoff)).select(
         "l_returnflag",
         "l_linestatus",
         qty_c.alias("_q"),
@@ -126,10 +122,10 @@ def segment_revenue_topk(
     cust = F.broadcast(
         customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
     )
-    ords = orders.filter(_ts("o_orderdate") < _tslit(cutoff)).select(
+    ords = orders.filter(F.col("o_orderdate") < _tslit(cutoff)).select(
         "o_orderkey", "o_custkey", _epoch_day("o_orderdate").alias("o_orderdate_day")
     )
-    items = lineitem.filter(_ts("l_shipdate") > _tslit(cutoff)).select(
+    items = lineitem.filter(F.col("l_shipdate") > _tslit(cutoff)).select(
         "l_orderkey",
         (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("_rev"),
     )
@@ -177,8 +173,8 @@ def nation_revenue(
         nations, customer.c_nationkey == nations.n_nationkey
     ).select("c_custkey", F.col("c_nationkey").alias("cust_nk"), "n_name")
     ords = orders.filter(
-        (_ts("o_orderdate") >= _tslit(date_from))
-        & (_ts("o_orderdate") < _tslit(date_to))
+        (F.col("o_orderdate") >= _tslit(date_from))
+        & (F.col("o_orderdate") < _tslit(date_to))
     ).select("o_orderkey", "o_custkey")
     supp = F.broadcast(
         supplier.select("s_suppkey", F.col("s_nationkey").alias("supp_nk"))

@@ -109,45 +109,80 @@ def streaming_exact_dedup(
 _ENV_OUT_SCHEMA = "channel_id long, sample_idx long, floor_raw double, ceil_raw double"
 #: run-length + extrema-deque state for the streaming envelope:
 #: next_emit     — next sample index whose frame may be emitted
+#:                 (-1 = no sample seen yet)
 #: run_start     — first index of the currently OPEN equal-value run
-#: run_value     — the open run's value (NaN sentinel = no run yet)
-#: prev_run_value— value of the run before the open one (NaN = none)
+#:                 (-1 = no run yet; run_value is meaningless then)
+#: run_value     — the open run's value (may be a genuine NaN)
+#: has_prev / prev_run_value — value of the run before the open one
 #: ex_idx/ex_val/ex_valley — decided extrema still inside any future frame
 _ENV_STATE_SCHEMA = (
-    "next_emit long, run_start long, run_value double, prev_run_value double, "
+    "next_emit long, run_start long, run_value double, "
+    "has_prev boolean, prev_run_value double, "
     "ex_idx array<long>, ex_val array<double>, ex_valley array<boolean>"
 )
 
 
+def _same(a: float, b: float) -> bool:
+    """Spark SQL equality for doubles: NaN = NaN is TRUE."""
+    return a == b or (math.isnan(a) and math.isnan(b))
+
+
+def _lt(a: float, b: float) -> bool:
+    """Spark SQL total order for doubles: NaN is GREATER than every
+    other value (so x < NaN is true for non-NaN x, NaN < x never)."""
+    if math.isnan(a):
+        return False
+    if math.isnan(b):
+        return True
+    return a < b
+
+
 def make_envelope_fn(window_size: int):
     """Build the stateful per-channel function for
-    :func:`streaming_raw_envelopes` (closure over ``window_size``)."""
+    :func:`streaming_raw_envelopes` (closure over ``window_size``).
+
+    All value comparisons use Spark SQL double semantics (`_same`/`_lt`:
+    NaN equals NaN, NaN sorts greatest) so the emitted rows stay
+    bit-identical to the batch window operators even on NaN samples."""
 
     hi = window_size - 2  # frame interior is [i+1, i+hi]
+    nan_last = lambda x: (math.isnan(x), x)  # noqa: E731  Spark sort key
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (channel_id,) = key
         if state.exists:
-            next_emit, run_start, run_value, prev_run_value, ex_idx, ex_val, ex_valley = (
-                state.get
-            )
-            run_value = None if math.isnan(run_value) else run_value
-            prev_run_value = None if math.isnan(prev_run_value) else prev_run_value
+            (
+                next_emit,
+                run_start,
+                run_value,
+                has_prev,
+                prev_run_value,
+                ex_idx,
+                ex_val,
+                ex_valley,
+            ) = state.get
             ex = list(zip(ex_idx, ex_val, ex_valley))
         else:
-            next_emit, run_start, run_value, prev_run_value, ex = 0, -1, None, None, []
+            next_emit, run_start, run_value, has_prev, prev_run_value, ex = (
+                -1,
+                -1,
+                0.0,
+                False,
+                0.0,
+                [],
+            )
 
         def close_run(end_idx: int, next_value: float) -> None:
             # The open run [run_start, end_idx] closed by a differing
             # next_value: decide its plateau-midpoint flag. A channel-
             # leading run (no previous run) never flags — matching the
             # batch rule where a NULL border comparison coalesces False.
-            if prev_run_value is None:
+            if not has_prev:
                 return
             mid = (run_start + end_idx) // 2
-            if prev_run_value < run_value and next_value < run_value:
+            if _lt(prev_run_value, run_value) and _lt(next_value, run_value):
                 ex.append((mid, run_value, False))
-            elif prev_run_value > run_value and next_value > run_value:
+            elif _lt(run_value, prev_run_value) and _lt(run_value, next_value):
                 ex.append((mid, run_value, True))
 
         out_rows = []
@@ -155,23 +190,22 @@ def make_envelope_fn(window_size: int):
             pdf = pdf.sort_values("sample_idx")
             for idx, v in zip(pdf["sample_idx"], pdf["signal_value"]):
                 idx, v = int(idx), float(v)
-                if run_value is None:
+                if next_emit < 0:
+                    next_emit = idx  # channel may start at any index
+                if run_start < 0:
                     run_start, run_value = idx, v
-                elif v != run_value:
+                elif not _same(v, run_value):
                     close_run(idx - 1, v)
-                    prev_run_value, run_start, run_value = run_value, idx, v
+                    has_prev, prev_run_value = True, run_value
+                    run_start, run_value = idx, v
             # Emit every i whose frame interior [i+1, i+hi] lies strictly
             # before the open run (all its flags are decided).
-            while next_emit + hi < run_start:
+            while 0 <= next_emit and next_emit + hi < run_start:
                 i = next_emit
-                floor = min(
-                    (val for j, val, isv in ex if isv and i + 1 <= j <= i + hi),
-                    default=None,
-                )
-                ceil = max(
-                    (val for j, val, isv in ex if not isv and i + 1 <= j <= i + hi),
-                    default=None,
-                )
+                valleys = [val for j, val, isv in ex if isv and i + 1 <= j <= i + hi]
+                peaks = [val for j, val, isv in ex if not isv and i + 1 <= j <= i + hi]
+                floor = min(valleys, key=nan_last) if valleys else None
+                ceil = max(peaks, key=nan_last) if peaks else None
                 out_rows.append((int(channel_id), i, floor, ceil))
                 next_emit += 1
             ex = [(j, val, isv) for j, val, isv in ex if j >= next_emit + 1]
@@ -180,8 +214,9 @@ def make_envelope_fn(window_size: int):
             (
                 next_emit,
                 run_start,
-                float("nan") if run_value is None else run_value,
-                float("nan") if prev_run_value is None else prev_run_value,
+                run_value,
+                has_prev,
+                prev_run_value,
                 [j for j, _, _ in ex],
                 [val for _, val, _ in ex],
                 [isv for _, _, isv in ex],
@@ -210,9 +245,17 @@ def streaming_raw_envelopes(signal_stream: DataFrame, window_size: int = 350) ->
     extrema still inside any future frame (≤ window_size entries, ~8 KB
     at the 350 default). At 100 TB the state store shards by channel
     exactly like the batch hash partitioning. Samples must arrive in
-    ``sample_idx`` order per channel across micro-batches; an
-    arbitrarily long plateau stalls (never corrupts) emission, because
-    its flag is undecidable until a differing sample arrives."""
+    ``sample_idx`` order per channel across micro-batches with
+    contiguous indices (any start offset — the batch frames are
+    row-based, so a gap would desynchronize them); an arbitrarily long
+    plateau stalls (never corrupts) emission, because its flag is
+    undecidable until a differing sample arrives. NaN samples follow
+    Spark SQL double semantics for every run/flag/extremum decision
+    (NaN = NaN, NaN sorts greatest — so a NaN-valued peak correctly
+    shadows lower real peaks); the one representational difference vs
+    the batch operator is at the Arrow boundary, which surfaces a
+    NaN-valued envelope as NULL (verified empirically) — the same
+    NULL-for-reference-NaN convention the fidelity route uses."""
     return signal_stream.groupBy("channel_id").applyInPandasWithState(
         make_envelope_fn(window_size),
         _ENV_OUT_SCHEMA,

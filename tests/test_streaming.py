@@ -276,16 +276,19 @@ def test_streaming_envelope_fn_property_vs_batch(spark):
     rng = np.random.default_rng(42)
     W = 10
     cases = []
-    for c in range(12):
+    for c in range(16):
         n = int(rng.integers(15, 120))
-        if c % 3 == 0:  # heavily quantized -> many plateaus
+        if c % 4 == 0:  # heavily quantized -> many plateaus
             vals = rng.integers(0, 4, n).astype(float)
-        elif c % 3 == 1:
+        elif c % 4 == 1:
             vals = np.round(np.cumsum(rng.standard_normal(n)), 2)
-        else:  # monotone stretch then noise
+        elif c % 4 == 2:  # monotone stretch then noise
             vals = np.concatenate(
                 [np.arange(n // 2, dtype=float), rng.standard_normal(n - n // 2)]
             )
+        else:  # sprinkle NaNs (runs of them too) -> Spark NaN semantics
+            vals = np.round(rng.standard_normal(n), 1)
+            vals[rng.random(n) < 0.25] = float("nan")
         cases.append((c, vals))
 
     rows = [
@@ -317,13 +320,20 @@ def test_streaming_envelope_fn_property_vs_batch(spark):
             )
             for out in fn((c,), iter([pdf]), state):
                 emitted.extend(out.itertuples(index=False))
+        def same(a, b):
+            # The Arrow boundary surfaces NaN as NULL (and the in-process
+            # pandas frame coerces None to NaN), so NULL and NaN form one
+            # equivalence class here; any NUMERIC mismatch still fails.
+            a_miss = a is None or (isinstance(a, float) and np.isnan(a))
+            b_miss = b is None or (isinstance(b, float) and np.isnan(b))
+            if a_miss or b_miss:
+                return a_miss and b_miss
+            return a == b
+
         for r in emitted:
-            got = (
-                None if pd.isna(r.floor_raw) else r.floor_raw,
-                None if pd.isna(r.ceil_raw) else r.ceil_raw,
-            )
-            assert got == expect[(r.channel_id, r.sample_idx)], (
-                c, r.sample_idx, got, expect[(r.channel_id, r.sample_idx)]
+            exp = expect[(r.channel_id, r.sample_idx)]
+            assert same(r.floor_raw, exp[0]) and same(r.ceil_raw, exp[1]), (
+                c, r.sample_idx, (r.floor_raw, r.ceil_raw), exp
             )
         total_emitted += len(emitted)
     assert total_emitted > 300  # the property actually exercised rows
