@@ -153,3 +153,25 @@ def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ("ch
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 16,
+    sort_by: str | None = None,
+) -> None:
+    """Durable bucketed table: pre-shuffles ONCE at write time so every
+    later join/aggregation on ``bucket_by`` is exchange-free (Spark
+    matches bucket specs and skips the shuffle — the cluster-scale
+    answer for a fact table joined repeatedly on the same key, e.g.
+    lineitem⋈orders on orderkey or documents⋈embeddings on doc_id).
+
+    Bucketing requires the session catalog (``saveAsTable``), not a bare
+    path — bucket metadata lives in the catalog. ``sort_by`` adds
+    in-bucket ordering so merge-style reads skip the sort too."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)

@@ -60,3 +60,28 @@ def test_write_parquet_partitioned(detected, spark, tmp_path):
     # partition pruning: channel filter must hit PartitionFilters
     plan = back.filter(F.col("channel_id") == 0)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(channel_id" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed on the join key must hash-join with ZERO
+    Exchange nodes — the plan-level proof that bucketing removes the
+    shuffle for repeated joins (docs/SCALE.md)."""
+    from myodish_peak_analysis_spark.sinks import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+        write_bucketed(a, "bk_a", "k", n_buckets=4, sort_by="k")
+        write_bucketed(b, "bk_b", "k", n_buckets=4, sort_by="k")
+        j = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+        import shutil
+
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
