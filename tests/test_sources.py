@@ -1,0 +1,47 @@
+"""ABF source plumbing: the conversion layer (everything except the
+pyabf decode itself) against a stub recording."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from myodish_peak_analysis_spark.sources.abf import (
+    abf_to_parquet,
+    channels_to_long,
+    extract_channels,
+)
+
+
+class StubABF:
+    """Mimics the two pyabf attributes the reference touches."""
+
+    def __init__(self, n=20, channels=3):
+        self._channels = channels
+        self._n = n
+        self.sweepX = None
+        self.sweepY = None
+
+    def setSweep(self, sweep, channel):
+        assert sweep == 0
+        self.sweepX = np.arange(self._n) / 100.0
+        self.sweepY = np.sin(np.arange(self._n) + channel).astype(float)
+
+
+def test_channels_to_long_layout(spark):
+    frames = extract_channels(StubABF(), n_channels=3)
+    long = channels_to_long(frames)
+    assert list(long.columns) == ["channel_id", "sample_idx", "time_index", "signal_value"]
+    assert len(long) == 60 and long["channel_id"].nunique() == 3
+    # per-channel indices restart at 0 and align positionally
+    g = long[long.channel_id == 2].reset_index(drop=True)
+    assert (g["sample_idx"] == np.arange(20)).all()
+    assert g["signal_value"].iloc[3] == pytest.approx(np.sin(3 + 2))
+
+    # the engine reads the result as a signal frame directly
+    df = spark.createDataFrame(long)
+    assert df.count() == 60 and set(df.columns) == set(long.columns)
+
+
+def test_abf_to_parquet_requires_pyabf(tmp_path):
+    with pytest.raises(ImportError, match="pyabf"):
+        abf_to_parquet("nonexistent.abf", str(tmp_path / "o.parquet"))
