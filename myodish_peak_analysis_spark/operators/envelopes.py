@@ -90,7 +90,15 @@ def _padded_envelope_col(
     w = channel_window()
     hi = window_size - 2
     zone_a = agg(v).over(w.rowsBetween(1, hi))
-    zone_b = agg(v).over(w.rowsBetween(1 - pad, hi - pad))
+    # zone_b's frame [j+1-pad, j+hi-pad] is zone_a's frame evaluated at
+    # row j-pad, and in zone_b's whole usage range (pad <= j <
+    # n-window+pad) that row exists and its frame is never clipped — so
+    # an O(n) lag of zone_a replaces a second O(n·w) sliding aggregate
+    # with bit-identical values (min/max are order-insensitive). zone_c
+    # (tail rows only) can NOT use lag(zone_a, 2*pad): for
+    # n < window+2*pad its true frame clips at the partition start,
+    # which the lag would turn into NULL instead of the clipped extreme.
+    zone_b = F.lag(zone_a, pad).over(w)
     zone_c = agg(v).over(w.rowsBetween(1 - 2 * pad, hi - 2 * pad))
     n, idx = F.col("_n"), F.col(IDX)
     return (
