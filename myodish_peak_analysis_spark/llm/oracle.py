@@ -431,3 +431,10 @@ SELECT doc_id AS media_id,
        md5(coalesce(text, '')) AS content_hash
 FROM documents -- coalesce mirrors the Spark route's NULL-payload -> b'' branch
 """
+
+from .curate import curated_corpus_sql  # noqa: E402
+from .packing import pack_chunks_sql, packing_stats_sql  # noqa: E402
+
+ORACLES["pack_chunks"] = pack_chunks_sql()
+ORACLES["packing_stats"] = packing_stats_sql()
+ORACLES["curated_corpus"] = curated_corpus_sql()

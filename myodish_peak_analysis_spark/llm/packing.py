@@ -1,0 +1,144 @@
+"""Sequence packing for LLM training: concatenate documents in a
+deterministic order and split the token stream into fixed-capacity
+training chunks ("concat-and-chunk", the standard GPT-style batch
+prep). A document that straddles a chunk boundary is split; the output
+is one row per (document × chunk) span, which is exactly the manifest a
+downstream tokenizer/writer needs to emit packed sequences.
+
+Spark-first design: token counts are a pure projection; the running
+offset is ONE window cumsum per shard (``source``); the span explosion
+is a ``sequence()`` + ``explode`` — no UDFs, no driver loops, and every
+value is integer arithmetic so the DuckDB oracle is bit-identical.
+
+Scale notes (100 TB): the cumsum window serializes per shard, so shard
+cardinality bounds parallelism. Real pipelines pack within
+``(source, shard)`` where ``shard = pmod(hash(doc_id), N)`` — pass
+``shard_mod`` to enable that here; chunks never cross shard boundaries
+(each shard is an independent token stream), so the result is still a
+valid packing. State per task is O(1): a window cumsum streams
+row-by-row; the explode multiplies rows only for straddling documents
+(at most ``1 + n_tok/capacity`` spans per doc).
+
+The reference library has no packing operator; this is part of the
+LLM-training-data extension surface required by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: Default training-sequence capacity in whitespace tokens. Small enough
+#: that the synthetic ~50-token documents straddle boundaries (the
+#: interesting case), realistic in shape (power of two).
+PACK_CAPACITY = 128
+
+_TOKENS = "split(text, ' ')"
+
+
+def pack_chunks(
+    docs: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    shard_col: str = "source",
+    shard_mod: int | None = None,
+) -> DataFrame:
+    """Manifest of (shard, chunk_id, doc_id, begin_tok, end_tok) spans
+    packing each shard's documents (ordered by ``doc_id``) into
+    ``capacity``-token chunks.
+
+    ``begin_tok``/``end_tok`` are doc-local half-open token offsets; a
+    doc spanning k boundaries emits k+1 rows. ``shard_mod`` splits each
+    source into ``pmod(doc_id * 2654435761, shard_mod)`` sub-shards for
+    unbounded parallelism at scale (chunks don't cross sub-shards).
+    """
+    shard = F.col(shard_col)
+    if shard_mod is not None:
+        shard = F.concat_ws(
+            "/", shard, F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(shard_mod))
+        )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cap = F.lit(capacity).cast("long")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "doc_id",
+            F.expr(f"size({_TOKENS})").cast("long").alias("n_tok"),
+        )
+        .withColumn("start_off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn("end_off", F.col("start_off") + F.col("n_tok"))
+        .select(
+            "shard",
+            "doc_id",
+            "start_off",
+            "end_off",
+            F.explode(
+                F.sequence(
+                    F.expr("start_off DIV " + str(capacity)),
+                    F.expr(f"(end_off - 1) DIV {capacity}"),
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            "shard",
+            "chunk_id",
+            "doc_id",
+            (F.greatest(F.col("chunk_id") * cap, F.col("start_off")) - F.col("start_off")).alias(
+                "begin_tok"
+            ),
+            (F.least((F.col("chunk_id") + 1) * cap, F.col("end_off")) - F.col("start_off")).alias(
+                "end_tok"
+            ),
+        )
+    )
+
+
+def packing_stats(docs: DataFrame, capacity: int = PACK_CAPACITY) -> DataFrame:
+    """Per-shard packing summary: chunk count, token count, and padding
+    waste (tokens of dead space in the final partial chunk). Pure
+    aggregate over :func:`pack_chunks` — one shuffle by shard."""
+    spans = pack_chunks(docs, capacity=capacity)
+    return spans.groupBy("shard").agg(
+        (F.max("chunk_id") + 1).alias("n_chunks"),
+        F.sum(F.col("end_tok") - F.col("begin_tok")).alias("n_tokens"),
+        (
+            (F.max("chunk_id") + 1) * F.lit(capacity).cast("long")
+            - F.sum(F.col("end_tok") - F.col("begin_tok"))
+        ).alias("waste_tokens"),
+    )
+
+
+def pack_chunks_sql(capacity: int = PACK_CAPACITY) -> str:
+    """DuckDB oracle: identical integer arithmetic over the same window."""
+    return f"""
+    WITH offs AS (
+        SELECT source AS shard, doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_tok,
+               CAST(COALESCE(SUM(len(string_split(text, ' '))::BIGINT) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_off -- SUM(BIGINT) is HUGEINT in DuckDB
+        FROM documents
+    )
+    SELECT shard, t.chunk_id, doc_id,
+           GREATEST(t.chunk_id * {capacity}, start_off) - start_off AS begin_tok,
+           LEAST((t.chunk_id + 1) * {capacity}, start_off + n_tok) - start_off AS end_tok
+    FROM offs
+    CROSS JOIN UNNEST(generate_series(
+        CAST(start_off // {capacity} AS BIGINT),
+        CAST((start_off + n_tok - 1) // {capacity} AS BIGINT))) AS t(chunk_id)
+    """
+
+
+def packing_stats_sql(capacity: int = PACK_CAPACITY) -> str:
+    return f"""
+    WITH spans AS ({pack_chunks_sql(capacity)})
+    SELECT shard,
+           CAST(MAX(chunk_id) + 1 AS BIGINT) AS n_chunks,
+           CAST(SUM(end_tok - begin_tok) AS BIGINT) AS n_tokens,
+           CAST((MAX(chunk_id) + 1) * {capacity} - SUM(end_tok - begin_tok) AS BIGINT)
+               AS waste_tokens
+    FROM spans GROUP BY shard
+    """

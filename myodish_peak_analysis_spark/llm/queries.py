@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..schema import read_table
-from . import dedup, sampling, similarity, text
+from . import curate, dedup, packing, sampling, similarity, text
 
 
 def _long(df: DataFrame, *cols: str) -> DataFrame:
@@ -166,6 +166,21 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _long(out, "width", "height")
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence-packing manifest (llm/packing.py)."""
+    return packing.pack_chunks(read_table(spark, sf_dir, "documents"))
+
+
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packed-chunk counts and padding waste."""
+    return packing.packing_stats(read_table(spark, sf_dir, "documents"))
+
+
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup + quality + Gopher gates composed into one plan (llm/curate.py)."""
+    return curate.curated_corpus(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -193,4 +208,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
     "media_metadata": q_media_metadata,
+    "pack_chunks": q_pack_chunks,
+    "packing_stats": q_packing_stats,
+    "curated_corpus": q_curated_corpus,
 }

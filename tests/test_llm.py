@@ -207,3 +207,73 @@ def test_multimodal_frame_sampling_fake(spark):
     frames = multimodal.sample_frames(media, every_n=2, fake=True).collect()
     assert len(frames) == 5  # 640//64 = 10 frames, every 2nd
     assert len({r.frame_hash for r in frames}) == 5
+
+
+def test_pack_chunks_hand_computed(spark):
+    from myodish_peak_analysis_spark.llm import packing
+
+    rows = [
+        (0, "a b c", "A"),   # 3 tokens, offsets [0, 3)
+        (1, "d e f", "A"),   # 3 tokens, [3, 6) — straddles the cap=4 boundary
+        (2, "g", "A"),       # 1 token,  [6, 7)
+        (3, "x y", "B"),     # separate shard restarts offsets
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.shard, r.chunk_id, r.doc_id): (r.begin_tok, r.end_tok)
+        for r in packing.pack_chunks(docs, capacity=4).collect()
+    }
+    assert out == {
+        ("A", 0, 0): (0, 3),
+        ("A", 0, 1): (0, 1),  # first token of doc 1 fills chunk 0
+        ("A", 1, 1): (1, 3),  # rest spills into chunk 1
+        ("A", 1, 2): (0, 1),
+        ("B", 0, 3): (0, 2),
+    }
+    stats = {r.shard: r for r in packing.packing_stats(docs, capacity=4).collect()}
+    assert (stats["A"].n_chunks, stats["A"].n_tokens, stats["A"].waste_tokens) == (2, 7, 1)
+    assert (stats["B"].n_chunks, stats["B"].n_tokens, stats["B"].waste_tokens) == (1, 2, 2)
+
+
+def test_pack_chunks_spans_reassemble_documents(spark):
+    from myodish_peak_analysis_spark.llm import packing
+
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(i + 1)), f"s{i % 2}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    spans = packing.pack_chunks(docs, capacity=7).collect()
+    # every document's spans are contiguous, start at 0, and cover n_tok
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.begin_tok, r.end_tok))
+    for i in range(20):
+        parts = sorted(by_doc[i])
+        assert parts[0][1] == 0 and parts[-1][2] == i + 1
+        for (c0, _, e0), (c1, b1, _) in zip(parts, parts[1:]):
+            assert c1 == c0 + 1 and b1 == e0
+    # chunk occupancy: every chunk except each shard's last holds exactly `capacity`
+    chunk_fill = {}
+    for r in spans:
+        chunk_fill[(r.shard, r.chunk_id)] = chunk_fill.get((r.shard, r.chunk_id), 0) + (
+            r.end_tok - r.begin_tok
+        )
+    last = {s: max(c for (s2, c) in chunk_fill if s2 == s) for (s, _) in chunk_fill}
+    for (s, c), fill in chunk_fill.items():
+        assert fill == 7 or c == last[s]
+
+
+def test_curated_corpus_gates(spark):
+    from myodish_peak_analysis_spark.llm import curate
+
+    good = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, good, "en", "web", len(good)),
+        (1, good, "en", "web", len(good)),          # exact dup — dropped
+        (2, "too short", "en", "web", 9),           # fails Gopher word count
+        (3, good + " indeed", "en", "books", 52),   # unique, passes
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    kept = curate.curated_corpus(docs).collect()
+    assert {r.doc_id for r in kept} == {0, 3}
+    assert all(r.quality_score >= curate.MIN_QUALITY for r in kept)
