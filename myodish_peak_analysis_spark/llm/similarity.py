@@ -118,10 +118,23 @@ def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3) -> DataFrame:
 
     Scale shape: centroids are always broadcast (k vectors); assignment
     is a map-side broadcast join; the centroid update is one shuffle
-    keyed by (centroid, dim) with map-side partial sums. At 100 TB run
-    the update on a uniform sample — the quantizer only needs cluster
-    geometry, not every point.
+    keyed by (centroid, dim) with map-side partial sums. Each round's k
+    centroids are collected to the driver and re-emitted as a literal
+    table (exactly what Spark MLlib's KMeans does) — k × dim doubles,
+    not data — so the per-iteration plan stays flat instead of
+    compounding into an exponentially re-executed lazy DAG. At 100 TB
+    run the update on a uniform sample — the quantizer only needs
+    cluster geometry, not every point.
     """
+    assigned, _ = _ivf_fit(emb, k=k, iters=iters)
+    return assigned.select("vec_id", "centroid_id")
+
+
+def _ivf_fit(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
+    """Lloyd iterations for :func:`ivf_index`; returns (assignments,
+    centroids-as-literal-table) so searches can probe the quantizer's own
+    centroids without re-deriving them."""
+    spark = emb.sparkSession
     base = _with_norm(emb).select("vec_id", "embedding", "_norm").cache()
     centroids = (
         base.orderBy("vec_id")
@@ -132,7 +145,9 @@ def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3) -> DataFrame:
             F.col("_norm").alias("c_norm"),
         )
     )
+    schema = "centroid_id int, c_emb array<float>, c_norm double"
     for _ in range(iters):
+        centroids = spark.createDataFrame(centroids.collect(), schema)
         assigned = _centroid_assign(base, centroids)
         dims = assigned.select(
             "centroid_id", F.posexplode("embedding").alias("dim", "x")
@@ -150,9 +165,10 @@ def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3) -> DataFrame:
         centroids = means.withColumn(
             "c_norm", F.sqrt(_dot("c_emb", "c_emb"))
         )
-    out = _centroid_assign(base, centroids).select("vec_id", "centroid_id")
+    centroids = spark.createDataFrame(centroids.collect(), schema)
+    out = _centroid_assign(base, centroids)
     base.unpersist()
-    return out
+    return out, centroids
 
 
 def ivf_topk(
@@ -165,30 +181,15 @@ def ivf_topk(
     """IVF ANN: search only the members of the query's ``nprobe``
     nearest coarse clusters — the candidate join is keyed on
     centroid_id (posting-list lookup), never a cross join."""
-    base = _with_norm(emb).cache()
-    index = ivf_index(emb, k=n_clusters)
-    members = base.join(index, "vec_id")
+    members, cents = _ivf_fit(emb, k=n_clusters, iters=3)
+    members = members.cache()
     q = members.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("_norm").alias("q_norm"),
     )
-    # nprobe probing: rank the final centroids (re-derived as member
-    # means) against each query vector, take the top nprobe clusters.
-    cdims = members.select(
-        "centroid_id", F.posexplode("embedding").alias("dim", "x")
-    )
-    cents = (
-        cdims.groupBy("centroid_id", "dim")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("centroid_id")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_sm"))
-        .select(
-            "centroid_id",
-            F.expr("transform(_sm, s -> CAST(s.m AS DOUBLE))").alias("c_emb"),
-        )
-        .withColumn("c_norm", F.sqrt(_dot("c_emb", "c_emb")))
-    )
+    # nprobe probing: rank the quantizer's own centroids against each
+    # query vector, take the top nprobe clusters.
     qprobe = (
         q.crossJoin(F.broadcast(cents))
         .withColumn(
