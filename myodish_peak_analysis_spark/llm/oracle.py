@@ -347,6 +347,79 @@ SELECT * FROM (
 ) p WHERE cosine >= 0.4
 """
 
+def ivf_topk_sql(
+    k: int = ANN_LSH_TOPK,
+    query_mod: int = ANN_QUERY_MOD,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    iters: int = 3,
+) -> str:
+    """Unrolled deterministic k-means + IVF search. The Lloyd loop is a
+    FIXED iteration count with a FIXED init (the ``n_clusters`` lowest
+    vec_ids), so the "iterative" algorithm is just ``iters`` chained
+    CTEs — fully SQL-expressible after all. Per-dimension means are cast
+    through FLOAT exactly like the Spark route, which absorbs
+    sum-order differences between the engines' AVG implementations;
+    assignment ranks round cosine to 9 decimals with centroid-id
+    tie-break, identical on both sides."""
+    assign = (
+        "SELECT vec_id, e, nrm, centroid_id FROM ("
+        "SELECT b.vec_id, b.e, b.nrm, c.centroid_id, "
+        "ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY "
+        "ROUND(list_dot_product(b.e, c.c) / (b.nrm * c.cn), 9) DESC, "
+        "c.centroid_id) AS rk "
+        "FROM base b CROSS JOIN {cents} c) t WHERE rk = 1"
+    )
+    ctes = [
+        f"""c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id,
+               e AS c, nrm AS cn
+        FROM base ORDER BY vec_id LIMIT {n_clusters})"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"a{i} AS ({assign.format(cents=f'c{i - 1}')})")
+        ctes.append(
+            f"""c{i} AS (
+            SELECT centroid_id, c, sqrt(list_dot_product(c, c)) AS cn FROM (
+                SELECT centroid_id,
+                       list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS c
+                FROM (
+                    SELECT centroid_id, d.dim, AVG(e[d.dim]) AS m
+                    FROM a{i}
+                    CROSS JOIN UNNEST(generate_series(1, CAST(len(e) AS BIGINT)))
+                        AS d(dim)
+                    GROUP BY centroid_id, d.dim) s
+                GROUP BY centroid_id) t)"""
+        )
+    ctes.append(f"members AS ({assign.format(cents=f'c{iters}')})")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_BASE_CTE},
+    {chain},
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM members
+          WHERE vec_id % {query_mod} = 0),
+    qprobe AS (
+        SELECT query_id, qe, qn, centroid_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       ROUND(list_dot_product(q.qe, c.c) / (q.qn * c.cn), 9) DESC,
+                       c.centroid_id) AS rk
+            FROM q CROSS JOIN c{iters} c) t WHERE rk <= {nprobe}),
+    cand AS (
+        SELECT p.query_id, m.vec_id,
+               ROUND(list_dot_product(p.qe, m.e) / (p.qn * m.nrm), 6) AS cosine
+        FROM qprobe p JOIN members m USING (centroid_id)
+        WHERE m.vec_id <> p.query_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rank
+        FROM cand)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+ORACLES["ann_ivf_topk"] = ivf_topk_sql()
+
 ORACLES["ann_lsh_topk"] = f"""
 WITH {_BASE_CTE},
 bucketed AS (SELECT *, CAST({_bucket_sql()} AS INTEGER) AS bucket FROM base),

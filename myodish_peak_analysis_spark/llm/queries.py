@@ -101,8 +101,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (deterministic k-means coarse quantizer + nprobe search).
-    No oracle: iterative k-means is not SQL-expressible — the driver
-    records a rows-only check; tests assert recall vs the brute top-k."""
+    Oracle: the fixed-init, fixed-iteration Lloyd loop unrolls into
+    chained SQL CTEs (``oracle.ivf_topk_sql``); tests additionally
+    assert recall vs the brute-force top-k."""
     out = similarity.ivf_topk(read_table(spark, sf_dir, "embeddings"))
     return _long(out, "rank")
 
