@@ -507,6 +507,9 @@ FROM documents -- coalesce mirrors the Spark route's NULL-payload -> b'' branch
 
 from .curate import curated_corpus_sql  # noqa: E402
 from .packing import pack_chunks_sql, packing_stats_sql  # noqa: E402
+from .text import unigram_logprob_sql  # noqa: E402
+
+ORACLES["unigram_logprob"] = unigram_logprob_sql()
 
 ORACLES["pack_chunks"] = pack_chunks_sql()
 ORACLES["packing_stats"] = packing_stats_sql()

@@ -177,6 +177,12 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.packing_stats(read_table(spark, sf_dir, "documents"))
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality proxy (CCNet-style head/middle/tail
+    scoring signal)."""
+    return text.with_unigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
 def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup + quality + Gopher gates composed into one plan (llm/curate.py)."""
     return curate.curated_corpus(read_table(spark, sf_dir, "documents"))
@@ -209,6 +215,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
     "media_metadata": q_media_metadata,
+    "unigram_logprob": q_unigram_logprob,
     "pack_chunks": q_pack_chunks,
     "packing_stats": q_packing_stats,
     "curated_corpus": q_curated_corpus,

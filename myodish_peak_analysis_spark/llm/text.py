@@ -328,3 +328,73 @@ def contamination_pairs(
         overlap.join(F.broadcast(bench_sizes), "bench_id")
         .select("doc_id", "bench_id", "n_shared", "bench_grams")
     )
+
+
+def with_unigram_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style LM quality proxy: the mean corpus-unigram
+    log2-probability of each document's tokens (higher = more typical
+    text; real pipelines bucket documents by this score, e.g. CCNet's
+    head/middle/tail thirds — Wenzek et al. 2020, public).
+
+    avg_logprob = mean over tokens of log2(tf(term)) − log2(corpus_N).
+
+    Determinism contract: a raw double sum over shuffled join output is
+    order-nondeterministic, so each token contributes
+    ``round(log2(tf), 6)`` scaled to an exact integer in 1e-6 units; the
+    per-document sum is then a BIGINT aggregate (order-free), divided
+    once at the end. Cross-engine float risk is confined to per-VALUE
+    ``log2`` + round — never to aggregation order.
+
+    Scale: one explode + two map-side-combined aggregates; the
+    token⋈tf join shuffles on ``term`` (Zipf-skewed — AQE skew join, or
+    broadcast the vocab when it fits, the common case even at 100 TB
+    since vocab grows ~log of corpus size).
+    """
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("corpus_n"))
+    scored = (
+        toks.join(tf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.round(F.log2("tf"), 6).cast("decimal(18,6)"))
+            .alias("_sum_lp"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("_sum_lp").cast("double") / F.col("n_tokens")
+                - F.log2("corpus_n"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def unigram_logprob_sql() -> str:
+    """DuckDB oracle for :func:`with_unigram_logprob` — identical
+    quantize-then-integer-sum formulation."""
+    tk = "string_split(text, ' ')"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tk}) AS term FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY term),
+    total AS (SELECT CAST(SUM(tf) AS BIGINT) AS corpus_n FROM tf),
+    scored AS (
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS n_tokens,
+               SUM(CAST(ROUND(log2(tf), 6) AS DECIMAL(18,6))) AS _sum_lp
+        FROM toks JOIN tf USING (term)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(_sum_lp AS DOUBLE) / n_tokens - log2(corpus_n), 6)
+               AS avg_logprob
+    FROM scored, total
+    """

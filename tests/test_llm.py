@@ -277,3 +277,20 @@ def test_curated_corpus_gates(spark):
     kept = curate.curated_corpus(docs).collect()
     assert {r.doc_id for r in kept} == {0, 3}
     assert all(r.quality_score >= curate.MIN_QUALITY for r in kept)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: a=2, b=2, c=1 -> N=5; log2(2)=1, log2(1)=0
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.with_unigram_logprob(docs).collect()}
+    import math
+
+    l5 = math.log2(5)
+    assert out[0].n_tokens == 3
+    assert out[0].avg_logprob == pytest.approx(round(3 / 3 - l5, 6))
+    assert out[1].n_tokens == 2
+    assert out[1].avg_logprob == pytest.approx(round(1 / 2 - l5, 6))
+    # more-typical text scores higher
+    assert out[0].avg_logprob > out[1].avg_logprob
