@@ -263,3 +263,25 @@ def jaccard_pairs(docs: DataFrame, mod: int = 20, min_jaccard: float = 0.05) -> 
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def blocklist_filter(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
+    """Remove documents whose content hash appears in a blocklist — the
+    standard "known-bad content" gate (CSAM/spam/benchmark hash lists)
+    every production corpus passes through.
+
+    ``blocklist`` is a one-column (``text_hash``) table. It is ALWAYS
+    the broadcast side of a LEFT ANTI join: blocklists are measured in
+    millions of hashes (MBs) while the corpus is measured in TBs, so the
+    corpus is never shuffled — the filter runs entirely in the scan
+    stage of each corpus partition.
+    """
+    keyed = docs.withColumn("_bl_hash", F.md5("text"))
+    return (
+        keyed.join(
+            F.broadcast(blocklist.select(F.col("text_hash").alias("_bl_hash"))),
+            "_bl_hash",
+            "left_anti",
+        )
+        .drop("_bl_hash")
+    )

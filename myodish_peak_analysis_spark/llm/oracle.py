@@ -511,6 +511,18 @@ from .text import unigram_logprob_sql  # noqa: E402
 
 ORACLES["unigram_logprob"] = unigram_logprob_sql()
 
+ORACLES["blocklist_filter"] = f"""
+WITH quality AS ({ORACLES["quality_score"]}),
+bad AS (
+    SELECT DISTINCT md5(d.text) AS text_hash
+    FROM quality q JOIN documents d USING (doc_id)
+    WHERE q.quality_score < 0.45
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.text_hash = md5(d.text))
+"""
+
 ORACLES["pack_chunks"] = pack_chunks_sql()
 ORACLES["packing_stats"] = packing_stats_sql()
 ORACLES["curated_corpus"] = curated_corpus_sql()

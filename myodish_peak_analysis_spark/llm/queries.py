@@ -177,6 +177,21 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.packing_stats(read_table(spark, sf_dir, "documents"))
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast anti-join against a content-hash blocklist (derived
+    deterministically here: hashes of the lowest-quality decile docs)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bad = (
+        text.with_quality_score(docs)
+        .filter(F.col("quality_score") < 0.45)
+        .join(docs, "doc_id")
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    out = dedup.blocklist_filter(docs, bad)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram LM quality proxy (CCNet-style head/middle/tail
     scoring signal)."""
@@ -215,6 +230,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
     "media_metadata": q_media_metadata,
+    "blocklist_filter": q_blocklist_filter,
     "unigram_logprob": q_unigram_logprob,
     "pack_chunks": q_pack_chunks,
     "packing_stats": q_packing_stats,

@@ -294,3 +294,17 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[1].avg_logprob == pytest.approx(round(1 / 2 - l5, 6))
     # more-typical text scores higher
     assert out[0].avg_logprob > out[1].avg_logprob
+
+
+def test_blocklist_filter_anti_join(spark):
+    docs = spark.createDataFrame(
+        [(0, "keep me"), (1, "drop me"), (2, "drop me"), (3, "also keep")],
+        "doc_id long, text string",
+    )
+    bl = spark.createDataFrame([("drop me",)], "t string").select(
+        F.md5("t").alias("text_hash")
+    )
+    out = dedup.blocklist_filter(docs, bl)
+    assert {r.doc_id for r in out.collect()} == {0, 3}  # both copies blocked
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan  # corpus never shuffles
