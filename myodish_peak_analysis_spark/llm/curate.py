@@ -2,8 +2,10 @@
 pipeline runs nightly — exact dedup, quality scoring, and Gopher-style
 rule filtering in ONE lazy plan, producing the surviving document set.
 
-Composition shape (all stages reuse the individually-oracle-checked
-operators from :mod:`.dedup` and :mod:`.text`):
+Composition shape (quality/Gopher stages reuse the individually-
+oracle-checked operators from :mod:`.text`; the dedup stage is the
+window formulation of :func:`.dedup.exact_dedup`'s keeper rule,
+inlined so no keeper-table join is needed):
 
 1. canonical pick — keep the lowest ``doc_id`` per ``md5(text)`` group
    (one hash-partition window; no join against a keeper table needed);

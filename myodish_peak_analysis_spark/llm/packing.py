@@ -52,8 +52,11 @@ def pack_chunks(
     """
     shard = F.col(shard_col)
     if shard_mod is not None:
+        # xxhash64, not doc_id * large-constant: the multiply overflows
+        # BIGINT (ANSI crash) once doc_id exceeds ~3.5e9 — i.e. exactly
+        # at the corpus sizes shard_mod exists for.
         shard = F.concat_ws(
-            "/", shard, F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(shard_mod))
+            "/", shard, F.pmod(F.xxhash64("doc_id"), F.lit(shard_mod))
         )
     w = (
         Window.partitionBy("shard")
@@ -95,11 +98,19 @@ def pack_chunks(
     )
 
 
-def packing_stats(docs: DataFrame, capacity: int = PACK_CAPACITY) -> DataFrame:
+def packing_stats(
+    docs: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    shard_col: str = "source",
+    shard_mod: int | None = None,
+) -> DataFrame:
     """Per-shard packing summary: chunk count, token count, and padding
     waste (tokens of dead space in the final partial chunk). Pure
-    aggregate over :func:`pack_chunks` — one shuffle by shard."""
-    spans = pack_chunks(docs, capacity=capacity)
+    aggregate over :func:`pack_chunks` — one shuffle by shard. Takes the
+    same sharding parameters so the stats describe the SAME packing."""
+    spans = pack_chunks(
+        docs, capacity=capacity, shard_col=shard_col, shard_mod=shard_mod
+    )
     return spans.groupBy("shard").agg(
         (F.max("chunk_id") + 1).alias("n_chunks"),
         F.sum(F.col("end_tok") - F.col("begin_tok")).alias("n_tokens"),

@@ -345,16 +345,23 @@ def with_unigram_logprob(docs: DataFrame) -> DataFrame:
     once at the end. Cross-engine float risk is confined to per-VALUE
     ``log2`` + round — never to aggregation order.
 
-    Scale: one explode + two map-side-combined aggregates; the
-    token⋈tf join shuffles on ``term`` (Zipf-skewed — AQE skew join, or
-    broadcast the vocab when it fits, the common case even at 100 TB
-    since vocab grows ~log of corpus size).
+    Scale: ONE explode feeds a count window partitioned by ``term``
+    (the tf), then a groupBy(doc_id) — two shuffles, no self-join, and
+    the corpus is tokenized exactly once per shuffle consumer (the
+    aggregate+join formulation would explode the whole corpus twice).
+    The term shuffle is Zipf-skewed; AQE skew handling applies, and the
+    per-term state is a counter. ``corpus_n`` is a separate map-only
+    sum over the documents (no explode).
     """
+    from pyspark.sql import Window
+
     toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = tf.agg(F.sum("tf").alias("corpus_n"))
+    tf = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    total = docs.agg(
+        F.sum(F.expr(f"size({_TOKENS})")).cast("long").alias("corpus_n")
+    )
     scored = (
-        toks.join(tf, "term")
+        toks.withColumn("tf", tf)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
