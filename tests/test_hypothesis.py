@@ -88,3 +88,57 @@ def test_prominence_filter_is_monotone(y):
     lo = find_peaks(y, prominence=0.5)
     hi = find_peaks(y, prominence=2.0)
     assert set(hi.tolist()) <= set(lo.tolist())
+
+
+# --- sequence-packing span arithmetic (llm/packing.py) ----------------------
+#
+# The Spark operator is a closed-form expression (floor-div chunk range +
+# greatest/least span clamps) over a running token offset. The brute spec
+# below actually SIMULATES the concat-and-chunk stream token by token;
+# the property asserts the closed form emits identical spans. Spark-side
+# evaluation of the same arithmetic is covered by the deterministic unit
+# tests and the DuckDB oracle.
+
+doc_sizes = st.lists(st.integers(min_value=1, max_value=37), min_size=1, max_size=30)
+
+
+def brute_pack(sizes, cap):
+    spans = {}
+    pos = 0
+    for d, n in enumerate(sizes):
+        for t in range(n):
+            chunk = (pos + t) // cap
+            key = (d, chunk)
+            b, e = spans.get(key, (t, t))
+            spans[key] = (min(b, t), max(e, t + 1))
+        pos += n
+    return {k: spans[k] for k in sorted(spans)}
+
+
+def formula_pack(sizes, cap):
+    out = {}
+    start = 0
+    for d, n in enumerate(sizes):
+        end = start + n
+        for chunk in range(start // cap, (end - 1) // cap + 1):
+            out[(d, chunk)] = (
+                max(chunk * cap, start) - start,
+                min((chunk + 1) * cap, end) - start,
+            )
+        start = end
+    return out
+
+
+@given(doc_sizes, st.integers(min_value=1, max_value=50))
+@settings(max_examples=300)
+def test_pack_span_formula_matches_token_simulation(sizes, cap):
+    got = formula_pack(sizes, cap)
+    assert got == brute_pack(sizes, cap)
+    # invariants: spans tile each doc exactly; every interior chunk is full
+    per_chunk: dict = {}
+    for (d, chunk), (b, e) in got.items():
+        assert 0 <= b < e <= sizes[d]
+        per_chunk[chunk] = per_chunk.get(chunk, 0) + (e - b)
+    last = max(per_chunk)
+    assert all(v == cap for c, v in per_chunk.items() if c != last)
+    assert sum(per_chunk.values()) == sum(sizes)
