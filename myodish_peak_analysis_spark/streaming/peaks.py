@@ -339,3 +339,74 @@ def streaming_windowed_stats(
             "avg_value",
         )
     )
+
+
+# --- streaming sequence packing --------------------------------------------
+
+PACK_OUT_SCHEMA = (
+    "shard string, chunk_id long, doc_id long, begin_tok long, end_tok long"
+)
+_PACK_STATE_SCHEMA = "start_off long"
+
+
+def make_pack_fn(capacity: int):
+    """Stateful concat-and-chunk packer: per-shard state is ONE BIGINT —
+    the running token offset — so a document arriving in a later
+    micro-batch continues exactly where the previous batch's stream
+    stopped. Emits the same (doc × chunk) span manifest as the batch
+    :func:`...llm.packing.pack_chunks`, bit-identical on any prefix
+    delivered in doc_id order (factored out for in-process testing
+    against a stub GroupState, like :func:`make_envelope_fn`)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        start = int(state.get[0]) if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for d, n in zip(pdf["doc_id"], pdf["n_tok"]):
+                n = int(n)
+                end = start + n
+                for chunk in range(start // capacity, (end - 1) // capacity + 1):
+                    rows.append(
+                        (
+                            shard,
+                            chunk,
+                            int(d),
+                            max(chunk * capacity, start) - start,
+                            min((chunk + 1) * capacity, end) - start,
+                        )
+                    )
+                start = end
+        state.update((start,))
+        yield pd.DataFrame(
+            rows, columns=["shard", "chunk_id", "doc_id", "begin_tok", "end_tok"]
+        )
+
+    return fn
+
+
+def streaming_pack_chunks(doc_stream: DataFrame, capacity: int = 128) -> DataFrame:
+    """Streaming sequence packing: documents flow in, packed-chunk span
+    manifests flow out, chunk ids continuing seamlessly across
+    micro-batches. The ingest-side mirror of the batch
+    ``llm.packing.pack_chunks`` — a training-data pipeline can emit
+    packed sequences while the crawl is still arriving.
+
+    State per shard is a single token offset (O(1)); the token count is
+    projected BEFORE the stateful groupBy, so the state store shuffle
+    carries (shard, doc_id, n_tok) — never document text. Ordering
+    contract: doc_ids must arrive non-decreasing per shard across
+    batches (within a batch the UDF sorts)."""
+    toks = doc_stream.select(
+        F.col("source").alias("shard"),
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_tok"),
+    )
+    return toks.groupBy("shard").applyInPandasWithState(
+        make_pack_fn(capacity),
+        PACK_OUT_SCHEMA,
+        _PACK_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -337,3 +337,99 @@ def test_streaming_envelope_fn_property_vs_batch(spark):
             )
         total_emitted += len(emitted)
     assert total_emitted > 300  # the property actually exercised rows
+
+
+def test_streaming_pack_fn_matches_batch_across_batch_boundaries(spark):
+    """Drive make_pack_fn with a stub GroupState over random doc sizes
+    split at random micro-batch boundaries; every emitted span must
+    bit-match the batch pack_chunks manifest for the same docs."""
+    import numpy as np
+    import pandas as pd
+
+    from myodish_peak_analysis_spark.llm.packing import pack_chunks
+    from myodish_peak_analysis_spark.streaming.peaks import make_pack_fn
+
+    class StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    rng = np.random.default_rng(7)
+    cap = 13
+    docs = [
+        (int(d), " ".join("w" for _ in range(int(rng.integers(1, 40)))), f"s{d % 3}")
+        for d in range(60)
+    ]
+    batch = pack_chunks(
+        spark.createDataFrame(docs, "doc_id long, text string, source string"),
+        capacity=cap,
+    )
+    expect = {
+        (r.shard, r.chunk_id, r.doc_id): (r.begin_tok, r.end_tok)
+        for r in batch.collect()
+    }
+
+    got = {}
+    for shard in ("s0", "s1", "s2"):
+        mine = [(d, len(t.split(" "))) for d, t, s in docs if s == shard]
+        state = StubState()
+        fn = make_pack_fn(cap)
+        cuts = sorted(rng.choice(range(1, len(mine)), size=3, replace=False))
+        bounds = [0, *cuts, len(mine)]
+        for lo, hi in zip(bounds, bounds[1:]):
+            pdf = pd.DataFrame(
+                {
+                    "doc_id": [d for d, _ in mine[lo:hi]],
+                    "n_tok": [n for _, n in mine[lo:hi]],
+                }
+            )
+            (out,) = fn((shard,), iter([pdf]), state)
+            for r in out.itertuples():
+                got[(r.shard, r.chunk_id, r.doc_id)] = (r.begin_tok, r.end_tok)
+    assert got == expect
+
+
+def test_streaming_pack_chunks_end_to_end(spark, tmp_path):
+    """Real streaming engine smoke: one micro-batch through
+    applyInPandasWithState produces the batch manifest."""
+    import os
+
+    from myodish_peak_analysis_spark.llm.packing import pack_chunks
+    from myodish_peak_analysis_spark.streaming.peaks import streaming_pack_chunks
+
+    schema = "doc_id long, text string, source string"
+    rows = [(d, " ".join("w" for _ in range(d + 1)), "a") for d in range(10)]
+    src = os.path.join(str(tmp_path), "docs")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_pack_chunks(stream, capacity=7)
+        .writeStream.format("memory")
+        .queryName("pack_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.shard, r.chunk_id, r.doc_id): (r.begin_tok, r.end_tok)
+            for r in spark.sql("select * from pack_sink").collect()
+        }
+    finally:
+        q.stop()
+    expect = {
+        (r.shard, r.chunk_id, r.doc_id): (r.begin_tok, r.end_tok)
+        for r in pack_chunks(
+            spark.createDataFrame(rows, schema), capacity=7
+        ).collect()
+    }
+    assert got == expect
