@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from myodish_peak_analysis_spark import oracle as _oracle  # noqa: E402
 from myodish_peak_analysis_spark import queries as _q  # noqa: E402
 from myodish_peak_analysis_spark.llm import queries as _llm_q  # noqa: E402
+from myodish_peak_analysis_spark.operators import analytics as _analytics  # noqa: E402
 from myodish_peak_analysis_spark.operators import relational as _relational  # noqa: E402
 from myodish_peak_analysis_spark.llm import oracle as _llm_oracle  # noqa: E402
 
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view_before_purchase": _q.q_asof_view_before_purchase,
         "resample_hourly": _q.q_resample_hourly,
         "value_histogram": _q.q_value_histogram,
+        "corpus_rollup": _q.q_corpus_rollup,
         "range_pairs": _q.q_range_pairs,
         "json_props": _q.q_json_props,
         "user_value_median": _q.q_user_value_median,
@@ -113,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_view_before_purchase": _oracle.asof_oracle(),
         "resample_hourly": _oracle.resample_oracle(),
         "value_histogram": _oracle.value_histogram_oracle(),
+        "corpus_rollup": _analytics.corpus_rollup_sql(),
         "range_pairs": _oracle.range_pairs_oracle(),
         "json_props": _oracle.json_props_oracle(),
         "user_value_median": _oracle.user_value_median_oracle(),

@@ -222,3 +222,44 @@ def grouped_median(
         .groupBy(by, "n")
         .agg(F.avg(value_col).alias("median"))
     )
+
+
+def corpus_rollup(docs: DataFrame) -> DataFrame:
+    """Multi-granularity corpus report in ONE pass: doc counts and
+    char/size sums at (source, lang), (source), (lang), and grand-total
+    granularity via ``GROUPING SETS`` — the summary dashboard query every
+    corpus pipeline runs nightly.
+
+    Spark plans all four granularities as a single Expand + one hash
+    aggregate (one shuffle, map-side combined; the expand multiplies
+    rows by 4 BEFORE partial aggregation, so the shuffle still carries
+    only O(groups) rows). ``grouping_id`` disambiguates the NULLs of a
+    rolled-up dimension from genuine NULL values — exposed as
+    ``gid`` so results are unambiguous and engine-portable.
+    """
+    return (
+        docs.groupingSets(
+            [["source", "lang"], ["source"], ["lang"], []],
+            "source",
+            "lang",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def corpus_rollup_sql() -> str:
+    """DuckDB oracle: identical GROUPING SETS + GROUPING() id bits."""
+    return """
+    SELECT source, lang,
+           CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """

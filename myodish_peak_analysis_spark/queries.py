@@ -282,6 +282,14 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(read_table(spark, sf_dir, "events"))
 
 
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity GROUPING SETS report over documents — one
+    Expand + one exchange; grouping_id disambiguates rolled-up NULLs."""
+    from .operators.analytics import corpus_rollup
+
+    return corpus_rollup(read_table(spark, sf_dir, "documents"))
+
+
 def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded range self-join (same-user event pairs within 1 h) via
     the two-bucket explode trick; oracle is the naive inequality join."""

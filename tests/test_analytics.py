@@ -193,3 +193,19 @@ def test_contamination_pairs_counts_distinct_shared_grams(spark):
     # 'c d e a', 'd e a b', 'e a b c' don't appear in the benchmark.
     assert r.n_shared == 2
     assert r.bench_grams == 3  # benchmark has 3 distinct 4-grams
+
+
+def test_corpus_rollup_granularities(spark):
+    from myodish_peak_analysis_spark.operators.analytics import corpus_rollup
+
+    docs = spark.createDataFrame(
+        [(0, "a", "en", "web", 10), (1, "b", "en", "web", 20), (2, "c", "de", "books", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {(r.source, r.lang, r.gid): r for r in corpus_rollup(docs).collect()}
+    assert rows[("web", "en", 0)].n_docs == 2
+    assert rows[("web", "en", 0)].total_chars == 30
+    assert rows[("web", None, 1)].n_docs == 2          # per-source rollup
+    assert rows[(None, "de", 2)].total_chars == 5      # per-lang rollup
+    grand = rows[(None, None, 3)]
+    assert (grand.n_docs, grand.total_chars, grand.max_chars) == (3, 35, 20)
