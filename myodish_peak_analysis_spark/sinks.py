@@ -175,3 +175,40 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(sort_by)
     writer.saveAsTable(table)
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int = 1_000_000,
+    target_files: int | None = None,
+) -> None:
+    """Durable sink with explicit OUTPUT FILE SIZING — the part of a
+    100 TB write that `write.parquet` alone gets wrong in both
+    directions: thousands of tasks × hundreds of partition keys emit
+    millions of KB-sized files (metadata death), while one giant task
+    emits multi-GB files that downstream scans can't split by row group.
+
+    Two independent controls:
+
+    * ``max_records_per_file`` caps file size (the writer rolls to a new
+      file at the threshold) — protects the big end.
+    * ``target_files`` repartitions before the write — by the partition
+      columns (hash) when partitioning, plain round-robin otherwise —
+      so the small end collapses to ~1 file per task per key instead of
+      tasks × keys. For a skew-prone partition column, add a salt
+      column upstream and include it here.
+    """
+    if target_files is not None:
+        df = (
+            df.repartition(target_files, *[F.col(c) for c in partition_by])
+            if partition_by
+            else df.repartition(target_files)
+        )
+    writer = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -85,3 +85,28 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         import shutil
 
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_write_sized_rolls_files_and_bounds_count(spark, tmp_path):
+    import glob
+    import os
+
+    from myodish_peak_analysis_spark.sinks import write_sized
+
+    df = spark.range(1000).selectExpr("id", "id % 3 AS lang")
+    out = os.path.join(str(tmp_path), "sized")
+    write_sized(
+        df, out, partition_by=("lang",), max_records_per_file=100, target_files=2
+    )
+    files = glob.glob(os.path.join(out, "lang=*", "*.parquet"))
+    per_part: dict = {}
+    for f in files:
+        part = f.split("lang=")[1].split("/")[0]
+        per_part[part] = per_part.get(part, 0) + 1
+    # each lang has ~333 rows: cap of 100 rows/file forces >= 4 files,
+    # and the pre-write repartition(2, lang) bounds it (2 tasks hold one
+    # lang each wholly -> exactly ceil(333/100) + tail rounding)
+    assert set(per_part) == {"0", "1", "2"}
+    assert all(4 <= n <= 8 for n in per_part.values()), per_part
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
