@@ -25,6 +25,7 @@ from myodish_peak_analysis_spark import oracle as _oracle  # noqa: E402
 from myodish_peak_analysis_spark import queries as _q  # noqa: E402
 from myodish_peak_analysis_spark.llm import queries as _llm_q  # noqa: E402
 from myodish_peak_analysis_spark.operators import analytics as _analytics  # noqa: E402
+from myodish_peak_analysis_spark.operators import sessions as _sessions  # noqa: E402
 from myodish_peak_analysis_spark.operators import relational as _relational  # noqa: E402
 from myodish_peak_analysis_spark.llm import oracle as _llm_oracle  # noqa: E402
 
@@ -78,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_max": _q.q_global_max,
         "stim_peak_mean": _q.q_stim_peak_mean,
         "session_stats": _q.q_session_stats,
+        "funnel_counts": _q.q_funnel_counts,
+        "cohort_retention": _q.q_cohort_retention,
         "asof_view_before_purchase": _q.q_asof_view_before_purchase,
         "resample_hourly": _q.q_resample_hourly,
         "value_histogram": _q.q_value_histogram,
@@ -112,6 +115,8 @@ def oracle_sql() -> dict[str, str]:
         "global_max": _oracle.global_max_oracle(),
         "stim_peak_mean": _oracle.stim_peak_mean_oracle(),
         "session_stats": _oracle.session_stats_oracle(),
+        "funnel_counts": _sessions.funnel_counts_sql(),
+        "cohort_retention": _sessions.cohort_retention_sql(),
         "asof_view_before_purchase": _oracle.asof_oracle(),
         "resample_hourly": _oracle.resample_oracle(),
         "value_histogram": _oracle.value_histogram_oracle(),

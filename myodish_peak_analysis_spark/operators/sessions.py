@@ -94,3 +94,120 @@ def sessions_sql(gap_seconds: float = 1800.0) -> str:
                / 1e6 AS sum_value
     FROM sess GROUP BY user_id, session_seq
     """
+
+
+# --- funnel & cohort retention (log-analytics staples) ----------------------
+
+DAY_US = 86_400 * MICROS
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered-funnel conversion: how many users performed step 1, then
+    step 2 strictly after their first step 1, then step 3 strictly after
+    that, ... Each stage is "earliest qualifying event after the user's
+    previous-stage timestamp" — the no-backtracking funnel every product
+    analytics stack ships.
+
+    Plan shape: ONE scan, ONE hash exchange + per-user sort. Stage-k
+    entry times are chained running conditional mins over the same
+    ``(user_id, ts)`` window (``t_k`` at a row = earliest qualifying
+    step-k event so far, where "qualifying" compares against ``t_{k-1}``
+    of the SAME row — ties are handled identically on both engines
+    because qualification is a strict ``>`` on the timestamp, not on row
+    position). A per-user aggregate then a single-row stack emit
+    O(steps) rows. Contrast: the naive per-stage join+agg formulation
+    re-executes its lineage per stage (k scans, ~2k exchanges).
+    """
+    ev = events.select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    aggs = []
+    for k, step in enumerate(steps):
+        qualifies = F.col("event_type") == step
+        if k > 0:
+            prev_run = F.min(f"_t{k - 1}_cand").over(w)
+            qualifies = qualifies & (F.col("ts_us") > prev_run)
+        ev = ev.withColumn(
+            f"_t{k}_cand", F.when(qualifies, F.col("ts_us"))
+        )
+        aggs.append(F.min(f"_t{k}_cand").alias(f"_t{k}"))
+    per_user = ev.groupBy("user_id").agg(*aggs)
+    totals = per_user.agg(
+        *[F.count(f"_t{k}").alias(f"_c{k}") for k in range(len(steps))]
+    )
+    stack = ", ".join(
+        f"{k + 1}, '{step}', _c{k}" for k, step in enumerate(steps)
+    )
+    return totals.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (step, event_type, n_users)"
+    )
+
+
+def funnel_counts_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    ctes = []
+    for k, step in enumerate(steps):
+        if k == 0:
+            ctes.append(
+                f"s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events "
+                f"WHERE event_type = '{step}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"s{k + 1} AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t "
+                f"FROM events e JOIN s{k} USING (user_id) "
+                f"WHERE e.event_type = '{step}' AND epoch_us(e.ts) > s{k}.t "
+                f"GROUP BY e.user_id)"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {k + 1} AS step, '{step}' AS event_type, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{k + 1}"
+        for k, step in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+def cohort_retention(events: DataFrame, max_offset: int = 14) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by the day of
+    their first event; for each cohort day × day offset, how many of
+    them were active. All integer day arithmetic (epoch days from the
+    microsecond timestamps), so the cross-engine match is exact.
+
+    Plan shape: distinct (user, day) — one map-side-combinable
+    aggregate — then a per-user min (same key, reused partitioning) and
+    a final O(cohorts × offsets) rollup. The events table shuffles
+    once, on ``user_id``.
+    """
+    days = (
+        events.select(
+            "user_id", F.expr(f"ts DIV 1000 DIV {DAY_US}").alias("day")
+        )
+        .distinct()
+    )
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def cohort_retention_sql(max_offset: int = 14) -> str:
+    return f"""
+    WITH days AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+    ),
+    first AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+    SELECT cohort_day, day - cohort_day AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM days JOIN first USING (user_id)
+    WHERE day - cohort_day <= {max_offset}
+    GROUP BY cohort_day, day - cohort_day
+    """

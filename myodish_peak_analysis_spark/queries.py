@@ -282,6 +282,20 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(read_table(spark, sf_dir, "events"))
 
 
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (no-backtracking semantics)."""
+    from .operators.sessions import funnel_counts
+
+    return funnel_counts(read_table(spark, sf_dir, "events"))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-event-day cohort triangle over 14 day offsets."""
+    from .operators.sessions import cohort_retention
+
+    return cohort_retention(read_table(spark, sf_dir, "events"))
+
+
 def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity GROUPING SETS report over documents — one
     Expand + one exchange; grouping_id disambiguates rolled-up NULLs."""

@@ -42,3 +42,37 @@ def test_session_stats_aggregates(spark):
     assert s1.duration_s == 60.0
     assert s1.sum_value == 4.0
     assert stats[(1, 2)].n_events == 1
+
+
+def test_funnel_counts_no_backtracking(spark):
+    from myodish_peak_analysis_spark.operators.sessions import funnel_counts
+
+    us = 1_000  # 1 microsecond in nanos
+    rows = [
+        # user 1: view -> click -> purchase, in order: converts fully
+        (1, "view", 1 * us), (1, "click", 2 * us), (1, "purchase", 3 * us),
+        # user 2: click BEFORE first view never counts; purchase without
+        # a qualifying click never counts
+        (2, "click", 1 * us), (2, "view", 2 * us), (2, "purchase", 3 * us),
+        # user 3: only a view
+        (3, "view", 5 * us),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    got = {r.step: r.n_users for r in funnel_counts(ev).collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_cohort_retention_triangle(spark):
+    from myodish_peak_analysis_spark.operators.sessions import cohort_retention
+
+    day = 86_400 * 1_000_000_000  # one day in nanos
+    rows = [
+        (1, "view", 0 * day + 5), (1, "view", 1 * day + 9), (1, "click", 3 * day),
+        (1, "view", 1 * day + 7),  # same user+day dedups
+        (2, "view", 1 * day + 1),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users for r in cohort_retention(ev).collect()
+    }
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
