@@ -38,7 +38,10 @@ from myodish_peak_analysis_spark.operators.relational import (  # noqa: E402
     pricing_summary,
     segment_revenue_topk,
 )
-from myodish_peak_analysis_spark.operators.sessions import session_stats  # noqa: E402
+from myodish_peak_analysis_spark.operators.sessions import (  # noqa: E402
+    funnel_counts,
+    session_stats,
+)
 from myodish_peak_analysis_spark.schema import (  # noqa: E402
     auto_channels,
     read_table,
@@ -81,6 +84,9 @@ def main() -> None:
         ),
         "fidelity_peaks": lambda: fidelity_peaks(sig),
         "session_stats": lambda: session_stats(
+            read_table(spark, SF_DIR, "events")
+        ),
+        "funnel_counts": lambda: funnel_counts(
             read_table(spark, SF_DIR, "events")
         ),
         "value_histogram": lambda: value_histogram(
