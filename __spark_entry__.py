@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_pairs": _q.q_range_pairs,
         "json_props": _q.q_json_props,
         "user_value_median": _q.q_user_value_median,
+        "latency_percentiles": _q.q_latency_percentiles,
+        "user_event_pivot": _q.q_user_event_pivot,
         "pricing_summary": _q.q_pricing_summary,
         "top_revenue_orders": _q.q_top_revenue_orders,
         "nation_revenue": _q.q_nation_revenue,
@@ -124,6 +126,8 @@ def oracle_sql() -> dict[str, str]:
         "range_pairs": _oracle.range_pairs_oracle(),
         "json_props": _oracle.json_props_oracle(),
         "user_value_median": _oracle.user_value_median_oracle(),
+        "latency_percentiles": _analytics.grouped_percentiles_sql(),
+        "user_event_pivot": _analytics.user_event_pivot_sql(),
         "pricing_summary": _relational.pricing_summary_sql(),
         "top_revenue_orders": _relational.segment_revenue_topk_sql(),
         "nation_revenue": _relational.nation_revenue_sql(),

@@ -263,3 +263,101 @@ def corpus_rollup_sql() -> str:
     FROM documents
     GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
     """
+
+
+PERCENTILES_DEFAULT = (50, 95, 99)
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    by: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    percentiles: tuple[int, ...] = PERCENTILES_DEFAULT,
+) -> DataFrame:
+    """Exact per-group percentile report (discrete / lower-value
+    semantics: the p-th percentile is the value at row-number
+    ``ceil(p/100 * n)`` of the group sorted ascending) — the ops
+    dashboard query (p50/p95/p99 latency per endpoint) in a form that is
+    bit-identical in any engine: rank selection only, no interpolation.
+
+    Scale: ONE hash exchange + in-partition sort (same window as
+    :func:`grouped_median`), then a pivot-style conditional aggregate —
+    output is O(groups × percentiles). Ties break by ``id_col`` for a
+    total order, which never changes the SELECTED VALUE (only which of
+    the tied rows supplies it).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(by),
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(by)).alias("n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_rn") == F.ceil(F.lit(p) * F.col("n") / F.lit(100)),
+                F.col(value_col),
+            )
+        ).alias(f"p{p}")
+        for p in percentiles
+    ]
+    return ranked.groupBy(by, "n").agg(*aggs)
+
+
+def grouped_percentiles_sql(
+    by: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    percentiles: tuple[int, ...] = PERCENTILES_DEFAULT,
+    table: str = "events",
+) -> str:
+    cols = ",\n           ".join(
+        f"MIN(CASE WHEN _rn = CAST(CEIL({p} * n / 100.0) AS BIGINT) "
+        f"THEN {value_col} END) AS p{p}"
+        for p in percentiles
+    )
+    return f"""
+    WITH ranked AS (
+        SELECT {by}, {value_col},
+               ROW_NUMBER() OVER (PARTITION BY {by}
+                                  ORDER BY {value_col} ASC, {id_col} ASC) AS _rn,
+               COUNT(*) OVER (PARTITION BY {by}) AS n
+        FROM {table}
+    )
+    SELECT {by}, CAST(n AS BIGINT) AS n,
+           {cols}
+    FROM ranked GROUP BY {by}, n
+    """
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(events: DataFrame, types: tuple[str, ...] = EVENT_TYPES) -> DataFrame:
+    """Per-user behavior matrix: one row per user, one count column per
+    event type — the feature-table shape fed to churn/segmentation
+    models. Uses ``pivot`` with an EXPLICIT value list: Spark then plans
+    a single map-side-combined aggregate (no extra pass to discover the
+    pivot values, and a deterministic column order on any engine/run —
+    never call wide-pivot without a value list at scale).
+    """
+    out = events.groupBy("user_id").pivot("event_type", list(types)).count()
+    for t in types:
+        out = out.withColumn(f"n_{t}", F.coalesce(F.col(t), F.lit(0))).drop(t)
+    return out
+
+
+def user_event_pivot_sql(types: tuple[str, ...] = EVENT_TYPES) -> str:
+    cols = ",\n           ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in types
+    )
+    return f"""
+    SELECT user_id,
+           {cols}
+    FROM events GROUP BY user_id
+    """

@@ -282,6 +282,21 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(read_table(spark, sf_dir, "events"))
 
 
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type count matrix (explicit-value-list pivot)."""
+    from .operators.analytics import user_event_pivot
+
+    return user_event_pivot(read_table(spark, sf_dir, "events"))
+
+
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of event value per event_type (discrete rank
+    selection — no engine interpolation)."""
+    from .operators.analytics import grouped_percentiles
+
+    return grouped_percentiles(read_table(spark, sf_dir, "events"))
+
+
 def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel (no-backtracking semantics)."""
     from .operators.sessions import funnel_counts

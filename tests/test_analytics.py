@@ -209,3 +209,26 @@ def test_corpus_rollup_granularities(spark):
     assert rows[(None, "de", 2)].total_chars == 5      # per-lang rollup
     grand = rows[(None, None, 3)]
     assert (grand.n_docs, grand.total_chars, grand.max_chars) == (3, 35, 20)
+
+
+def test_grouped_percentiles_hand_computed(spark):
+    from myodish_peak_analysis_spark.operators.analytics import grouped_percentiles
+
+    # group "a": values 1..10 -> p50 = value at ceil(5.0)=rank 5 -> 5.0;
+    # p95 -> ceil(9.5)=rank 10 -> 10.0; p99 -> ceil(9.9)=10 -> 10.0
+    rows = [(i, "a", float(i)) for i in range(1, 11)] + [(99, "b", 7.0)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_type: r for r in grouped_percentiles(ev).collect()}
+    assert (got["a"].p50, got["a"].p95, got["a"].p99) == (5.0, 10.0, 10.0)
+    assert got["a"].n == 10
+    assert (got["b"].p50, got["b"].p95, got["b"].p99) == (7.0, 7.0, 7.0)
+
+
+def test_user_event_pivot_counts_and_zeros(spark):
+    from myodish_peak_analysis_spark.operators.analytics import user_event_pivot
+
+    rows = [(1, 10, "view"), (2, 10, "view"), (3, 10, "click"), (4, 20, "purchase")]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    got = {r.user_id: r for r in user_event_pivot(ev).collect()}
+    assert (got[10].n_view, got[10].n_click, got[10].n_purchase) == (2, 1, 0)
+    assert (got[20].n_purchase, got[20].n_view) == (1, 0)
