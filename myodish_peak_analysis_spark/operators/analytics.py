@@ -187,6 +187,25 @@ def topk_per_group(
     )
 
 
+def _ranked(df: DataFrame, by: str, value_col: str, id_col: str) -> DataFrame:
+    """Shared rank prelude for the exact order statistics: row_number
+    ascending over (value, id) with NULL values LAST — made explicit
+    because Spark's ASC default is NULLS FIRST while DuckDB's is NULLS
+    LAST, which would silently shift every rank in a group containing a
+    NULL value. NULL rows still count toward ``n``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(
+        F.col(value_col).asc_nulls_last(), F.col(id_col).asc()
+    )
+    return df.select(
+        F.col(by),
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(by)).alias("n"),
+    )
+
+
 def grouped_median(
     df: DataFrame,
     by: str = "user_id",
@@ -204,15 +223,7 @@ def grouped_median(
     outgrows a task; for a pathological single giant group use the
     two-phase :func:`topk_per_group` pattern on the rank instead.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(by).orderBy(F.col(value_col).asc(), F.col(id_col).asc())
-    ranked = df.select(
-        F.col(by),
-        F.col(value_col),
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(by)).alias("n"),
-    )
+    ranked = _ranked(df, by, value_col, id_col)
     mid = (F.col("_rn") * 2 == F.col("n")) | (F.col("_rn") * 2 == F.col("n") + 1) | (
         F.col("_rn") * 2 == F.col("n") + 2
     )
@@ -287,15 +298,7 @@ def grouped_percentiles(
     total order, which never changes the SELECTED VALUE (only which of
     the tied rows supplies it).
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(by).orderBy(F.col(value_col).asc(), F.col(id_col).asc())
-    ranked = df.select(
-        F.col(by),
-        F.col(value_col),
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(by)).alias("n"),
-    )
+    ranked = _ranked(df, by, value_col, id_col)
     aggs = [
         F.min(
             F.when(
@@ -324,7 +327,8 @@ def grouped_percentiles_sql(
     WITH ranked AS (
         SELECT {by}, {value_col},
                ROW_NUMBER() OVER (PARTITION BY {by}
-                                  ORDER BY {value_col} ASC, {id_col} ASC) AS _rn,
+                                  ORDER BY {value_col} ASC NULLS LAST,
+                                           {id_col} ASC) AS _rn,
                COUNT(*) OVER (PARTITION BY {by}) AS n
         FROM {table}
     )
@@ -346,9 +350,10 @@ def user_event_pivot(events: DataFrame, types: tuple[str, ...] = EVENT_TYPES) ->
     never call wide-pivot without a value list at scale).
     """
     out = events.groupBy("user_id").pivot("event_type", list(types)).count()
-    for t in types:
-        out = out.withColumn(f"n_{t}", F.coalesce(F.col(t), F.lit(0))).drop(t)
-    return out
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
 
 
 def user_event_pivot_sql(types: tuple[str, ...] = EVENT_TYPES) -> str:

@@ -319,7 +319,7 @@ def user_value_median_oracle() -> str:
     WITH v AS (
         SELECT user_id, value,
                ROW_NUMBER() OVER (PARTITION BY user_id
-                                  ORDER BY value, event_id) AS rn,
+                                  ORDER BY value ASC NULLS LAST, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY user_id) AS n
         FROM events
     )

@@ -362,9 +362,16 @@ def make_pack_fn(capacity: int):
         (shard,) = key
         start = int(state.get[0]) if state.exists else 0
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            for d, n in zip(pdf["doc_id"], pdf["n_tok"]):
+        # Concatenate BEFORE sorting: a group larger than the Arrow batch
+        # size arrives as several pdfs in arbitrary post-shuffle order, so
+        # per-chunk sorting would interleave doc order across chunks.
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        if len(batch):
+            batch = batch.sort_values("doc_id")
+            for d, n in zip(batch["doc_id"], batch["n_tok"]):
                 n = int(n)
                 end = start + n
                 for chunk in range(start // capacity, (end - 1) // capacity + 1):

@@ -433,3 +433,35 @@ def test_streaming_pack_chunks_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_streaming_pack_fn_sorts_across_arrow_chunks(spark):
+    """A group bigger than the Arrow batch size arrives as MULTIPLE
+    pdfs in arbitrary order within one micro-batch; the packer must
+    sort across all of them, not per chunk."""
+    import pandas as pd
+
+    from myodish_peak_analysis_spark.streaming.peaks import make_pack_fn
+
+    class StubState:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = make_pack_fn(10)
+    pdfs = [
+        pd.DataFrame({"doc_id": [2], "n_tok": [7]}),
+        pd.DataFrame({"doc_id": [1], "n_tok": [5]}),
+    ]
+    (out,) = fn(("s",), iter(pdfs), StubState())
+    got = {(r.chunk_id, r.doc_id): (r.begin_tok, r.end_tok) for r in out.itertuples()}
+    # doc 1 (5 toks) packs first: chunk0 [0,5); doc 2 fills chunk0 [0,5)
+    # then spills into chunk1 [5,7)
+    assert got == {(0, 1): (0, 5), (0, 2): (0, 5), (1, 2): (5, 7)}
