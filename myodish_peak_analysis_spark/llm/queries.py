@@ -177,6 +177,11 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.packing_stats(read_table(spark, sf_dir, "documents"))
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → (df, sorted posting list) retrieval index."""
+    return text.inverted_index(read_table(spark, sf_dir, "documents"))
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast anti-join against a content-hash blocklist (derived
     deterministically here: hashes of the lowest-quality decile docs)."""
@@ -230,6 +235,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
     "media_metadata": q_media_metadata,
+    "inverted_index": q_inverted_index,
     "blocklist_filter": q_blocklist_filter,
     "unigram_logprob": q_unigram_logprob,
     "pack_chunks": q_pack_chunks,

@@ -405,3 +405,46 @@ def unigram_logprob_sql() -> str:
                AS avg_logprob
     FROM scored, total
     """
+
+
+def inverted_index(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Term → posting-list index over the corpus (the retrieval-side
+    companion of :func:`vocab_counts`): document frequency plus the
+    sorted posting list itself, serialized as a comma-joined string so
+    the result is engine-portable (array cell comparison is
+    representation-fragile across Arrow/pandas/DuckDB).
+
+    Scale: explode → distinct (term, doc) → one groupBy(term). The
+    posting list for a stopword-grade term is the whole corpus — real
+    deployments cap or shard those; ``min_df`` trims the singleton tail
+    instead (the hot-term cap would be its mirror). Collect_list is
+    bounded by df, which the caller controls via min_df/stopword
+    filtering.
+    """
+    pairs = docs.select(
+        F.explode(F.expr(f"array_distinct({_TOKENS})")).alias("term"), "doc_id"
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string"))
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def inverted_index_sql(min_df: int = 2) -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT unnest(list_distinct(string_split(text, ' '))) AS term,
+               doc_id
+        FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM pairs GROUP BY term
+    HAVING COUNT(*) >= {min_df}
+    """

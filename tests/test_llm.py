@@ -308,3 +308,16 @@ def test_blocklist_filter_anti_join(spark):
     assert {r.doc_id for r in out.collect()} == {0, 3}  # both copies blocked
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "Broadcast" in plan  # corpus never shuffles
+
+
+def test_inverted_index_postings(spark):
+    docs = spark.createDataFrame(
+        [(3, "a b"), (1, "a c a"), (2, "b d")], "doc_id long, text string"
+    )
+    out = {r.term: r for r in text.inverted_index(docs, min_df=1).collect()}
+    assert out["a"].postings == "1,3" and out["a"].df == 2  # sorted, deduped
+    assert out["b"].postings == "2,3"
+    assert out["c"].df == 1
+    # min_df trims the tail
+    kept = {r.term for r in text.inverted_index(docs, min_df=2).collect()}
+    assert kept == {"a", "b"}
