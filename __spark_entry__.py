@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q.q_pricing_summary,
         "top_revenue_orders": _q.q_top_revenue_orders,
         "nation_revenue": _q.q_nation_revenue,
+        "large_order_customers": _q.q_large_order_customers,
         "fidelity_peaks": _q.q_fidelity_peaks,
         "fidelity_signal": _q.q_fidelity_signal,
     }
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _relational.pricing_summary_sql(),
         "top_revenue_orders": _relational.segment_revenue_topk_sql(),
         "nation_revenue": _relational.nation_revenue_sql(),
+        "large_order_customers": _relational.large_order_customers_sql(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle
         # (non-SQL-expressible: SciPy find_peaks constraint semantics).
     }

@@ -284,3 +284,70 @@ def nation_revenue_sql(
       AND o.o_orderdate < TIMESTAMP '{date_to}' 
     GROUP BY n.n_name
     """
+
+
+def large_order_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = 300,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q18-shaped: customers holding the largest orders whose
+    total line quantity exceeds ``min_qty`` — the HAVING-subquery +
+    join + top-k shape. The qualifying-orderkey set (post-HAVING, tiny
+    by construction) is what joins back to the facts, so the expensive
+    side is ONE groupBy(lineitem.orderkey); customer joins on the
+    already-filtered orders. Quantities sum in integer centi-units —
+    exact in both engines — and the top-k is a distributed TakeOrdered
+    with orderkey tie-break."""
+    qual = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("_qty_c"))
+        .filter(F.col("_qty_c") > min_qty * 100)
+    )
+    ords = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        _epoch_day("o_orderdate").alias("o_orderdate_day"),
+        _cents("o_totalprice").alias("_price_c"),
+    )
+    joined = (
+        ords.join(qual, ords.o_orderkey == qual.l_orderkey)
+        .join(customer.select("c_custkey", "c_name"),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.orderBy(F.col("_price_c").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate_day",
+            F.round(F.col("_price_c") / 1e2, 2).alias("total_price"),
+            F.round(F.col("_qty_c") / 1e2, 2).alias("total_qty"),
+        )
+    )
+
+
+def large_order_customers_sql(min_qty: int = 300, k: int = 10) -> str:
+    return f"""
+    WITH qual AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS _qty_c
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) > {min_qty * 100}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+               AS o_orderdate_day,
+           ROUND(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) / 1e2, 2)
+               AS total_price,
+           ROUND(_qty_c / 1e2, 2) AS total_qty
+    FROM qual JOIN orders o ON o.o_orderkey = qual.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) DESC, o.o_orderkey ASC
+    LIMIT {k}
+    """

@@ -282,6 +282,17 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(read_table(spark, sf_dir, "events"))
 
 
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped HAVING-subquery + join + top-k."""
+    from .operators.relational import large_order_customers
+
+    return large_order_customers(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type count matrix (explicit-value-list pivot)."""
     from .operators.analytics import user_event_pivot

@@ -105,3 +105,30 @@ def test_nation_revenue_local_supplier_only(spark):
         for r in nation_revenue(cust, orders, li, supplier, nation, region).collect()
     }
     assert out == {"N_A": 50.0, "N_B": 15.0}
+
+
+def test_large_order_customers_having_and_topk(spark):
+    from myodish_peak_analysis_spark.operators.relational import (
+        large_order_customers,
+    )
+
+    cust = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "2024-01-01", 500.0), (20, 2, "2024-01-02", 900.0),
+         (30, 1, "2024-01-03", 100.0)],
+        "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    li = spark.createDataFrame(
+        # order 10: qty 7 (qualifies with min_qty=5); order 20: qty 6;
+        # order 30: qty 4 (filtered by HAVING)
+        [(10, 3.0), (10, 4.0), (20, 6.0), (30, 4.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    out = large_order_customers(cust, orders, li, min_qty=5, k=2).collect()
+    # top-k by total_price desc: order 20 (900) then order 10 (500)
+    assert [(r.o_orderkey, r.c_name, r.total_qty) for r in out] == [
+        (20, "bob", 6.0),
+        (10, "alice", 7.0),
+    ]
