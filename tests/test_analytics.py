@@ -232,3 +232,22 @@ def test_user_event_pivot_counts_and_zeros(spark):
     got = {r.user_id: r for r in user_event_pivot(ev).collect()}
     assert (got[10].n_view, got[10].n_click, got[10].n_purchase) == (2, 1, 0)
     assert (got[20].n_purchase, got[20].n_view) == (1, 0)
+
+
+def test_sketch_families_track_exact_answers(spark):
+    """The approximate companions of the exact operators: HLL distinct
+    counts and quantile sketches are the 100 TB fallback when exact
+    rank/ distinct shuffles are too expensive. Approximate by design ->
+    no DuckDB hash oracle; this accuracy gate is their check."""
+    df = spark.range(20_000).selectExpr(
+        "id % 1000 AS user_id", "CAST(id % 337 AS DOUBLE) AS value"
+    )
+    exact = df.selectExpr("count(distinct user_id) AS d").first().d
+    approx = df.selectExpr(
+        "approx_count_distinct(user_id, 0.02) AS d"
+    ).first().d
+    assert abs(approx - exact) / exact < 0.05
+
+    [p50, p95] = df.stat.approxQuantile("value", [0.5, 0.95], 0.01)
+    # true distribution is uniform over 0..336
+    assert abs(p50 - 168) < 12 and abs(p95 - 319) < 12

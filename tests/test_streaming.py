@@ -465,3 +465,70 @@ def test_streaming_pack_fn_sorts_across_arrow_chunks(spark):
     # doc 1 (5 toks) packs first: chunk0 [0,5); doc 2 fills chunk0 [0,5)
     # then spills into chunk1 [5,7)
     assert got == {(0, 1): (0, 5), (0, 2): (0, 5), (1, 2): (5, 7)}
+
+
+def test_streaming_pack_chunks_recovers_state_from_checkpoint(spark, tmp_path):
+    """Kill the query between micro-batches and restart from the same
+    checkpoint: the per-shard token offset must survive, so the restarted
+    stream continues packing mid-chunk exactly where the first run
+    stopped (the crash-recovery contract of a stateful ingest pipeline)."""
+    import os
+
+    from myodish_peak_analysis_spark.llm.packing import pack_chunks
+    from myodish_peak_analysis_spark.streaming.peaks import streaming_pack_chunks
+
+    schema = "doc_id long, text string, source string"
+    all_rows = [(d, " ".join("w" for _ in range(5)), "a") for d in range(8)]
+    src = os.path.join(str(tmp_path), "docs")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    sink = os.path.join(str(tmp_path), "sink")
+    os.makedirs(src, exist_ok=True)
+
+    def start():
+        # file sink, not memory: the memory sink does not support
+        # restarting from a checkpoint (by design — test-only sink)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        return (
+            streaming_pack_chunks(stream, capacity=7)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    spark.createDataFrame(all_rows[:4], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spark.createDataFrame(all_rows[4:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.shard, r.chunk_id, r.doc_id): (r.begin_tok, r.end_tok)
+        for r in spark.read.parquet(sink).collect()
+    }
+    expect = {
+        (r.shard, r.chunk_id, r.doc_id): (r.begin_tok, r.end_tok)
+        for r in pack_chunks(
+            spark.createDataFrame(all_rows, schema), capacity=7
+        ).collect()
+    }
+    # both runs appended to the same file sink -> the union must be the
+    # exact batch manifest (chunk ids continue mid-chunk: 4 docs x 5
+    # tokens = offset 20 -> doc 4 resumes inside chunk 2)
+    assert ("a", 2, 4) in got  # continuation straddles chunk 2/3 boundary
+    assert got == expect
