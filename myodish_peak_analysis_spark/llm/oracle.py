@@ -507,10 +507,15 @@ FROM documents -- coalesce mirrors the Spark route's NULL-payload -> b'' branch
 
 from .curate import curated_corpus_sql  # noqa: E402
 from .packing import pack_chunks_sql, packing_stats_sql  # noqa: E402
-from .text import inverted_index_sql, unigram_logprob_sql  # noqa: E402
+from .text import (  # noqa: E402
+    inverted_index_sql,
+    term_cooccurrence_sql,
+    unigram_logprob_sql,
+)
 
 ORACLES["unigram_logprob"] = unigram_logprob_sql()
 ORACLES["inverted_index"] = inverted_index_sql()
+ORACLES["term_cooccurrence"] = term_cooccurrence_sql(max_df_ratio=0.85)
 
 ORACLES["blocklist_filter"] = f"""
 WITH quality AS ({ORACLES["quality_score"]}),

@@ -177,6 +177,15 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.packing_stats(read_table(spark, sf_dir, "documents"))
 
 
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation pairs with integer-exact PMI-surrogate lift.
+    max_df_ratio=0.85 because the synthetic corpus drafts from a ~31-word
+    vocabulary with ~78% df — the realistic 0.5 default would empty it."""
+    return text.term_cooccurrence(
+        read_table(spark, sf_dir, "documents"), max_df_ratio=0.85
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term → (df, sorted posting list) retrieval index."""
     return text.inverted_index(read_table(spark, sf_dir, "documents"))
@@ -236,6 +245,7 @@ QUERIES = {
     "contamination": q_contamination,
     "media_metadata": q_media_metadata,
     "inverted_index": q_inverted_index,
+    "term_cooccurrence": q_term_cooccurrence,
     "blocklist_filter": q_blocklist_filter,
     "unigram_logprob": q_unigram_logprob,
     "pack_chunks": q_pack_chunks,

@@ -448,3 +448,82 @@ def inverted_index_sql(min_df: int = 2) -> str:
     FROM pairs GROUP BY term
     HAVING COUNT(*) >= {min_df}
     """
+
+
+def term_cooccurrence(
+    docs: DataFrame,
+    min_df: int = 3,
+    max_df_ratio: float = 0.5,
+    min_pair: int = 2,
+) -> DataFrame:
+    """Collocation mining: unordered content-term pairs that co-occur in
+    documents, scored by an integer-exact PMI surrogate
+    ``lift_ppm = n_both * n_docs * 1_000_000 DIV (df_a * df_b)`` —
+    rank-equivalent to pointwise mutual information (monotone in
+    p(a,b)/(p(a)p(b))) with no cross-engine float drift (same trick as
+    :func:`tfidf_top_terms`).
+
+    Scale: the pair join is keyed on ``doc_id`` — co-partitioned
+    self-join, NEVER a global cross join — and the vocabulary band
+    (``min_df`` .. ``max_df_ratio``·corpus) caps the per-document join
+    fan-out by dropping stopword-grade terms (whose pair lists are the
+    quadratic blow-up) and the untrustworthy singleton tail.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({_TOKENS})")).alias("term")
+    )
+    dfs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = (
+        dfs.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.ceil(F.lit(max_df_ratio) * F.col("n_docs")))
+        )
+        .select("term", "df")
+    )
+    t = toks.join(F.broadcast(vocab), "term")
+    a = t.select("doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    b = t.select("doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pairs = a.join(b, "doc_id").filter(F.col("term_a") < F.col("term_b"))
+    return (
+        pairs.groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_pair)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_both",
+            F.expr("n_both * n_docs * 1000000 DIV (df_a * df_b)").alias("lift_ppm"),
+        )
+    )
+
+
+def term_cooccurrence_sql(
+    min_df: int = 3, max_df_ratio: float = 0.5, min_pair: int = 2
+) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents
+    ),
+    dfs AS (SELECT term, COUNT(*)::BIGINT AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+    vocab AS (
+        SELECT term, df FROM dfs, n
+        WHERE df >= {min_df} AND df <= CEIL({max_df_ratio} * n_docs)
+    ),
+    t AS (SELECT toks.doc_id, toks.term, vocab.df FROM toks JOIN vocab USING (term)),
+    co AS (
+        SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+               COUNT(*)::BIGINT AS n_both
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term, a.df, b.df
+        HAVING COUNT(*) >= {min_pair}
+    )
+    SELECT term_a, term_b, n_both,
+           CAST(n_both * n_docs * 1000000 // (df_a * df_b) AS BIGINT) AS lift_ppm
+    FROM co, n
+    """

@@ -321,3 +321,28 @@ def test_inverted_index_postings(spark):
     # min_df trims the tail
     kept = {r.term for r in text.inverted_index(docs, min_df=2).collect()}
     assert kept == {"a", "b"}
+
+
+def test_term_cooccurrence_lift(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spark query engine"),
+            (1, "spark query planner"),
+            (2, "spark query engine"),
+            (3, "pandas loop"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.term_a, r.term_b): r
+        for r in text.term_cooccurrence(
+            docs, min_df=2, max_df_ratio=1.0, min_pair=2
+        ).collect()
+    }
+    # spark df=3, query df=3, engine df=2; n_docs=4
+    r = out[("query", "spark")]
+    assert r.n_both == 3 and r.lift_ppm == 3 * 4 * 1_000_000 // (3 * 3)
+    r = out[("engine", "spark")]
+    assert r.n_both == 2 and r.lift_ppm == 2 * 4 * 1_000_000 // (2 * 3)
+    # 'loop'/'pandas' df=1 -> below min_df, never appear
+    assert not any("pandas" in k for k in out)
