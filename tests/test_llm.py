@@ -346,3 +346,28 @@ def test_term_cooccurrence_lift(spark):
     assert r.n_both == 2 and r.lift_ppm == 2 * 4 * 1_000_000 // (2 * 3)
     # 'loop'/'pandas' df=1 -> below min_df, never appear
     assert not any("pandas" in k for k in out)
+
+
+def test_corpus_pipeline_chains_lazily(spark):
+    from myodish_peak_analysis_spark.llm.pipeline import CorpusPipeline
+
+    good = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(i, good + f" tail{i}", "en", "web", 50) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    bl = spark.createDataFrame([(good + " tail0",)], "t string").select(
+        F.md5("t").alias("text_hash")
+    )
+    # blocklist -> sample -> pack: manifest only for surviving docs
+    manifest = (
+        CorpusPipeline(docs)
+        .blocklist(bl)
+        .sample({"en": 1000})  # keep-all rate: deterministic, no-op here
+        .pack(capacity=16)
+    )
+    kept = {r.doc_id for r in manifest.select("doc_id").distinct().collect()}
+    assert 0 not in kept and len(kept) == 19
+    # curate() terminal reporting view keeps the scored survivors
+    curated = CorpusPipeline(docs).curate().df
+    assert curated.count() == 20 and "quality_score" in curated.columns
