@@ -45,3 +45,29 @@ def test_channels_to_long_layout(spark):
 def test_abf_to_parquet_requires_pyabf(tmp_path):
     with pytest.raises(ImportError, match="pyabf"):
         abf_to_parquet("nonexistent.abf", str(tmp_path / "o.parquet"))
+
+
+def test_read_documents_three_formats_identical(spark, tmp_path):
+    import os
+
+    from myodish_peak_analysis_spark.sources.text import read_documents
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = base.limit(50)
+    pq = os.path.join(str(tmp_path), "pq")
+    jl = os.path.join(str(tmp_path), "jl")
+    cs = os.path.join(str(tmp_path), "cs")
+    rows.write.parquet(pq)
+    rows.write.json(jl)
+    rows.write.option("header", "true").csv(cs)
+
+    def key(df):
+        return sorted(
+            (r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in df.collect()
+        )
+
+    a = read_documents(spark, pq, "parquet")
+    b = read_documents(spark, jl, "jsonl")
+    c = read_documents(spark, cs, "csv")
+    assert a.schema == b.schema == c.schema
+    assert key(a) == key(b) == key(c)
