@@ -3,12 +3,14 @@
 DataFrame→DataFrame operator from this package, so a nightly corpus
 job reads as one line::
 
-    CorpusPipeline(docs).blocklist(bad).curate().sample().pack().df
+    manifest = CorpusPipeline(docs).blocklist(bad).sample().pack()
+    report   = CorpusPipeline(docs).blocklist(bad).curate().df
 
-Every stage returns a NEW pipeline object wrapping the derived frame —
-nothing executes until an action; Catalyst still sees one lazy plan and
-optimizes across stage boundaries (e.g. the curate filter prunes
-columns straight out of the scan feeding pack's token counts).
+``pack()`` is terminal (returns the manifest DataFrame); ``curate()``
+narrows to the scored reporting frame, so it ends a chain too. Every
+non-terminal stage returns a NEW pipeline wrapping the derived frame —
+nothing executes until an action; Catalyst sees one lazy plan and
+optimizes across stage boundaries.
 """
 
 from __future__ import annotations
@@ -47,12 +49,9 @@ class CorpusPipeline:
         self, rates_per_mille: dict[str, int] | None = None
     ) -> "CorpusPipeline":
         """Deterministic per-stratum downsampling (reproducible across
-        runs and engines). The underlying operator emits a narrowed
-        reporting frame; here the surviving ids semi-join back so the
-        pipeline keeps the FULL document row (doc_id-keyed, co-
-        partitionable — no widening)."""
-        kept = _sampling.stratified_sample(self.df, rates_per_mille).select("doc_id")
-        return self._next(self.df.join(kept, "doc_id", "left_semi"))
+        runs and engines): applies the shared keep predicate directly —
+        a pure filter, zero shuffles, full document row preserved."""
+        return self._next(self.df.filter(_sampling.keep_condition(rates_per_mille)))
 
     def pack(
         self,

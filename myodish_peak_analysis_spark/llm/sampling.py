@@ -38,7 +38,24 @@ DEFAULT_RATES_PER_MILLE = {"en": 200, "*": 600}
 
 
 def _permille_bucket() -> F.Column:
-    return (F.col("doc_id") * F.lit(HASH_MULTIPLIER)) % F.lit(1000)
+    # (doc_id * C) % 1000 computed mod-first — identical value by modular
+    # arithmetic, but (doc_id % 1000) * C never overflows BIGINT, which
+    # the full-width product does (ANSI crash) once doc_id > ~3.5e9.
+    return (F.col("doc_id") % F.lit(1000) * F.lit(HASH_MULTIPLIER)) % F.lit(1000)
+
+
+def keep_condition(
+    rates_per_mille: dict[str, int] | None = None, stratum_col: str = "lang"
+) -> F.Column:
+    """The stratified-sampling keep/drop predicate as a reusable Column —
+    a pure filter (zero shuffle, zero joins) that any pipeline stage can
+    apply to a full document frame."""
+    rates = dict(rates_per_mille or DEFAULT_RATES_PER_MILLE)
+    default = rates.pop("*", 0)
+    rate = F.lit(default)
+    for stratum, permille in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(permille)).otherwise(rate)
+    return _permille_bucket() < rate
 
 
 def stratified_sample(
@@ -50,14 +67,9 @@ def stratified_sample(
     (``doc_id * 2654435761 % 1000``) falls below its stratum's keep
     rate. Returns the surviving rows with their bucket, so downstream
     stages can re-stratify without recomputing the hash."""
-    rates = dict(rates_per_mille or DEFAULT_RATES_PER_MILLE)
-    default = rates.pop("*", 0)
-    rate = F.lit(default)
-    for stratum, permille in sorted(rates.items()):
-        rate = F.when(F.col(stratum_col) == stratum, F.lit(permille)).otherwise(rate)
     return (
         docs.withColumn("permille", _permille_bucket().cast("long"))
-        .filter(F.col("permille") < rate)
+        .filter(keep_condition(rates_per_mille, stratum_col))
         .select("doc_id", stratum_col, "source", "permille")
     )
 
@@ -73,9 +85,9 @@ def stratified_sample_sql(
     )
     return f"""
     SELECT doc_id, {stratum_col}, source,
-           (doc_id * {HASH_MULTIPLIER}) % 1000 AS permille
+           (doc_id % 1000 * {HASH_MULTIPLIER}) % 1000 AS permille
     FROM documents
-    WHERE (doc_id * {HASH_MULTIPLIER}) % 1000
+    WHERE (doc_id % 1000 * {HASH_MULTIPLIER}) % 1000
           < (CASE {whens} ELSE {default} END)
     """
 

@@ -421,9 +421,12 @@ def inverted_index(docs: DataFrame, min_df: int = 2) -> DataFrame:
     bounded by df, which the caller controls via min_df/stopword
     filtering.
     """
+    # dropDuplicates guards duplicate doc_id ROWS (a corpus appended
+    # twice): without it df double-counts and postings repeat ids while
+    # the oracle's DISTINCT dedupes — silent cross-engine divergence.
     pairs = docs.select(
         F.explode(F.expr(f"array_distinct({_TOKENS})")).alias("term"), "doc_id"
-    )
+    ).dropDuplicates(["term", "doc_id"])
     return (
         pairs.groupBy("term")
         .agg(
@@ -471,7 +474,7 @@ def term_cooccurrence(
     """
     toks = docs.select(
         "doc_id", F.explode(F.expr(f"array_distinct({_TOKENS})")).alias("term")
-    )
+    ).dropDuplicates(["doc_id", "term"])  # mirror the oracle's DISTINCT
     dfs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     vocab = (
@@ -495,7 +498,14 @@ def term_cooccurrence(
             "term_a",
             "term_b",
             "n_both",
-            F.expr("n_both * n_docs * 1000000 DIV (df_a * df_b)").alias("lift_ppm"),
+            # numerator in DECIMAL(38,0): n_both * n_docs * 1e6 passes
+            # 2^63 at ~3M docs (both factors are corpus-sized, unlike
+            # tfidf's per-doc tf); 38 digits holds to ~1e11 docs. The
+            # quotient itself always fits BIGINT.
+            F.expr(
+                "CAST(CAST(n_both AS DECIMAL(38,0)) * n_docs * 1000000"
+                " DIV (df_a * df_b) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
 
@@ -524,6 +534,7 @@ def term_cooccurrence_sql(
         HAVING COUNT(*) >= {min_pair}
     )
     SELECT term_a, term_b, n_both,
-           CAST(n_both * n_docs * 1000000 // (df_a * df_b) AS BIGINT) AS lift_ppm
+           CAST(CAST(n_both AS HUGEINT) * n_docs * 1000000
+                // (df_a * df_b) AS BIGINT) AS lift_ppm
     FROM co, n
     """

@@ -6,9 +6,14 @@ Always pass the EXPLICIT schema: schema inference on JSON/CSV is a
 full extra pass over 100 TB before the first real job, and worse, it is
 sampling-based — two runs over a growing corpus can infer different
 types and silently fork downstream plans. With the explicit schema the
-read is a single streaming scan, malformed rows land in
-``_corrupt_record`` (PERMISSIVE mode) instead of failing the job, and
-the three formats produce byte-identical frames.
+read is a single scan and the three formats produce identical frames.
+
+CSV is read with ``multiLine=true`` so quoted text containing newlines
+(normal for document bodies) parses correctly — without it each
+embedded newline silently splits a document into garbage rows. The
+cost: multiLine CSV files are NOT splittable (one task per file), so
+at scale CSV drops should be many medium files, or better, converted
+to parquet/JSONL at the edge.
 """
 
 from __future__ import annotations
@@ -45,7 +50,13 @@ def read_documents(
     elif fmt == "jsonl":
         df = spark.read.schema(DOCUMENTS_SCHEMA).json(path)
     elif fmt == "csv":
-        df = spark.read.schema(DOCUMENTS_SCHEMA).option("header", "true").csv(path)
+        df = (
+            spark.read.schema(DOCUMENTS_SCHEMA)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
     else:
         raise ValueError(f"unsupported format: {fmt!r} (parquet|jsonl|csv)")
     return df.select(

@@ -53,13 +53,20 @@ def test_read_documents_three_formats_identical(spark, tmp_path):
     from myodish_peak_analysis_spark.sources.text import read_documents
 
     base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    rows = base.limit(50)
+    tricky = spark.createDataFrame(
+        # newline + quote + comma in text: the CSV hazard cases
+        [(99990, 'line one\nline "two", three', "en", "web", 26)],
+        base.schema,
+    )
+    rows = base.limit(50).unionByName(tricky)
     pq = os.path.join(str(tmp_path), "pq")
     jl = os.path.join(str(tmp_path), "jl")
     cs = os.path.join(str(tmp_path), "cs")
     rows.write.parquet(pq)
     rows.write.json(jl)
-    rows.write.option("header", "true").csv(cs)
+    # escape='"' => RFC-4180 doubled quotes, the dialect read_documents
+    # expects (Spark's writer default is backslash-escape, nonstandard)
+    rows.write.option("header", "true").option("escape", '"').csv(cs)
 
     def key(df):
         return sorted(
