@@ -417,3 +417,65 @@ def streaming_pack_chunks(doc_stream: DataFrame, capacity: int = 128) -> DataFra
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming funnel stage tracking ----------------------------------------
+
+FUNNEL_OUT_SCHEMA = "user_id long, step int, event_type string, ts_us long"
+_FUNNEL_STATE_SCHEMA = "t0 long, t1 long, t2 long"
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def make_funnel_fn(steps: tuple[str, ...] = _FUNNEL_STEPS):
+    """Stateful ordered-funnel tracker: per-user state is one timestamp
+    per stage (O(steps)); an event enters stage k only if stage k-1 was
+    entered STRICTLY earlier — the same no-backtracking semantics as the
+    batch :func:`...operators.sessions.funnel_counts`, whose per-user
+    stage times this reproduces exactly on ordered streams. Emits a row
+    the moment a stage is first reached (append mode)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        times: list[int | None] = list(state.get) if state.exists else [None] * len(steps)
+        times = [None if t is not None and t < 0 else t for t in times]
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        rows = []
+        if len(batch):
+            batch = batch.sort_values("ts_us")
+            for et, ts in zip(batch["event_type"], batch["ts_us"]):
+                ts = int(ts)
+                for k, step in enumerate(steps):
+                    if (
+                        et == step
+                        and times[k] is None
+                        and (k == 0 or (times[k - 1] is not None and ts > times[k - 1]))
+                    ):
+                        times[k] = ts
+                        rows.append((int(user_id), k + 1, step, ts))
+                        break
+        state.update(tuple(-1 if t is None else t for t in times))
+        yield pd.DataFrame(rows, columns=["user_id", "step", "event_type", "ts_us"])
+
+    return fn
+
+
+def streaming_funnel_stages(
+    events_stream: DataFrame, steps: tuple[str, ...] = _FUNNEL_STEPS
+) -> DataFrame:
+    """Streaming funnel: stage-entry rows appear as users progress —
+    the real-time mirror of the batch funnel report (aggregate the
+    output by ``step`` for live conversion counts). State is O(steps)
+    per user, keyed by the same user hash as every batch event op."""
+    ev = events_stream.select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        make_funnel_fn(steps),
+        FUNNEL_OUT_SCHEMA,
+        _FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

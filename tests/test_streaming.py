@@ -532,3 +532,93 @@ def test_streaming_pack_chunks_recovers_state_from_checkpoint(spark, tmp_path):
     # tokens = offset 20 -> doc 4 resumes inside chunk 2)
     assert ("a", 2, 4) in got  # continuation straddles chunk 2/3 boundary
     assert got == expect
+
+
+def test_streaming_funnel_matches_batch_stage_counts(spark):
+    """Random event streams split at random micro-batch boundaries:
+    aggregated stage counts from the streaming tracker must equal the
+    batch funnel_counts report."""
+    import numpy as np
+    import pandas as pd
+
+    from myodish_peak_analysis_spark.operators.sessions import funnel_counts
+    from myodish_peak_analysis_spark.streaming.peaks import make_funnel_fn
+
+    class StubState:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    rng = np.random.default_rng(11)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    for user in range(25):
+        n = int(rng.integers(1, 12))
+        for i in range(n):
+            rows.append((user, types[int(rng.integers(0, 4))], (i + 1) * 1_000_000))
+
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    batch = {
+        r.step: r.n_users for r in funnel_counts(ev).collect()
+    }
+
+    reached: dict = {}
+    for user in range(25):
+        mine = [(t, ts // 1000) for u, t, ts in rows if u == user]
+        state = StubState()
+        fn = make_funnel_fn()
+        cut = int(rng.integers(0, len(mine))) if len(mine) > 1 else 0
+        for lo, hi in ((0, cut), (cut, len(mine))):
+            if hi <= lo:
+                continue
+            pdf = pd.DataFrame(
+                {
+                    "user_id": user,
+                    "event_type": [t for t, _ in mine[lo:hi]],
+                    "ts_us": [ts for _, ts in mine[lo:hi]],
+                }
+            )
+            (out,) = fn((user,), iter([pdf]), state)
+            for r in out.itertuples():
+                reached.setdefault(r.step, set()).add(r.user_id)
+    stream = {k: len(v) for k, v in reached.items()}
+    assert stream == {k: v for k, v in batch.items() if v > 0}
+
+
+def test_streaming_funnel_end_to_end(spark, tmp_path):
+    from myodish_peak_analysis_spark.streaming.peaks import streaming_funnel_stages
+
+    us = 1_000
+    schema = "event_id long, ts long, user_id long, event_type string"
+    b1 = [(1, 1 * us, 7, "view"), (2, 2 * us, 7, "click")]
+    b2 = [(3, 3 * us, 7, "purchase"), (4, 4 * us, 8, "view")]
+    src = os.path.join(str(tmp_path), "ev")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.step, r.event_type)
+            for r in spark.sql("select * from funnel_sink").collect()
+        }
+    finally:
+        q.stop()
+    # user 7 fully converts (file order may swap batches; stage entries
+    # only ever appear once per user either way), user 8 reaches step 1
+    assert (7, 1, "view") in got and (8, 1, "view") in got
+    assert len([g for g in got if g[0] == 7]) <= 3
