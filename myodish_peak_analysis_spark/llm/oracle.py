@@ -509,9 +509,12 @@ from .curate import curated_corpus_sql  # noqa: E402
 from .packing import pack_chunks_sql, packing_stats_sql  # noqa: E402
 from .text import (  # noqa: E402
     inverted_index_sql,
+    lm_quality_buckets_sql,
     term_cooccurrence_sql,
     unigram_logprob_sql,
 )
+
+ORACLES["lm_quality_buckets"] = lm_quality_buckets_sql()
 
 ORACLES["unigram_logprob"] = unigram_logprob_sql()
 ORACLES["inverted_index"] = inverted_index_sql()

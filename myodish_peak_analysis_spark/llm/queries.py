@@ -177,6 +177,11 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.packing_stats(read_table(spark, sf_dir, "documents"))
 
 
+def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning by unigram-LM score."""
+    return text.lm_quality_buckets(read_table(spark, sf_dir, "documents"))
+
+
 def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation pairs with integer-exact PMI-surrogate lift.
     max_df_ratio=0.85 because the synthetic corpus drafts from a ~31-word
@@ -246,6 +251,7 @@ QUERIES = {
     "media_metadata": q_media_metadata,
     "inverted_index": q_inverted_index,
     "term_cooccurrence": q_term_cooccurrence,
+    "lm_quality_buckets": q_lm_quality_buckets,
     "blocklist_filter": q_blocklist_filter,
     "unigram_logprob": q_unigram_logprob,
     "pack_chunks": q_pack_chunks,

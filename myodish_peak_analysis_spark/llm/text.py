@@ -538,3 +538,49 @@ def term_cooccurrence_sql(
                 // (df_a * df_b) AS BIGINT) AS lift_ppm
     FROM co, n
     """
+
+
+def lm_quality_buckets(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
+    """CCNet-style corpus partitioning (Wenzek et al. 2020, public):
+    rank documents by their unigram-LM score and split into
+    ``n_buckets`` equal-count bands — head/middle/tail for the default
+    3 — the signal real pipelines use to keep/downsample/drop.
+
+    ``bucket = (rank - 1) * n_buckets DIV n`` over (score DESC, doc_id)
+    — pure integer arithmetic on an engine-identical ordering, so the
+    assignment is exact cross-engine (NTILE has engine-specific
+    remainder rules; this formulation has one rule).
+
+    Scale: the global rank runs on the NARROW (score, doc_id) frame —
+    two longs and a double per document — not the corpus; even so it is
+    a single-partition sort at the very end. At 100 TB replace the exact
+    rank with approxQuantile thresholds (the bands don't need exact
+    boundaries, which is why CCNet itself uses sampled quantiles);
+    keep this exact form wherever the oracle-checkable path matters.
+    """
+    from pyspark.sql import Window
+
+    scored = with_unigram_logprob(docs)
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc())
+    n = Window.partitionBy()
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(n))
+        # integer DIV, not double '/': double division of exact integers
+        # can land at 2.999…96 and cast-truncate into the wrong bucket
+        .select(
+            "doc_id",
+            "avg_logprob",
+            F.expr(f"(_rn - 1) * {n_buckets} DIV _n").alias("bucket"),
+        )
+    )
+
+
+def lm_quality_buckets_sql(n_buckets: int = 3) -> str:
+    return f"""
+    WITH scored AS ({unigram_logprob_sql()})
+    SELECT doc_id, avg_logprob,
+           CAST((ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, doc_id ASC) - 1)
+                * {n_buckets} // COUNT(*) OVER () AS BIGINT) AS bucket
+    FROM scored
+    """

@@ -371,3 +371,21 @@ def test_corpus_pipeline_chains_lazily(spark):
     # curate() terminal reporting view keeps the scored survivors
     curated = CorpusPipeline(docs).curate().df
     assert curated.count() == 20 and "quality_score" in curated.columns
+
+
+def test_lm_quality_buckets_equal_bands(spark):
+    rows = [(i, " ".join(["common"] * 5 + [f"rare{i}"] * i)) for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bucket for r in text.lm_quality_buckets(docs).collect()}
+    from collections import Counter
+
+    sizes = Counter(out.values())
+    assert sizes == {0: 3, 1: 3, 2: 3}  # 9 docs -> three equal bands
+    # buckets must follow the actual LM-score ordering exactly
+    scores = {
+        r.doc_id: r.avg_logprob
+        for r in text.with_unigram_logprob(docs).collect()
+    }
+    order = sorted(scores, key=lambda d: (-scores[d], d))
+    for rank, d in enumerate(order):
+        assert out[d] == rank * 3 // 9, (d, rank)
