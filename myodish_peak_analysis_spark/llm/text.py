@@ -571,7 +571,11 @@ def lm_quality_buckets(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
         .select(
             "doc_id",
             "avg_logprob",
-            F.expr(f"(_rn - 1) * {n_buckets} DIV _n").alias("bucket"),
+            # CAST first: row_number is 32-bit; (_rn-1)*k wraps past
+            # ~2^31/k documents without it
+            F.expr(
+                f"(CAST(_rn AS BIGINT) - 1) * {n_buckets} DIV _n"
+            ).alias("bucket"),
         )
     )
 

@@ -422,8 +422,17 @@ def streaming_pack_chunks(doc_stream: DataFrame, capacity: int = 128) -> DataFra
 # --- streaming funnel stage tracking ----------------------------------------
 
 FUNNEL_OUT_SCHEMA = "user_id long, step int, event_type string, ts_us long"
-_FUNNEL_STATE_SCHEMA = "t0 long, t1 long, t2 long"
 _FUNNEL_STEPS = ("view", "click", "purchase")
+#: "stage not reached" sentinel: LONG_MIN, not -1 — a genuine pre-epoch
+#: timestamp (bad-clock device) is negative and must survive the state
+#: round-trip; year ~-292e9 is unreachable as a real microsecond ts.
+_UNSET = -(2**63)
+
+
+def funnel_state_schema(steps: tuple[str, ...] = _FUNNEL_STEPS) -> str:
+    """One long per stage — derived from ``steps`` so non-default funnels
+    get a matching state struct."""
+    return ", ".join(f"t{k} long" for k in range(len(steps)))
 
 
 def make_funnel_fn(steps: tuple[str, ...] = _FUNNEL_STEPS):
@@ -437,7 +446,7 @@ def make_funnel_fn(steps: tuple[str, ...] = _FUNNEL_STEPS):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         times: list[int | None] = list(state.get) if state.exists else [None] * len(steps)
-        times = [None if t is not None and t < 0 else t for t in times]
+        times = [None if t == _UNSET else t for t in times]
         chunks = list(pdfs)
         batch = (
             pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
@@ -456,7 +465,7 @@ def make_funnel_fn(steps: tuple[str, ...] = _FUNNEL_STEPS):
                         times[k] = ts
                         rows.append((int(user_id), k + 1, step, ts))
                         break
-        state.update(tuple(-1 if t is None else t for t in times))
+        state.update(tuple(_UNSET if t is None else t for t in times))
         yield pd.DataFrame(rows, columns=["user_id", "step", "event_type", "ts_us"])
 
     return fn
@@ -475,7 +484,7 @@ def streaming_funnel_stages(
     return ev.groupBy("user_id").applyInPandasWithState(
         make_funnel_fn(steps),
         FUNNEL_OUT_SCHEMA,
-        _FUNNEL_STATE_SCHEMA,
+        funnel_state_schema(steps),
         "append",
         GroupStateTimeout.NoTimeout,
     )

@@ -14,6 +14,23 @@ from myodish_peak_analysis_spark.streaming.peaks import (
 SIG_SCHEMA = "channel_id long, sample_idx long, signal_value double"
 
 
+class StubState:
+    """Minimal GroupState stand-in for driving stateful functions
+    in-process (shared by every make_*_fn property test)."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
 def _write_batches(spark, tmpdir, batches):
     src = os.path.join(tmpdir, "src")
     os.makedirs(src, exist_ok=True)
@@ -260,18 +277,6 @@ def test_streaming_envelope_fn_property_vs_batch(spark):
     from myodish_peak_analysis_spark.operators.envelopes import with_raw_envelopes
     from myodish_peak_analysis_spark.streaming.peaks import make_envelope_fn
 
-    class StubState:
-        def __init__(self):
-            self.exists = False
-            self._v = None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-            self.exists = True
 
     rng = np.random.default_rng(42)
     W = 10
@@ -349,18 +354,6 @@ def test_streaming_pack_fn_matches_batch_across_batch_boundaries(spark):
     from myodish_peak_analysis_spark.llm.packing import pack_chunks
     from myodish_peak_analysis_spark.streaming.peaks import make_pack_fn
 
-    class StubState:
-        def __init__(self):
-            self.exists = False
-            self._v = None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-            self.exists = True
 
     rng = np.random.default_rng(7)
     cap = 13
@@ -443,17 +436,6 @@ def test_streaming_pack_fn_sorts_across_arrow_chunks(spark):
 
     from myodish_peak_analysis_spark.streaming.peaks import make_pack_fn
 
-    class StubState:
-        exists = False
-        _v = None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-            self.exists = True
 
     fn = make_pack_fn(10)
     pdfs = [
@@ -544,17 +526,6 @@ def test_streaming_funnel_matches_batch_stage_counts(spark):
     from myodish_peak_analysis_spark.operators.sessions import funnel_counts
     from myodish_peak_analysis_spark.streaming.peaks import make_funnel_fn
 
-    class StubState:
-        exists = False
-        _v = None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-            self.exists = True
 
     rng = np.random.default_rng(11)
     types = ["view", "click", "purchase", "error"]
