@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_median": _q.q_user_value_median,
         "latency_percentiles": _q.q_latency_percentiles,
         "user_event_pivot": _q.q_user_event_pivot,
+        "user_value_zscores": _q.q_user_value_zscores,
         "pricing_summary": _q.q_pricing_summary,
         "top_revenue_orders": _q.q_top_revenue_orders,
         "nation_revenue": _q.q_nation_revenue,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_median": _oracle.user_value_median_oracle(),
         "latency_percentiles": _analytics.grouped_percentiles_sql(),
         "user_event_pivot": _analytics.user_event_pivot_sql(),
+        "user_value_zscores": _analytics.user_value_zscores_sql(),
         "pricing_summary": _relational.pricing_summary_sql(),
         "top_revenue_orders": _relational.segment_revenue_topk_sql(),
         "nation_revenue": _relational.nation_revenue_sql(),

@@ -366,3 +366,68 @@ def user_event_pivot_sql(types: tuple[str, ...] = EVENT_TYPES) -> str:
            {cols}
     FROM events GROUP BY user_id
     """
+
+
+def user_value_zscores(events: DataFrame) -> DataFrame:
+    """Per-event anomaly score: how many population standard deviations
+    each event's value sits from its user's mean — the core of any
+    per-entity outlier monitor.
+
+    Cross-engine exactness for a SECOND-order statistic: naive
+    avg/stddev_pop aggregate doubles in shuffle order (nondeterministic
+    last-ulp). Instead both moments are summed as exact integer
+    micro-units in DECIMAL(38,0) — s = Σv, q = Σv² — and the z-score
+    uses the algebraic identity
+
+        z = (n·v − s) / sqrt(n·q − s²)
+
+    whose numerator and radicand are formed EXACTLY in decimal before
+    the single double division, so both engines round the same integers
+    the same way. Zero-variance users yield NULL (not ±Inf). Range: |v|
+    ≤ ~1e3 at 6 decimals → q ≤ ~1e18·n, and n·q ≤ 1e38 holds to ~1e14
+    events per user — beyond any real per-user cardinality.
+    """
+    vu = F.expr("CAST(ROUND(value * 1e6, 0) AS DECIMAL(18,0))")
+    ev = events.select("event_id", "user_id", "value", vu.alias("_vu"))
+    mom = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_vu").cast("decimal(38,0)").alias("_s"),
+        F.sum(F.expr("_vu * _vu")).cast("decimal(38,0)").alias("_q"),
+    )
+    rad = F.expr("CAST(_n AS DECIMAL(38,0)) * _q - _s * _s")
+    num = F.expr("CAST(_n AS DECIMAL(38,0)) * _vu - _s")
+    return (
+        ev.join(mom, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.when(
+                rad > 0,
+                F.round(
+                    num.cast("double") / F.sqrt(rad.cast("double")), 6
+                ),
+            ).alias("zscore"),
+        )
+    )
+
+
+def user_value_zscores_sql() -> str:
+    return """
+    WITH ev AS (
+        SELECT event_id, user_id, value,
+               CAST(ROUND(value * 1e6, 0) AS HUGEINT) AS vu
+        FROM events
+    ),
+    mom AS (
+        SELECT user_id, COUNT(*)::BIGINT AS n,
+               SUM(vu) AS s, SUM(vu * vu) AS q
+        FROM ev GROUP BY user_id
+    )
+    SELECT event_id, ev.user_id, value,
+           CASE WHEN n * q - s * s > 0 THEN
+               ROUND(CAST(n * vu - s AS DOUBLE)
+                     / sqrt(CAST(n * q - s * s AS DOUBLE)), 6)
+           END AS zscore
+    FROM ev JOIN mom ON ev.user_id = mom.user_id
+    """

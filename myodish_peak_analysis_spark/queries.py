@@ -293,6 +293,13 @@ def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event anomaly z-score with exact integer-moment variance."""
+    from .operators.analytics import user_value_zscores
+
+    return user_value_zscores(read_table(spark, sf_dir, "events"))
+
+
 def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type count matrix (explicit-value-list pivot)."""
     from .operators.analytics import user_event_pivot

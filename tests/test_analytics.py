@@ -251,3 +251,20 @@ def test_sketch_families_track_exact_answers(spark):
     [p50, p95] = df.stat.approxQuantile("value", [0.5, 0.95], 0.01)
     # true distribution is uniform over 0..336
     assert abs(p50 - 168) < 12 and abs(p95 - 319) < 12
+
+
+def test_user_value_zscores_exact_moments(spark):
+    import pytest
+
+    from myodish_peak_analysis_spark.operators.analytics import user_value_zscores
+
+    ev = spark.createDataFrame(
+        [(1, 1, 1.0), (2, 1, 2.0), (3, 1, 3.0), (4, 2, 9.0)],
+        "event_id long, user_id long, value double",
+    )
+    got = {r.event_id: r.zscore for r in user_value_zscores(ev).collect()}
+    # user 1: mean 2, population sigma = sqrt(2/3)
+    assert got[1] == pytest.approx(-1.224745)
+    assert got[2] == 0.0
+    assert got[3] == pytest.approx(1.224745)
+    assert got[4] is None  # single event -> zero variance -> NULL
