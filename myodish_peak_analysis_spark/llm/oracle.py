@@ -508,6 +508,7 @@ FROM documents -- coalesce mirrors the Spark route's NULL-payload -> b'' branch
 from .curate import curated_corpus_sql  # noqa: E402
 from .packing import pack_chunks_sql, packing_stats_sql  # noqa: E402
 from .text import (  # noqa: E402
+    bigram_logprob_sql,
     inverted_index_sql,
     lm_quality_buckets_sql,
     term_cooccurrence_sql,
@@ -515,6 +516,7 @@ from .text import (  # noqa: E402
 )
 
 ORACLES["lm_quality_buckets"] = lm_quality_buckets_sql()
+ORACLES["bigram_logprob"] = bigram_logprob_sql()
 
 ORACLES["unigram_logprob"] = unigram_logprob_sql()
 ORACLES["inverted_index"] = inverted_index_sql()

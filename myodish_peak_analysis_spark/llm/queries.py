@@ -177,6 +177,11 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.packing_stats(read_table(spark, sf_dir, "documents"))
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM quality score per document."""
+    return text.with_bigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
 def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail partitioning by unigram-LM score."""
     return text.lm_quality_buckets(read_table(spark, sf_dir, "documents"))
@@ -252,6 +257,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "term_cooccurrence": q_term_cooccurrence,
     "lm_quality_buckets": q_lm_quality_buckets,
+    "bigram_logprob": q_bigram_logprob,
     "blocklist_filter": q_blocklist_filter,
     "unigram_logprob": q_unigram_logprob,
     "pack_chunks": q_pack_chunks,

@@ -588,3 +588,76 @@ def lm_quality_buckets_sql(n_buckets: int = 3) -> str:
                 * {n_buckets} // COUNT(*) OVER () AS BIGINT) AS bucket
     FROM scored
     """
+
+
+def with_bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Bigram-LM quality score: mean conditional log2 p(w_i | w_{i-1})
+    over each document, with p(b|a) = c(a,b) / c(a,·) from corpus bigram
+    counts — the next step up from :func:`with_unigram_logprob` on the
+    same determinism pattern: each token contributes
+    ``round6(log2 c_ab) − round6(log2 c_a)`` in exact 1e-6 units, so the
+    per-document aggregate is an order-free integer sum.
+
+    Plan: ONE bigram explode feeds two count windows (by (a,b) and by
+    a), then a groupBy(doc_id) — no joins. Documents with fewer than 2
+    tokens are absent from the output (no bigrams to score).
+    """
+    from pyspark.sql import Window
+
+    bigrams = (
+        # filter BEFORE the sequence: sequence(1, 0) steps DESCENDING in
+        # Spark, so a 1-token doc would index element_at out of bounds
+        docs.filter(F.expr(f"size({_TOKENS}) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({_TOKENS}) - 1), "
+                    f"i -> struct(element_at({_TOKENS}, i) AS a, "
+                    f"element_at({_TOKENS}, i + 1) AS b))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    )
+    c_ab = F.count(F.lit(1)).over(Window.partitionBy("a", "b"))
+    c_a = F.count(F.lit(1)).over(Window.partitionBy("a"))
+    lp = (
+        F.round(F.log2(c_ab), 6).cast("decimal(18,6)")
+        - F.round(F.log2(c_a), 6).cast("decimal(18,6)")
+    )
+    return (
+        bigrams.withColumn("_lp", lp)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                (F.sum("_lp")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_bigram_logprob"),
+        )
+    )
+
+
+def bigram_logprob_sql() -> str:
+    tk = "string_split(text, ' ')"
+    return f"""
+    WITH bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len({tk})),
+                      i -> {{'a': {tk}[i], 'b': {tk}[i + 1]}})) AS bg
+        FROM documents
+        WHERE len({tk}) >= 2
+    ),
+    flat AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM bigrams),
+    scored AS (
+        SELECT doc_id,
+               CAST(ROUND(log2(COUNT(*) OVER (PARTITION BY a, b)), 6)
+                    AS DECIMAL(18,6))
+               - CAST(ROUND(log2(COUNT(*) OVER (PARTITION BY a)), 6)
+                    AS DECIMAL(18,6)) AS lp
+        FROM flat
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_logprob
+    FROM scored GROUP BY doc_id
+    """

@@ -389,3 +389,17 @@ def test_lm_quality_buckets_equal_bands(spark):
     order = sorted(scores, key=lambda d: (-scores[d], d))
     for rank, d in enumerate(order):
         assert out[d] == rank * 3 // 9, (d, rank)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.with_bigram_logprob(docs).collect()}
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1; contexts: a->3, b->2
+    # doc 0: lp = [0, log2(1/2), 0] -> avg -1/3
+    assert out[0].n_bigrams == 3
+    assert out[0].avg_bigram_logprob == pytest.approx(-0.333333)
+    # doc 1: lp = [0, log2(1/2)] -> avg -0.5
+    assert out[1].avg_bigram_logprob == pytest.approx(-0.5)
+    assert 2 not in out  # single-token doc has no bigrams
