@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": _q.q_top_revenue_orders,
         "nation_revenue": _q.q_nation_revenue,
         "large_order_customers": _q.q_large_order_customers,
+        "cheapest_supplier": _q.q_cheapest_supplier,
         "fidelity_peaks": _q.q_fidelity_peaks,
         "fidelity_signal": _q.q_fidelity_signal,
     }
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": _relational.segment_revenue_topk_sql(),
         "nation_revenue": _relational.nation_revenue_sql(),
         "large_order_customers": _relational.large_order_customers_sql(),
+        "cheapest_supplier": _relational.cheapest_supplier_per_part_sql(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle
         # (non-SQL-expressible: SciPy find_peaks constraint semantics).
     }

@@ -351,3 +351,91 @@ def large_order_customers_sql(min_qty: int = 300, k: int = 10) -> str:
     ORDER BY CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) DESC, o.o_orderkey ASC
     LIMIT {k}
     """
+
+
+def cheapest_supplier_per_part(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    min_lines: int = 2,
+) -> DataFrame:
+    """TPC-H Q2-shaped correlated subquery: for each part, the supplier
+    with the lowest observed average unit price ("WHERE cost = (SELECT
+    MIN(cost) ... WHERE partkey = outer.partkey)").
+
+    Spark-first rewrite: the correlated scalar subquery becomes a
+    window MIN over the per-(part, supplier) aggregate — one extra
+    window over rows already shuffled by partkey, instead of the
+    re-executed-per-row subquery a literal translation implies. Unit
+    price is an exact integer-micro-cents ratio ``sum_cents * 1e4 DIV
+    sum_qty_cents`` (both operands exact), ties broken by lowest
+    suppkey via a deterministic rank.
+    """
+    from pyspark.sql import Window
+
+    per = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_cents("l_extendedprice")).alias("_ep_c"),
+            F.sum(_cents("l_quantity")).alias("_q_c"),
+        )
+        .filter(F.col("n_lines") >= min_lines)
+        .withColumn("_unit_u", F.expr("_ep_c * 10000 DIV _q_c"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        per.withColumn("_min_u", F.min("_unit_u").over(w))
+        .filter(F.col("_unit_u") == F.col("_min_u"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(w.orderBy(F.col("l_suppkey").asc())),
+        )
+        .filter(F.col("_rk") == 1)
+    )
+    return (
+        best.join(F.broadcast(part.select("p_partkey", "p_name")),
+                  best.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              best.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_lines",
+            F.round(F.col("_unit_u").cast("double") / 1e4, 6).alias("unit_price"),
+        )
+    )
+
+
+def cheapest_supplier_per_part_sql(min_lines: int = 2) -> str:
+    return f"""
+    WITH per AS (
+        SELECT l_partkey, l_suppkey,
+               COUNT(*)::BIGINT AS n_lines,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS ep_c,
+               CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS q_c
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+        HAVING COUNT(*) >= {min_lines}
+    ),
+    priced AS (SELECT *, ep_c * 10000 // q_c AS unit_u FROM per),
+    best AS (
+        SELECT * FROM (
+            SELECT *,
+                   MIN(unit_u) OVER (PARTITION BY l_partkey) AS min_u
+            FROM priced) t
+        WHERE unit_u = min_u
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_suppkey) AS rk
+        FROM best
+    )
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n_lines,
+           ROUND(CAST(unit_u AS DOUBLE) / 1e4, 6) AS unit_price
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE rk = 1
+    """

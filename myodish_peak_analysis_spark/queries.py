@@ -293,6 +293,17 @@ def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped correlated scalar subquery as a window MIN."""
+    from .operators.relational import cheapest_supplier_per_part
+
+    return cheapest_supplier_per_part(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "part"),
+        read_table(spark, sf_dir, "supplier"),
+    )
+
+
 def q_user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event anomaly z-score with exact integer-moment variance."""
     from .operators.analytics import user_value_zscores

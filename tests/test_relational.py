@@ -132,3 +132,31 @@ def test_large_order_customers_having_and_topk(spark):
         (20, "bob", 6.0),
         (10, "alice", 7.0),
     ]
+
+
+def test_cheapest_supplier_correlated_min(spark):
+    from myodish_peak_analysis_spark.operators.relational import (
+        cheapest_supplier_per_part,
+    )
+
+    li = spark.createDataFrame(
+        # part 1: supp 10 sells at 2.00/unit, supp 20 at 1.00/unit (min);
+        # part 2: single qualifying supplier; supp 30's part-1 line is
+        # filtered by min_lines=2
+        [
+            (1, 10, 4.0, 2.0), (1, 10, 2.0, 1.0),
+            (1, 20, 2.0, 2.0), (1, 20, 1.0, 1.0),
+            (1, 30, 9.0, 1.0),
+            (2, 10, 6.0, 2.0), (2, 10, 3.0, 1.0),
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double, l_quantity double",
+    )
+    part = spark.createDataFrame(
+        [(1, "widget"), (2, "gadget")], "p_partkey long, p_name string"
+    )
+    supp = spark.createDataFrame(
+        [(10, "acme"), (20, "bolt"), (30, "corp")], "s_suppkey long, s_name string"
+    )
+    out = {r.p_partkey: r for r in cheapest_supplier_per_part(li, part, supp).collect()}
+    assert out[1].s_suppkey == 20 and out[1].unit_price == 1.0
+    assert out[2].s_suppkey == 10 and out[2].unit_price == 3.0  # 9.0 / 3 units
