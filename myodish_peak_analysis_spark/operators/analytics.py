@@ -390,7 +390,10 @@ def user_value_zscores(events: DataFrame) -> DataFrame:
     vu = F.expr("CAST(ROUND(value * 1e6, 0) AS DECIMAL(18,0))")
     ev = events.select("event_id", "user_id", "value", vu.alias("_vu"))
     mom = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
+        # count the VALUES, not the rows: the moment sums skip NULLs, so
+        # a COUNT(*) n would inflate the radicand and fabricate variance
+        # for a user whose only spread is missing values
+        F.count("_vu").cast("long").alias("_n"),
         F.sum("_vu").cast("decimal(38,0)").alias("_s"),
         F.sum(F.expr("_vu * _vu")).cast("decimal(38,0)").alias("_q"),
     )
@@ -420,7 +423,7 @@ def user_value_zscores_sql() -> str:
         FROM events
     ),
     mom AS (
-        SELECT user_id, COUNT(*)::BIGINT AS n,
+        SELECT user_id, COUNT(vu)::BIGINT AS n,
                SUM(vu) AS s, SUM(vu * vu) AS q
         FROM ev GROUP BY user_id
     )

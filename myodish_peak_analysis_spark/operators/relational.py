@@ -366,7 +366,10 @@ def cheapest_supplier_per_part(
     Spark-first rewrite: the correlated scalar subquery becomes a
     window MIN over the per-(part, supplier) aggregate — one extra
     window over rows already shuffled by partkey, instead of the
-    re-executed-per-row subquery a literal translation implies. Unit
+    re-executed-per-row subquery a literal translation implies. (A
+    single ``row_number() OVER (ORDER BY unit, suppkey)`` collapses the
+    min+filter+rank chain further; the three-step form is kept because
+    it mirrors Q2's subquery structure statement-for-statement.) Unit
     price is an exact integer-micro-cents ratio ``sum_cents * 1e4 DIV
     sum_qty_cents`` (both operands exact), ties broken by lowest
     suppkey via a deterministic rank.

@@ -268,3 +268,15 @@ def test_user_value_zscores_exact_moments(spark):
     assert got[2] == 0.0
     assert got[3] == pytest.approx(1.224745)
     assert got[4] is None  # single event -> zero variance -> NULL
+
+
+def test_user_value_zscores_null_values_do_not_fabricate_variance(spark):
+    from myodish_peak_analysis_spark.operators.analytics import user_value_zscores
+
+    ev = spark.createDataFrame(
+        [(1, 1, 5.0), (2, 1, 5.0), (3, 1, None)],
+        "event_id long, user_id long, value double",
+    )
+    got = {r.event_id: r.zscore for r in user_value_zscores(ev).collect()}
+    # two identical observed values: zero variance -> NULL z for all
+    assert got[1] is None and got[2] is None and got[3] is None
