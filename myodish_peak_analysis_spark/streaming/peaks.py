@@ -488,3 +488,67 @@ def streaming_funnel_stages(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming online anomaly scores ----------------------------------------
+
+ZSCORE_OUT_SCHEMA = (
+    "event_id long, user_id long, value double, zscore double, n_seen long"
+)
+_ZSCORE_STATE_SCHEMA = "n long, s long, q double"
+
+
+def make_zscore_fn():
+    """Stateful online anomaly scorer: per-user state is the running
+    moment triple (n, Σv, Σv²) in integer micro-units (Σv exact in a
+    BIGINT; Σv² as a double — at streaming scale the ±1-ulp drift in q
+    only matters once n·q − s² is astronomically larger than 2^53, far
+    beyond any per-user stream). Each event is scored against the
+    moments of all PRIOR events — the causal formulation a live monitor
+    needs (the batch operator scores against the full-window moments) —
+    then folded into the state. Events before a user's third are
+    unscored (NULL): online variance from <2 priors is noise."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, s, q = state.get if state.exists else (0, 0, 0.0)
+        rows = []
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values("event_id")
+            for eid, v in zip(batch["event_id"], batch["value"]):
+                v = float(v)
+                vu = int(round(v * 1e6))
+                # unscored -> NaN (consistent float64 column; the Arrow
+                # boundary surfaces NaN as NULL in Spark, like the
+                # streaming envelope operator documents)
+                z = float("nan")
+                if n >= 3:
+                    rad = float(n) * q - float(s) * float(s)
+                    if rad > 0:
+                        z = round((n * vu - s) / math.sqrt(n * rad), 6)
+                rows.append((int(eid), int(user_id), v, z, n))
+                n, s, q = n + 1, s + vu, q + float(vu) * vu
+        state.update((n, s, q))
+        yield pd.DataFrame(
+            rows, columns=["event_id", "user_id", "value", "zscore", "n_seen"]
+        )
+
+    return fn
+
+
+def streaming_zscores(events_stream: DataFrame) -> DataFrame:
+    """Online per-user anomaly scores: each event scored against the
+    running moments of its user's PRIOR events, state carried across
+    micro-batches (O(1) per user: three scalars). The causal/streaming
+    counterpart of the batch ``user_value_zscores`` (which scores
+    against full-window moments)."""
+    ev = events_stream.select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        make_zscore_fn(),
+        ZSCORE_OUT_SCHEMA,
+        _ZSCORE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -593,3 +593,48 @@ def test_streaming_funnel_end_to_end(spark, tmp_path):
     # only ever appear once per user either way), user 8 reaches step 1
     assert (7, 1, "view") in got and (8, 1, "view") in got
     assert len([g for g in got if g[0] == 7]) <= 3
+
+
+def test_streaming_zscores_causal_and_cross_batch(spark):
+    """Online z-scores: each event scored against PRIOR moments only,
+    state carried across micro-batches — verified against a hand-rolled
+    causal reference."""
+    import math
+
+    import pandas as pd
+
+    from myodish_peak_analysis_spark.streaming.peaks import make_zscore_fn
+
+    vals = [10.0, 12.0, 11.0, 10.5, 30.0, 11.5]
+    fn = make_zscore_fn()
+    state = StubState()
+    got = {}
+    for lo, hi in ((0, 2), (2, 6)):  # split mid-stream
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(lo, hi),
+                "value": vals[lo:hi],
+            }
+        )
+        (out,) = fn((7,), iter([pdf]), state)
+        for r in out.itertuples():
+            z = None if (isinstance(r.zscore, float) and math.isnan(r.zscore)) else r.zscore
+            got[r.event_id] = (z, r.n_seen)
+
+    # reference: causal z over exact integer micro-units
+    n = s = 0
+    q = 0.0
+    want = {}
+    for i, v in enumerate(vals):
+        vu = round(v * 1e6)
+        z = None
+        if n >= 3:
+            rad = n * q - float(s) * s
+            if rad > 0:
+                z = round((n * vu - s) / math.sqrt(n * rad), 6)
+        want[i] = (z, n)
+        n, s, q = n + 1, s + vu, q + float(vu) * vu
+
+    assert got == want
+    assert got[0][0] is None and got[2][0] is None  # too few priors
+    assert got[4][0] > 3.0  # the 30.0 spike is a strong outlier
