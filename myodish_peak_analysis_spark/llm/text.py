@@ -345,23 +345,31 @@ def with_unigram_logprob(docs: DataFrame) -> DataFrame:
     once at the end. Cross-engine float risk is confined to per-VALUE
     ``log2`` + round — never to aggregation order.
 
-    Scale: ONE explode feeds a count window partitioned by ``term``
-    (the tf), then a groupBy(doc_id) — two shuffles, no self-join, and
-    the corpus is tokenized exactly once per shuffle consumer (the
-    aggregate+join formulation would explode the whole corpus twice).
-    The term shuffle is Zipf-skewed; AQE skew handling applies, and the
-    per-term state is a counter. ``corpus_n`` is a separate map-only
-    sum over the documents (no explode).
+    Scale: term frequencies come from ``groupBy(term).count()`` — the
+    partial (map-side) aggregate shrinks each task's output to its
+    LOCAL vocabulary before any exchange, so the tf shuffle is
+    vocab-sized, not corpus-sized, and no single task ever holds all
+    occurrences of a stopword. The vocab-sized count table is then
+    broadcast-joined back onto the one exploded frame. (The previous
+    formulation — a count window partitioned by raw ``term`` — put
+    every occurrence of "the" in ONE window partition; AQE skew
+    handling does NOT rescue that: it splits skewed sort-merge-join
+    partitions, not window exchanges.) At extreme vocabularies where
+    the count table outgrows the broadcast limit, drop the hint and
+    the term join becomes a sort-merge join — which AQE skew-split
+    genuinely covers. The explode is evaluated once per consumer (tf
+    build + probe side): explode is a map-side flatMap off a pruned
+    single-column scan, far cheaper than a corpus-sized skewed
+    exchange. ``corpus_n`` is a separate map-only sum over the
+    documents (no explode).
     """
-    from pyspark.sql import Window
-
     toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
-    tf = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    tf_counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     total = docs.agg(
         F.sum(F.expr(f"size({_TOKENS})")).cast("long").alias("corpus_n")
     )
     scored = (
-        toks.withColumn("tf", tf)
+        toks.join(F.broadcast(tf_counts), "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -598,12 +606,20 @@ def with_bigram_logprob(docs: DataFrame) -> DataFrame:
     ``round6(log2 c_ab) − round6(log2 c_a)`` in exact 1e-6 units, so the
     per-document aggregate is an order-free integer sum.
 
-    Plan: ONE bigram explode feeds two count windows (by (a,b) and by
-    a), then a groupBy(doc_id) — no joins. Documents with fewer than 2
-    tokens are absent from the output (no bigrams to score).
+    Plan: bigram counts come from ``groupBy(a, b).count()`` (map-side
+    partial combine → the exchange carries the bigram VOCABULARY, not
+    the corpus), and the left-context counts c(a,·) are a rollup of
+    that already-vocab-sized table (``sum(c_ab) group by a`` — no
+    second corpus pass). Both count tables broadcast-join back onto
+    the one exploded bigram frame, then a groupBy(doc_id). The
+    previous count-window-by-(a,b)/-(a) formulation concentrated every
+    occurrence of a Zipf-head context in one window partition — a
+    single-task hotspot AQE cannot split (its skew handling covers
+    sort-merge joins, not window exchanges). If the bigram vocabulary
+    outgrows the broadcast limit, drop the hints: the fallback
+    sort-merge joins ARE AQE-skew-splittable. Documents with fewer
+    than 2 tokens are absent from the output (no bigrams to score).
     """
-    from pyspark.sql import Window
-
     bigrams = (
         # filter BEFORE the sequence: sequence(1, 0) steps DESCENDING in
         # Spark, so a 1-token doc would index element_at out of bounds
@@ -620,14 +636,16 @@ def with_bigram_logprob(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
     )
-    c_ab = F.count(F.lit(1)).over(Window.partitionBy("a", "b"))
-    c_a = F.count(F.lit(1)).over(Window.partitionBy("a"))
+    c_ab = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     lp = (
-        F.round(F.log2(c_ab), 6).cast("decimal(18,6)")
-        - F.round(F.log2(c_a), 6).cast("decimal(18,6)")
+        F.round(F.log2("c_ab"), 6).cast("decimal(18,6)")
+        - F.round(F.log2("c_a"), 6).cast("decimal(18,6)")
     )
     return (
-        bigrams.withColumn("_lp", lp)
+        bigrams.join(F.broadcast(c_ab), ["a", "b"])
+        .join(F.broadcast(c_a), "a")
+        .withColumn("_lp", lp)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
