@@ -172,7 +172,100 @@ def neardup_verified(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     )
 
 
-def dedup_clusters(docs: DataFrame, max_iters: int = 64) -> DataFrame:
+def star_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 64) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", public) — the 100 TB form of :func:`dedup_clusters`:
+    converges in O(log^2 n) rounds regardless of component DIAMETER,
+    where plain min-label propagation needs diameter-many rounds (a
+    chain of pairwise near-dups — common for boilerplate families —
+    makes the diameter linear in the family size).
+
+    ``edges``: (src, dst) undirected pairs in any orientation;
+    ``nodes``: one ``doc_id`` per vertex. Returns (doc_id, cluster_id)
+    with cluster_id = the component's minimum doc_id — IDENTICAL output
+    to the label-propagation route (tests assert it).
+
+    Each round is two vocab-of-edges-sized keyed shuffles (a groupBy-min
+    and a join back — no collect_list, so a hub's neighbor set never
+    materializes in one task), and edge count never grows: large-star
+    re-points every above-min neighbor at the local min, small-star
+    contracts the below-min fringe. Per-round driver work is one
+    convergence count — O(log^2 n) actions total, vs O(diameter) for
+    label propagation.
+
+    Lineage: each round references the previous edge frame ~6 times
+    (symmetrize ×2, two join-backs, a union), so the LOGICAL plan grows
+    exponentially with rounds even under cache() — the round output is
+    therefore ``localCheckpoint``-ed (materialize + truncate lineage;
+    on a real cluster use ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` for executor-loss-safe truncation).
+    """
+    canon = (
+        edges.select(
+            F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iters):
+        # large-star: for each u, point every neighbor v > u at
+        # m = min(neighbors(u) ∪ {u}). Symmetrize, group-min, join.
+        sym = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            canon.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", "u").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star: for each u, connect its smaller neighbors (and u)
+        # to their minimum. Smaller-neighbor sets are exactly the lo
+        # side of the canonical orientation.
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(smins, "hi")
+            .select(F.col("lo").alias("v"), "m")
+            .union(smins.select(F.col("hi").alias("v"), "m"))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.greatest("v", "m").alias("hi"), F.least("v", "m").alias("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        same = (
+            small.count() == canon.count() and small.exceptAll(canon).isEmpty()
+        )
+        canon = small
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"star_components did not converge within {max_iters} rounds"
+        )
+    # At convergence every component is a star rooted at its minimum:
+    # non-roots appear exactly once as hi, roots/isolated nodes never.
+    roots = canon.groupBy("hi").agg(F.min("lo").alias("_root"))
+    out = (
+        nodes.select("doc_id")
+        .join(roots, nodes.doc_id == roots.hi, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return out
+
+
+def dedup_clusters(
+    docs: DataFrame, max_iters: int = 64, method: str = "label"
+) -> DataFrame:
     """Connected components over the verified near-dup graph: every doc
     gets a ``cluster_id`` = the smallest doc_id reachable through
     near-dup edges (itself if it has none). The canonical "keep one per
@@ -186,12 +279,22 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 64) -> DataFrame:
     oracle contract — the DuckDB mirror computes the exact transitive
     closure). The edge set is computed ONCE and cached (it contains the
     whole MinHash+Jaccard subplan); per-round labels are unpersisted as
-    soon as the next round materializes. At 100 TB use the
-    large-star/small-star formulation (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") to bound rounds at O(log^2 n);
-    the per-round join here is the same keyed shuffle.
+    soon as the next round materializes. At 100 TB pass
+    ``method="star"``: the same near-dup edge set then runs through
+    :func:`star_components` (large-star/small-star, O(log^2 n) rounds
+    independent of component diameter) and returns the identical
+    (doc_id, cluster_id) frame — the default stays the oracle-checked
+    propagation-to-fixpoint form.
     """
     pairs = neardup_verified(docs)
+    if method == "star":
+        return star_components(
+            pairs.select(
+                F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+            ),
+            docs.select("doc_id"),
+            max_iters=max_iters,
+        )
     edges = (
         pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
         .union(

@@ -74,23 +74,42 @@ FRAME_SCHEMA = StructType(
 
 
 def _decode_image_impl(payload: bytes, fake: bool):
-    """Hook: real implementation would be Pillow/libjpeg. The fake is
-    deterministic in the payload bytes so tests are reproducible."""
+    """Codec hook. ``fake=True`` → deterministic md5-derived dims
+    (reproducible tests, SQL-mirrorable oracle). ``fake=False`` → real
+    Pillow decode when the library is installed (see
+    ``requirements-extra.txt``); NotImplementedError otherwise so the
+    gap is loud, not silent."""
     if not fake:
-        raise NotImplementedError(
-            "image codec not available in this environment; pass fake=True "
-            "or plug Pillow in here"
-        )
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image codec not available in this environment; pass "
+                "fake=True or install Pillow (requirements-extra.txt)"
+            ) from exc
+        with Image.open(io.BytesIO(payload)) as img:
+            return img.size
     h = hashlib.md5(payload).hexdigest()
     return (int(h[:4], 16) % 1920 + 1, int(h[4:8], 16) % 1080 + 1)
 
 
 def _decode_audio_impl(payload: bytes, fake: bool):
+    """Codec hook; real path = soundfile when installed (see
+    ``requirements-extra.txt``), else NotImplementedError."""
     if not fake:
-        raise NotImplementedError(
-            "audio codec not available in this environment; pass fake=True "
-            "or plug soundfile/ffmpeg in here"
-        )
+        try:
+            import io
+
+            import soundfile
+        except ImportError as exc:
+            raise NotImplementedError(
+                "audio codec not available in this environment; pass "
+                "fake=True or install soundfile (requirements-extra.txt)"
+            ) from exc
+        with soundfile.SoundFile(io.BytesIO(payload)) as snd:
+            return (len(snd) / snd.samplerate, snd.samplerate)
     return (len(payload) / 16000.0, 16000)
 
 

@@ -51,18 +51,49 @@ SIMHASH_BITS = 48
 # --- similarity search -----------------------------------------------------
 
 EMBEDDING_DIM = 64
-LSH_PLANES = 4  #: 2^4 = 16 buckets — sized so sf0.01's 500 vectors keep
-#: ~30 candidates per bucket; at scale raise planes with log2(n).
+LSH_PLANES = 4  #: 2^4 = 16 buckets — the DETERMINISTIC DEFAULT the
+#: DuckDB oracles mirror; sized so sf0.01's 500 vectors keep ~30
+#: candidates per bucket. Scale callers derive the count from N via
+#: :func:`lsh_planes_for` instead.
+LSH_TARGET_BUCKET = 32  #: target expected vectors per LSH bucket
 ANN_QUERY_MOD = 50  #: query set = vec_id % ANN_QUERY_MOD == 0
 ANN_TOPK = 10
 ANN_LSH_TOPK = 5
 
-#: Deterministic ±1 hyperplanes (sign from md5 parity), embedded as
-#: literals in both engines.
-LSH_PLANE_WEIGHTS = tuple(
-    tuple(1.0 if _h(f"plane-{p}-{d}", 2) % 2 == 0 else -1.0 for d in range(EMBEDDING_DIM))
-    for p in range(LSH_PLANES)
-)
+
+def lsh_planes_for(n: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """Plane count that keeps the EXPECTED bucket population near
+    ``target_bucket``: planes = ceil(log2(n / target_bucket)), floored
+    at the deterministic default. 2^planes buckets × target_bucket ≈ n,
+    so the within-bucket candidate join stays bounded as N grows —
+    the scale knob the fixed ``LSH_PLANES`` constant lacks. (Expected
+    population only: hyperplane buckets are data-skewed for clustered
+    embeddings; multi-probe and re-ranking remain the recall knobs.)
+    """
+    planes = LSH_PLANES
+    while (n >> planes) > target_bucket:
+        planes += 1
+    return planes
+
+
+def lsh_plane_weights(n_planes: int):
+    """Deterministic ±1 hyperplanes (sign from md5 parity) for ANY
+    plane count — plane p's weights depend only on p, so the first
+    ``LSH_PLANES`` planes are always identical to the oracle-embedded
+    defaults and raising the count strictly REFINES buckets (bucket
+    bits are a prefix: agreement on p+1 planes implies agreement on p).
+    """
+    return tuple(
+        tuple(
+            1.0 if _h(f"plane-{p}-{d}", 2) % 2 == 0 else -1.0
+            for d in range(EMBEDDING_DIM)
+        )
+        for p in range(n_planes)
+    )
+
+
+#: The oracle-default hyperplanes, embedded as literals in both engines.
+LSH_PLANE_WEIGHTS = lsh_plane_weights(LSH_PLANES)
 
 
 def sql_in_list(words) -> str:

@@ -7,9 +7,15 @@ oracle baseline / final re-ranker. The LSH route buckets every vector by
 the sign pattern of ``LSH_PLANES`` fixed hyperplane projections; search
 joins query and candidates ON the bucket key — a hash join keyed by
 bucket, never a cross join. Plane count grows with log2(N) to keep
-buckets bounded; multi-probe (flipping low-margin bits) is the standard
-recall knob. All dot products are ``zip_with``+``aggregate`` higher-order
-functions — JVM-side, no Python, no UDF.
+buckets bounded — derived in code by ``params.lsh_planes_for(N)`` and
+threaded through every bucketed entry point as ``n_planes`` (or
+``n_planes="auto"`` to count N and derive it); the fixed
+``LSH_PLANES`` default remains the oracle-mirrored deterministic path.
+Raising the count strictly refines buckets (bucket bits are a prefix),
+so recall only moves through the documented knob: multi-probe
+(flipping low-margin bits). All dot products are
+``zip_with``+``aggregate`` higher-order functions — JVM-side, no
+Python, no UDF.
 
 Ranking determinism: cosine is quantized to 6 dp BEFORE ranking in both
 engines, then tie-broken by vec_id, so cross-engine FP drift (~1e-15)
@@ -25,7 +31,9 @@ from .params import (
     ANN_LSH_TOPK,
     ANN_QUERY_MOD,
     ANN_TOPK,
-    LSH_PLANE_WEIGHTS,
+    LSH_PLANES,
+    lsh_plane_weights,
+    lsh_planes_for,
     spark_array_lit,
 )
 
@@ -77,17 +85,31 @@ def cosine_topk(emb: DataFrame, k: int = ANN_TOPK, query_mod: int = ANN_QUERY_MO
     return ranked.filter(F.col("rank") <= k)
 
 
-def lsh_bucket_col() -> F.Column:
-    """Bucket id = sign bits of the fixed hyperplane projections."""
+def _resolve_planes(emb: DataFrame, n_planes: int | str | None) -> int:
+    """``None`` → the deterministic oracle default; ``"auto"`` → derive
+    from N (one metadata-cheap count); an int → as given. The count is
+    the only action, and only in auto mode."""
+    if n_planes is None:
+        return LSH_PLANES
+    if n_planes == "auto":
+        return lsh_planes_for(emb.count())
+    return int(n_planes)
+
+
+def lsh_bucket_col(n_planes: int = LSH_PLANES) -> F.Column:
+    """Bucket id = sign bits of the deterministic hyperplane
+    projections. Plane p's weights depend only on p, so buckets for a
+    larger ``n_planes`` strictly refine the smaller ones (prefix bits)."""
     bucket = F.lit(0)
-    for p, weights in enumerate(LSH_PLANE_WEIGHTS):
+    for p, weights in enumerate(lsh_plane_weights(n_planes)):
         proj = _dot("embedding", spark_array_lit(weights))
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    return bucket.cast("long")
 
 
-def lsh_buckets(emb: DataFrame) -> DataFrame:
-    return emb.select("vec_id", lsh_bucket_col().alias("bucket"))
+def lsh_buckets(emb: DataFrame, n_planes: int | str | None = None) -> DataFrame:
+    p = _resolve_planes(emb, n_planes)
+    return emb.select("vec_id", lsh_bucket_col(p).alias("bucket"))
 
 
 def _centroid_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -225,12 +247,22 @@ def ivf_topk(
     return out
 
 
-def embedding_neardup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+def embedding_neardup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int | str | None = None,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, candidates restricted to a
     shared LSH bucket (the dedup-by-embedding flavor of the ANN index:
-    the join is keyed on the bucket, never a cross join; at scale, raise
-    LSH_PLANES with log2(N) and multi-probe for recall)."""
-    base = _with_norm(emb).withColumn("bucket", lsh_bucket_col())
+    the join is keyed on the bucket, never a cross join). Pass
+    ``n_planes="auto"`` (or an explicit count) at scale: plane count
+    then grows with log2(N) via ``params.lsh_planes_for``, keeping the
+    within-bucket candidate join bounded; the default stays the
+    oracle-mirrored fixed-plane path. More planes strictly refine
+    buckets, so the auto pair set is a subset of the default's —
+    multi-probe is the recall knob if that subset is too tight."""
+    p = _resolve_planes(emb, n_planes)
+    base = _with_norm(emb).withColumn("bucket", lsh_bucket_col(p))
     a = base.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("embedding").alias("emb_a"),
@@ -256,10 +288,18 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     )
 
 
-def lsh_topk(emb: DataFrame, k: int = ANN_LSH_TOPK, query_mod: int = ANN_QUERY_MOD) -> DataFrame:
+def lsh_topk(
+    emb: DataFrame,
+    k: int = ANN_LSH_TOPK,
+    query_mod: int = ANN_QUERY_MOD,
+    n_planes: int | str | None = None,
+) -> DataFrame:
     """ANN top-k: exact cosine, but only among candidates sharing the
-    query's LSH bucket — the join is keyed ON the bucket."""
-    base = _with_norm(emb).withColumn("bucket", lsh_bucket_col())
+    query's LSH bucket — the join is keyed ON the bucket. ``n_planes``
+    as in :func:`embedding_neardup`: "auto" derives log2(N) planes so
+    bucket population stays bounded at scale."""
+    p = _resolve_planes(emb, n_planes)
+    base = _with_norm(emb).withColumn("bucket", lsh_bucket_col(p))
     q = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

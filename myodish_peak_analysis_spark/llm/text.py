@@ -195,13 +195,17 @@ def vocab_counts(docs: DataFrame, top_n: int | None = None) -> DataFrame:
         return counts
     from pyspark.sql.window import Window
 
-    ranked = counts.withColumn(
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition
+    # top-N heaps + one N-row merge on the driver side of the exchange)
+    # — no single-partition sort of the whole vocabulary. The rank
+    # window then runs on the already-limited N-row frame.
+    top = counts.orderBy(F.col("term_count").desc(), F.col("token")).limit(top_n)
+    return top.withColumn(
         "rank",
         F.row_number().over(
             Window.orderBy(F.col("term_count").desc(), F.col("token"))
         ),
     )
-    return ranked.filter(F.col("rank") <= top_n)
 
 
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
@@ -548,7 +552,12 @@ def term_cooccurrence_sql(
     """
 
 
-def lm_quality_buckets(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
+def lm_quality_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    approx: bool = False,
+    rel_err: float = 0.001,
+) -> DataFrame:
     """CCNet-style corpus partitioning (Wenzek et al. 2020, public):
     rank documents by their unigram-LM score and split into
     ``n_buckets`` equal-count bands — head/middle/tail for the default
@@ -561,14 +570,36 @@ def lm_quality_buckets(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
 
     Scale: the global rank runs on the NARROW (score, doc_id) frame —
     two longs and a double per document — not the corpus; even so it is
-    a single-partition sort at the very end. At 100 TB replace the exact
-    rank with approxQuantile thresholds (the bands don't need exact
-    boundaries, which is why CCNet itself uses sampled quantiles);
-    keep this exact form wherever the oracle-checkable path matters.
+    a single-partition sort at the very end. At 100 TB pass
+    ``approx=True``: bucket boundaries then come from
+    ``approxQuantile`` (Greenwald–Khanna sketch, one pass, no global
+    sort) and the assignment is a MAP-ONLY comparison against n-1
+    broadcast thresholds — the bands don't need exact boundaries,
+    which is why CCNet itself uses sampled quantiles. Keep the default
+    exact form wherever the oracle-checkable path matters: the approx
+    route can misplace documents within ``rel_err`` of a boundary
+    (and, unlike the exact rank, splits score-ties by the boundary
+    value, not doc_id).
     """
     from pyspark.sql import Window
 
     scored = with_unigram_logprob(docs)
+    if approx:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        # ascending thresholds at 1/n … (n-1)/n of the score
+        # distribution; two actions total (the quantile sketch runs on
+        # the already-narrow scored frame), then a map-only bucketing.
+        thresholds = scored.approxQuantile("avg_logprob", qs, rel_err)
+        bucket = F.lit(0)
+        for t in thresholds:
+            # bucket 0 = head (highest scores): one increment per
+            # threshold the score falls below.
+            bucket = bucket + F.when(
+                F.col("avg_logprob") < F.lit(t), 1
+            ).otherwise(0)
+        return scored.select(
+            "doc_id", "avg_logprob", bucket.cast("bigint").alias("bucket")
+        )
     w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc())
     n = Window.partitionBy()
     return (

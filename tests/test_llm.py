@@ -403,3 +403,159 @@ def test_bigram_logprob_hand_computed(spark):
     # doc 1: lp = [0, log2(1/2)] -> avg -0.5
     assert out[1].avg_bigram_logprob == pytest.approx(-0.5)
     assert 2 not in out  # single-token doc has no bigrams
+
+
+def test_lm_quality_buckets_approx_matches_exact(spark):
+    # 60 docs with distinct scores: the tight-rel_err sketch must put
+    # (nearly) every doc in the same band as the exact global rank.
+    rows = [
+        (i, " ".join(["common"] * 5 + [f"rare{i}"] * (i % 20)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r.doc_id: r.bucket for r in text.lm_quality_buckets(docs).collect()}
+    approx = {
+        r.doc_id: r.bucket
+        for r in text.lm_quality_buckets(docs, approx=True, rel_err=0.001).collect()
+    }
+    assert set(approx) == set(exact)
+    agree = sum(1 for d in exact if exact[d] == approx[d]) / len(exact)
+    assert agree >= 0.9, agree
+    # bands ordered by score in both routes: higher score -> lower bucket
+    scores = {
+        r.doc_id: r.avg_logprob for r in text.with_unigram_logprob(docs).collect()
+    }
+    for a in exact:
+        for b in exact:
+            if scores[a] > scores[b]:
+                assert approx[a] <= approx[b]
+
+
+def test_lsh_planes_scale_with_n():
+    from myodish_peak_analysis_spark.llm.params import (
+        LSH_PLANES,
+        lsh_plane_weights,
+        lsh_planes_for,
+    )
+
+    assert lsh_planes_for(500) == LSH_PLANES  # small N floors at default
+    assert lsh_planes_for(1 << 20) > lsh_planes_for(1 << 10) >= LSH_PLANES
+    # expected bucket population stays bounded at the derived count
+    for n in (1 << 10, 1 << 20, 1 << 30):
+        assert n / (1 << lsh_planes_for(n)) <= 32
+    # plane p depends only on p: larger counts extend, never rewrite
+    w8 = lsh_plane_weights(8)
+    assert w8[:LSH_PLANES] == lsh_plane_weights(LSH_PLANES)
+
+
+def test_embedding_neardup_more_planes_refines_pairs(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(8)], 0) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    base = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in similarity.embedding_neardup(emb, threshold=0.0).collect()
+    }
+    finer = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in similarity.embedding_neardup(
+            emb, threshold=0.0, n_planes=6
+        ).collect()
+    }
+    auto = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in similarity.embedding_neardup(
+            emb, threshold=0.0, n_planes="auto"
+        ).collect()
+    }
+    # bucket bits are a prefix: more planes can only REMOVE candidates
+    assert finer <= base
+    # 80 vectors: auto resolves to the default plane count -> same pairs
+    assert auto == base
+
+
+def test_star_components_match_label_propagation(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, base),
+        (11, base + " lambda"),
+        (12, base + " lambda mu"),
+        (13, "unrelated totally different content about nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    label = {
+        r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs).collect()
+    }
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(docs, method="star").collect()
+    }
+    assert star == label
+
+
+def test_star_components_long_chain(spark):
+    # a 12-node path: diameter 11 — label propagation needs ~11 rounds,
+    # star contraction collapses it in O(log^2 n); output must still be
+    # min-of-component everywhere, isolated node stays its own cluster.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(100, 112)] + [(999,)], "doc_id long"
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.star_components(edges, nodes).collect()
+    }
+    assert all(out[i] == 100 for i in range(100, 112))
+    assert out[999] == 999
+
+
+def _has_module(name: str) -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec(name) is not None
+
+
+@pytest.mark.skipif(
+    not _has_module("PIL"),
+    reason="Pillow not installed (requirements-extra.txt) — real image "
+    "codec path exercised only with the deterministic fake here",
+)
+def test_multimodal_real_image_codec(spark):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 17)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(buf.getvalue()), "s")], multimodal.MEDIA_SCHEMA
+    )
+    out = multimodal.image_metadata(media, fake=False).collect()
+    assert (out[0].width, out[0].height) == (32, 17)
+
+
+@pytest.mark.skipif(
+    not _has_module("soundfile"),
+    reason="soundfile not installed (requirements-extra.txt) — real audio "
+    "codec path exercised only with the deterministic fake here",
+)
+def test_multimodal_real_audio_codec(spark):
+    import io
+
+    import numpy as np
+    import soundfile
+
+    buf = io.BytesIO()
+    soundfile.write(buf, np.zeros(8000), 16000, format="WAV")
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(buf.getvalue()), "s")], multimodal.MEDIA_SCHEMA
+    )
+    out = multimodal.audio_metadata(media, fake=False).collect()
+    assert out[0].duration_s == pytest.approx(0.5)
+    assert out[0].sample_rate == 16000
