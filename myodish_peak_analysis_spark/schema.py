@@ -108,6 +108,17 @@ def signal_frame(
     Catalyst plans a single sort per channel partition.
     """
     events = read_table(spark, sf_dir, "events")
+    return signal_frame_from_events(events, n_channels=n_channels, fs=fs)
+
+
+def signal_frame_from_events(
+    events: DataFrame,
+    n_channels: int,
+    fs: float = DEFAULT_FS,
+) -> DataFrame:
+    """Channelize an already-loaded ``events`` frame — the DF-input core
+    of :func:`signal_frame`, used directly by synthetic-scale tooling
+    (``tools/bench_scaling.py``) that builds events frames Spark-side."""
     # Order by MICROSECOND-truncated ts: Spark reads the parquet nanos as
     # raw longs but DuckDB truncates to its microsecond TIMESTAMP, so a
     # same-microsecond pair whose event_id order differs from its
