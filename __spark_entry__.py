@@ -104,6 +104,11 @@ _ROTATE_FIRST = [
     "pack_chunks",
     "packing_stats",
     "curated_corpus",
+    # new in round 3 — no prior driver row exists, so they must sit
+    # inside the checked window:
+    "duplicated_spans",
+    "semantic_dedup",
+    "returned_orders_by_priority",
 ]
 _ROTATE_LAST = [
     # 19 entries with green CORRECTNESS_r02.json rows (fidelity_* are
@@ -173,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": _q.q_nation_revenue,
         "large_order_customers": _q.q_large_order_customers,
         "cheapest_supplier": _q.q_cheapest_supplier,
+        "returned_orders_by_priority": _q.q_returned_orders_by_priority,
         "fidelity_peaks": _q.q_fidelity_peaks,
         "fidelity_signal": _q.q_fidelity_signal,
     }
@@ -214,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": _relational.nation_revenue_sql(),
         "large_order_customers": _relational.large_order_customers_sql(),
         "cheapest_supplier": _relational.cheapest_supplier_per_part_sql(),
+        "returned_orders_by_priority": _relational.returned_orders_by_priority_sql(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle
         # (non-SQL-expressible: SciPy find_peaks constraint semantics).
     }

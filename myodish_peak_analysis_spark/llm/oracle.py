@@ -347,21 +347,17 @@ SELECT * FROM (
 ) p WHERE cosine >= 0.4
 """
 
-def ivf_topk_sql(
-    k: int = ANN_LSH_TOPK,
-    query_mod: int = ANN_QUERY_MOD,
-    n_clusters: int = 16,
-    nprobe: int = 2,
-    iters: int = 3,
-) -> str:
-    """Unrolled deterministic k-means + IVF search. The Lloyd loop is a
-    FIXED iteration count with a FIXED init (the ``n_clusters`` lowest
+def _kmeans_member_ctes(n_clusters: int, iters: int) -> str:
+    """Unrolled deterministic k-means: the Lloyd loop is a FIXED
+    iteration count with a FIXED init (the ``n_clusters`` lowest
     vec_ids), so the "iterative" algorithm is just ``iters`` chained
-    CTEs — fully SQL-expressible after all. Per-dimension means are cast
-    through FLOAT exactly like the Spark route, which absorbs
+    CTEs — fully SQL-expressible after all. Per-dimension means are
+    cast through FLOAT exactly like the Spark route, which absorbs
     sum-order differences between the engines' AVG implementations;
     assignment ranks round cosine to 9 decimals with centroid-id
-    tie-break, identical on both sides."""
+    tie-break, identical on both sides. Ends with ``members``
+    (vec_id, e, nrm, centroid_id) and ``c{iters}`` (final centroids);
+    expects ``base`` in scope."""
     assign = (
         "SELECT vec_id, e, nrm, centroid_id FROM ("
         "SELECT b.vec_id, b.e, b.nrm, c.centroid_id, "
@@ -392,7 +388,19 @@ def ivf_topk_sql(
                 GROUP BY centroid_id) t)"""
         )
     ctes.append(f"members AS ({assign.format(cents=f'c{iters}')})")
-    chain = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes)
+
+
+def ivf_topk_sql(
+    k: int = ANN_LSH_TOPK,
+    query_mod: int = ANN_QUERY_MOD,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    iters: int = 3,
+) -> str:
+    """IVF search over the unrolled k-means quantizer
+    (:func:`_kmeans_member_ctes`)."""
+    chain = _kmeans_member_ctes(n_clusters, iters)
     return f"""
     WITH {_BASE_CTE},
     {chain},
@@ -537,3 +545,19 @@ WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.text_hash = md5(d.text))
 ORACLES["pack_chunks"] = pack_chunks_sql()
 ORACLES["packing_stats"] = packing_stats_sql()
 ORACLES["curated_corpus"] = curated_corpus_sql()
+
+from .text import duplicated_spans_sql  # noqa: E402
+
+ORACLES["duplicated_spans"] = duplicated_spans_sql()
+
+ORACLES["semantic_dedup"] = f"""
+WITH {_BASE_CTE},
+{_kmeans_member_ctes(n_clusters=16, iters=3)}
+SELECT * FROM (
+    SELECT CAST(a.centroid_id AS BIGINT) AS centroid_id,
+           a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+    FROM members a JOIN members b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+) p WHERE cosine >= 0.4
+"""

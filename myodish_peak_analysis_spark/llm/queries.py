@@ -227,6 +227,19 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curated_corpus(read_table(spark, sf_dir, "documents"))
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al.-style substring
+    dedup signal): corpus-repeated 8-gram positions merged into maximal
+    per-document spans."""
+    return text.duplicated_spans(read_table(spark, sf_dir, "documents"))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding near-dup pairs (k-means
+    quantizer shared with the IVF index; oracle = unrolled-Lloyd CTEs)."""
+    return similarity.semantic_dedup(read_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -263,4 +276,6 @@ QUERIES = {
     "pack_chunks": q_pack_chunks,
     "packing_stats": q_packing_stats,
     "curated_corpus": q_curated_corpus,
+    "duplicated_spans": q_duplicated_spans,
+    "semantic_dedup": q_semantic_dedup,
 }

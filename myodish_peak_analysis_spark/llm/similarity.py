@@ -288,6 +288,58 @@ def embedding_neardup(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", public): cluster the embeddings with the same
+    deterministic k-means coarse quantizer as the IVF index, then
+    compare vectors ONLY within their cluster — pairs with cosine ≥
+    ``threshold`` are semantic duplicates (keep min(vec_id), drop the
+    rest, exactly like the MinHash route's keeper rule).
+
+    Scale: the candidate join is keyed on ``centroid_id`` — never a
+    cross join — and cluster count grows with N (SemDeDup uses
+    sqrt-ish k), bounding within-cluster quadratic work the same way
+    LSH bucket count does for :func:`embedding_neardup`. The two
+    routes are complementary signals: LSH buckets approximate angular
+    locality with fixed planes; k-means clusters adapt to the actual
+    embedding distribution.
+    """
+    members, _ = _ivf_fit(emb, k=n_clusters, iters=iters)
+    a = members.select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("_norm").alias("norm_a"),
+    )
+    b = members.select(
+        F.col("centroid_id").alias("centroid_b"),
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("_norm").alias("norm_b"),
+    )
+    joined = a.join(
+        b,
+        (F.col("centroid_id") == F.col("centroid_b"))
+        & (F.col("vec_id_a") < F.col("vec_id_b")),
+    )
+    cos = F.round(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6)
+    return (
+        joined.select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            "vec_id_a",
+            "vec_id_b",
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = ANN_LSH_TOPK,

@@ -419,6 +419,98 @@ def unigram_logprob_sql() -> str:
     """
 
 
+def duplicated_spans(
+    docs: DataFrame, gram: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact duplicated-substring detection (the signal behind
+    suffix-array substring dedup — Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public): find every
+    position where a ``gram``-token window occurs at least
+    ``min_count`` times corpus-wide, then merge consecutive duplicated
+    positions into maximal per-document spans. Real pipelines CUT these
+    spans out of the training text; the span report is the
+    engine-portable core of that.
+
+    Scale: positional n-grams explode map-side; occurrence counts are a
+    ``groupBy(gram).count()`` (map-side combinable — the exchange
+    carries the gram VOCABULARY with partial counts, never one task
+    per hot gram) joined back onto the positional frame; the
+    run-length merge (pos − row_number) is a per-document window. No
+    suffix array needed for fixed-length windows — the groupBy IS the
+    "find repeated substrings of length ≥ gram" query, distributed.
+
+    Output: (doc_id, span_start [1-based token idx], span_tokens,
+    n_grams) — all integers, so cross-engine hashes are trivially
+    exact.
+    """
+    from pyspark.sql import Window
+
+    pos_grams = docs.filter(F.expr(f"size({_TOKENS}) >= {gram}")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size({_TOKENS}) - {gram - 1}), "
+                f"i -> struct(i AS pos, "
+                f"concat_ws(' ', slice({_TOKENS}, i, {gram})) AS gram))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    dup_grams = (
+        pos_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gram")
+    )
+    dup_pos = pos_grams.join(dup_grams, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup_pos.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + gram).cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_tokens", "n_grams")
+    )
+
+
+def duplicated_spans_sql(gram: int = 8, min_count: int = 2) -> str:
+    """DuckDB mirror of :func:`duplicated_spans` (identical positional
+    grams, corpus counts, and pos−row_number run-length merge)."""
+    tk = "string_split(text, ' ')"
+    return f"""
+    WITH pos_grams AS (
+        SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len({tk}) - {gram - 2}),
+                          i -> {{'pos': i,
+                                 'gram': array_to_string(
+                                     list_slice({tk}, i, i + {gram - 1}), ' ')}}))
+                       AS pg
+            FROM documents WHERE len({tk}) >= {gram}) t
+    ),
+    dup_grams AS (
+        SELECT gram FROM pos_grams GROUP BY gram
+        HAVING COUNT(*) >= {min_count}
+    ),
+    dup_pos AS (
+        SELECT doc_id, pos FROM pos_grams JOIN dup_grams USING (gram)
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS _grp
+        FROM dup_pos
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + {gram} AS BIGINT) AS span_tokens,
+           COUNT(*)::BIGINT AS n_grams
+    FROM runs GROUP BY doc_id, _grp
+    """
+
+
 def inverted_index(docs: DataFrame, min_df: int = 2) -> DataFrame:
     """Term → posting-list index over the corpus (the retrieval-side
     companion of :func:`vocab_counts`): document frequency plus the

@@ -353,6 +353,61 @@ def large_order_customers_sql(min_qty: int = 300, k: int = 10) -> str:
     """
 
 
+def returned_orders_by_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: count one quarter's orders that have at
+    least one RETURNED line item, per order priority — the
+    correlated-EXISTS-as-LEFT-SEMI-JOIN shape (the harness lineitem has
+    no commit/receipt dates, so "returned line" stands in for Q4's
+    late-commit predicate; the relational shape is identical).
+
+    Scale: both filters reach the parquet scans (quarter cutoff on
+    orders, returnflag on lineitem). The semi join carries only
+    ``l_orderkey`` from the filtered lineitem side and stops probing an
+    order on the FIRST match — no fact×fact row multiplication, and the
+    aggregate is a map-side-combinable count into a handful of priority
+    groups. AQE picks broadcast for the key set when it fits, falling
+    back to a co-partitioned shuffle semi join.
+    """
+    returned_keys = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey"
+    )
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= _tslit(date_from))
+        & (F.col("o_orderdate") < _tslit(date_to))
+    )
+    return (
+        quarter.join(
+            returned_keys,
+            quarter.o_orderkey == returned_keys.l_orderkey,
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def returned_orders_by_priority_sql(
+    date_from: str = "1996-01-01", date_to: str = "1996-04-01"
+) -> str:
+    return f"""
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{date_from}'
+      AND o.o_orderdate < TIMESTAMP '{date_to}'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
 def cheapest_supplier_per_part(
     lineitem: DataFrame,
     part: DataFrame,
