@@ -119,8 +119,8 @@ def main() -> None:
             read_table(spark, SF_DIR, "events")
         ),
         "range_pairs_1h": lambda: range_pairs(
-            read_table(spark, SF_DIR, "events").withColumn(
-                "ts_us", F.expr("ts DIV 1000")
+            (lambda ev: ev.withColumn("ts_us", ts_micros(ev)))(
+                read_table(spark, SF_DIR, "events")
             )
         ),
         "stratified_sample": lambda: sampling.stratified_sample(docs),

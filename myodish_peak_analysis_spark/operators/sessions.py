@@ -28,7 +28,9 @@ MICROS = 1_000_000
 def with_sessions(events: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
     """Add ts_us (truncated microseconds) and session_seq (1-based per
     user) via the gap rule."""
-    events = events.withColumn("ts_us", F.expr("ts DIV 1000"))
+    from ..schema import ts_micros
+
+    events = events.withColumn("ts_us", ts_micros(events))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap = F.lit(int(gap_seconds * MICROS))
     prev = F.lag("ts_us").over(w)
@@ -119,8 +121,10 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> D
     O(steps) rows. Contrast: the naive per-stage join+agg formulation
     re-executes its lineage per stage (k scans, ~2k exchanges).
     """
+    from ..schema import ts_micros
+
     ev = events.select(
-        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+        "user_id", "event_type", ts_micros(events).alias("ts_us")
     )
     w = (
         Window.partitionBy("user_id")
@@ -183,10 +187,11 @@ def cohort_retention(events: DataFrame, max_offset: int = 14) -> DataFrame:
     a final O(cohorts × offsets) rollup. The events table shuffles
     once, on ``user_id``.
     """
+    from ..schema import ts_micros
+
     days = (
-        events.select(
-            "user_id", F.expr(f"ts DIV 1000 DIV {DAY_US}").alias("day")
-        )
+        events.select("user_id", ts_micros(events).alias("ts_us"))
+        .select("user_id", F.expr(f"ts_us DIV {DAY_US}").alias("day"))
         .distinct()
     )
     first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))

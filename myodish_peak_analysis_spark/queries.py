@@ -27,7 +27,7 @@ from .operators.peaks import with_threshold_keep
 from .operators.smooth import with_fir_smooth
 from .operators.windows import with_extrema_flags
 from .oracle import ORACLE_CHANNELS, ROUND_DP
-from .schema import read_table, signal_frame
+from .schema import read_table, signal_frame, ts_micros
 
 
 def _r(c: str):
@@ -219,9 +219,8 @@ def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by(event_id) so the match is deterministic in both engines."""
     from .operators.asof import asof_join
 
-    events = read_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts DIV 1000")
-    )
+    events = read_table(spark, sf_dir, "events")
+    events = events.withColumn("ts_us", ts_micros(events))
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us", "value"
     )
@@ -245,9 +244,8 @@ def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the oracle hash."""
     from .operators.asof import gap_fill
 
-    events = read_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts DIV 1000")
-    )
+    events = read_table(spark, sf_dir, "events")
+    events = events.withColumn("ts_us", ts_micros(events))
     hour_us = 3600 * 1_000_000
     micro = F.round(F.round(F.col("value"), ROUND_DP) * 1e6, 0).cast("long")
     resampled = (
@@ -304,6 +302,16 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped correlated EXISTS as a LEFT SEMI join + priority count."""
+    from .operators.relational import returned_orders_by_priority
+
+    return returned_orders_by_priority(
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event anomaly z-score with exact integer-moment variance."""
     from .operators.analytics import user_value_zscores
@@ -353,9 +361,8 @@ def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-bucket explode trick; oracle is the naive inequality join."""
     from .operators.analytics import range_pairs
 
-    events = read_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts DIV 1000")
-    )
+    events = read_table(spark, sf_dir, "events")
+    events = events.withColumn("ts_us", ts_micros(events))
     return range_pairs(events)
 
 

@@ -54,11 +54,36 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Defensively enables nanosecond-as-long parquet reads on the GIVEN
     session: the driver supplies its own SparkSession (not our
     :func:`~myodish_peak_analysis_spark.session.get_spark`), and without
-    this conf Spark 4 throws PARQUET_TYPE_ILLEGAL on the harness
-    ``events`` table's TIMESTAMP(NANOS) column. The conf is dynamic
-    (verified: a plain session fails, conf.set then succeeds)."""
+    this conf Spark 4 throws PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
+    columns (some harness generations carry them; current data is
+    TIMESTAMP(MICROS) where the conf is a no-op)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_micros(df: DataFrame, col: str = "ts") -> F.Column:
+    """Microseconds-since-epoch of the ``events.ts`` column, whatever
+    physical type the harness parquet carries this generation:
+
+    - ``long`` (TIMESTAMP(NANOS) read via nanosAsLong): integer-DIV 1000 —
+      matches DuckDB, which truncates parquet nanos to its micro TIMESTAMP.
+    - ``timestamp_ntz`` (TIMESTAMP(MICROS), isAdjustedToUTC=false):
+      ``to_utc_timestamp(ts, 'UTC')`` reinterprets the naive wall time as a
+      UTC instant — exactly DuckDB's ``epoch_us(ts)`` — independent of the
+      Spark session timezone (verified value-equal against DuckDB).
+    - ``timestamp`` (LTZ): plain ``unix_micros``.
+
+    Always a JVM-side expression on the scan output; no shuffle, stays
+    inside whole-stage codegen.
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampNTZType):
+        return F.unix_micros(F.to_utc_timestamp(F.col(col), "UTC"))
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(col))
+    return F.expr(f"{col} DIV 1000")
 
 
 #: Minimum per-channel rows for the native envelope route to be non-NULL
@@ -119,16 +144,16 @@ def signal_frame_from_events(
     """Channelize an already-loaded ``events`` frame — the DF-input core
     of :func:`signal_frame`, used directly by synthetic-scale tooling
     (``tools/bench_scaling.py``) that builds events frames Spark-side."""
-    # Order by MICROSECOND-truncated ts: Spark reads the parquet nanos as
-    # raw longs but DuckDB truncates to its microsecond TIMESTAMP, so a
-    # same-microsecond pair whose event_id order differs from its
-    # nanosecond order would get swapped sample_idx values between the
-    # two engines. Microseconds + event_id is the portable sort key.
+    # Order by MICROSECOND ts (the resolution both engines share — with a
+    # nanos parquet, Spark sees raw longs while DuckDB truncates to its
+    # microsecond TIMESTAMP, so a same-microsecond pair whose event_id
+    # order differs from its nanosecond order would get swapped sample_idx
+    # values). Microseconds + event_id is the portable sort key.
     w = Window.partitionBy("channel_id").orderBy("ts_us", "event_id")
     return (
         events.select(
             (F.col("user_id") % F.lit(n_channels)).cast("long").alias("channel_id"),
-            F.expr("ts DIV 1000").alias("ts_us"),
+            ts_micros(events).alias("ts_us"),
             F.col("event_id"),
             F.col("value").cast("double").alias("signal_value"),
         )

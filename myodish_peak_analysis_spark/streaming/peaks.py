@@ -478,8 +478,10 @@ def streaming_funnel_stages(
     the real-time mirror of the batch funnel report (aggregate the
     output by ``step`` for live conversion counts). State is O(steps)
     per user, keyed by the same user hash as every batch event op."""
+    from ..schema import ts_micros
+
     ev = events_stream.select(
-        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+        "user_id", "event_type", ts_micros(events_stream).alias("ts_us")
     )
     return ev.groupBy("user_id").applyInPandasWithState(
         make_funnel_fn(steps),
