@@ -46,6 +46,7 @@ from myodish_peak_analysis_spark.schema import (  # noqa: E402
     auto_channels,
     read_table,
     signal_frame,
+    ts_micros,
 )
 from myodish_peak_analysis_spark.session import get_spark  # noqa: E402
 
