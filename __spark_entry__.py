@@ -109,6 +109,7 @@ _ROTATE_FIRST = [
     "duplicated_spans",
     "semantic_dedup",
     "returned_orders_by_priority",
+    "native_find_peaks",
 ]
 _ROTATE_LAST = [
     # 19 entries with green CORRECTNESS_r02.json rows (fidelity_* are
@@ -181,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_orders_by_priority": _q.q_returned_orders_by_priority,
         "fidelity_peaks": _q.q_fidelity_peaks,
         "fidelity_signal": _q.q_fidelity_signal,
+        "native_find_peaks": _q.q_native_find_peaks,
     }
     out.update(_llm_q.QUERIES)
     return _rotate(out)
@@ -221,8 +223,9 @@ def oracle_sql() -> dict[str, str]:
         "large_order_customers": _relational.large_order_customers_sql(),
         "cheapest_supplier": _relational.cheapest_supplier_per_part_sql(),
         "returned_orders_by_priority": _relational.returned_orders_by_priority_sql(),
-        # fidelity_peaks / fidelity_signal: intentionally no oracle
-        # (non-SQL-expressible: SciPy find_peaks constraint semantics).
+        # fidelity_peaks / fidelity_signal / native_find_peaks:
+        # intentionally no oracle (non-SQL-expressible: SciPy find_peaks
+        # constraint semantics); parity pinned by tests instead.
     }
     out.update(_llm_oracle.ORACLES)
     return out

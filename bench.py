@@ -34,6 +34,10 @@ from myodish_peak_analysis_spark.operators.analytics import (  # noqa: E402
     value_histogram,
 )
 from myodish_peak_analysis_spark.operators.fidelity import fidelity_peaks  # noqa: E402
+from myodish_peak_analysis_spark.operators.native_peaks import (  # noqa: E402
+    native_find_peaks,
+)
+from myodish_peak_analysis_spark.operators.smooth import with_fir_smooth  # noqa: E402
 from myodish_peak_analysis_spark.operators.relational import (  # noqa: E402
     pricing_summary,
     segment_revenue_topk,
@@ -109,6 +113,9 @@ def main() -> None:
             PeakPipeline(sig).smooth().envelopes().diastolic().detect_peaks().attributes()
         ),
         "native_peak_averages": _marginal_averages,
+        "native_find_peaks": lambda: native_find_peaks(
+            with_fir_smooth(sig)
+        ),
         "fidelity_peaks": lambda: fidelity_peaks(sig),
         "session_stats": lambda: session_stats(
             read_table(spark, SF_DIR, "events")

@@ -1,0 +1,303 @@
+"""Constrained peak finder with the heavy lifting JVM-side.
+
+SURVEY.md §2.4 P1 maps the reference's ``find_peaks(smooth, width=1,
+distance=20, rel_height=0.3, prominence=0.3, wlen=250)`` call
+(``/root/reference/peak_detection.py:251``) to a per-channel
+``applyInPandas`` fidelity route (:mod:`.fidelity`) and names a pure-Spark
+formulation as future work. This module is that formulation: the full
+signal never crosses the Python boundary.
+
+Stage layout (and what each costs at scale):
+
+1. **Plateau-aware candidate maxima** — run-length encode equal-value
+   runs with one ``lag`` window, keep run-start rows, and flag a run as
+   a maximum when both neighboring runs are strictly lower (SciPy's
+   ``_local_maxima_1d`` midpoint semantics). Window-only: a single
+   exchange on ``channel_id`` shared by both window passes; the filtered
+   run frame reuses the partitioning (no second shuffle).
+2. **Greedy distance suppression** — keep-highest-first within
+   ``distance`` samples is inherently priority-order sequential, so it
+   runs in ``applyInPandas`` — but over the *candidate list only*, not
+   the signal: ~16 bytes per candidate cross Arrow (≤ n/2 candidates,
+   in practice ~n/40 for SG-smoothed data), vs the whole channel on the
+   fidelity route. Reuses the tested
+   :func:`..functions.sigproc._select_by_distance` kernel.
+3. **Prominence + width** — each survivor's ±``wlen//2`` neighborhood is
+   gathered with a bucketed equi-join (bucket = ``sample_idx DIV
+   (half+1)``; a survivor probes 3 buckets, so the join is an equi-join
+   on ``(channel_id, bucket)`` — never a range cross join; AQE
+   broadcasts the exploded survivor side when it fits, falling back to a
+   co-partitioned hash join). The SciPy base-walk, the interpolated
+   width crossings, and both filters then run as array HOFs
+   (``aggregate``/``filter``/``transform``) inside whole-stage codegen —
+   one pass per survivor over ≤ ``wlen+1`` structs.
+
+Filter order note: SciPy applies ``distance`` *before* ``prominence`` /
+``width``, but prominence and width are per-peak functions of the raw
+signal only (suppressed candidates are not bases), so computing them for
+survivors-only here yields identical results with strictly less work.
+
+Semantics mirrored (and property-tested) against
+:func:`..functions.sigproc.find_peaks`, the NumPy kernel already
+golden-matched to the reference behavior. Assumes non-NaN signal values
+(Spark's NaN ordering differs from NumPy's; the fidelity route owns the
+NaN edge cases).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from ..functions.sigproc import _select_by_distance
+
+__all__ = ["candidate_maxima", "native_find_peaks"]
+
+_SUPPRESS_SCHEMA = StructType(
+    [
+        StructField("channel_id", LongType()),
+        StructField("peak_idx", LongType()),
+        StructField("peak_value", DoubleType()),
+    ]
+)
+
+
+def candidate_maxima(
+    signal: DataFrame, value_col: str = "smooth", idx_col: str = "sample_idx"
+) -> DataFrame:
+    """Strict local maxima with plateau-midpoint handling, window-only.
+
+    Returns ``(channel_id, peak_idx, peak_value)`` where ``peak_idx`` is
+    the plateau midpoint ``(left + right) DIV 2`` — SciPy's
+    ``_local_maxima_1d`` contract (see
+    :func:`..functions.sigproc.local_maxima_plateau`).
+    """
+    sig = signal.select(
+        "channel_id",
+        F.col(idx_col).alias("_idx"),
+        F.col(value_col).alias("_v"),
+    )
+    prev = F.lag("_v").over(Window.partitionBy("channel_id").orderBy("_idx"))
+    runs = (
+        sig.withColumn("_new", prev.isNull() | (F.col("_v") != prev))
+        .filter(F.col("_new"))
+        .drop("_new")
+    )
+    # Run-start rows reuse the channel partitioning: lo = this start,
+    # hi = next start − 1 (last run: no next → cannot be a peak anyway,
+    # mirroring SciPy's edge exclusion).
+    wr = Window.partitionBy("channel_id").orderBy("_idx")
+    runs = runs.select(
+        "channel_id",
+        F.col("_idx").alias("_lo"),
+        (F.lead("_idx").over(wr) - F.lit(1)).alias("_hi"),
+        F.col("_v"),
+        F.lag("_v").over(wr).alias("_prev_v"),
+        F.lead("_v").over(wr).alias("_next_v"),
+    )
+    return runs.filter(
+        F.col("_prev_v").isNotNull()
+        & F.col("_next_v").isNotNull()
+        & (F.col("_prev_v") < F.col("_v"))
+        & (F.col("_next_v") < F.col("_v"))
+    ).select(
+        "channel_id",
+        ((F.col("_lo") + F.col("_hi")) / 2).cast("long").alias("peak_idx"),
+        F.col("_v").alias("peak_value"),
+    )
+
+
+def _suppress_by_distance(candidates: DataFrame, distance: int) -> DataFrame:
+    """Greedy keep-highest-first suppression over the sparse candidate
+    set (channel_id, peak_idx, peak_value) — the only Python stage."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("peak_idx")
+        peaks = pdf["peak_idx"].to_numpy(dtype=np.intp)
+        vals = pdf["peak_value"].to_numpy(dtype=np.float64)
+        keep = _select_by_distance(peaks, vals, distance)
+        return pd.DataFrame(
+            {
+                "channel_id": pdf["channel_id"].to_numpy()[keep],
+                "peak_idx": peaks[keep].astype(np.int64),
+                "peak_value": vals[keep],
+            }
+        )
+
+    return candidates.groupBy("channel_id").applyInPandas(fn, _SUPPRESS_SCHEMA)
+
+
+def native_find_peaks(
+    signal: DataFrame,
+    value_col: str = "smooth",
+    idx_col: str = "sample_idx",
+    distance: int | None = 20,
+    prominence: float | None = 0.3,
+    width: float | None = 1.0,
+    rel_height: float = 0.3,
+    wlen: int | None = 250,
+) -> DataFrame:
+    """SciPy-ordered constrained peak detection, JVM-side.
+
+    Returns ``(channel_id, peak_idx, peak_value, prominence, width)``
+    for peaks surviving all requested conditions; ``prominence`` /
+    ``width`` are null when that condition was not requested.
+    """
+    if distance is not None and distance < 1:
+        raise ValueError("`distance` must be greater or equal to 1")
+    if wlen is not None and wlen <= 1:
+        raise ValueError(f"`wlen` must be larger than 1, got {wlen}")
+
+    cands = candidate_maxima(signal, value_col, idx_col)
+    if distance is not None:
+        # The UDF carries peak_value through so no join back onto the
+        # candidate lineage (which would re-execute the upstream plan).
+        cands = _suppress_by_distance(cands, int(math.ceil(distance)))
+    if prominence is None and width is None:
+        return cands.select(
+            "channel_id",
+            "peak_idx",
+            "peak_value",
+            F.lit(None).cast("double").alias("prominence"),
+            F.lit(None).cast("double").alias("width"),
+        )
+
+    # SciPy rounds wlen up to the next odd integer; half-window bounds
+    # the base walk on each side (None → unbounded within the channel,
+    # implemented as a larger-than-any-channel bucket).
+    if wlen is not None:
+        odd = int(np.ceil(wlen))
+        half = (odd + 1) // 2 if odd % 2 == 0 else odd // 2
+    else:
+        half = None
+
+    sig = signal.select(
+        "channel_id",
+        F.col(idx_col).alias("j"),
+        F.col(value_col).cast("double").alias("s"),
+    )
+    if half is not None:
+        bucket = F.lit(int(half) + 1)
+        surv = cands.withColumn(
+            "_b",
+            F.explode(
+                F.array(
+                    (F.col("peak_idx") / bucket).cast("long") - 1,
+                    (F.col("peak_idx") / bucket).cast("long"),
+                    (F.col("peak_idx") / bucket).cast("long") + 1,
+                )
+            ),
+        )
+        nb = (
+            sig.withColumn("_b", (F.col("j") / bucket).cast("long"))
+            .join(surv, ["channel_id", "_b"])
+            .filter(F.abs(F.col("j") - F.col("peak_idx")) <= F.lit(int(half)))
+        )
+    else:
+        nb = sig.join(cands, "channel_id")
+    nb = nb.groupBy("channel_id", "peak_idx", "peak_value").agg(
+        F.array_sort(F.collect_list(F.struct("j", "s"))).alias("nb")
+    )
+
+    # Base walk (sigproc.peak_prominences): from the peak outward, visit
+    # samples while s <= peak_value, tracking the minimum (ties keep the
+    # first-encountered = nearest-to-peak index); stop at the first
+    # strictly higher sample or the wlen/channel bound.
+    walk = """
+        aggregate(
+          {arr},
+          named_struct('minv', peak_value, 'minj', peak_idx, 'stop', false),
+          (acc, x) -> CASE
+            WHEN acc.stop OR x.s > peak_value
+              THEN named_struct('minv', acc.minv, 'minj', acc.minj, 'stop', true)
+            WHEN x.s < acc.minv
+              THEN named_struct('minv', x.s, 'minj', x.j, 'stop', false)
+            ELSE acc END
+        )
+    """
+    walk_l = walk.format(arr="reverse(filter(nb, x -> x.j < peak_idx))")
+    walk_r = walk.format(arr="filter(nb, x -> x.j > peak_idx)")
+
+    if width is None:
+        nb = nb.withColumn(
+            "prominence",
+            F.col("peak_value")
+            - F.greatest(F.expr(f"{walk_l}.minv"), F.expr(f"{walk_r}.minv")),
+        )
+        if prominence is not None:
+            nb = nb.filter(F.col("prominence") >= F.lit(float(prominence)))
+        return nb.select(
+            "channel_id",
+            "peak_idx",
+            "peak_value",
+            "prominence",
+            F.lit(None).cast("double").alias("width"),
+        )
+
+    # Width at rel_height (sigproc.peak_widths): evaluation height
+    # h = peak − rel_height·prominence; scan from the peak toward each
+    # base until s <= h, then linearly interpolate the crossing.
+    #
+    # The whole prominence+width derivation is ONE expression built from
+    # HOF let-bindings (`transform(array(v), x -> body)` binds v to x):
+    # naming intermediates as DataFrame columns instead would let
+    # CollapseProject inline the walk aggregate into every downstream
+    # reference — an exponentially growing tree the optimizer chokes on.
+    def let(val: str, var: str, body: str) -> str:
+        return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+    # Crossing scan: the first sample at-or-below h walking from the
+    # peak toward the base (== the extreme qualifying index), falling
+    # through to the base itself; interpolate when strictly below h.
+    stop_l = (
+        "coalesce(array_max(transform(filter(nb, x -> "
+        "x.j >= b.lb.minj AND x.j <= peak_idx AND x.s <= ph.h), "
+        "x -> x.j)), b.lb.minj)"
+    )
+    stop_r = (
+        "coalesce(array_min(transform(filter(nb, x -> "
+        "x.j >= peak_idx AND x.j <= b.rb.minj AND x.s <= ph.h), "
+        "x -> x.j)), b.rb.minj)"
+    )
+    at = "element_at(filter(nb, x -> x.j = {j}), 1).s"
+    prom = "peak_value - greatest(b.lb.minv, b.rb.minv)"
+    pw = let(
+        f"named_struct('lb', {walk_l}, 'rb', {walk_r})",
+        "b",
+        let(
+            f"named_struct('prom', {prom}, "
+            f"'h', peak_value - {float(rel_height)!r}D * ({prom}))",
+            "ph",
+            let(
+                f"named_struct('slj', {stop_l}, 'srj', {stop_r})",
+                "st",
+                let(
+                    f"named_struct('sly', {at.format(j='st.slj')}, "
+                    f"'sry', {at.format(j='st.srj')}, "
+                    f"'slyn', {at.format(j='st.slj + 1')}, "
+                    f"'sryn', {at.format(j='st.srj - 1')})",
+                    "ys",
+                    "named_struct('prom', ph.prom, 'width', "
+                    "(st.srj - CASE WHEN ys.sry < ph.h THEN "
+                    "(ph.h - ys.sry) / (ys.sryn - ys.sry) ELSE 0D END) "
+                    "- (st.slj + CASE WHEN ys.sly < ph.h THEN "
+                    "(ph.h - ys.sly) / (ys.slyn - ys.sly) ELSE 0D END))",
+                ),
+            ),
+        ),
+    )
+    out = nb.withColumn("_pw", F.expr(pw)).select(
+        "channel_id",
+        "peak_idx",
+        "peak_value",
+        F.col("_pw.prom").alias("prominence"),
+        F.col("_pw.width").alias("width"),
+    )
+    if prominence is not None:
+        out = out.filter(F.col("prominence") >= F.lit(float(prominence)))
+    return out.filter(F.col("width") >= F.lit(float(width)))

@@ -426,3 +426,22 @@ def q_fidelity_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fidelity_signal_columns(
         signal_frame(spark, sf_dir, n_channels=ORACLE_CHANNELS)
     )
+
+
+def q_native_find_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 constrained find_peaks, JVM-side route (operators/native_peaks):
+    plateau candidates and prominence/width run as window + array-HOF
+    expressions; only the sparse candidate list crosses Arrow for greedy
+    distance suppression. Not SQL-expressible — rows-only check; exact
+    parity with the NumPy kernel is pinned by tests/test_native_peaks.py."""
+    from .operators.native_peaks import native_find_peaks
+
+    sig = with_fir_smooth(signal_frame(spark, sf_dir, n_channels=ORACLE_CHANNELS))
+    out = native_find_peaks(sig)
+    return out.select(
+        "channel_id",
+        "peak_idx",
+        _r("peak_value"),
+        _r("prominence"),
+        _r("width"),
+    )

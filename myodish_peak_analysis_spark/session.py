@@ -21,6 +21,14 @@ def get_spark(app_name: str = "myodish-peak-analysis-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's parallelism-first coalescing floors partitions at
+        # max(minPartitionSize, shuffleBytes / parallelism). The 1 MB
+        # default is a bytes-proxy for cost; the signal operators are
+        # CPU-bound (301-tap FIR HOFs, prominence walks) at ~100 B/row,
+        # so small-SF shuffles collapse to 2 tasks on 32 cores. A 64 KB
+        # floor restores CPU parallelism locally and is inert at scale,
+        # where shuffleBytes/parallelism dominates the max().
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Harness parquet stores nanosecond timestamps; Spark 4 rejects
         # TIMESTAMP(NANOS) unless read as raw longs (VERDICT r1 item 1).

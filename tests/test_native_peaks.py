@@ -1,0 +1,131 @@
+"""JVM-side constrained peak finder vs the NumPy sigproc kernels.
+
+The sigproc kernels are themselves golden-matched to the reference's
+SciPy usage (tests/test_sigproc.py), so equality here transitively pins
+operators/native_peaks.py to /root/reference/peak_detection.py:251
+semantics — plateau midpoints, greedy distance suppression, wlen-bounded
+prominence bases, and interpolated widths at rel_height.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from myodish_peak_analysis_spark.functions import sigproc
+from myodish_peak_analysis_spark.operators.native_peaks import (
+    candidate_maxima,
+    native_find_peaks,
+)
+
+
+def _frame(spark, channels: dict[int, np.ndarray]):
+    pdf = pd.concat(
+        pd.DataFrame(
+            {
+                "channel_id": ch,
+                "sample_idx": np.arange(y.size, dtype=np.int64),
+                "smooth": y,
+            }
+        )
+        for ch, y in channels.items()
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _signals(seed: int = 7, n_channels: int = 6) -> dict[int, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    out = {}
+    for ch in range(n_channels):
+        n = int(rng.integers(50, 2500))
+        y = np.cumsum(rng.normal(0, 1, n)) + 3 * np.sin(np.arange(n) / 25.0)
+        if ch % 2 == 0:
+            y = np.round(y, 1)  # quantize → plateaus
+        out[ch] = y
+    return out
+
+
+def test_candidate_maxima_matches_plateau_kernel(spark):
+    channels = _signals()
+    got = candidate_maxima(_frame(spark, channels)).toPandas()
+    for ch, y in channels.items():
+        mids, _, _ = sigproc.local_maxima_plateau(y)
+        sub = np.sort(got[got.channel_id == ch].peak_idx.to_numpy())
+        assert np.array_equal(sub, mids), f"channel {ch}"
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(distance=20, prominence=None, width=None),
+        dict(distance=20, prominence=0.3, width=None),
+        dict(distance=None, prominence=0.3, width=1.0),
+        dict(distance=None, prominence=None, width=1.0),
+        dict(distance=20, prominence=0.3, width=1.0),
+    ],
+)
+def test_native_find_peaks_matches_numpy(spark, kwargs):
+    channels = _signals()
+    got = (
+        native_find_peaks(_frame(spark, channels), rel_height=0.3, wlen=250, **kwargs)
+        .toPandas()
+        .sort_values(["channel_id", "peak_idx"])
+    )
+    for ch, y in channels.items():
+        exp = sigproc.find_peaks(y, rel_height=0.3, wlen=250, **kwargs)
+        sub = got[got.channel_id == ch].peak_idx.to_numpy()
+        assert np.array_equal(sub, exp), f"channel {ch}: {kwargs}"
+
+
+def test_prominence_and_width_values_match_numpy(spark):
+    channels = _signals(seed=11, n_channels=3)
+    got = (
+        native_find_peaks(
+            _frame(spark, channels), distance=20, prominence=0.3, width=1.0
+        )
+        .toPandas()
+        .sort_values(["channel_id", "peak_idx"])
+    )
+    for ch, y in channels.items():
+        cand, _, _ = sigproc.local_maxima_plateau(y)
+        keep = sigproc._select_by_distance(cand, y[cand], 20)
+        peaks = cand[keep]
+        proms, lb, rb = sigproc.peak_prominences(y, peaks, 250)
+        widths = sigproc.peak_widths(y, peaks, 0.3, proms, lb, rb)
+        mask = (proms >= 0.3) & (widths >= 1.0)
+        sub = got[got.channel_id == ch]
+        assert np.array_equal(sub.peak_idx.to_numpy(), peaks[mask])
+        np.testing.assert_allclose(
+            sub.prominence.to_numpy(), proms[mask], rtol=0, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            sub.width.to_numpy(), widths[mask], rtol=0, atol=1e-9
+        )
+
+
+def test_unbounded_wlen(spark):
+    channels = _signals(seed=3, n_channels=2)
+    got = (
+        native_find_peaks(
+            _frame(spark, channels),
+            distance=None,
+            prominence=0.5,
+            width=None,
+            wlen=None,
+        )
+        .toPandas()
+        .sort_values(["channel_id", "peak_idx"])
+    )
+    for ch, y in channels.items():
+        exp = sigproc.find_peaks(y, prominence=0.5)
+        sub = got[got.channel_id == ch].peak_idx.to_numpy()
+        assert np.array_equal(sub, exp), f"channel {ch}"
+
+
+def test_validation_mirrors_scipy(spark):
+    df = _frame(spark, {0: np.arange(10.0)})
+    with pytest.raises(ValueError, match="distance"):
+        native_find_peaks(df, distance=0)
+    with pytest.raises(ValueError, match="wlen"):
+        native_find_peaks(df, wlen=1)
