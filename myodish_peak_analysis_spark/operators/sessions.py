@@ -68,8 +68,9 @@ def session_stats(events: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
 
 
 def sessions_sql(gap_seconds: float = 1800.0) -> str:
-    """DuckDB mirror: epoch_us(ts) equals Spark's ``ts DIV 1000``
-    because DuckDB already truncated the parquet nanos to micros."""
+    """DuckDB mirror: epoch_us(ts) equals Spark's :func:`~..schema.ts_micros`
+    for every harness timestamp generation (nanos are truncated to DuckDB's
+    micro TIMESTAMP; micros pass through)."""
     gap = int(gap_seconds * MICROS)
     return f"""
     WITH e AS (SELECT epoch_us(ts) AS ts_n, * FROM events),

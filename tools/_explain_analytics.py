@@ -36,7 +36,9 @@ def audit(name, df):
 spark = get_spark("explain")
 spark.sparkContext.setLogLevel("ERROR")
 
-events = read_table(spark, SF, "events").withColumn("ts_us", F.expr("ts DIV 1000"))
+from myodish_peak_analysis_spark.schema import ts_micros
+_ev = read_table(spark, SF, "events")
+events = _ev.withColumn("ts_us", ts_micros(_ev))
 docs = read_table(spark, SF, "documents")
 
 audit("value_histogram", value_histogram(read_table(spark, SF, "events")))

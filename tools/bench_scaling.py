@@ -42,6 +42,15 @@ from myodish_peak_analysis_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _best_of_2(df: DataFrame) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def _pipeline_seconds(events: DataFrame, n_rows: int) -> float:
     """Best-of-2 wall seconds for the full pipeline over ``events``."""
     n_channels = max(1, n_rows // TARGET_CHANNEL_ROWS)
@@ -49,12 +58,19 @@ def _pipeline_seconds(events: DataFrame, n_rows: int) -> float:
     pipe = (
         PeakPipeline(sig).smooth().envelopes().diastolic().detect_peaks().attributes()
     )
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        pipe.write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
-    return best
+    return _best_of_2(pipe)
+
+
+def _find_peaks_seconds(events: DataFrame, n_rows: int) -> float:
+    """Best-of-2 wall seconds for the JVM-side constrained find_peaks."""
+    from myodish_peak_analysis_spark.operators.native_peaks import (
+        native_find_peaks,
+    )
+    from myodish_peak_analysis_spark.operators.smooth import with_fir_smooth
+
+    n_channels = max(1, n_rows // TARGET_CHANNEL_ROWS)
+    sig = with_fir_smooth(signal_frame_from_events(events, n_channels=n_channels))
+    return _best_of_2(native_find_peaks(sig))
 
 
 def main() -> None:
@@ -87,28 +103,34 @@ def main() -> None:
     big = big.cache()
     nk = big.count()
 
-    s1 = _pipeline_seconds(base, n1)
-    sk = _pipeline_seconds(big, nk)
-    tp1, tpk = n1 / s1, nk / sk
-    ratio = tpk / tp1
-    print(
-        json.dumps(
-            {
-                "metric": "scaling_throughput_ratio",
-                "value": round(ratio, 3),
-                "unit": f"x (rows/s at {args.factor}x vs 1x)",
-                "rows_1x": n1,
-                "rows_kx": nk,
-                "sec_1x": round(s1, 3),
-                "sec_kx": round(sk, 3),
-                "rows_per_sec_1x": round(tp1),
-                "rows_per_sec_kx": round(tpk),
-                "channels_kx": nk // TARGET_CHANNEL_ROWS,
-                "sf_dir": SF_DIR,
-            }
+    failed = False
+    for name, fn in (
+        ("native_pipeline", _pipeline_seconds),
+        ("native_find_peaks", _find_peaks_seconds),
+    ):
+        s1 = fn(base, n1)
+        sk = fn(big, nk)
+        tp1, tpk = n1 / s1, nk / sk
+        ratio = tpk / tp1
+        print(
+            json.dumps(
+                {
+                    "metric": f"scaling_throughput_ratio:{name}",
+                    "value": round(ratio, 3),
+                    "unit": f"x (rows/s at {args.factor}x vs 1x)",
+                    "rows_1x": n1,
+                    "rows_kx": nk,
+                    "sec_1x": round(s1, 3),
+                    "sec_kx": round(sk, 3),
+                    "rows_per_sec_1x": round(tp1),
+                    "rows_per_sec_kx": round(tpk),
+                    "channels_kx": nk // TARGET_CHANNEL_ROWS,
+                    "sf_dir": SF_DIR,
+                }
+            )
         )
-    )
-    if ratio < args.min_ratio:
+        failed = failed or ratio < args.min_ratio
+    if failed:
         sys.exit(1)
 
 
