@@ -175,14 +175,43 @@ class PeakPipeline:
         )
         return self._next(with_diastolic(self.df, relative_to_baseline=rel))
 
-    def detect_peaks(self, threshold: float | None = None) -> "PeakPipeline":
+    def detect_peaks(
+        self, threshold: float | None = None, constrained: bool = False
+    ) -> "PeakPipeline":
         """Native route: plateau-midpoint maxima + envelope threshold
-        filter (P2/P3). For SciPy-constraint parity (distance /
-        prominence / width) use :meth:`fidelity_peaks`."""
+        filter (P2/P3). With ``constrained=True`` the maxima first pass
+        the reference's SciPy constraints (distance / prominence / width,
+        peak_detection.py:251) via the JVM-side
+        :func:`~.operators.native_peaks.native_find_peaks` before the
+        threshold filter — the fully-native P1+P2 chain; for
+        reference-EXACT edge behavior (block-pad smoothing) use
+        :meth:`fidelity_peaks`."""
         th = self.p["threshold"] if threshold is None else threshold
         df = with_threshold_keep(self.df, value_col=self._value_col, threshold=th)
+        if not constrained:
+            return self._next(
+                df.withColumn("_keep", F.col("is_peak") & F.col("keep_peak"))
+            )
+        from .operators.native_peaks import native_find_peaks
+
+        kept = native_find_peaks(
+            self.df,
+            value_col=self._value_col,
+            distance=self.p["min_distance"],
+            prominence=self.p["prominence"],
+            width=self.p["width"],
+            rel_height=self.p["rel_height"],
+            wlen=self.p["wlen"],
+        ).select(
+            "channel_id",
+            F.col("peak_idx").alias("sample_idx"),
+            F.lit(True).alias("_cand"),
+        )
+        df = df.join(kept, ["channel_id", "sample_idx"], "left")
         return self._next(
-            df.withColumn("_keep", F.col("is_peak") & F.col("keep_peak"))
+            df.withColumn(
+                "_keep", F.coalesce(F.col("_cand"), F.lit(False)) & F.col("keep_peak")
+            ).drop("_cand")
         )
 
     def crossing_points(self) -> DataFrame:

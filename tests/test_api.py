@@ -68,3 +68,50 @@ def test_detect_stim_peaks_ignores_tuning_params(spark):
     a = pipe.detect_stim_peaks().collect()
     b = pipe.detect_stim_peaks(prominence=99, min_distance=99).collect()
     assert [r.peak_idx for r in a] == [r.peak_idx for r in b] == [1, 3]
+
+
+def test_constrained_detect_peaks_matches_native_find_peaks(spark):
+    """constrained=True keeps exactly the native_find_peaks survivors
+    that also pass the envelope threshold filter, and the kept set is a
+    subset of the unconstrained detection."""
+    import pyspark.sql.functions as F
+
+    from myodish_peak_analysis_spark.operators.native_peaks import (
+        native_find_peaks,
+    )
+
+    sig = signal_frame(spark, SF001, n_channels=1)
+    base = PeakPipeline(sig).smooth().envelopes().diastolic()
+    unconstrained = base.detect_peaks()
+    constrained = base.detect_peaks(constrained=True)
+
+    kept_u = {
+        (r.channel_id, r.sample_idx)
+        for r in unconstrained.df.filter("_keep").select(
+            "channel_id", "sample_idx"
+        ).collect()
+    }
+    kept_c = {
+        (r.channel_id, r.sample_idx)
+        for r in constrained.df.filter("_keep").select(
+            "channel_id", "sample_idx"
+        ).collect()
+    }
+    assert kept_c and kept_c <= kept_u
+
+    finder = {
+        (r.channel_id, r.peak_idx)
+        for r in native_find_peaks(base.df, value_col="smooth")
+        .select("channel_id", "peak_idx")
+        .collect()
+    }
+    thresh_ok = {
+        (r.channel_id, r.sample_idx)
+        for r in unconstrained.df.filter("keep_peak")
+        .select("channel_id", "sample_idx")
+        .collect()
+    }
+    assert kept_c == (finder & thresh_ok)
+
+    att = constrained.attributes()
+    assert att.count() == len(kept_c)
