@@ -559,3 +559,17 @@ def test_multimodal_real_audio_codec(spark):
     out = multimodal.audio_metadata(media, fake=False).collect()
     assert out[0].duration_s == pytest.approx(0.5)
     assert out[0].sample_rate == 16000
+
+
+def test_lm_scorers_plan_has_no_term_window_exchange(spark):
+    """The r2 scale fix: term frequencies are a map-side-combined
+    groupBy broadcast-joined back, never a count window partitioned by
+    raw term (one task per stopword). Pin the plan shape."""
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox the the") for i in range(8)],
+        "doc_id long, text string",
+    )
+    for fn in (text.with_unigram_logprob, text.with_bigram_logprob):
+        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "Window" not in plan, fn.__name__
