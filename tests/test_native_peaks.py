@@ -129,3 +129,33 @@ def test_validation_mirrors_scipy(spark):
         native_find_peaks(df, distance=0)
     with pytest.raises(ValueError, match="wlen"):
         native_find_peaks(df, wlen=1)
+
+
+def test_edge_case_battery(spark):
+    """Adversarial channel shapes in one frame: plateaus at borders,
+    priority ties inside the distance radius, monotones, constants."""
+    cases = {
+        0: np.full(30, 5.0),                     # constant — no peaks
+        1: np.arange(30, dtype=float),           # monotone up
+        2: np.arange(30, dtype=float)[::-1],     # monotone down
+        3: np.array([0, 3, 3, 3, 0, 1, 0] * 5, dtype=float),  # plateaus
+        4: np.array([0.0] * 10 + [7, 7] + [0.0] * 10),  # even plateau
+        5: np.array([0, 5, 0, 5, 0, 5, 0], dtype=float),  # ties within 20
+        6: np.array([1, 9, 1], dtype=float),     # peak at idx 1 (n=3)
+        7: np.concatenate([[9.0], np.zeros(10), [8.0, 9.0]]),  # border highs
+        8: np.array([0, 1, 2, 3, 2, 1, 0, 1, 2, 3, 2, 1, 0] * 4, float),
+    }
+    got = (
+        native_find_peaks(
+            _frame(spark, cases), distance=3, prominence=0.5, width=1.0,
+            rel_height=0.5, wlen=7,
+        )
+        .toPandas()
+        .sort_values(["channel_id", "peak_idx"])
+    )
+    for ch, y in cases.items():
+        exp = sigproc.find_peaks(
+            y, distance=3, prominence=0.5, width=1.0, rel_height=0.5, wlen=7
+        )
+        sub = got[got.channel_id == ch].peak_idx.to_numpy()
+        assert np.array_equal(sub, exp), f"channel {ch}: got {sub} exp {exp}"
