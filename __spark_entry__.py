@@ -110,6 +110,7 @@ _ROTATE_FIRST = [
     "semantic_dedup",
     "returned_orders_by_priority",
     "native_find_peaks",
+    "sketch_profile",
 ]
 _ROTATE_LAST = [
     # 19 entries with green CORRECTNESS_r02.json rows (fidelity_* are

@@ -240,6 +240,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(read_table(spark, sf_dir, "embeddings"))
 
 
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch corpus profile (HLL++ cardinalities, GK quantile
+    sketch) — the 100 TB substitute for exact distinct/percentile
+    aggregates. Deterministic but intentionally approximate, so it is a
+    rows-only driver check; tolerance vs the exact aggregates is pinned
+    in tests/test_llm.py."""
+    from . import sketches
+
+    return sketches.sketch_profile(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -278,4 +289,5 @@ QUERIES = {
     "curated_corpus": q_curated_corpus,
     "duplicated_spans": q_duplicated_spans,
     "semantic_dedup": q_semantic_dedup,
+    "sketch_profile": q_sketch_profile,
 }

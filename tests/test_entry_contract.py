@@ -12,7 +12,12 @@ import sys
 
 #: queries() keys that intentionally have no oracle_sql() entry
 #: (non-SQL-expressible; the driver records a rows-only check).
-ROWS_ONLY = {"fidelity_peaks", "fidelity_signal", "native_find_peaks"}
+ROWS_ONLY = {
+    "fidelity_peaks",
+    "fidelity_signal",
+    "native_find_peaks",
+    "sketch_profile",
+}
 
 
 def _entry():

@@ -573,3 +573,34 @@ def test_lm_scorers_plan_has_no_term_window_exchange(spark):
         plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, fn.__name__
         assert "Window" not in plan, fn.__name__
+
+
+def test_sketch_profile_tolerances(spark):
+    """HLL++ cardinalities within rsd-scaled error of exact counts;
+    quantile sketch within its rank-accuracy bound; determinism across
+    two evaluations."""
+    from myodish_peak_analysis_spark.llm import sketches
+    from myodish_peak_analysis_spark.schema import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    prof = sketches.sketch_profile(docs, rsd=0.01).collect()[0]
+
+    exact_tokens = (
+        docs.selectExpr("explode(split(text, ' ')) AS t").select("t").distinct().count()
+    )
+    exact_texts = docs.selectExpr("md5(text) AS h").distinct().count()
+    assert abs(prof.approx_distinct_tokens - exact_tokens) <= 0.05 * exact_tokens
+    assert abs(prof.approx_distinct_texts - exact_texts) <= 0.05 * exact_texts
+    assert prof.n_docs == docs.count()
+
+    exact_p50 = docs.selectExpr(
+        "percentile(n_chars, 0.5) AS p"
+    ).collect()[0].p
+    assert abs(prof.p50_chars - exact_p50) <= 0.05 * exact_p50
+    assert prof.p50_chars <= prof.p90_chars <= prof.p99_chars
+
+    again = sketches.sketch_profile(docs, rsd=0.01).collect()[0]
+    assert again.asDict() == prof.asDict()  # sketches are deterministic
+
+    per_src = sketches.per_source_sketches(docs).collect()
+    assert len(per_src) == docs.select("source").distinct().count()
