@@ -111,6 +111,7 @@ _ROTATE_FIRST = [
     "returned_orders_by_priority",
     "native_find_peaks",
     "sketch_profile",
+    "per_source_profile",
 ]
 _ROTATE_LAST = [
     # 19 entries with green CORRECTNESS_r02.json rows (fidelity_* are

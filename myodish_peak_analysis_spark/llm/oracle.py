@@ -561,3 +561,7 @@ SELECT * FROM (
       ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
 ) p WHERE cosine >= 0.4
 """
+
+from .sketches import per_source_profile_sql  # noqa: E402
+
+ORACLES["per_source_profile"] = per_source_profile_sql()

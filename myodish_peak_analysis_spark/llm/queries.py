@@ -251,6 +251,14 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.sketch_profile(read_table(spark, sf_dir, "documents"))
 
 
+def q_per_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of the sketch profile (oracle-checked): per-source
+    count, exact distinct text hashes, rank-exact median of n_chars."""
+    from . import sketches
+
+    return sketches.per_source_profile(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -290,4 +298,5 @@ QUERIES = {
     "duplicated_spans": q_duplicated_spans,
     "semantic_dedup": q_semantic_dedup,
     "sketch_profile": q_sketch_profile,
+    "per_source_profile": q_per_source_profile,
 }

@@ -72,3 +72,61 @@ def per_source_sketches(docs: DataFrame, rsd: float = 0.05) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def per_source_profile(docs: DataFrame) -> DataFrame:
+    """The EXACT twin of :func:`per_source_sketches` — oracle-checkable
+    (count, exact distinct text hashes, rank-formulated exact median of
+    n_chars: mean of the middle one/two values, no engine-specific
+    interpolation). This is what the sketches replace at 100 TB: the
+    distinct here shuffles every (source, hash) pair and the median
+    sorts per source, vs KB-sized mergeable sketch state."""
+    from pyspark.sql.window import Window
+
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("_n"),
+    )
+    mid = (
+        (F.col("_rn") * 2 == F.col("_n"))
+        | (F.col("_rn") * 2 == F.col("_n") + 1)
+        | (F.col("_rn") * 2 == F.col("_n") + 2)
+    )
+    med = (
+        ranked.filter(mid)
+        .groupBy("source")
+        .agg(F.round(F.avg("n_chars"), 6).alias("median_chars"))
+    )
+    return base.join(med, "source").orderBy("source")
+
+
+def per_source_profile_sql() -> str:
+    return """
+    WITH ranked AS (
+        SELECT source, n_chars, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    med AS (
+        SELECT source, ROUND(AVG(n_chars), 6) AS median_chars
+        FROM ranked
+        WHERE rn * 2 IN (n, n + 1, n + 2)
+        GROUP BY source
+    ),
+    base AS (
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+               COUNT(DISTINCT md5(text))::BIGINT AS n_distinct_texts
+        FROM documents GROUP BY source
+    )
+    SELECT base.source, n_docs, n_distinct_texts, median_chars
+    FROM base JOIN med USING (source)
+    ORDER BY base.source
+    """
