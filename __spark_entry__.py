@@ -112,6 +112,7 @@ _ROTATE_FIRST = [
     "native_find_peaks",
     "sketch_profile",
     "per_source_profile",
+    "asof_tolerance",
 ]
 _ROTATE_LAST = [
     # 19 entries with green CORRECTNESS_r02.json rows (fidelity_* are
@@ -167,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": _q.q_funnel_counts,
         "cohort_retention": _q.q_cohort_retention,
         "asof_view_before_purchase": _q.q_asof_view_before_purchase,
+        "asof_tolerance": _q.q_asof_tolerance,
         "resample_hourly": _q.q_resample_hourly,
         "value_histogram": _q.q_value_histogram,
         "corpus_rollup": _q.q_corpus_rollup,
@@ -210,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_counts": _sessions.funnel_counts_sql(),
         "cohort_retention": _sessions.cohort_retention_sql(),
         "asof_view_before_purchase": _oracle.asof_oracle(),
+        "asof_tolerance": _oracle.asof_tolerance_oracle(),
         "resample_hourly": _oracle.resample_oracle(),
         "value_histogram": _oracle.value_histogram_oracle(),
         "corpus_rollup": _analytics.corpus_rollup_sql(),

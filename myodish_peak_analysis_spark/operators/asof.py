@@ -34,10 +34,17 @@ def asof_join(
     right_cols: tuple[str, ...],
     suffix: str = "_asof",
     strict: bool = False,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest ``on``
     value <= the left row's (``<`` when ``strict``), within the same
     ``by`` group. Left rows without a prior right row keep NULLs.
+    ``tolerance`` (same units as ``on``) additionally bounds the
+    lookback: a match older than ``left.on - tolerance`` is discarded —
+    pandas ``merge_asof(tolerance=...)`` semantics, the usual guard in
+    sensor fusion so a stale reading never attaches to a fresh event.
+    The bound costs one comparison on the already-computed running
+    match: no extra shuffle, sort, or join.
 
     Ordering contract: ties on ``on`` between a left and a right row
     resolve with the right row visible (non-strict) / hidden (strict) —
@@ -61,7 +68,10 @@ def asof_join(
             # even when every payload FIELD is NULL, so a right row with
             # a NULL value is still the match (its NULL is returned)
             # rather than being skipped for an older row.
-            F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_r_payload"),
+            F.struct(
+                *[F.col(c).alias(c) for c in right_cols],
+                F.col(on).alias("__r_on"),
+            ).alias("_r_payload"),
         )
         .withColumn("_side", F.lit(0))
     )
@@ -93,6 +103,14 @@ def asof_join(
             ).over(w),
         ),
     )
+    if tolerance is not None:
+        u = u.withColumn(
+            "_match",
+            F.when(
+                F.col(on) - F.col("_match.__r_on") <= F.lit(int(tolerance)),
+                F.col("_match"),
+            ),
+        )
     for c in right_cols:
         u = u.withColumn(f"{c}{suffix}", F.col(f"_match.{c}"))
     return u.filter(F.col("_side") == 1).drop("_side", "_r_payload", "_match")

@@ -219,6 +219,24 @@ def asof_oracle() -> str:
     """
 
 
+def asof_tolerance_oracle() -> str:
+    """Tolerance-bounded as-of via the naive inequality formulation —
+    deliberately different machinery from the Spark union-sort route."""
+    hour_us = 3600 * 1_000_000
+    return f"""
+    WITH e AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+    p AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts_us, max_by(value, event_id) AS view_value
+          FROM e WHERE event_type = 'view' GROUP BY user_id, ts_us)
+    SELECT p.event_id, p.user_id, p.ts_us, p.value,
+           max_by(v.view_value, v.ts_us) AS recent_view_value
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts_us <= p.ts_us AND v.ts_us >= p.ts_us - {hour_us}
+    GROUP BY p.event_id, p.user_id, p.ts_us, p.value
+    """
+
+
 def resample_oracle() -> str:
     hour_us = 3600 * 1_000_000
     return f"""

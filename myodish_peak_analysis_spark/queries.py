@@ -445,3 +445,34 @@ def q_native_find_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("prominence"),
         _r("width"),
     )
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of: the prior view only attaches if it is at
+    most 1 hour old (pandas ``merge_asof(tolerance=...)`` semantics) —
+    same union-sort plan as the unbounded as-of plus one comparison."""
+    from .operators.asof import asof_join
+
+    hour_us = 3600 * 1_000_000
+    events = read_table(spark, sf_dir, "events")
+    events = events.withColumn("ts_us", ts_micros(events))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="ts_us",
+        by="user_id",
+        right_cols=("view_value",),
+        tolerance=hour_us,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "value",
+        F.col("view_value_asof").alias("recent_view_value"),
+    )

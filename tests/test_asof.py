@@ -54,6 +54,39 @@ def test_asof_null_timestamps_never_match(spark):
     assert out[2.0] is None  # NULL-t left row matches nothing
 
 
+def test_asof_tolerance_bounds_lookback(spark):
+    """A match older than `tolerance` is discarded (boundary inclusive,
+    pandas merge_asof semantics); newer matches are unaffected."""
+    left = _df(
+        spark,
+        [(1, 100, 1.0), (1, 200, 2.0), (1, 205, 3.0)],
+        "k long, t long, v double",
+    )
+    right = _df(
+        spark,
+        [(1, 90, 90.0), (1, 198, 198.0)],
+        "k long, t long, rv double",
+    )
+    out = {
+        r.t: r.rv_asof
+        for r in asof_join(
+            left, right, on="t", by="k", right_cols=("rv",), tolerance=10
+        ).collect()
+    }
+    assert out[100] == 90.0  # age exactly == tolerance: kept
+    assert out[200] == 198.0
+    assert out[205] == 198.0  # age 7 <= 10
+    out2 = {
+        r.t: r.rv_asof
+        for r in asof_join(
+            left, right, on="t", by="k", right_cols=("rv",), tolerance=5
+        ).collect()
+    }
+    assert out2[100] is None  # age 10 > 5: stale match discarded
+    assert out2[200] == 198.0
+    assert out2[205] is None  # age 7 > 5
+
+
 def test_resample_negative_ts_floor_division(spark):
     df = _df(spark, [(1, -5, 1.0), (1, 5, 2.0)], "k long, t long, v double")
     r = {x.bucket: x.n for x in resample(df, "t", "v", "k", 10).collect()}
