@@ -35,6 +35,7 @@ def asof_join(
     suffix: str = "_asof",
     strict: bool = False,
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest ``on``
     value <= the left row's (``<`` when ``strict``), within the same
@@ -45,6 +46,13 @@ def asof_join(
     sensor fusion so a stale reading never attaches to a fresh event.
     The bound costs one comparison on the already-computed running
     match: no extra shuffle, sort, or join.
+
+    ``direction="forward"`` flips the search to the NEAREST FOLLOWING
+    right row (>= / > when strict, lookahead bounded by ``tolerance``) —
+    implemented by negating the ``on`` axis and reusing the backward
+    machinery verbatim, so both directions share one code path and one
+    plan shape (negation preserves ties, strictness, and the tolerance
+    age formula).
 
     Ordering contract: ties on ``on`` between a left and a right row
     resolve with the right row visible (non-strict) / hidden (strict) —
@@ -58,6 +66,22 @@ def asof_join(
     "the most recent prior"; DuckDB ASOF agrees: ``l.on >= NULL`` is
     never true).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction == "forward":
+        out = asof_join(
+            left.withColumn(on, -F.col(on)),
+            right.withColumn(on, -F.col(on)),
+            on=on,
+            by=by,
+            right_cols=right_cols,
+            suffix=suffix,
+            strict=strict,
+            tolerance=tolerance,
+            direction="backward",
+        )
+        return out.withColumn(on, -F.col(on))
+
     lt = left.withColumn("_side", F.lit(1))
     rt = (
         right.filter(F.col(on).isNotNull())

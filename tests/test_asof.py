@@ -87,6 +87,41 @@ def test_asof_tolerance_bounds_lookback(spark):
     assert out2[205] is None  # age 7 > 5
 
 
+def test_asof_forward_direction(spark):
+    """direction='forward' attaches the nearest FOLLOWING right row,
+    with tie visibility, strictness, and tolerance mirrored."""
+    left = _df(
+        spark,
+        [(1, 10, 1.0), (1, 20, 2.0), (1, 30, 3.0)],
+        "k long, t long, v double",
+    )
+    right = _df(
+        spark,
+        [(1, 12, 12.0), (1, 20, 20.0)],
+        "k long, t long, rv double",
+    )
+
+    def run(**kw):
+        return {
+            r.t: r.rv_asof
+            for r in asof_join(
+                left, right, on="t", by="k", right_cols=("rv",),
+                direction="forward", **kw
+            ).collect()
+        }
+
+    out = run()
+    assert out[10] == 12.0  # nearest following
+    assert out[20] == 20.0  # tie visible (non-strict)
+    assert out[30] is None  # nothing after
+    strict = run(strict=True)
+    assert strict[10] == 12.0
+    assert strict[20] is None  # equal-time row hidden
+    tol = run(tolerance=1)
+    assert tol[10] is None  # age 2 > 1
+    assert tol[20] == 20.0  # age 0 <= 1
+
+
 def test_resample_negative_ts_floor_division(spark):
     df = _df(spark, [(1, -5, 1.0), (1, 5, 2.0)], "k long, t long, v double")
     r = {x.bucket: x.n for x in resample(df, "t", "v", "k", 10).collect()}
