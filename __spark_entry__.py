@@ -113,6 +113,7 @@ _ROTATE_FIRST = [
     "sketch_profile",
     "per_source_profile",
     "asof_tolerance",
+    "constrained_peak_attributes",
 ]
 _ROTATE_LAST = [
     # 19 entries with green CORRECTNESS_r02.json rows (fidelity_* are
@@ -187,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fidelity_peaks": _q.q_fidelity_peaks,
         "fidelity_signal": _q.q_fidelity_signal,
         "native_find_peaks": _q.q_native_find_peaks,
+        "constrained_peak_attributes": _q.q_constrained_peak_attributes,
     }
     out.update(_llm_q.QUERIES)
     return _rotate(out)

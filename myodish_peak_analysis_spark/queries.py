@@ -476,3 +476,33 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts_us", "value",
         F.col("view_value_asof").alias("recent_view_value"),
     )
+
+
+def q_constrained_peak_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end NATIVE constrained chain: smooth → envelopes →
+    diastolic → SciPy-constraint detection (JVM-side native_find_peaks)
+    → envelope threshold → crossings → per-peak attributes. Rows-only
+    (constraint semantics are non-SQL-expressible); the kept-set
+    contract is pinned by tests/test_api.py."""
+    from .api import PeakPipeline
+
+    sig = signal_frame(spark, sf_dir, n_channels=ORACLE_CHANNELS)
+    att = (
+        PeakPipeline(sig)
+        .smooth()
+        .envelopes()
+        .diastolic()
+        .detect_peaks(constrained=True)
+        .attributes()
+    )
+    return att.select(
+        "channel_id",
+        "peak_idx",
+        "timestamp",
+        _r("peak_value"),
+        _r("baseline_value"),
+        _r("force"),
+        _r("time_to_peak"),
+        _r("time_to_relaxation"),
+        _r("duration"),
+    )

@@ -17,6 +17,7 @@ ROWS_ONLY = {
     "fidelity_signal",
     "native_find_peaks",
     "sketch_profile",
+    "constrained_peak_attributes",
 }
 
 
