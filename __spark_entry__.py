@@ -114,6 +114,7 @@ _ROTATE_FIRST = [
     "per_source_profile",
     "asof_tolerance",
     "constrained_peak_attributes",
+    "training_order",
 ]
 _ROTATE_LAST = [
     # 19 entries with green CORRECTNESS_r02.json rows (fidelity_* are

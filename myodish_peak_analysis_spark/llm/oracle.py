@@ -565,3 +565,7 @@ SELECT * FROM (
 from .sketches import per_source_profile_sql  # noqa: E402
 
 ORACLES["per_source_profile"] = per_source_profile_sql()
+
+from .sampling import training_order_sql  # noqa: E402
+
+ORACLES["training_order"] = training_order_sql()

@@ -259,6 +259,15 @@ def q_per_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.per_source_profile(read_table(spark, sf_dir, "documents"))
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle (shard + in-shard position)
+    for reproducible training epochs; md5 permutation keys so the order
+    is engine-portable and oracle-checked."""
+    from . import sampling
+
+    return sampling.training_order(read_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -299,4 +308,5 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "sketch_profile": q_sketch_profile,
     "per_source_profile": q_per_source_profile,
+    "training_order": q_training_order,
 }

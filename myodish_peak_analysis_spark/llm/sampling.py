@@ -137,3 +137,62 @@ def mixture_weights_sql(group_col: str = "source") -> str:
            CAST(_total AS DOUBLE) / CAST(_nsrc * src_chars AS DOUBLE) AS weight
     FROM per_src, totals
     """
+
+
+def training_order(docs: DataFrame, seed: int = 0, n_shards: int = 8) -> DataFrame:
+    """Deterministic, reproducible corpus shuffle for training epochs:
+    every doc gets a pseudo-random ``shard`` and an in-shard ``pos``,
+    both pure functions of ``(doc_id, seed)`` — rerunning with the same
+    seed reproduces the exact order on any cluster size; bumping the
+    seed reshuffles for the next epoch.
+
+    The permutation key is ``md5(doc_id || ':' || seed)`` — chosen over
+    the engine-native hashes (Spark xxhash64 vs DuckDB hash differ)
+    because md5 is bit-identical everywhere, so the order is
+    oracle-checkable. Shard = first two hash bytes mod ``n_shards``
+    (ascii arithmetic — portable without hex-int conversion); pos =
+    rank of the hash within the shard.
+
+    Scale: one exchange on ``shard`` + an in-partition sort of 32-char
+    keys. Shards are hash-balanced, so per-shard sort memory is
+    corpus/n_shards — raise ``n_shards`` with data (the same lever as
+    ``pack_chunks``'s shard_mod, and the two compose: feed this order
+    into packing for shuffled-then-packed training manifests).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(seed))))
+    shard = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % F.lit(int(n_shards))
+    ranked = docs.select(
+        "doc_id",
+        h.alias("_h"),
+        shard.cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return ranked.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    ).orderBy("shard", "pos")
+
+
+def training_order_sql(seed: int = 0, n_shards: int = 8) -> str:
+    """DuckDB mirror of :func:`training_order` (same md5 permutation)."""
+    return f"""
+    WITH h AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':' || '{seed}') AS _h
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, _h,
+               (ascii(substr(_h, 1, 1)) * 256 + ascii(substr(_h, 2, 1)))
+                   % {int(n_shards)} AS shard
+        FROM h
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _h, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    ORDER BY shard, pos
+    """

@@ -604,3 +604,24 @@ def test_sketch_profile_tolerances(spark):
 
     per_src = sketches.per_source_sketches(docs).collect()
     assert len(per_src) == docs.select("source").distinct().count()
+
+
+def test_training_order_is_seeded_permutation(spark):
+    from myodish_peak_analysis_spark.llm import sampling
+    from myodish_peak_analysis_spark.schema import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    a = sampling.training_order(docs, seed=0, n_shards=4).collect()
+    b = sampling.training_order(docs, seed=0, n_shards=4).collect()
+    assert a == b  # reproducible
+    assert {r.doc_id for r in a} == {r.doc_id for r in docs.select("doc_id").collect()}
+    # pos is contiguous 1..n within each shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed produces a different permutation
+    c = sampling.training_order(docs, seed=1, n_shards=4).collect()
+    assert [r.doc_id for r in c] != [r.doc_id for r in a]
