@@ -141,3 +141,65 @@ def test_resample_and_gap_fill(spark):
     rows = {x.bucket: (x.avg_value, x._filled) for x in filled.collect()}
     assert rows[1] == (15.0, False)  # gap bucket carried forward
     assert rows[2] == (40.0, True)
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof — an independent
+    reference implementation of the exact semantics we claim (direction,
+    inclusive tolerance, allow_exact_matches == not strict)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    for direction in ("backward", "forward"):
+        for tolerance in (None, 7):
+            for strict in (False, True):
+                lt = pd.DataFrame(
+                    {
+                        "k": rng.integers(0, 3, 40),
+                        "t": rng.choice(np.arange(0, 200), 40, replace=False).astype(
+                            np.int64
+                        ),
+                    }
+                ).sort_values("t")
+                rt = pd.DataFrame(
+                    {
+                        "k": rng.integers(0, 3, 30),
+                        "t": rng.choice(np.arange(0, 200), 30, replace=False).astype(
+                            np.int64
+                        ),
+                    }
+                ).sort_values("t")
+                rt["rv"] = rt["t"].astype(float)
+                exp = pd.merge_asof(
+                    lt,
+                    rt,
+                    on="t",
+                    by="k",
+                    direction=direction,
+                    tolerance=tolerance,
+                    allow_exact_matches=not strict,
+                )
+                got = (
+                    asof_join(
+                        spark.createDataFrame(lt),
+                        spark.createDataFrame(rt),
+                        on="t",
+                        by="k",
+                        right_cols=("rv",),
+                        strict=strict,
+                        tolerance=tolerance,
+                        direction=direction,
+                    )
+                    .toPandas()
+                    .sort_values("t")
+                    .reset_index(drop=True)
+                )
+                exp = exp.sort_values("t").reset_index(drop=True)
+                lhs = got["rv_asof"].to_numpy(dtype=float)
+                rhs = exp["rv"].to_numpy(dtype=float)
+                assert ((lhs == rhs) | (np.isnan(lhs) & np.isnan(rhs))).all(), (
+                    direction,
+                    tolerance,
+                    strict,
+                )
