@@ -142,7 +142,12 @@ def main() -> None:
         "text_stats": lambda: text.with_text_stats(docs),
         "doc_fingerprints": lambda: text.doc_fingerprints(docs),
         "ann_cosine_topk": lambda: similarity.cosine_topk(emb),
-        "ann_lsh_topk": lambda: similarity.lsh_topk(emb),
+        # n_planes="auto" is the production path (plane count grows with
+        # log2(N) so bucket population stays bounded); the fixed-plane
+        # default remains the oracle-mirrored variant in queries(). At
+        # sf0.1's 5000 vectors the fixed 16 buckets held ~312 vectors
+        # each and the bucket join fanned out (the r3 bench regression).
+        "ann_lsh_topk": lambda: similarity.lsh_topk(emb, n_planes="auto"),
         "pricing_summary": lambda: pricing_summary(
             read_table(spark, SF_DIR, "lineitem")
         ),
@@ -155,10 +160,13 @@ def main() -> None:
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     for name, build in queries.items():
         best = float("inf")
-        for _ in range(2):  # best-of-2: shields the recorded number from
-            t0 = time.time()  # one-off JIT/host-load noise
+        for _ in range(reps):  # best-of-n: shields the recorded number
+            t0 = time.time()  # from one-off JIT/GC/host-load noise
+            # (r3's best-of-2 still let a 0.2s wobble on value_histogram
+            # read as a regression; n=3 is the verdict's repeatability ask)
             # build() is inside the timed region: for lazy queries it
             # costs ~nothing, but iterative operators (dedup_clusters'
             # per-round convergence actions) do real work there.

@@ -76,6 +76,23 @@ def lsh_planes_for(n: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
     return planes
 
 
+KMEANS_CLUSTERS = 16  #: deterministic k-means default (IVF coarse
+#: quantizer + SemDeDup clustering) — the count the DuckDB oracles
+#: mirror. Scale callers derive k from N via :func:`kmeans_clusters_for`.
+
+
+def kmeans_clusters_for(n: int) -> int:
+    """Cluster count for the IVF/SemDeDup quantizer: k ≈ √N (the
+    SemDeDup-style scaling — within-cluster pair work is then O(N·√N)
+    total instead of O(N²/k) with fixed k), floored at the deterministic
+    oracle default. The driver-side cost of auto-k is k×dim doubles per
+    Lloyd round (the centroid literal re-emission), which stays tiny:
+    √(10⁹ vectors) ≈ 32k centroids × 64 dims ≈ 16 MB."""
+    import math
+
+    return max(KMEANS_CLUSTERS, math.isqrt(max(0, int(n))))
+
+
 def lsh_plane_weights(n_planes: int):
     """Deterministic ±1 hyperplanes (sign from md5 parity) for ANY
     plane count — plane p's weights depend only on p, so the first

@@ -149,9 +149,14 @@ def training_order(docs: DataFrame, seed: int = 0, n_shards: int = 8) -> DataFra
     The permutation key is ``md5(doc_id || ':' || seed)`` — chosen over
     the engine-native hashes (Spark xxhash64 vs DuckDB hash differ)
     because md5 is bit-identical everywhere, so the order is
-    oracle-checkable. Shard = first two hash bytes mod ``n_shards``
-    (ascii arithmetic — portable without hex-int conversion); pos =
-    rank of the hash within the shard.
+    oracle-checkable. Shard = the first four hex NIBBLES of the hash
+    decoded to a 16-bit integer (``instr('0123456789abcdef', ch) - 1``
+    per char — portable to any engine with instr/substr, no hex-cast
+    needed), mod ``n_shards``. 16 bits of hash entropy keep shards
+    balanced for any n_shards into the thousands, and exactly uniform
+    for power-of-two shard counts. (Ascii arithmetic on the raw chars
+    is NOT balanced: 256 ≡ 0 mod 2^k collapses the first char's
+    contribution, and hex ascii codes cover only 16 values.)
 
     Scale: one exchange on ``shard`` + an in-partition sort of 32-char
     keys. Shards are hash-balanced, so per-shard sort memory is
@@ -162,18 +167,25 @@ def training_order(docs: DataFrame, seed: int = 0, n_shards: int = 8) -> DataFra
     from pyspark.sql.window import Window
 
     h = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(seed))))
-    shard = (
-        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
-    ) % F.lit(int(n_shards))
-    ranked = docs.select(
-        "doc_id",
-        h.alias("_h"),
-        shard.cast("long").alias("shard"),
+    ranked = docs.select("doc_id", h.alias("_h")).withColumn(
+        "shard", F.expr(_shard_expr(int(n_shards))).cast("long")
     )
     w = Window.partitionBy("shard").orderBy("_h", "doc_id")
     return ranked.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     ).orderBy("shard", "pos")
+
+
+def _shard_expr(n_shards: int) -> str:
+    """SQL expression (valid in both Spark SQL and DuckDB) decoding the
+    first 4 hex nibbles of ``_h`` to a 16-bit int, mod ``n_shards``."""
+    nib = [
+        f"(instr('0123456789abcdef', substr(_h, {i}, 1)) - 1)" for i in (1, 2, 3, 4)
+    ]
+    return (
+        f"({nib[0]} * 4096 + {nib[1]} * 256 + {nib[2]} * 16 + {nib[3]})"
+        f" % {int(n_shards)}"
+    )
 
 
 def training_order_sql(seed: int = 0, n_shards: int = 8) -> str:
@@ -186,8 +198,7 @@ def training_order_sql(seed: int = 0, n_shards: int = 8) -> str:
     ),
     s AS (
         SELECT doc_id, _h,
-               (ascii(substr(_h, 1, 1)) * 256 + ascii(substr(_h, 2, 1)))
-                   % {int(n_shards)} AS shard
+               {_shard_expr(int(n_shards))} AS shard
         FROM h
     )
     SELECT doc_id, CAST(shard AS BIGINT) AS shard,

@@ -31,7 +31,9 @@ from .params import (
     ANN_LSH_TOPK,
     ANN_QUERY_MOD,
     ANN_TOPK,
+    KMEANS_CLUSTERS,
     LSH_PLANES,
+    kmeans_clusters_for,
     lsh_plane_weights,
     lsh_planes_for,
     spark_array_lit,
@@ -96,6 +98,18 @@ def _resolve_planes(emb: DataFrame, n_planes: int | str | None) -> int:
     return int(n_planes)
 
 
+def _resolve_clusters(emb: DataFrame, n_clusters: int | str | None) -> int:
+    """k-means twin of :func:`_resolve_planes`: ``None`` → the
+    deterministic oracle default (KMEANS_CLUSTERS); ``"auto"`` → k ≈ √N
+    via ``params.kmeans_clusters_for`` (one metadata-cheap count — the
+    only action, and only in auto mode); an int → as given."""
+    if n_clusters is None:
+        return KMEANS_CLUSTERS
+    if n_clusters == "auto":
+        return kmeans_clusters_for(emb.count())
+    return int(n_clusters)
+
+
 def lsh_bucket_col(n_planes: int = LSH_PLANES) -> F.Column:
     """Bucket id = sign bits of the deterministic hyperplane
     projections. Plane p's weights depend only on p, so buckets for a
@@ -133,10 +147,15 @@ def _centroid_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3) -> DataFrame:
+def ivf_index(
+    emb: DataFrame, k: int | str | None = None, iters: int = 3
+) -> DataFrame:
     """IVF coarse quantizer: deterministic k-means (init = the k lowest
     vec_ids, ``iters`` fixed Lloyd rounds) → (vec_id, centroid_id)
-    posting lists.
+    posting lists. ``k=None`` → the deterministic oracle default;
+    ``k="auto"`` → k ≈ √N via ``params.kmeans_clusters_for`` (the
+    SemDeDup-style scale path — fixed k makes each posting list grow
+    linearly with N).
 
     Scale shape: centroids are always broadcast (k vectors); assignment
     is a map-side broadcast join; the centroid update is one shuffle
@@ -148,7 +167,7 @@ def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3) -> DataFrame:
     run the update on a uniform sample — the quantizer only needs
     cluster geometry, not every point.
     """
-    assigned, _ = _ivf_fit(emb, k=k, iters=iters)
+    assigned, _ = _ivf_fit(emb, k=_resolve_clusters(emb, k), iters=iters)
     return assigned.select("vec_id", "centroid_id")
 
 
@@ -197,13 +216,15 @@ def ivf_topk(
     emb: DataFrame,
     k: int = ANN_LSH_TOPK,
     query_mod: int = ANN_QUERY_MOD,
-    n_clusters: int = 16,
+    n_clusters: int | str | None = None,
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF ANN: search only the members of the query's ``nprobe``
     nearest coarse clusters — the candidate join is keyed on
-    centroid_id (posting-list lookup), never a cross join."""
-    members, cents = _ivf_fit(emb, k=n_clusters, iters=3)
+    centroid_id (posting-list lookup), never a cross join.
+    ``n_clusters``: None → deterministic oracle default, "auto" → √N
+    (bounds posting-list length as N grows), int → as given."""
+    members, cents = _ivf_fit(emb, k=_resolve_clusters(emb, n_clusters), iters=3)
     members = members.cache()
     q = members.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -291,7 +312,7 @@ def embedding_neardup(
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.4,
-    n_clusters: int = 16,
+    n_clusters: int | str | None = None,
     iters: int = 3,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
@@ -309,8 +330,11 @@ def semantic_dedup(
     routes are complementary signals: LSH buckets approximate angular
     locality with fixed planes; k-means clusters adapt to the actual
     embedding distribution.
+
+    ``n_clusters``: None → deterministic oracle default, "auto" → √N
+    via ``params.kmeans_clusters_for``, int → as given.
     """
-    members, _ = _ivf_fit(emb, k=n_clusters, iters=iters)
+    members, _ = _ivf_fit(emb, k=_resolve_clusters(emb, n_clusters), iters=iters)
     a = members.select(
         "centroid_id",
         F.col("vec_id").alias("vec_id_a"),

@@ -52,7 +52,9 @@ def asof_join(
     implemented by negating the ``on`` axis and reusing the backward
     machinery verbatim, so both directions share one code path and one
     plan shape (negation preserves ties, strictness, and the tolerance
-    age formula).
+    age formula). When ``on`` itself appears in ``right_cols``, its
+    ``{on}{suffix}`` payload is un-negated on the way out along with the
+    top-level column, so forward results carry true ``on`` values.
 
     Ordering contract: ties on ``on`` between a left and a right row
     resolve with the right row visible (non-strict) / hidden (strict) —
@@ -68,6 +70,10 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    reserved = {"__r_on", "_side", "_r_payload", "_match"}
+    bad = reserved.intersection(right_cols)
+    if bad:
+        raise ValueError(f"right_cols may not use reserved names: {sorted(bad)}")
     if direction == "forward":
         out = asof_join(
             left.withColumn(on, -F.col(on)),
@@ -80,7 +86,12 @@ def asof_join(
             tolerance=tolerance,
             direction="backward",
         )
-        return out.withColumn(on, -F.col(on))
+        out = out.withColumn(on, -F.col(on))
+        if on in right_cols:
+            # the payload rode the negated axis; flip it back (NULL-safe:
+            # -NULL stays NULL for unmatched rows)
+            out = out.withColumn(f"{on}{suffix}", -F.col(f"{on}{suffix}"))
+        return out
 
     lt = left.withColumn("_side", F.lit(1))
     rt = (

@@ -42,6 +42,15 @@ Semantics mirrored (and property-tested) against
 golden-matched to the reference behavior. Assumes non-NaN signal values
 (Spark's NaN ordering differs from NumPy's; the fidelity route owns the
 NaN edge cases).
+
+Precondition — contiguous per-channel indices: ``idx_col`` must be dense
+0..n-1 (or at least gap-free) within each channel, as produced by the
+``row_number``-derived ``sample_idx`` every current caller feeds. The
+plateau right edge is ``lead(run_start) - 1`` and the wlen neighborhood
+is an index-bucket equi-join — with gapped indices (e.g. a pre-FILTERED
+signal frame) plateau midpoints and wlen bounds silently diverge from
+SciPy, which sees only positions. Re-index with ``row_number`` before
+calling if the frame was filtered.
 """
 
 from __future__ import annotations
@@ -76,6 +85,9 @@ def candidate_maxima(
     the plateau midpoint ``(left + right) DIV 2`` — SciPy's
     ``_local_maxima_1d`` contract (see
     :func:`..functions.sigproc.local_maxima_plateau`).
+
+    Requires gap-free per-channel ``idx_col`` values (module docstring):
+    the plateau right edge is derived as ``lead(run_start) - 1``.
     """
     sig = signal.select(
         "channel_id",
@@ -147,6 +159,9 @@ def native_find_peaks(
     Returns ``(channel_id, peak_idx, peak_value, prominence, width)``
     for peaks surviving all requested conditions; ``prominence`` /
     ``width`` are null when that condition was not requested.
+
+    Requires gap-free per-channel ``idx_col`` values (module docstring):
+    both the plateau RLE and the wlen-bucket join are index-arithmetic.
     """
     if distance is not None and distance < 1:
         raise ValueError("`distance` must be greater or equal to 1")

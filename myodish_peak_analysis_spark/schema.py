@@ -56,8 +56,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     :func:`~myodish_peak_analysis_spark.session.get_spark`), and without
     this conf Spark 4 throws PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
     columns (some harness generations carry them; current data is
-    TIMESTAMP(MICROS) where the conf is a no-op)."""
+    TIMESTAMP(MICROS) where the conf is a no-op).
+
+    Also pins the session timezone to UTC: every events-derived query is
+    oracle-compared against DuckDB's ``epoch_us`` (naive wall time read
+    as UTC), and Spark's implicit NTZ->LTZ casts go through the session
+    timezone — under a non-UTC driver session, wall times inside a DST
+    gap of that zone are unrepresentable and shift (verified: NTZ
+    2024-03-10 02:30 under America/New_York). :func:`ts_micros` is
+    session-tz-independent for all other wall times on its own; the pin
+    closes the DST-gap residual and keeps date_trunc/bucket functions
+    aligned with the oracle too."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -68,9 +79,15 @@ def ts_micros(df: DataFrame, col: str = "ts") -> F.Column:
     - ``long`` (TIMESTAMP(NANOS) read via nanosAsLong): integer-DIV 1000 —
       matches DuckDB, which truncates parquet nanos to its micro TIMESTAMP.
     - ``timestamp_ntz`` (TIMESTAMP(MICROS), isAdjustedToUTC=false):
-      ``to_utc_timestamp(ts, 'UTC')`` reinterprets the naive wall time as a
-      UTC instant — exactly DuckDB's ``epoch_us(ts)`` — independent of the
-      Spark session timezone (verified value-equal against DuckDB).
+      ``from_utc_timestamp(ts, current_timezone())`` reinterprets the naive
+      wall time as a UTC instant — exactly DuckDB's ``epoch_us(ts)``. The
+      implicit NTZ->LTZ cast shifts by the session offset; from_utc_timestamp
+      shifts back by the same offset, so the result is session-timezone-
+      independent (verified value-equal against DuckDB under UTC /
+      America/New_York / Asia/Tokyo; the sole exception is a wall time
+      falling inside a DST *gap* of a non-UTC session zone, which the
+      NTZ->LTZ cast cannot represent — closed by :func:`read_table`
+      pinning the session to UTC).
     - ``timestamp`` (LTZ): plain ``unix_micros``.
 
     Always a JVM-side expression on the scan output; no shuffle, stays
@@ -80,7 +97,9 @@ def ts_micros(df: DataFrame, col: str = "ts") -> F.Column:
 
     dt = df.schema[col].dataType
     if isinstance(dt, TimestampNTZType):
-        return F.unix_micros(F.to_utc_timestamp(F.col(col), "UTC"))
+        return F.unix_micros(
+            F.from_utc_timestamp(F.col(col), F.expr("current_timezone()"))
+        )
     if isinstance(dt, TimestampType):
         return F.unix_micros(F.col(col))
     return F.expr(f"{col} DIV 1000")

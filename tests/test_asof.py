@@ -122,6 +122,35 @@ def test_asof_forward_direction(spark):
     assert tol[20] == 20.0  # age 0 <= 1
 
 
+def test_asof_forward_on_column_payload_not_negated(spark):
+    """Listing the `on` column itself in right_cols must return TRUE `on`
+    values under direction='forward' (the axis negation is undone for the
+    payload too), and reserved internal names are rejected."""
+    import pytest
+
+    left = _df(spark, [(1, 10, 1.0), (1, 30, 3.0)], "k long, t long, v double")
+    right = _df(spark, [(1, 12, 12.0)], "k long, t long, rv double")
+    out = {
+        r.t: (r.t_asof, r.rv_asof)
+        for r in asof_join(
+            left, right, on="t", by="k", right_cols=("t", "rv"),
+            direction="forward",
+        ).collect()
+    }
+    assert out[10] == (12, 12.0)  # not -12
+    assert out[30] == (None, None)  # unmatched stays NULL
+    # backward direction unaffected
+    back = {
+        r.t: r.t_asof
+        for r in asof_join(
+            left, right, on="t", by="k", right_cols=("t", "rv")
+        ).collect()
+    }
+    assert back[30] == 12
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on="t", by="k", right_cols=("__r_on",))
+
+
 def test_resample_negative_ts_floor_division(spark):
     df = _df(spark, [(1, -5, 1.0), (1, 5, 2.0)], "k long, t long, v double")
     r = {x.bucket: x.n for x in resample(df, "t", "v", "k", 10).collect()}

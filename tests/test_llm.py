@@ -448,6 +448,63 @@ def test_lsh_planes_scale_with_n():
     assert w8[:LSH_PLANES] == lsh_plane_weights(LSH_PLANES)
 
 
+def test_kmeans_clusters_scale_with_n():
+    from myodish_peak_analysis_spark.llm.params import (
+        KMEANS_CLUSTERS,
+        kmeans_clusters_for,
+    )
+
+    assert kmeans_clusters_for(0) == KMEANS_CLUSTERS
+    assert kmeans_clusters_for(256) == KMEANS_CLUSTERS  # floors at default
+    assert kmeans_clusters_for(1 << 20) == 1 << 10  # k = sqrt(N)
+    assert (
+        kmeans_clusters_for(1 << 20)
+        > kmeans_clusters_for(1 << 12)
+        >= KMEANS_CLUSTERS
+    )
+
+
+def test_ivf_and_semantic_dedup_auto_clusters(spark):
+    """n_clusters='auto' derives k ≈ √N (>16 on a 10×-the-oracle synth
+    set) and both operators stay well-formed: IVF top-k keeps high recall
+    vs brute force, semantic-dedup pairs all meet the threshold and are
+    a plausible subset of the all-pairs truth."""
+    import random
+
+    from myodish_peak_analysis_spark.llm.params import kmeans_clusters_for
+
+    rnd = random.Random(11)
+    # 20 well-separated anchor directions, 40 vectors near each -> 800
+    anchors = [[rnd.gauss(0, 1) for _ in range(8)] for _ in range(20)]
+    rows = []
+    for i in range(800):
+        a = anchors[i % 20]
+        rows.append((i, [x + rnd.gauss(0, 0.05) for x in a], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    k_auto = kmeans_clusters_for(800)
+    assert k_auto == 28  # isqrt(800): genuinely larger than the fixed 16
+
+    idx = similarity.ivf_index(emb, k="auto").collect()
+    assert len(idx) == 800
+    assert len({r.centroid_id for r in idx}) > 16  # auto-k took effect
+
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(emb, n_clusters="auto", nprobe=2).collect()
+    }
+    assert len(ivf & brute) / len(brute) >= 0.8  # recall holds under auto-k
+
+    pairs = similarity.semantic_dedup(emb, threshold=0.9, n_clusters="auto").collect()
+    assert pairs and all(r.cosine >= 0.9 for r in pairs)
+    assert all(r.vec_id_a < r.vec_id_b for r in pairs)
+
+
 def test_embedding_neardup_more_planes_refines_pairs(spark):
     import random
 
@@ -625,3 +682,22 @@ def test_training_order_is_seeded_permutation(spark):
     # a different seed produces a different permutation
     c = sampling.training_order(docs, seed=1, n_shards=4).collect()
     assert [r.doc_id for r in c] != [r.doc_id for r in a]
+
+
+def test_training_order_shards_are_balanced(spark):
+    """The shard key uses 16 bits of md5 entropy — every shard must be
+    populated even at n_shards=32 (the old 2-char ascii derivation left
+    half of 32 shards permanently empty), and counts must be within a
+    loose uniformity band."""
+    from myodish_peak_analysis_spark.llm import sampling
+    from myodish_peak_analysis_spark.schema import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    n = docs.count()
+    rows = sampling.training_order(docs, seed=0, n_shards=32).collect()
+    counts = {}
+    for r in rows:
+        counts[r.shard] = counts.get(r.shard, 0) + 1
+    assert set(counts) == set(range(32))  # no permanently-empty shard
+    expected = n / 32
+    assert max(counts.values()) < 3 * expected  # no 3x-hot shard
