@@ -121,6 +121,8 @@ _ROTATE_FIRST = [
     "ann_ivf_topk",
     "semantic_dedup",
     "native_find_peaks",
+    # new in round 4 — needs its first driver row:
+    "native_find_peaks_nodist",
 ]
 _ROTATE_LAST = [
     # r3-green entries with unchanged code (CORRECTNESS_r03.json;
@@ -220,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fidelity_peaks": _q.q_fidelity_peaks,
         "fidelity_signal": _q.q_fidelity_signal,
         "native_find_peaks": _q.q_native_find_peaks,
+        "native_find_peaks_nodist": _q.q_native_find_peaks_nodist,
         "constrained_peak_attributes": _q.q_constrained_peak_attributes,
     }
     out.update(_llm_q.QUERIES)
@@ -262,9 +265,13 @@ def oracle_sql() -> dict[str, str]:
         "large_order_customers": _relational.large_order_customers_sql(),
         "cheapest_supplier": _relational.cheapest_supplier_per_part_sql(),
         "returned_orders_by_priority": _relational.returned_orders_by_priority_sql(),
+        # The distance=None constraint subset IS SQL-expressible — full
+        # DuckDB mirror of the plateau/prominence/width pipeline:
+        "native_find_peaks_nodist": _oracle.native_find_peaks_nodist_oracle(),
         # fidelity_peaks / fidelity_signal / native_find_peaks:
-        # intentionally no oracle (non-SQL-expressible: SciPy find_peaks
-        # constraint semantics); parity pinned by tests instead.
+        # intentionally no oracle (non-SQL-expressible: greedy distance
+        # suppression is priority-order sequential); parity pinned by
+        # tests instead.
     }
     out.update(_llm_oracle.ORACLES)
     return out

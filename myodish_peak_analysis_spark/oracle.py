@@ -346,3 +346,135 @@ def user_value_median_oracle() -> str:
     WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
     GROUP BY user_id, n
     """
+
+
+def native_find_peaks_nodist_oracle(
+    prominence: float = 0.3,
+    width: float = 1.0,
+    rel_height: float = 0.3,
+    wlen: int = 250,
+) -> str:
+    """SQL mirror of ``native_find_peaks(sig, distance=None)`` — plateau
+    RLE candidates + the SciPy prominence base-walks + interpolated
+    width, as set algebra the DuckDB optimizer decorrelates into joins.
+
+    The sequential walk becomes closed-form: the left stopper is the
+    LAST sample above peak height inside the wlen half-window; the base
+    is the MIN over (stopper, peak) with nearest-to-peak tie-breaking
+    (MAX index left / MIN index right — what the walk's strict
+    ``x.s < acc.minv`` update keeps). The only constraint this cannot
+    express is greedy distance suppression (priority-ordered, global per
+    channel) — hence the distance=None variant; the full-constraint
+    route stays rows-only, pinned by tests/test_native_peaks.py.
+
+    Rows surviving the prominence filter always have BOTH bases strictly
+    below the peak (prom = pv - max(lb, rb) > 0), so the walk-empty
+    edge case where Spark's aggregate keeps (pv, peak_idx) and SQL's
+    MIN/MAX would pick a plateau member never reaches the width stage.
+    """
+    odd = wlen + 1 if wlen % 2 == 0 else wlen
+    half = odd // 2
+    parts = [
+        _sig(),
+        fir_smooth_sql_cte("sig"),
+        """starts AS (
+            SELECT channel_id, sample_idx, smooth FROM (
+                SELECT channel_id, sample_idx, smooth,
+                       LAG(smooth) OVER (PARTITION BY channel_id
+                                         ORDER BY sample_idx) AS _pv
+                FROM smoothed) t
+            WHERE _pv IS NULL OR smooth <> _pv
+        )""",
+        """runs AS (
+            SELECT channel_id, sample_idx AS lo,
+                   LEAD(sample_idx) OVER w - 1 AS hi,
+                   smooth AS v,
+                   LAG(smooth) OVER w AS prev_v,
+                   LEAD(smooth) OVER w AS next_v
+            FROM starts
+            WINDOW w AS (PARTITION BY channel_id ORDER BY sample_idx)
+        )""",
+        """cand AS (
+            SELECT channel_id, (lo + hi) // 2 AS p, v AS pv FROM runs
+            WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+              AND prev_v < v AND next_v < v
+        )""",
+        f"""stops AS (
+            SELECT c.channel_id, c.p, c.pv,
+              COALESCE((SELECT MAX(s.sample_idx) FROM smoothed s
+                 WHERE s.channel_id = c.channel_id
+                   AND s.sample_idx >= c.p - {half} AND s.sample_idx < c.p
+                   AND s.smooth > c.pv), c.p - {half} - 1) AS lstop,
+              COALESCE((SELECT MIN(s.sample_idx) FROM smoothed s
+                 WHERE s.channel_id = c.channel_id
+                   AND s.sample_idx <= c.p + {half} AND s.sample_idx > c.p
+                   AND s.smooth > c.pv), c.p + {half} + 1) AS rstop
+            FROM cand c
+        )""",
+        """bases AS (
+            SELECT st.*,
+              COALESCE((SELECT MIN(s.smooth) FROM smoothed s
+                 WHERE s.channel_id = st.channel_id
+                   AND s.sample_idx > st.lstop AND s.sample_idx < st.p),
+                 st.pv) AS lbv,
+              COALESCE((SELECT MIN(s.smooth) FROM smoothed s
+                 WHERE s.channel_id = st.channel_id
+                   AND s.sample_idx > st.p AND s.sample_idx < st.rstop),
+                 st.pv) AS rbv
+            FROM stops st
+        )""",
+        f"""prom AS (
+            SELECT b.*, b.pv - GREATEST(b.lbv, b.rbv) AS prominence,
+              COALESCE((SELECT MAX(s.sample_idx) FROM smoothed s
+                 WHERE s.channel_id = b.channel_id
+                   AND s.sample_idx > b.lstop AND s.sample_idx < b.p
+                   AND s.smooth = b.lbv), b.p) AS lbj,
+              COALESCE((SELECT MIN(s.sample_idx) FROM smoothed s
+                 WHERE s.channel_id = b.channel_id
+                   AND s.sample_idx > b.p AND s.sample_idx < b.rstop
+                   AND s.smooth = b.rbv), b.p) AS rbj
+            FROM bases b
+            WHERE b.pv - GREATEST(b.lbv, b.rbv) >= {float(prominence)!r}
+        )""",
+        f"""crossed AS (
+            SELECT z.*, z.pv - {float(rel_height)!r} * z.prominence AS h,
+              COALESCE((SELECT MAX(s.sample_idx) FROM smoothed s
+                 WHERE s.channel_id = z.channel_id
+                   AND s.sample_idx >= z.lbj AND s.sample_idx <= z.p
+                   AND s.smooth <= z.pv - {float(rel_height)!r} * z.prominence),
+                 z.lbj) AS slj,
+              COALESCE((SELECT MIN(s.sample_idx) FROM smoothed s
+                 WHERE s.channel_id = z.channel_id
+                   AND s.sample_idx >= z.p AND s.sample_idx <= z.rbj
+                   AND s.smooth <= z.pv - {float(rel_height)!r} * z.prominence),
+                 z.rbj) AS srj
+            FROM prom z
+        )""",
+        """ys AS (
+            SELECT c2.*,
+              (SELECT s.smooth FROM smoothed s WHERE s.channel_id = c2.channel_id
+                 AND s.sample_idx = c2.slj) AS sly,
+              (SELECT s.smooth FROM smoothed s WHERE s.channel_id = c2.channel_id
+                 AND s.sample_idx = c2.slj + 1) AS slyn,
+              (SELECT s.smooth FROM smoothed s WHERE s.channel_id = c2.channel_id
+                 AND s.sample_idx = c2.srj) AS sry,
+              (SELECT s.smooth FROM smoothed s WHERE s.channel_id = c2.channel_id
+                 AND s.sample_idx = c2.srj - 1) AS sryn
+            FROM crossed c2
+        )""",
+        """widthed AS (
+            SELECT channel_id, p AS peak_idx, pv AS peak_value, prominence,
+              (srj - CASE WHEN sry < h THEN (h - sry) / (sryn - sry)
+                          ELSE 0 END)
+              - (slj + CASE WHEN sly < h THEN (h - sly) / (slyn - sly)
+                            ELSE 0 END) AS width
+            FROM ys
+        )""",
+    ]
+    return (
+        f"{_with(*parts)} SELECT channel_id, peak_idx, "
+        f"ROUND(peak_value, {ROUND_DP}) AS peak_value, "
+        f"ROUND(prominence, {ROUND_DP}) AS prominence, "
+        f"ROUND(width, {ROUND_DP}) AS width "
+        f"FROM widthed WHERE width >= {float(width)!r}"
+    )

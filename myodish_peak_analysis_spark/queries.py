@@ -447,6 +447,27 @@ def q_native_find_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_native_find_peaks_nodist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 constrained find_peaks WITHOUT distance suppression — the
+    subset whose SciPy semantics (plateau-RLE candidates, wlen-bounded
+    prominence base-walks, interpolated width at rel_height) ARE
+    SQL-expressible, so this variant is hash-checked against a full
+    DuckDB mirror (oracle.native_find_peaks_nodist_oracle). Greedy
+    distance suppression — the one genuinely sequential constraint —
+    stays covered by the rows-only ``native_find_peaks`` entry."""
+    from .operators.native_peaks import native_find_peaks
+
+    sig = with_fir_smooth(signal_frame(spark, sf_dir, n_channels=ORACLE_CHANNELS))
+    out = native_find_peaks(sig, distance=None)
+    return out.select(
+        "channel_id",
+        "peak_idx",
+        _r("peak_value"),
+        _r("prominence"),
+        _r("width"),
+    )
+
+
 def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tolerance-bounded as-of: the prior view only attaches if it is at
     most 1 hour old (pandas ``merge_asof(tolerance=...)`` semantics) —
