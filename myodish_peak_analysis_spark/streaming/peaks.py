@@ -341,6 +341,251 @@ def streaming_windowed_stats(
     )
 
 
+# --- streaming constrained find_peaks ---------------------------------------
+
+CONSTRAINED_OUT_SCHEMA = (
+    "channel_id long, peak_idx long, peak_value double, "
+    "prominence double, width double"
+)
+#: buf_start/buf — contiguous trailing sample window (indices implicit);
+#: run machinery as in the envelope operator; pend — candidates of the
+#: OPEN distance-suppression component; surv — suppression survivors
+#: awaiting their right wlen-neighborhood.
+_CONSTRAINED_STATE_SCHEMA = (
+    "buf_start long, buf array<double>, "
+    "run_start long, run_value double, has_prev boolean, prev_run_value double, "
+    "pend_p array<long>, pend_v array<double>, "
+    "surv_p array<long>, surv_v array<double>"
+)
+
+
+def make_constrained_peaks_fn(
+    distance: int | None = 20,
+    prominence: float | None = 0.3,
+    width: float | None = 1.0,
+    rel_height: float = 0.3,
+    wlen: int = 250,
+):
+    """Stateful per-channel constrained peak detector — the streaming
+    mirror of ``operators.native_peaks.native_find_peaks`` (SciPy
+    condition order: plateau maxima → greedy distance suppression →
+    prominence → width), closing the last batch/stream asymmetry.
+
+    Why it streams at all: every constraint is provably LOCAL.
+
+    * Plateau candidates need only the enclosing runs (online RLE, three
+      scalars — same machinery as the envelope operator).
+    * Greedy distance suppression interacts only between candidates
+      closer than ``distance``, so candidates split into components at
+      gaps ≥ ``distance``; the global priority-order greedy restricted
+      to one component equals the greedy run on that component alone. A
+      component is decided once no future candidate can join: every
+      future plateau midpoint is ≥ the open run's start, so
+      ``open_run_start ≥ last_candidate + distance`` seals it.
+    * Prominence/width walks are ``wlen``-bounded: a survivor is decided
+      once samples through ``p + wlen//2`` have arrived, against the
+      buffered trailing window (the same NumPy kernels as the batch
+      fidelity route, on the same values).
+
+    State per channel is O(wlen + open component): the trailing sample
+    buffer is pruned to ``min(undecided peak, open run) − wlen//2``.
+    Emitted rows are bit-identical to the batch operator on every
+    DECIDED peak; peaks whose component or neighborhood the stream has
+    not closed yet (including everything within ``wlen//2`` of the
+    stream end) remain pending — the decided-prefix contract every
+    stateful operator here follows. Preconditions as in the batch
+    route: contiguous per-channel ``sample_idx`` (any start offset),
+    non-NaN signal values, in-order arrival across micro-batches.
+    ``wlen`` must be finite (it bounds the state); ``distance=None``
+    skips suppression (each candidate is its own component).
+    """
+    import numpy as np
+
+    from ..functions.sigproc import (
+        _select_by_distance,
+        peak_prominences,
+    )
+
+    if wlen is None:
+        raise ValueError("streaming constrained peaks needs a finite wlen")
+    odd = int(np.ceil(wlen))
+    half = (odd + 1) // 2 if odd % 2 == 0 else odd // 2
+    dist = None if distance is None else int(np.ceil(distance))
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (channel_id,) = key
+        if state.exists:
+            (
+                buf_start,
+                buf,
+                run_start,
+                run_value,
+                has_prev,
+                prev_run_value,
+                pend_p,
+                pend_v,
+                surv_p,
+                surv_v,
+            ) = state.get
+            buf = list(buf)
+            pend = list(zip(pend_p, pend_v))
+            surv = list(zip(surv_p, surv_v))
+        else:
+            buf_start, buf = -1, []
+            run_start, run_value = -1, 0.0
+            has_prev, prev_run_value = False, 0.0
+            pend, surv = [], []
+
+        def flush_pend() -> None:
+            # component sealed: run the same greedy kernel the batch
+            # route uses, restricted to the component (exact — see
+            # docstring), survivors queue for their neighborhoods
+            if not pend:
+                return
+            if dist is None:
+                surv.extend(pend)
+            else:
+                p_arr = np.asarray([p for p, _ in pend], dtype=np.intp)
+                v_arr = np.asarray([v for _, v in pend], dtype=np.float64)
+                keep = _select_by_distance(p_arr, v_arr, dist)
+                surv.extend((int(p), float(v)) for p, v in zip(p_arr[keep], v_arr[keep]))
+            pend.clear()
+
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("sample_idx")
+            for idx, v in zip(pdf["sample_idx"], pdf["signal_value"]):
+                idx, v = int(idx), float(v)
+                if buf_start < 0:
+                    buf_start = idx
+                buf.append(v)
+                if run_start < 0:
+                    run_start, run_value = idx, v
+                elif v != run_value:
+                    # run [run_start, idx-1] closed by a differing value
+                    if has_prev and prev_run_value < run_value and v < run_value:
+                        p = (run_start + idx - 1) // 2
+                        if dist is not None and pend and p - pend[-1][0] >= dist:
+                            flush_pend()
+                        pend.append((p, run_value))
+                    has_prev, prev_run_value = True, run_value
+                    run_start, run_value = idx, v
+
+        # Seal the open component if nothing ahead can reach it: future
+        # candidate midpoints are >= run_start (plateau midpoint >= its
+        # left edge, and runs open in index order).
+        if dist is not None and pend and run_start >= pend[-1][0] + dist:
+            flush_pend()
+        elif dist is None:
+            flush_pend()
+
+        # Emit survivors whose wlen-neighborhood is fully buffered.
+        buf_end = buf_start + len(buf) - 1  # inclusive; -2 when empty
+        while surv and surv[0][0] + half <= buf_end:
+            p, pv = surv.pop(0)
+            lo = max(buf_start, p - half)
+            y = np.asarray(buf[lo - buf_start : p + half - buf_start + 1])
+            lp = np.asarray([p - lo], dtype=np.intp)
+            # slice edges == the wlen window (or the channel start), so
+            # the unwindowed kernel walks exactly the batch route's range
+            proms, lb, rb = peak_prominences(y, lp, wlen=None)
+            if prominence is not None and proms[0] < prominence:
+                continue
+            w_val = None
+            if width is not None:
+                # Width walk in GLOBAL index coordinates (values read
+                # from the slice): the interpolated crossing points are
+                # float(global_idx) ± fraction, and the final ulp of
+                # right_ip - left_ip depends on the magnitude the
+                # rounding happened at — local indices would drift a ulp
+                # from the batch/golden routes on ~1-in-few peaks.
+                h = y[lp[0]] - proms[0] * rel_height
+                i, lbg, rbg = p, int(lb[0]) + lo, int(rb[0]) + lo
+                while lbg < i and h < y[i - lo]:
+                    i -= 1
+                left_ip = float(i)
+                if y[i - lo] < h:
+                    left_ip += (h - y[i - lo]) / (y[i + 1 - lo] - y[i - lo])
+                i = p
+                while i < rbg and h < y[i - lo]:
+                    i += 1
+                right_ip = float(i)
+                if y[i - lo] < h:
+                    right_ip -= (h - y[i - lo]) / (y[i - 1 - lo] - y[i - lo])
+                w_val = float(right_ip - left_ip)
+                if w_val < width:
+                    continue
+            out_rows.append(
+                (
+                    int(channel_id),
+                    int(p),
+                    float(pv),
+                    float(proms[0]) if (prominence is not None or width is not None) else None,
+                    w_val,
+                )
+            )
+
+        # Prune the buffer to what any undecided peak or future
+        # candidate can still reach.
+        if buf:
+            needs = [run_start] if run_start >= 0 else []
+            needs += [p for p, _ in pend] + [p for p, _ in surv]
+            min_keep = (min(needs) if needs else buf_end + 1) - half
+            if min_keep > buf_start:
+                drop = min(len(buf), min_keep - buf_start)
+                buf = buf[drop:]
+                buf_start += drop
+
+        state.update(
+            (
+                buf_start,
+                buf,
+                run_start,
+                run_value,
+                has_prev,
+                prev_run_value,
+                [p for p, _ in pend],
+                [v for _, v in pend],
+                [p for p, _ in surv],
+                [v for _, v in surv],
+            )
+        )
+        yield pd.DataFrame(
+            out_rows,
+            columns=["channel_id", "peak_idx", "peak_value", "prominence", "width"],
+        )
+
+    return fn
+
+
+def streaming_find_peaks(
+    signal_stream: DataFrame,
+    value_col: str = "signal_value",
+    distance: int | None = 20,
+    prominence: float | None = 0.3,
+    width: float | None = 1.0,
+    rel_height: float = 0.3,
+    wlen: int = 250,
+) -> DataFrame:
+    """Streaming constrained peak detection with the reference defaults
+    (``/root/reference/peak_detection.py:251`` semantics): peaks are
+    emitted as soon as their suppression component seals and their
+    ``wlen`` neighborhood arrives, bit-identical to the batch
+    ``native_find_peaks`` on every decided peak (cross-batch parity in
+    ``test_streaming.py``). State is O(wlen) per channel — see
+    :func:`make_constrained_peaks_fn`."""
+    sig = signal_stream.select(
+        "channel_id", "sample_idx", F.col(value_col).alias("signal_value")
+    )
+    return sig.groupBy("channel_id").applyInPandasWithState(
+        make_constrained_peaks_fn(distance, prominence, width, rel_height, wlen),
+        CONSTRAINED_OUT_SCHEMA,
+        _CONSTRAINED_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- streaming sequence packing --------------------------------------------
 
 PACK_OUT_SCHEMA = (

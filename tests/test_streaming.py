@@ -638,3 +638,141 @@ def test_streaming_zscores_causal_and_cross_batch(spark):
     assert got == want
     assert got[0][0] is None and got[2][0] is None  # too few priors
     assert got[4][0] > 3.0  # the 30.0 spike is a strong outlier
+
+
+def test_streaming_find_peaks_matches_batch_across_boundary(spark, tmp_path):
+    """Constrained streaming peaks (P1): a peak whose wlen-neighborhood
+    and suppression component span the micro-batch split must come out
+    bit-identical to the batch native_find_peaks row."""
+    import math
+
+    from myodish_peak_analysis_spark.operators.native_peaks import (
+        native_find_peaks,
+    )
+    from myodish_peak_analysis_spark.streaming.peaks import streaming_find_peaks
+
+    # three clean bumps on a flat floor; the one at 30 straddles the split
+    def bump(i, c):
+        return 2.0 * math.exp(-((i - c) ** 2) / 8.0)
+
+    vals = [round(bump(i, 10) + bump(i, 30) + bump(i, 50), 6) for i in range(60)]
+    rows = [(0, i, v) for i, v in enumerate(vals)]
+    src = _write_batches(spark, str(tmp_path), [rows[:35], rows[35:]])
+
+    stream = (
+        spark.readStream.schema(SIG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kw = dict(distance=5, prominence=0.5, width=1.0, rel_height=0.3, wlen=20)
+    q = (
+        streaming_find_peaks(stream, **kw)
+        .writeStream.format("memory")
+        .queryName("cpeaks_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.peak_idx: (r.peak_value, r.prominence, r.width)
+            for r in spark.sql("select * from cpeaks_sink").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r.peak_idx: (r.peak_value, r.prominence, r.width)
+        for r in native_find_peaks(
+            spark.createDataFrame(rows, SIG_SCHEMA),
+            value_col="signal_value",
+            **kw,
+        ).collect()
+    }
+    # peaks 10 and 30 are decidable (neighborhood fully arrived); 50 has
+    # p + wlen//2 = 60 past the stream end and stays pending
+    assert set(got) == {10, 30}
+    assert set(batch) == {10, 30, 50}
+    for p in got:
+        assert got[p] == batch[p], (p, got[p], batch[p])
+
+
+def test_streaming_find_peaks_fn_split_invariant_vs_golden(spark):
+    """Drive the stateful function directly (StubState) over random
+    signals: (a) any micro-batch split yields the same emissions as one
+    big batch; (b) every emission matches the golden NumPy find_peaks
+    chain exactly (index, value, prominence, width)."""
+    import numpy as np
+    import pandas as pd
+
+    from myodish_peak_analysis_spark.functions.sigproc import (
+        _select_by_distance,
+        local_maxima_plateau,
+        peak_prominences,
+        peak_widths,
+    )
+    from myodish_peak_analysis_spark.streaming.peaks import (
+        make_constrained_peaks_fn,
+    )
+
+    rng = np.random.default_rng(19)
+    kw = dict(distance=5, prominence=0.1, width=1.0, rel_height=0.3, wlen=20)
+
+    def golden(y):
+        peaks, _, _ = local_maxima_plateau(y)
+        if peaks.size:
+            keep = _select_by_distance(peaks, y[peaks], kw["distance"])
+            peaks = peaks[keep]
+        proms, lb, rb = peak_prominences(y, peaks, kw["wlen"])
+        keep = proms >= kw["prominence"]
+        peaks, proms, lb, rb = peaks[keep], proms[keep], lb[keep], rb[keep]
+        widths = peak_widths(y, peaks, kw["rel_height"], proms, lb, rb)
+        keep = widths >= kw["width"]
+        return {
+            int(p): (float(y[p]), float(pr), float(w))
+            for p, pr, w in zip(peaks[keep], proms[keep], widths[keep])
+        }
+
+    def drive(vals, cuts):
+        fn = make_constrained_peaks_fn(**kw)
+        state = StubState()
+        got = {}
+        bounds = [0] + sorted(cuts) + [len(vals)]
+        for lo, hi in zip(bounds, bounds[1:]):
+            if lo == hi:
+                continue
+            pdf = pd.DataFrame(
+                {
+                    "channel_id": 0,
+                    "sample_idx": range(lo, hi),
+                    "signal_value": vals[lo:hi],
+                }
+            )
+            for out in fn((0,), iter([pdf]), state):
+                for r in out.itertuples(index=False):
+                    got[int(r.peak_idx)] = (
+                        float(r.peak_value),
+                        float(r.prominence),
+                        float(r.width),
+                    )
+        return got
+
+    total = 0
+    for case in range(8):
+        n = int(rng.integers(80, 220))
+        if case % 3 == 0:  # quantized -> plateaus
+            y = np.round(np.cumsum(rng.standard_normal(n)), 1)
+        else:
+            y = np.cumsum(rng.standard_normal(n))
+        y = np.asarray(y, dtype=np.float64)
+
+        one = drive(y, [])
+        split = drive(y, list(rng.integers(1, n, size=3)))
+        assert one == split  # micro-batch splits never change emissions
+
+        gold = golden(y)
+        for p, vals_ in one.items():
+            assert p in gold, f"emitted non-golden peak {p}"
+            assert vals_ == gold[p], (p, vals_, gold[p])
+        total += len(one)
+    assert total >= 10  # the suite actually exercised emissions

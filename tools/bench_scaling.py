@@ -4,19 +4,21 @@ stay flat as the data grows.
 
 Runs the full native pipeline (channelize → SG smooth → envelopes →
 diastolic → threshold peaks → attributes) at 1× (the sf dir's events
-table) and at K× (default 10×: the same events replicated with shifted
-``user_id``s so every copy lands in fresh channels — the same shape a
-bigger harness SF would produce), with channel count scaled by
-``auto_channels``' rows/TARGET_CHANNEL_ROWS rule in both runs.
+table) and at each K× in ``--factors`` (default 10,100: the same events
+replicated with shifted ``user_id``s so every copy lands in fresh
+channels — the same shape a bigger harness SF would produce), with
+channel count scaled by ``auto_channels``' rows/TARGET_CHANNEL_ROWS
+rule in every run.
 
-Prints one JSON line and exits 1 if the K× throughput (rows/s) falls
-below ``--min-ratio`` (default 0.8) of the 1× throughput — i.e. if
-per-row cost grew with scale. Fixed planning/JIT overhead amortizes at
-K×, so healthy plans show throughput RISING with scale; a ratio under 1
-by more than the noise floor means some stage is super-linear (a
-single-partition sort, a growing window partition, a driver loop).
+Prints one JSON line per (operator, factor) and exits 1 if any K×
+throughput (rows/s) falls below ``--min-ratio`` (default 0.8) of the
+PREVIOUS factor's throughput — i.e. if per-row cost grew across any
+decade. Fixed planning/JIT overhead amortizes with scale, so healthy
+plans show throughput RISING; a ratio under 1 by more than the noise
+floor means some stage is super-linear (a single-partition sort, a
+growing window partition, a driver loop).
 
-Usage: python tools/bench_scaling.py [--factor 10] [--min-ratio 0.8]
+Usage: python tools/bench_scaling.py [--factors 10,100] [--min-ratio 0.8]
 """
 
 from __future__ import annotations
@@ -73,11 +75,34 @@ def _find_peaks_seconds(events: DataFrame, n_rows: int) -> float:
     return _best_of_2(native_find_peaks(sig))
 
 
+def _replicate(base: DataFrame, k: int) -> DataFrame:
+    """K copies with disjoint user_id ranges: channel populations stay
+    reference-shaped while channel COUNT grows linearly — exactly how
+    auto_channels absorbs more data. One explode, not K union branches,
+    so the 100× plan stays flat."""
+    return base.withColumn(
+        "_c", F.explode(F.expr(f"sequence(0, {k - 1})"))
+    ).select(
+        (
+            F.col("user_id") + F.col("_c").cast("long") * F.lit(1_000_000_000)
+        ).alias("user_id"),
+        "ts",
+        "event_id",
+        "value",
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--factors",
+        type=str,
+        default="10,100",
+        help="comma-separated replication factors, each measured vs the previous",
+    )
     ap.add_argument("--min-ratio", type=float, default=0.8)
     args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
 
     spark = get_spark("bench-scaling")
     spark.sparkContext.setLogLevel("ERROR")
@@ -85,51 +110,40 @@ def main() -> None:
     base = read_table(spark, SF_DIR, "events").cache()
     n1 = base.count()
 
-    # K copies with disjoint user_id ranges: channel populations stay
-    # reference-shaped while channel COUNT grows linearly — exactly how
-    # auto_channels absorbs more data.
-    copies = [
-        base.select(
-            (F.col("user_id") + F.lit(c * 1_000_000_000)).alias("user_id"),
-            "ts",
-            "event_id",
-            "value",
-        )
-        for c in range(args.factor)
-    ]
-    big = copies[0]
-    for c in copies[1:]:
-        big = big.unionAll(c)
-    big = big.cache()
-    nk = big.count()
-
-    failed = False
-    for name, fn in (
+    ops = (
         ("native_pipeline", _pipeline_seconds),
         ("native_find_peaks", _find_peaks_seconds),
-    ):
-        s1 = fn(base, n1)
-        sk = fn(big, nk)
-        tp1, tpk = n1 / s1, nk / sk
-        ratio = tpk / tp1
-        print(
-            json.dumps(
-                {
-                    "metric": f"scaling_throughput_ratio:{name}",
-                    "value": round(ratio, 3),
-                    "unit": f"x (rows/s at {args.factor}x vs 1x)",
-                    "rows_1x": n1,
-                    "rows_kx": nk,
-                    "sec_1x": round(s1, 3),
-                    "sec_kx": round(sk, 3),
-                    "rows_per_sec_1x": round(tp1),
-                    "rows_per_sec_kx": round(tpk),
-                    "channels_kx": nk // TARGET_CHANNEL_ROWS,
-                    "sf_dir": SF_DIR,
-                }
+    )
+    failed = False
+    # prev[(name)] = (factor, rows/s) of the previously measured scale
+    prev = {name: (1, n1 / fn(base, n1)) for name, fn in ops}
+    base_tp = {name: tp for name, (_, tp) in prev.items()}
+    for k in factors:
+        big = _replicate(base, k).cache()
+        nk = big.count()
+        for name, fn in ops:
+            sk = fn(big, nk)
+            tpk = nk / sk
+            pf, ptp = prev[name]
+            ratio = tpk / ptp
+            print(
+                json.dumps(
+                    {
+                        "metric": f"scaling_throughput_ratio:{name}",
+                        "value": round(ratio, 3),
+                        "unit": f"x (rows/s at {k}x vs {pf}x)",
+                        "rows_kx": nk,
+                        "sec_kx": round(sk, 3),
+                        "rows_per_sec_kx": round(tpk),
+                        "vs_1x": round(tpk / base_tp[name], 3),
+                        "channels_kx": nk // TARGET_CHANNEL_ROWS,
+                        "sf_dir": SF_DIR,
+                    }
+                )
             )
-        )
-        failed = failed or ratio < args.min_ratio
+            failed = failed or ratio < args.min_ratio
+            prev[name] = (k, tpk)
+        big.unpersist()
     if failed:
         sys.exit(1)
 
