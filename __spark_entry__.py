@@ -121,8 +121,13 @@ _ROTATE_FIRST = [
     "ann_ivf_topk",
     "semantic_dedup",
     "native_find_peaks",
-    # new in round 4 — needs its first driver row:
+    # new in round 4 — need their first driver row:
     "native_find_peaks_nodist",
+    "nation_pair_volume",
+    "promo_revenue",
+    "brand_disjunction_revenue",
+    "parts_never_returned",
+    "repetition_profile",
 ]
 _ROTATE_LAST = [
     # r3-green entries with unchanged code (CORRECTNESS_r03.json;
@@ -219,6 +224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_order_customers": _q.q_large_order_customers,
         "cheapest_supplier": _q.q_cheapest_supplier,
         "returned_orders_by_priority": _q.q_returned_orders_by_priority,
+        "nation_pair_volume": _q.q_nation_pair_volume,
+        "promo_revenue": _q.q_promo_revenue,
+        "brand_disjunction_revenue": _q.q_brand_disjunction_revenue,
+        "parts_never_returned": _q.q_parts_never_returned,
         "fidelity_peaks": _q.q_fidelity_peaks,
         "fidelity_signal": _q.q_fidelity_signal,
         "native_find_peaks": _q.q_native_find_peaks,
@@ -265,6 +274,10 @@ def oracle_sql() -> dict[str, str]:
         "large_order_customers": _relational.large_order_customers_sql(),
         "cheapest_supplier": _relational.cheapest_supplier_per_part_sql(),
         "returned_orders_by_priority": _relational.returned_orders_by_priority_sql(),
+        "nation_pair_volume": _relational.nation_pair_volume_sql(),
+        "promo_revenue": _relational.promo_revenue_by_month_sql(),
+        "brand_disjunction_revenue": _relational.brand_disjunction_revenue_sql(),
+        "parts_never_returned": _relational.parts_never_returned_sql(),
         # The distance=None constraint subset IS SQL-expressible — full
         # DuckDB mirror of the plateau/prominence/width pipeline:
         "native_find_peaks_nodist": _oracle.native_find_peaks_nodist_oracle(),

@@ -569,3 +569,31 @@ ORACLES["per_source_profile"] = per_source_profile_sql()
 from .sampling import training_order_sql  # noqa: E402
 
 ORACLES["training_order"] = training_order_sql()
+
+ORACLES["repetition_profile"] = f"""
+WITH tok AS (
+    SELECT doc_id, length(text) AS n_chars, {_TK} AS tk FROM documents
+),
+g AS (
+    SELECT doc_id, n_chars, 2::BIGINT AS n,
+           unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                                 i -> array_to_string(tk[i:i+1], ' '))) AS gram
+    FROM tok
+    UNION ALL
+    SELECT doc_id, n_chars, 3::BIGINT AS n,
+           unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                                 i -> array_to_string(tk[i:i+2], ' '))) AS gram
+    FROM tok
+),
+c AS (
+    SELECT doc_id, n_chars, n, gram, COUNT(*)::BIGINT AS cnt
+    FROM g GROUP BY ALL
+),
+t AS (
+    SELECT doc_id, n_chars, n, max({{'c': cnt, 'g': gram}}) AS top
+    FROM c GROUP BY ALL
+)
+SELECT doc_id, n, top.g AS top_gram, top.c AS n_occurrences,
+       ROUND(top.c * length(top.g) / n_chars, 6) AS top_gram_char_frac
+FROM t
+"""

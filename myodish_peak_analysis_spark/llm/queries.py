@@ -310,3 +310,12 @@ QUERIES = {
     "per_source_profile": q_per_source_profile,
     "training_order": q_training_order,
 }
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-n-gram repetition metrics (explode → two keyed
+    map-side-combinable aggregates; no window, no per-doc sort)."""
+    return text.repetition_profile(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["repetition_profile"] = q_repetition_profile

@@ -802,3 +802,81 @@ def bigram_logprob_sql() -> str:
            ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_logprob
     FROM scored GROUP BY doc_id
     """
+
+
+def repetition_profile(docs: DataFrame, ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Gopher-style top-n-gram repetition metrics (Rae et al. 2021,
+    public, §A1.1): for each n in ``ns``, the single most frequent word
+    n-gram of every document and the fraction of the document's
+    characters its occurrences cover — the "top n-gram character
+    fraction" filter of a training-data pipeline. (The line-based
+    repetition rules are omitted: the harness corpus is single-line by
+    construction, so they are degenerate there; the n-gram family is
+    the non-trivial part.)
+
+    Output (long format): doc_id, n, top_gram, n_occurrences,
+    top_gram_char_frac. Docs shorter than n words emit no row for that
+    n. Ties on occurrence count break to the lexicographically LARGEST
+    gram via lexicographic struct-max — deterministic, and mirrored
+    exactly by the DuckDB oracle's struct max.
+
+    Scale (100 TB): one explode fans each doc into ~n_words rows per n,
+    but each row carries only (doc_id, n, gram) — never the document
+    text; the occurrence count is a map-side-combinable aggregate keyed
+    on (doc_id, n, gram), and the per-doc argmax is a second
+    map-side-combinable max(struct) into one row per (doc, n) — no
+    window, no per-doc sort, two keyed exchanges total. The char-frac
+    division joins back to a doc-keyed (doc_id, n_chars) projection,
+    not the text itself.
+    """
+    gram_arrays = [
+        F.when(
+            F.expr(f"size({_TOKENS})") >= n,
+            F.expr(
+                f"transform(sequence(1, size({_TOKENS}) - {n} + 1), "
+                f"i -> concat_ws(' ', slice({_TOKENS}, i, {n})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias(f"_g{n}")
+        for n in ns
+    ]
+    exploded = (
+        docs.select("doc_id", F.length("text").alias("_len"), *gram_arrays)
+        .select(
+            "doc_id",
+            "_len",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).cast("long").alias("n"),
+                            F.col(f"_g{n}").alias("grams"),
+                        )
+                        for n in ns
+                    ]
+                )
+            ).alias("_ng"),
+        )
+        .select(
+            "doc_id",
+            "_len",
+            F.col("_ng.n").alias("n"),
+            F.explode("_ng.grams").alias("gram"),
+        )
+    )
+    counted = exploded.groupBy("doc_id", "_len", "n", "gram").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    top = counted.groupBy("doc_id", "_len", "n").agg(
+        F.max(F.struct(F.col("_cnt"), F.col("gram"))).alias("_top")
+    )
+    return top.select(
+        "doc_id",
+        "n",
+        F.col("_top.gram").alias("top_gram"),
+        F.col("_top._cnt").alias("n_occurrences"),
+        F.round(
+            F.col("_top._cnt") * F.length("_top.gram") / F.col("_len"), 6
+        ).alias("top_gram_char_frac"),
+    )

@@ -497,3 +497,275 @@ def cheapest_supplier_per_part_sql(min_lines: int = 2) -> str:
     JOIN supplier s ON s.s_suppkey = r.l_suppkey
     WHERE rk = 1
     """
+
+
+def nation_pair_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-shaped: shipping volume between every (supplier nation,
+    customer nation) pair per ship year. The same ``nation`` dim plays
+    two roles — one resolved through the supplier, one through the
+    order's customer.
+
+    Scale: the only fact×fact operation is lineitem⋈orders on
+    ``orderkey`` (co-partitioned hash join; AQE splits skewed keys).
+    supplier⋈nation and customer⋈nation are pre-joined into two tiny
+    (key → nation-name) dims and explicitly ``broadcast()``, so the
+    fact rows never shuffle for dim resolution. The ship-date range
+    predicate reaches the lineitem parquet scan; the final aggregate is
+    map-side combinable into (25×25×years) groups. Revenue is summed in
+    exact integer 1e-4-dollar units and divided back once.
+    """
+    supp_nat = F.broadcast(
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    cust_nat = F.broadcast(
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    )
+    ep_c, disc_c = _cents("l_extendedprice"), _cents("l_discount")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= _tslit(date_from))
+        & (F.col("l_shipdate") < _tslit(date_to))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        (ep_c * (100 - disc_c)).alias("_dp"),
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
+        .join(cust_nat, F.col("o_custkey") == cust_nat.c_custkey)
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            F.sum("_dp").alias("_sdp"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            F.round(F.col("_sdp") / 1e4, 6).alias("volume"),
+            "n_lines",
+        )
+    )
+
+
+def nation_pair_volume_sql(
+    date_from: str = "1996-01-01", date_to: str = "1998-01-01"
+) -> str:
+    return f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))) / 1e4,
+                 6) AS volume,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '{date_from}'
+      AND l.l_shipdate < TIMESTAMP '{date_to}'
+    GROUP BY 1, 2, 3
+    """
+
+
+def promo_revenue_by_month(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q14-shaped: per ship month, the share of discounted revenue
+    coming from PROMO-type parts (the harness ``p_type`` is the single
+    word class, so the match is equality, not Q14's LIKE 'PROMO%%').
+
+    Scale: ``part`` is projected to (p_partkey, is_promo BOOLEAN) and
+    broadcast — the fact side never shuffles; the month rollup is a
+    map-side-combinable conditional aggregate over exact integer
+    1e-4-dollar units, with the double division done once per group.
+    """
+    is_promo = F.broadcast(
+        part.select(
+            "p_partkey", (F.col("p_type") == "PROMO").alias("_is_promo")
+        )
+    )
+    ep_c, disc_c = _cents("l_extendedprice"), _cents("l_discount")
+    li = lineitem.select(
+        "l_partkey",
+        F.trunc(F.col("l_shipdate").cast("date"), "month").alias("_m"),
+        (ep_c * (100 - disc_c)).alias("_dp"),
+    )
+    return (
+        li.join(is_promo, li.l_partkey == is_promo.p_partkey)
+        .groupBy("_m")
+        .agg(
+            F.sum(F.when(F.col("_is_promo"), F.col("_dp")).otherwise(F.lit(0)))
+            .alias("_promo_dp"),
+            F.sum("_dp").alias("_total_dp"),
+        )
+        .select(
+            F.datediff(F.col("_m"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("ship_month_day"),
+            F.round(F.col("_promo_dp") / 1e4, 6).alias("promo_revenue"),
+            F.round(F.col("_total_dp") / 1e4, 6).alias("total_revenue"),
+            F.round(
+                F.lit(100.0) * F.col("_promo_dp") / F.col("_total_dp"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+def promo_revenue_by_month_sql() -> str:
+    return """
+    WITH li AS (
+        SELECT DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS m,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS dp,
+               p_type = 'PROMO' AS is_promo
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT CAST(m - DATE '1970-01-01' AS BIGINT) AS ship_month_day,
+           ROUND(SUM(CASE WHEN is_promo THEN dp ELSE 0 END) / 1e4, 6) AS promo_revenue,
+           ROUND(SUM(dp) / 1e4, 6) AS total_revenue,
+           ROUND(100.0 * SUM(CASE WHEN is_promo THEN dp ELSE 0 END) / SUM(dp), 6) AS promo_pct
+    FROM li
+    GROUP BY m
+    """
+
+
+def brand_disjunction_revenue(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q19-shaped: revenue from three OR-ed (brand, size-range,
+    quantity-range) branches, reported per brand.
+
+    Scale: the three-way disjunction is declared as one boolean
+    expression so Catalyst splits it by side — the (brand, size) parts
+    reach the broadcast ``part`` scan as a pushed filter, the quantity
+    bounds ``l_quantity BETWEEN 1 AND 36`` (the hull of the three
+    branches) reach the lineitem scan, and the residual conjunction
+    runs post-join inside whole-stage codegen. No fact shuffle at all:
+    broadcast join + map-side-combined 3-group aggregate.
+    """
+    p = F.broadcast(
+        part.filter(
+            (
+                (F.col("p_brand") == "Brand#12")
+                & F.col("p_size").between(1, 5)
+            )
+            | (
+                (F.col("p_brand") == "Brand#23")
+                & F.col("p_size").between(1, 10)
+            )
+            | (
+                (F.col("p_brand") == "Brand#34")
+                & F.col("p_size").between(1, 15)
+            )
+        ).select("p_partkey", "p_brand")
+    )
+    ep_c, disc_c = _cents("l_extendedprice"), _cents("l_discount")
+    li = lineitem.filter(F.col("l_quantity").between(1, 36)).select(
+        "l_partkey",
+        "l_quantity",
+        (ep_c * (100 - disc_c)).alias("_dp"),
+    )
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    keep = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("l_quantity").between(20, 36)
+        )
+    )
+    return (
+        joined.filter(keep)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("_dp") / 1e4, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def brand_disjunction_revenue_sql() -> str:
+    return """
+    SELECT p_brand,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 1e4,
+                 6) AS revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 36)
+    GROUP BY p_brand
+    """
+
+
+def parts_never_returned(
+    lineitem: DataFrame, part: DataFrame, min_qty: float = 40.0
+) -> DataFrame:
+    """TPC-H Q16-shaped NOT-EXISTS: per (brand, size) count the parts
+    that were ordered at least once but NEVER had a bulk return (a
+    returned line of quantity >= ``min_qty``) — the correlated NOT
+    EXISTS as a LEFT ANTI join against the filtered fact.
+
+    Scale: the anti-join probe side carries only the distinct
+    bulk-returned ``l_partkey`` set (returnflag + quantity filters
+    pushed to the scan, distinct partially aggregated map-side); the
+    semi side is the distinct ordered-part set. Both sides are key-only
+    — no payload columns move through either shuffle — and the final
+    rollup is a small map-combinable count into brand×size groups.
+    """
+    ordered = lineitem.select("l_partkey").distinct()
+    returned = (
+        lineitem.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") >= F.lit(min_qty))
+        )
+        .select("l_partkey")
+        .distinct()
+    )
+    never_returned = ordered.join(returned, "l_partkey", "left_anti")
+    return (
+        part.join(never_returned, part.p_partkey == F.col("l_partkey"), "leftsemi")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def parts_never_returned_sql(min_qty: float = 40.0) -> str:
+    return f"""
+    SELECT p_brand, p_size, COUNT(*)::BIGINT AS n_parts
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_returnflag = 'R'
+                        AND l.l_quantity >= {min_qty})
+    GROUP BY p_brand, p_size
+    """

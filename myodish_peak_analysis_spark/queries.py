@@ -527,3 +527,49 @@ def q_constrained_peak_attributes(spark: SparkSession, sf_dir: str) -> DataFrame
         _r("time_to_relaxation"),
         _r("duration"),
     )
+
+
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped nation-pair shipping volume (one fact⋈fact hash
+    join; both nation roles resolved via broadcast mini-dims)."""
+    from .operators.relational import nation_pair_volume
+
+    return nation_pair_volume(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "supplier"),
+        read_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share per ship month (broadcast
+    boolean dim + conditional integer-exact aggregate)."""
+    from .operators.relational import promo_revenue_by_month
+
+    return promo_revenue_by_month(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "part"),
+    )
+
+
+def q_brand_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue (split pushdown:
+    part branch to the broadcast scan, quantity hull to the fact scan)."""
+    from .operators.relational import brand_disjunction_revenue
+
+    return brand_disjunction_revenue(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "part"),
+    )
+
+
+def q_parts_never_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped NOT-EXISTS via key-only LEFT ANTI + LEFT SEMI."""
+    from .operators.relational import parts_never_returned
+
+    return parts_never_returned(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "part"),
+    )

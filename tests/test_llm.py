@@ -701,3 +701,30 @@ def test_training_order_shards_are_balanced(spark):
     assert set(counts) == set(range(32))  # no permanently-empty shard
     expected = n / 32
     assert max(counts.values()) < 3 * expected  # no 3x-hot shard
+
+
+def test_repetition_profile_hand_computed(spark):
+    d = spark.createDataFrame(
+        [
+            # "a b a b a" -> 2-grams: [a b, b a, a b, b a]; struct-max
+            # tie (2,"a b") vs (2,"b a") -> "b a" (lexicographically
+            # larger). 3-grams: [a b a, b a b, a b a] -> "a b a" x2.
+            (0, "a b a b a"),
+            # shorter than 3 words -> only the n=2 row
+            (1, "x y"),
+            # single word -> no rows at all
+            (2, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.n): r for r in text.repetition_profile(d).collect()
+    }
+    assert set(rows) == {(0, 2), (0, 3), (1, 2)}
+    r02 = rows[(0, 2)]
+    assert (r02.top_gram, r02.n_occurrences) == ("b a", 2)
+    assert r02.top_gram_char_frac == pytest.approx(2 * 3 / 9, abs=1e-6)
+    r03 = rows[(0, 3)]
+    assert (r03.top_gram, r03.n_occurrences) == ("a b a", 2)
+    assert r03.top_gram_char_frac == pytest.approx(2 * 5 / 9, abs=1e-6)
+    assert (rows[(1, 2)].top_gram, rows[(1, 2)].n_occurrences) == ("x y", 1)

@@ -160,3 +160,147 @@ def test_cheapest_supplier_correlated_min(spark):
     out = {r.p_partkey: r for r in cheapest_supplier_per_part(li, part, supp).collect()}
     assert out[1].s_suppkey == 20 and out[1].unit_price == 1.0
     assert out[2].s_suppkey == 10 and out[2].unit_price == 3.0  # 9.0 / 3 units
+
+
+def test_nation_pair_volume_routes_both_nation_roles(spark):
+    from myodish_peak_analysis_spark.operators.relational import (
+        nation_pair_volume,
+    )
+
+    d96, d97 = datetime(1996, 3, 1), datetime(1997, 3, 1)
+    nation = spark.createDataFrame(
+        [(0, "N_A", 0), (1, "N_B", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    supplier = spark.createDataFrame(
+        [(7, 0), (8, 1)], "s_suppkey long, s_nationkey int"
+    )
+    cust = spark.createDataFrame(
+        [(1, 1), (2, 0)], "c_custkey long, c_nationkey int"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [
+            # supp N_A -> cust N_B, 1996: 100 * (1-0.10) = 90.0
+            (10, 7, 100.00, 0.10, d96),
+            # supp N_B -> cust N_B, 1996: 50.0
+            (10, 8, 50.00, 0.00, d96),
+            # supp N_A -> cust N_B, 1997: separate year group
+            (10, 7, 10.00, 0.00, d97),
+            # supp N_A -> cust N_A: 20.0
+            (11, 7, 20.00, 0.00, d96),
+            # outside the date range: dropped
+            (10, 7, 999.00, 0.00, datetime(1995, 1, 1)),
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp_ntz",
+    )
+    out = {
+        (r.supp_nation, r.cust_nation, r.ship_year): (r.volume, r.n_lines)
+        for r in nation_pair_volume(li, orders, cust, supplier, nation).collect()
+    }
+    assert out == {
+        ("N_A", "N_B", 1996): (90.0, 1),
+        ("N_B", "N_B", 1996): (50.0, 1),
+        ("N_A", "N_B", 1997): (10.0, 1),
+        ("N_A", "N_A", 1996): (20.0, 1),
+    }
+
+
+def test_promo_revenue_by_month_share(spark):
+    from myodish_peak_analysis_spark.operators.relational import (
+        promo_revenue_by_month,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "STANDARD")], "p_partkey long, p_type string"
+    )
+    li = spark.createDataFrame(
+        [
+            # Jan 2024: promo 30.0 of total 100.0 -> 30%
+            (1, 30.00, 0.00, datetime(2024, 1, 5)),
+            (2, 70.00, 0.00, datetime(2024, 1, 25)),
+            # Feb 2024: all promo, with a discount: 50*(1-0.5)=25.0
+            (1, 50.00, 0.50, datetime(2024, 2, 10)),
+        ],
+        "l_partkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp_ntz",
+    )
+    out = {
+        r.ship_month_day: (r.promo_revenue, r.total_revenue, r.promo_pct)
+        for r in promo_revenue_by_month(li, part).collect()
+    }
+    jan = (datetime(2024, 1, 1) - datetime(1970, 1, 1)).days
+    feb = (datetime(2024, 2, 1) - datetime(1970, 1, 1)).days
+    assert out == {jan: (30.0, 100.0, 30.0), feb: (25.0, 25.0, 100.0)}
+
+
+def test_brand_disjunction_branch_predicates(spark):
+    from myodish_peak_analysis_spark.operators.relational import (
+        brand_disjunction_revenue,
+    )
+
+    part = spark.createDataFrame(
+        [
+            (1, "Brand#12", 3),   # branch 1 (size 1-5)
+            (2, "Brand#12", 9),   # size outside branch 1 -> never matches
+            (3, "Brand#23", 8),   # branch 2 (size 1-10)
+            (4, "Brand#34", 12),  # branch 3 (size 1-15)
+            (5, "Brand#99", 1),   # brand in no branch
+        ],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 5.0, 100.00, 0.00),   # brand12 qty 1-11: counts (100)
+            (1, 20.0, 999.00, 0.00),  # qty outside branch 1: dropped
+            (2, 5.0, 999.00, 0.00),   # part size disqualified: dropped
+            (3, 15.0, 200.00, 0.50),  # brand23 qty 10-20: counts (100)
+            (3, 5.0, 999.00, 0.00),   # qty below branch 2: dropped
+            (4, 30.0, 40.00, 0.00),   # brand34 qty 20-36: counts (40)
+            (5, 5.0, 999.00, 0.00),   # brand not in any branch: dropped
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double",
+    )
+    out = {
+        r.p_brand: (r.revenue, r.n_lines)
+        for r in brand_disjunction_revenue(li, part).collect()
+    }
+    assert out == {
+        "Brand#12": (100.0, 1),
+        "Brand#23": (100.0, 1),
+        "Brand#34": (40.0, 1),
+    }
+
+
+def test_parts_never_returned_anti_join(spark):
+    from myodish_peak_analysis_spark.operators.relational import (
+        parts_never_returned,
+    )
+
+    part = spark.createDataFrame(
+        [
+            (1, "Brand#1", 5),  # bulk return -> excluded
+            (2, "Brand#1", 5),  # only a small return -> kept
+            (3, "Brand#2", 7),  # never returned at all -> kept
+            (4, "Brand#2", 7),  # never ordered -> excluded (no EXISTS)
+        ],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, "R", 45.0),
+            (2, "R", 10.0),
+            (2, "N", 50.0),  # bulk but not returned
+            (3, "N", 50.0),
+        ],
+        "l_partkey long, l_returnflag string, l_quantity double",
+    )
+    out = {
+        (r.p_brand, r.p_size): r.n_parts
+        for r in parts_never_returned(li, part, min_qty=40.0).collect()
+    }
+    assert out == {("Brand#1", 5): 1, ("Brand#2", 7): 1}
