@@ -128,6 +128,8 @@ _ROTATE_FIRST = [
     "brand_disjunction_revenue",
     "parts_never_returned",
     "repetition_profile",
+    "event_transitions",
+    "top_event_paths",
 ]
 _ROTATE_LAST = [
     # r3-green entries with unchanged code (CORRECTNESS_r03.json;
@@ -224,6 +226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_order_customers": _q.q_large_order_customers,
         "cheapest_supplier": _q.q_cheapest_supplier,
         "returned_orders_by_priority": _q.q_returned_orders_by_priority,
+        "event_transitions": _q.q_event_transitions,
+        "top_event_paths": _q.q_top_event_paths,
         "nation_pair_volume": _q.q_nation_pair_volume,
         "promo_revenue": _q.q_promo_revenue,
         "brand_disjunction_revenue": _q.q_brand_disjunction_revenue,
@@ -274,6 +278,8 @@ def oracle_sql() -> dict[str, str]:
         "large_order_customers": _relational.large_order_customers_sql(),
         "cheapest_supplier": _relational.cheapest_supplier_per_part_sql(),
         "returned_orders_by_priority": _relational.returned_orders_by_priority_sql(),
+        "event_transitions": _sessions.event_transitions_sql(),
+        "top_event_paths": _sessions.top_event_paths_sql(),
         "nation_pair_volume": _relational.nation_pair_volume_sql(),
         "promo_revenue": _relational.promo_revenue_by_month_sql(),
         "brand_disjunction_revenue": _relational.brand_disjunction_revenue_sql(),

@@ -217,3 +217,135 @@ def cohort_retention_sql(max_offset: int = 14) -> str:
     WHERE day - cohort_day <= {max_offset}
     GROUP BY cohort_day, day - cohort_day
     """
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each (event_type → next event_type) pair, the observed count and
+    the transition probability out of the source type.
+
+    Scale: one hash shuffle on ``user_id`` + in-partition sort (the same
+    partitioning sessionization uses) feeds the ``lead`` window; the
+    pair count is map-side combinable into at most K² groups (K = event
+    type cardinality, small). The probability normalization is a window
+    over the K²-row aggregate — constant-size regardless of input rows.
+    The count is exact; the single double division happens per group.
+    """
+    from ..schema import ts_micros
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        events.withColumn("ts_us", ts_micros(events))
+        .select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy("src"))
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / total, 6).alias("p"),
+    )
+
+
+def event_transitions_sql() -> str:
+    return """
+    WITH pairs AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS dst
+        FROM events
+    ),
+    c AS (
+        SELECT src, dst, COUNT(*)::BIGINT AS n
+        FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           ROUND(n / SUM(n) OVER (PARTITION BY src), 6) AS p
+    FROM c
+    """
+
+
+def top_event_paths(
+    events: DataFrame, path_len: int = 3, k: int = 20
+) -> DataFrame:
+    """Top-k initial event paths: the first ``path_len`` event types of
+    every user (time order, event_id tie-break), joined with '>', ranked
+    by how many users share that prefix. Users with fewer than
+    ``path_len`` events are excluded (ragged prefixes would make path
+    popularity incomparable).
+
+    Scale: the prefix extraction is a ``row_number`` window on the same
+    user-keyed shuffle as sessionization, filtered to ``path_len`` rows
+    per user BEFORE the per-user fold (so the fold's collect_list is
+    bounded at ``path_len`` structs — never a whole user history). The
+    path count is map-side combinable, and the final top-k is a
+    distributed TakeOrdered with a deterministic (count desc, path asc)
+    tie-break — never a global sort materialization.
+    """
+    from ..schema import ts_micros
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prefix = (
+        events.withColumn("ts_us", ts_micros(events))
+        .select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= F.lit(int(path_len)))
+    )
+    paths = (
+        prefix.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_rn", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+        )
+        .filter(F.col("_n") == F.lit(int(path_len)))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(int(k))
+    )
+
+
+def top_event_paths_sql(path_len: int = 3, k: int = 20) -> str:
+    return f"""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               COUNT(*)::BIGINT AS n,
+               STRING_AGG(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= {int(path_len)}
+        GROUP BY user_id
+    )
+    SELECT path, COUNT(*)::BIGINT AS n_users
+    FROM paths WHERE n = {int(path_len)}
+    GROUP BY path
+    ORDER BY n_users DESC, path ASC
+    LIMIT {int(k)}
+    """

@@ -573,3 +573,19 @@ def q_parts_never_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "lineitem"),
         read_table(spark, sf_dir, "part"),
     )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (one user-keyed shuffle; constant-size normalization window)."""
+    from .operators.sessions import event_transitions
+
+    return event_transitions(read_table(spark, sf_dir, "events"))
+
+
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k initial event-type paths per user (bounded per-user fold +
+    distributed TakeOrdered)."""
+    from .operators.sessions import top_event_paths
+
+    return top_event_paths(read_table(spark, sf_dir, "events"))

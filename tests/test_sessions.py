@@ -76,3 +76,57 @@ def test_cohort_retention_triangle(spark):
         (r.cohort_day, r.day_offset): r.n_users for r in cohort_retention(ev).collect()
     }
     assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+def _typed_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string"
+    )
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from myodish_peak_analysis_spark.operators.sessions import (
+        event_transitions,
+    )
+
+    rows = [
+        # user 1: a -> b -> a -> c
+        (0, 0 * US, 1, "a"),
+        (1, 1 * US, 1, "b"),
+        (2, 2 * US, 1, "a"),
+        (3, 3 * US, 1, "c"),
+        # user 2: a -> b  (no cross-user pair with user 1's stream)
+        (4, 0 * US, 2, "a"),
+        (5, 1 * US, 2, "b"),
+    ]
+    out = {
+        (r.src, r.dst): (r.n, r.p)
+        for r in event_transitions(_typed_events(spark, rows)).collect()
+    }
+    # out of 'a': a->b twice, a->c once
+    assert out[("a", "b")] == (2, 0.666667)
+    assert out[("a", "c")] == (1, 0.333333)
+    assert out[("b", "a")] == (1, 1.0)
+    assert len(out) == 3
+
+
+def test_top_event_paths_prefix_and_ties(spark):
+    from myodish_peak_analysis_spark.operators.sessions import (
+        top_event_paths,
+    )
+
+    rows = [
+        # two users share prefix a>b>c (user 1 has a 4th event: ignored)
+        (0, 0 * US, 1, "a"), (1, 1 * US, 1, "b"), (2, 2 * US, 1, "c"),
+        (3, 3 * US, 1, "z"),
+        (4, 0 * US, 2, "a"), (5, 1 * US, 2, "b"), (6, 2 * US, 2, "c"),
+        # one user with path a>a>a
+        (7, 0 * US, 3, "a"), (8, 1 * US, 3, "a"), (9, 2 * US, 3, "a"),
+        # under path_len events: excluded entirely
+        (10, 0 * US, 4, "q"), (11, 1 * US, 4, "q"),
+    ]
+    out = top_event_paths(_typed_events(spark, rows), path_len=3, k=10).collect()
+    assert [(r.path, r.n_users) for r in out] == [
+        ("a>b>c", 2),
+        ("a>a>a", 1),
+    ]
