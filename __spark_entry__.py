@@ -130,6 +130,7 @@ _ROTATE_FIRST = [
     "repetition_profile",
     "event_transitions",
     "top_event_paths",
+    "pq_codes",
 ]
 _ROTATE_LAST = [
     # r3-green entries with unchanged code (CORRECTNESS_r03.json;

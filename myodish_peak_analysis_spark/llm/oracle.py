@@ -597,3 +597,66 @@ SELECT doc_id, n, top.g AS top_gram, top.c AS n_occurrences,
        ROUND(top.c * length(top.g) / n_chars, 6) AS top_gram_char_frac
 FROM t
 """
+
+
+def _pq_member_ctes(m: int, k: int, iters: int) -> str:
+    """Product-quantization twin of :func:`_kmeans_member_ctes`:
+    per-subspace deterministic k-means (init = subvectors of the k
+    lowest vec_ids, fixed Lloyd rounds, squared-L2 assignment rounded
+    to 9 dp with centroid-id tie-break, per-dim means cast through
+    FLOAT). Ends with ``pq_members`` (vec_id, sub_id, centroid_id, d);
+    expects ``base`` in scope."""
+    dsub = f"(len(e) // {m})"
+    assign = (
+        "SELECT vec_id, sub_id, se, centroid_id, d FROM ("
+        "SELECT s.vec_id, s.sub_id, s.se, c.centroid_id, "
+        "ROUND(list_sum(list_transform(list_zip(s.se, c.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS d, "
+        "ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY "
+        "ROUND(list_sum(list_transform(list_zip(s.se, c.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) ASC, c.centroid_id) AS rk "
+        "FROM sub s JOIN {cents} c USING (sub_id)) t WHERE rk = 1"
+    )
+    ctes = [
+        f"""sub AS (
+        SELECT vec_id, CAST(g.sub_id AS INT) AS sub_id,
+               list_transform(
+                   e[((g.sub_id - 1) * {dsub} + 1):(g.sub_id * {dsub})],
+                   x -> CAST(x AS DOUBLE)) AS se
+        FROM base CROSS JOIN UNNEST(generate_series(1, {m})) g(sub_id))""",
+        f"""pc0 AS (
+        SELECT sub_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY sub_id ORDER BY vec_id)
+                    AS INT) AS centroid_id,
+               se AS c
+        FROM sub
+        WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"pa{i} AS ({assign.format(cents=f'pc{i - 1}')})")
+        ctes.append(
+            f"""pc{i} AS (
+            SELECT sub_id, centroid_id,
+                   list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS c
+            FROM (
+                SELECT sub_id, centroid_id, d.dim, AVG(se[d.dim]) AS m
+                FROM pa{i}
+                CROSS JOIN UNNEST(generate_series(1, CAST(len(se) AS BIGINT)))
+                    AS d(dim)
+                GROUP BY sub_id, centroid_id, d.dim) s
+            GROUP BY sub_id, centroid_id)"""
+        )
+    ctes.append(f"pq_members AS ({assign.format(cents=f'pc{iters}')})")
+    return ",\n    ".join(ctes)
+
+
+ORACLES["pq_codes"] = f"""
+WITH {_BASE_CTE},
+{_pq_member_ctes(m=4, k=16, iters=2)}
+SELECT vec_id,
+       array_to_string(list(CAST(centroid_id AS VARCHAR) ORDER BY sub_id),
+                       ',') AS codes,
+       ROUND(SUM(d), 6) AS qerr
+FROM pq_members
+GROUP BY vec_id
+"""

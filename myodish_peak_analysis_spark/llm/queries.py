@@ -319,3 +319,12 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["repetition_profile"] = q_repetition_profile
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code words over embeddings (deterministic
+    per-subspace k-means; broadcast codebook, map-side assignment)."""
+    return similarity.pq_codes(read_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["pq_codes"] = q_pq_codes

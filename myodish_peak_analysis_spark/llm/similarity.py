@@ -401,3 +401,129 @@ def lsh_topk(
         ),
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+def _sub_l2sq(a: str, b: str) -> F.Column:
+    """Rounded squared L2 distance between two double arrays — quantized
+    to 9 dp before ranking so engine FP drift can't reorder
+    assignments (same contract as the cosine quantizers above)."""
+    return F.round(
+        F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
+        9,
+    )
+
+
+def pq_codes(
+    emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, public): split each
+    D-dim embedding into ``m`` contiguous subvectors, learn a
+    deterministic k-means codebook of ``k`` centroids per subspace
+    (init = the subvectors of the ``k`` lowest vec_ids, ``iters`` fixed
+    Lloyd rounds, squared-L2 assignment), and emit each vector's code
+    word — ``m`` small integers replacing D floats (64-dim float →
+    4 bytes at m=4/k=16: a 64× memory cut for ANN candidate storage).
+
+    Output: (vec_id, codes — the m centroid ids ordered by subspace,
+    joined as a ','-string so the row is hashable by the driver's
+    order-insensitive compare —, qerr = total squared quantization
+    error, rounded).
+
+    Scale shape: the codebook is always broadcast (m·k subvectors);
+    assignment is a map-side broadcast join keyed on ``sub_id``; the
+    codebook update is one shuffle keyed by (sub, centroid, dim) with
+    map-side partial sums. Per round the m·k centroids are collected
+    and re-emitted as a literal table (the MLlib pattern — the flat
+    plan beats an exponentially recompounding lazy DAG); at 100 TB fit
+    the codebook on a uniform sample and apply assignment to the full
+    data — quantizer geometry doesn't need every point.
+
+    D must be divisible by ``m`` (asserted per row via the slice
+    arithmetic: ragged tails would silently skew the last subspace).
+    Determinism: distances quantized to 9 dp with centroid-id
+    tie-break; per-dim means cast through FLOAT (absorbs sum-order
+    drift between engines) — mirrored exactly by the DuckDB oracle.
+    """
+    spark = emb.sparkSession
+    dsub = f"(size(embedding) DIV {m})"
+    subs = (
+        emb.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s + 1).alias("sub_id"),
+                            F.expr(
+                                f"transform(slice(embedding, {s} * {dsub} + 1, "
+                                f"{dsub}), x -> CAST(x AS DOUBLE))"
+                            ).alias("se"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("_s"),
+        )
+        .select("vec_id", "_s.sub_id", "_s.se")
+        .cache()
+    )
+    low_ids = emb.orderBy("vec_id").limit(k).select("vec_id")
+    cents = (
+        subs.join(F.broadcast(low_ids), "vec_id")
+        .select(
+            "sub_id",
+            F.row_number()
+            .over(Window.partitionBy("sub_id").orderBy("vec_id"))
+            .alias("centroid_id"),
+            F.col("se").alias("c"),
+        )
+    )
+    schema = "sub_id int, centroid_id int, c array<double>"
+
+    def assign(cdf: DataFrame) -> DataFrame:
+        j = subs.join(F.broadcast(cdf), "sub_id")
+        d = _sub_l2sq("se", "c")
+        return (
+            j.withColumn("_d", d)
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id", "sub_id").orderBy(
+                        F.col("_d").asc(), F.col("centroid_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .select("vec_id", "sub_id", "se", "centroid_id", "_d")
+        )
+
+    for _ in range(iters):
+        cents = spark.createDataFrame(cents.collect(), schema)
+        a = assign(cents)
+        cents = (
+            a.select("sub_id", "centroid_id", F.posexplode("se").alias("dim", "x"))
+            .groupBy("sub_id", "centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub_id", "centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_sm"))
+            .select(
+                "sub_id",
+                "centroid_id",
+                F.expr(
+                    "transform(_sm, s -> CAST(CAST(s.m AS FLOAT) AS DOUBLE))"
+                ).alias("c"),
+            )
+        )
+    cents = spark.createDataFrame(cents.collect(), schema)
+    final = assign(cents)
+    subs.unpersist()
+    return final.groupBy("vec_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(sub_id, "
+            "centroid_id))), s -> CAST(s.centroid_id AS STRING)), ',')"
+        ).alias("codes"),
+        F.round(F.sum("_d"), 6).alias("qerr"),
+    )

@@ -728,3 +728,24 @@ def test_repetition_profile_hand_computed(spark):
     assert (r03.top_gram, r03.n_occurrences) == ("a b a", 2)
     assert r03.top_gram_char_frac == pytest.approx(2 * 5 / 9, abs=1e-6)
     assert (rows[(1, 2)].top_gram, rows[(1, 2)].n_occurrences) == ("x y", 1)
+
+
+def test_pq_codes_shape_and_duplicate_invariance(spark):
+    import numpy as np
+
+    from myodish_peak_analysis_spark.llm import similarity
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    vecs[25] = vecs[3]  # exact duplicate must get the identical code word
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.pq_codes(emb, m=4, k=4, iters=2).collect()}
+    assert len(out) == 40
+    for r in out.values():
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == 4
+        assert all(1 <= c <= 4 for c in codes)
+        assert r.qerr >= 0.0
+    assert out[25].codes == out[3].codes
+    assert out[25].qerr == out[3].qerr
