@@ -131,6 +131,7 @@ _ROTATE_FIRST = [
     "event_transitions",
     "top_event_paths",
     "pq_codes",
+    "pq_topk",
 ]
 _ROTATE_LAST = [
     # r3-green entries with unchanged code (CORRECTNESS_r03.json;

@@ -660,3 +660,30 @@ SELECT vec_id,
 FROM pq_members
 GROUP BY vec_id
 """
+
+ORACLES["pq_topk"] = f"""
+WITH {_BASE_CTE},
+{_pq_member_ctes(m=4, k=16, iters=2)},
+qsub AS (
+    SELECT vec_id AS query_id, sub_id, se FROM sub
+    WHERE vec_id % {ANN_QUERY_MOD} = 0
+),
+dtable AS (
+    SELECT q.query_id, q.sub_id, c.centroid_id,
+           ROUND(list_sum(list_transform(list_zip(q.se, c.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS qd
+    FROM qsub q JOIN pc2 c USING (sub_id)
+),
+scored AS (
+    SELECT d.query_id, m.vec_id, ROUND(SUM(d.qd), 6) AS adc_dist
+    FROM pq_members m
+    JOIN dtable d ON m.sub_id = d.sub_id AND m.centroid_id = d.centroid_id
+    WHERE m.vec_id <> d.query_id
+    GROUP BY d.query_id, m.vec_id
+)
+SELECT query_id, vec_id, adc_dist, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist ASC, vec_id ASC) AS rank
+    FROM scored) t
+WHERE rank <= {ANN_LSH_TOPK}
+"""

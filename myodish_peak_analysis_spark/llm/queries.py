@@ -328,3 +328,13 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["pq_codes"] = q_pq_codes
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (candidates touched only through
+    their integer code words; per-query m*k distance table)."""
+    out = similarity.pq_topk(read_table(spark, sf_dir, "embeddings"))
+    return _long(out, "rank")
+
+
+QUERIES["pq_topk"] = q_pq_topk

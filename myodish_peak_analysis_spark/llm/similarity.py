@@ -447,29 +447,47 @@ def pq_codes(
     tie-break; per-dim means cast through FLOAT (absorbs sum-order
     drift between engines) — mirrored exactly by the DuckDB oracle.
     """
-    spark = emb.sparkSession
-    dsub = f"(size(embedding) DIV {m})"
-    subs = (
-        emb.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s + 1).alias("sub_id"),
-                            F.expr(
-                                f"transform(slice(embedding, {s} * {dsub} + 1, "
-                                f"{dsub}), x -> CAST(x AS DOUBLE))"
-                            ).alias("se"),
-                        )
-                        for s in range(m)
-                    ]
-                )
-            ).alias("_s"),
-        )
-        .select("vec_id", "_s.sub_id", "_s.se")
-        .cache()
+    final, _ = _pq_fit(emb, m=m, k=k, iters=iters)
+    return final.groupBy("vec_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(sub_id, "
+            "centroid_id))), s -> CAST(s.centroid_id AS STRING)), ',')"
+        ).alias("codes"),
+        F.round(F.sum("_d"), 6).alias("qerr"),
     )
+
+
+def _pq_subvectors(emb: DataFrame, m: int) -> DataFrame:
+    """(vec_id, sub_id, se): the m contiguous double-cast subvectors."""
+    dsub = f"(size(embedding) DIV {m})"
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s + 1).alias("sub_id"),
+                        F.expr(
+                            f"transform(slice(embedding, {s} * {dsub} + 1, "
+                            f"{dsub}), x -> CAST(x AS DOUBLE))"
+                        ).alias("se"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select("vec_id", "_s.sub_id", "_s.se")
+
+
+def _pq_fit(
+    emb: DataFrame, m: int, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd rounds for :func:`pq_codes`; returns (final assignment —
+    (vec_id, sub_id, se, centroid_id, _d) —, codebook-as-literal-table)
+    so ADC searches can build distance tables against the quantizer's
+    own centroids without re-deriving them."""
+    spark = emb.sparkSession
+    subs = _pq_subvectors(emb, m).cache()
     low_ids = emb.orderBy("vec_id").limit(k).select("vec_id")
     cents = (
         subs.join(F.broadcast(low_ids), "vec_id")
@@ -520,10 +538,62 @@ def pq_codes(
     cents = spark.createDataFrame(cents.collect(), schema)
     final = assign(cents)
     subs.unpersist()
-    return final.groupBy("vec_id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(sub_id, "
-            "centroid_id))), s -> CAST(s.centroid_id AS STRING)), ',')"
-        ).alias("codes"),
-        F.round(F.sum("_d"), 6).alias("qerr"),
+    return final, cents
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = ANN_LSH_TOPK,
+    query_mod: int = ANN_QUERY_MOD,
+    m: int = 4,
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: rank every candidate against
+    each query by the sum of per-subspace distances between the QUERY'S
+    EXACT subvectors and the CANDIDATE'S CODEBOOK CENTROIDS — the
+    candidate side is touched only through its m-integer code word,
+    never its floats (Jégou et al. 2011's ADC).
+
+    Scale shape: per query the m·k-entry distance table is one
+    broadcast-codebook join over the query's m subvector rows; the scan
+    is then a join of the (vec_id, sub_id, centroid_id) code table
+    against the distance table KEYED ON (sub_id, centroid_id) — integer
+    keys, no floats on the candidate side — followed by a map-side
+    combinable (query, vec) sum and a distributed top-k. Per-candidate
+    work is m lookups + adds vs D multiplies for brute cosine. At
+    100 TB compose with the IVF coarse quantizer (:func:`ivf_topk`)
+    so each query's code scan covers only ``nprobe`` posting lists
+    instead of all N codes.
+
+    Determinism: table entries quantized to 9 dp, the ADC sum to 6 dp,
+    ranks tie-broken by vec_id — mirrored by the DuckDB oracle.
+    """
+    final, cents = _pq_fit(emb, m=m, k=n_centroids, iters=iters)
+    codes = final.select("vec_id", "sub_id", "centroid_id")
+    qsub = _pq_subvectors(
+        emb.filter(F.col("vec_id") % query_mod == 0), m
+    ).select(F.col("vec_id").alias("query_id"), "sub_id", "se")
+    dtable = qsub.join(F.broadcast(cents), "sub_id").select(
+        "query_id",
+        "sub_id",
+        "centroid_id",
+        _sub_l2sq("se", "c").alias("_qd"),
+    )
+    scored = (
+        codes.join(dtable, ["sub_id", "centroid_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("_qd"), 6).alias("adc_dist"))
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("adc_dist").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
     )

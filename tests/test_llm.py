@@ -749,3 +749,28 @@ def test_pq_codes_shape_and_duplicate_invariance(spark):
         assert r.qerr >= 0.0
     assert out[25].codes == out[3].codes
     assert out[25].qerr == out[3].qerr
+
+
+def test_pq_topk_duplicate_of_query_ranks_first(spark):
+    import numpy as np
+
+    from myodish_peak_analysis_spark.llm import similarity
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    vecs[7] = vecs[0]  # vec 0 is a query (0 % 10 == 0); 7 is its twin
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.pq_topk(
+        emb, k=3, query_mod=10, m=4, n_centroids=4, iters=2
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # a duplicate shares the query's per-subspace argmin codes, so its
+    # ADC distance is the minimum possible -> rank 1
+    top0 = min(by_q[0], key=lambda r: r.rank)
+    assert top0.vec_id == 7
+    for q, rows_ in by_q.items():
+        assert len(rows_) == 3
+        assert all(r.vec_id != q for r in rows_)
