@@ -132,6 +132,7 @@ _ROTATE_FIRST = [
     "top_event_paths",
     "pq_codes",
     "pq_topk",
+    "peak_interval_stats",
 ]
 _ROTATE_LAST = [
     # r3-green entries with unchanged code (CORRECTNESS_r03.json;
@@ -239,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_find_peaks": _q.q_native_find_peaks,
         "native_find_peaks_nodist": _q.q_native_find_peaks_nodist,
         "constrained_peak_attributes": _q.q_constrained_peak_attributes,
+        "peak_interval_stats": _q.q_peak_interval_stats,
     }
     out.update(_llm_q.QUERIES)
     return _rotate(out)
@@ -289,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         # The distance=None constraint subset IS SQL-expressible — full
         # DuckDB mirror of the plateau/prominence/width pipeline:
         "native_find_peaks_nodist": _oracle.native_find_peaks_nodist_oracle(),
+        "peak_interval_stats": _oracle.peak_interval_stats_oracle(),
         # fidelity_peaks / fidelity_signal / native_find_peaks:
         # intentionally no oracle (non-SQL-expressible: greedy distance
         # suppression is priority-order sequential); parity pinned by

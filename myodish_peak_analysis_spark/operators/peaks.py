@@ -65,3 +65,46 @@ def threshold_keep_sql_expr(
 ) -> str:
     line = f"{baseline_col} + {threshold!r} * ({ceiling_col} - {baseline_col})"
     return f"NOT COALESCE({value_col} < ({line}) AND NOT isnan({line}), FALSE)"
+
+
+def peak_interval_stats(peaks: DataFrame, fs: float = 100.0) -> DataFrame:
+    """Per-channel inter-peak-interval (IPI) statistics over any peaks
+    frame carrying ``(channel_id, peak_idx)`` — beat-rate analysis, the
+    natural physiology rollup downstream of detection (the reference
+    stops at per-peak attributes; rate/variability is the first thing a
+    contraction study derives next).
+
+    Output: channel_id, n_intervals, mean_ipi (samples), std_ipi
+    (population σ, samples), mean_rate_hz (= fs / mean_ipi). Channels
+    with fewer than two peaks emit no row.
+
+    Cross-engine exactness: intervals are integer sample deltas, so the
+    first and second moments are exact BIGINT sums in any aggregation
+    order; each derived stat is ONE double expression over those
+    integers, rounded once. Scale: one lag window + one
+    map-side-combinable aggregate per channel on the (already tiny)
+    peaks frame — no extra shuffle beyond the channel key.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("channel_id").orderBy("peak_idx")
+    ipi = (
+        peaks.withColumn(
+            "_d", F.col("peak_idx") - F.lag("peak_idx").over(w)
+        )
+        .filter(F.col("_d").isNotNull())
+        .select("channel_id", F.col("_d").cast("long"))
+    )
+    agg = ipi.groupBy("channel_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("_d").alias("_s"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_q"),
+    )
+    n, s, q = F.col("n_intervals"), F.col("_s"), F.col("_q")
+    return agg.select(
+        "channel_id",
+        "n_intervals",
+        F.round(s / n, 6).alias("mean_ipi"),
+        F.round(F.sqrt((n * q - s * s).cast("double")) / n, 6).alias("std_ipi"),
+        F.round(F.lit(float(fs)) * n / s, 6).alias("mean_rate_hz"),
+    )

@@ -478,3 +478,28 @@ def native_find_peaks_nodist_oracle(
         f"ROUND(width, {ROUND_DP}) AS width "
         f"FROM widthed WHERE width >= {float(width)!r}"
     )
+
+
+def peak_interval_stats_oracle(fs: float = 100.0) -> str:
+    """IPI stats over the threshold-peaks result (same detection chain);
+    integer moments make every stat engine-exact before one rounding."""
+    return f"""
+    WITH tp AS ({threshold_peaks_oracle()}),
+    ipi AS (
+        SELECT channel_id,
+               peak_idx - LAG(peak_idx) OVER (PARTITION BY channel_id
+                                              ORDER BY peak_idx) AS d
+        FROM tp
+    ),
+    agg AS (
+        SELECT channel_id, COUNT(*)::BIGINT AS n_intervals,
+               SUM(d)::BIGINT AS s, SUM(d * d)::BIGINT AS q
+        FROM ipi WHERE d IS NOT NULL GROUP BY channel_id
+    )
+    SELECT channel_id, n_intervals,
+           ROUND(s / n_intervals, 6) AS mean_ipi,
+           ROUND(sqrt(CAST(n_intervals * q - s * s AS DOUBLE)) / n_intervals,
+                 6) AS std_ipi,
+           ROUND({float(fs)} * n_intervals / s, 6) AS mean_rate_hz
+    FROM agg
+    """

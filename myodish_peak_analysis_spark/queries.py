@@ -589,3 +589,11 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sessions import top_event_paths
 
     return top_event_paths(read_table(spark, sf_dir, "events"))
+
+
+def q_peak_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel inter-peak-interval stats over the threshold-peak
+    detection chain (integer-moment exact)."""
+    from .operators.peaks import peak_interval_stats
+
+    return peak_interval_stats(q_threshold_peaks(spark, sf_dir))

@@ -224,3 +224,24 @@ def test_random_channels_match_reference_loop(spark):
         dia[k] = math.nan
     peaks = [10, 25, 40, 60, 90]
     _check(spark, smooth, dia, peaks)
+
+
+def test_peak_interval_stats_integer_moments(spark):
+    from myodish_peak_analysis_spark.operators.peaks import (
+        peak_interval_stats,
+    )
+
+    peaks = spark.createDataFrame(
+        # channel 1: peaks at 0, 10, 30 -> intervals 10, 20
+        #   mean 15, population std 5, rate = 100/15
+        # channel 2: single peak -> no row
+        [(1, 0), (1, 10), (1, 30), (2, 5)],
+        "channel_id long, peak_idx long",
+    )
+    out = {r.channel_id: r for r in peak_interval_stats(peaks).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r.n_intervals == 2
+    assert r.mean_ipi == 15.0
+    assert r.std_ipi == 5.0
+    assert r.mean_rate_hz == round(100.0 * 2 / 30, 6)
