@@ -133,6 +133,7 @@ _ROTATE_FIRST = [
     "pq_codes",
     "pq_topk",
     "peak_interval_stats",
+    "resample_interpolate",
 ]
 _ROTATE_LAST = [
     # r3-green entries with unchanged code (CORRECTNESS_r03.json;
@@ -241,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_find_peaks_nodist": _q.q_native_find_peaks_nodist,
         "constrained_peak_attributes": _q.q_constrained_peak_attributes,
         "peak_interval_stats": _q.q_peak_interval_stats,
+        "resample_interpolate": _q.q_resample_interpolate,
     }
     out.update(_llm_q.QUERIES)
     return _rotate(out)
@@ -292,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB mirror of the plateau/prominence/width pipeline:
         "native_find_peaks_nodist": _oracle.native_find_peaks_nodist_oracle(),
         "peak_interval_stats": _oracle.peak_interval_stats_oracle(),
+        "resample_interpolate": _oracle.resample_interpolate_oracle(),
         # fidelity_peaks / fidelity_signal / native_find_peaks:
         # intentionally no oracle (non-SQL-expressible: greedy distance
         # suppression is priority-order sequential); parity pinned by

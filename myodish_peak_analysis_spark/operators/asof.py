@@ -210,3 +210,73 @@ def gap_fill(
     for c in fill_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def gap_fill_interpolate(
+    resampled: DataFrame,
+    by: str,
+    bucket_col: str = "bucket",
+    value_col: str = "avg_value",
+) -> DataFrame:
+    """Densify the bucket axis per key and LINEARLY INTERPOLATE the
+    value column across gaps (the other classic fill mode next to
+    :func:`gap_fill`'s LOCF): a missing bucket b between observations
+    (pb, pv) and (nb, nv) gets ``pv + (nv-pv)·(b-pb)/(nb-pb)``; buckets
+    before the first / after the last observation stay NULL (no
+    extrapolation).
+
+    The "next" observation is found with a DESCENDING-sort running
+    ``last(..., ignorenulls)`` frame — the same trick as
+    ``operators/attributes.with_crossings`` — never an
+    UnboundedFollowing frame (banned repo-wide: Spark re-evaluates
+    growing-tail frames quadratically). Two in-partition window passes
+    over the dense axis, one sequence-explode join — no driver loop.
+    Determinism: both engines evaluate the identical interpolation
+    expression on identical doubles; quantization is
+    ``floor(x·1e6 + 0.5)/1e6`` rather than ROUND — floor is
+    IEEE-defined on identical doubles, while engine ROUND
+    implementations disagree on half-boundary doubles (Spark rounds
+    the shortest-decimal BigDecimal, DuckDB the binary double).
+    """
+    bounds = resampled.groupBy(by).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    dense = bounds.select(
+        by, F.explode(F.expr("sequence(_lo, _hi)")).alias(bucket_col)
+    )
+    joined = dense.join(
+        resampled.withColumn("_obs", F.lit(True)), [by, bucket_col], "left"
+    ).withColumn("_observed", F.coalesce(F.col("_obs"), F.lit(False)))
+    v = F.col(value_col)
+    obs_b = F.when(v.isNotNull(), F.col(bucket_col))
+    obs_v = F.when(v.isNotNull(), v)
+    fwd = (
+        Window.partitionBy(by)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy(by)
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        joined.withColumn("_pb", F.last(obs_b, ignorenulls=True).over(fwd))
+        .withColumn("_pv", F.last(obs_v, ignorenulls=True).over(fwd))
+        .withColumn("_nb", F.last(obs_b, ignorenulls=True).over(bwd))
+        .withColumn("_nv", F.last(obs_v, ignorenulls=True).over(bwd))
+    )
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (
+        (F.col(bucket_col) - F.col("_pb"))
+        / (F.col("_nb") - F.col("_pb"))
+    )
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(F.col("_pb").isNotNull() & F.col("_nb").isNotNull(), interp)
+    )
+    quantized = F.floor(filled * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        out.withColumn(value_col, quantized)
+        .drop("_obs", "_pb", "_pv", "_nb", "_nv")
+        .withColumnRenamed("_observed", "observed")
+    )

@@ -503,3 +503,46 @@ def peak_interval_stats_oracle(fs: float = 100.0) -> str:
            ROUND({float(fs)} * n_intervals / s, 6) AS mean_rate_hz
     FROM agg
     """
+
+
+def resample_interpolate_oracle() -> str:
+    hour_us = 3600 * 1_000_000
+    return f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+    r AS (
+        SELECT user_id, ts_us // {hour_us} AS bucket, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(ROUND(value, {ROUND_DP}) * 1e6, 0) AS BIGINT)) AS DOUBLE)
+                   / (COUNT(*) * 1e6) AS avg_value
+        FROM e GROUP BY user_id, ts_us // {hour_us}
+    ),
+    bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM r GROUP BY user_id),
+    dense AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM bounds),
+    j AS (
+        SELECT d.user_id, d.bucket, r.n, r.avg_value,
+               r.n IS NOT NULL AS observed
+        FROM dense d LEFT JOIN r ON d.user_id = r.user_id AND d.bucket = r.bucket
+    ),
+    w AS (
+        SELECT *,
+               last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bucket ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+               last_value(CASE WHEN avg_value IS NOT NULL THEN avg_value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bucket ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bucket DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nb,
+               last_value(CASE WHEN avg_value IS NOT NULL THEN avg_value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bucket DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv
+        FROM j
+    )
+    SELECT user_id, bucket, observed, n,
+           FLOOR((CASE
+               WHEN avg_value IS NOT NULL THEN avg_value
+               WHEN pb IS NOT NULL AND nb IS NOT NULL
+                   THEN pv + (nv - pv) * ((bucket - pb) / (nb - pb))
+           END) * 1e6 + 0.5) / 1e6 AS avg_value
+    FROM w
+    """

@@ -597,3 +597,28 @@ def q_peak_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.peaks import peak_interval_stats
 
     return peak_interval_stats(q_threshold_peaks(spark, sf_dir))
+
+
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with LINEAR-INTERPOLATION gap fill (the
+    companion fill mode to q_resample_hourly's LOCF). Exact integer
+    micro-unit bucket averages feed an identical interpolation
+    expression in both engines, rounded once."""
+    from .operators.asof import gap_fill_interpolate
+
+    events = read_table(spark, sf_dir, "events")
+    events = events.withColumn("ts_us", ts_micros(events))
+    hour_us = 3600 * 1_000_000
+    micro = F.round(F.round(F.col("value"), ROUND_DP) * 1e6, 0).cast("long")
+    resampled = (
+        events.withColumn("bucket", F.expr(f"ts_us DIV {hour_us}"))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(micro).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+                "avg_value"
+            ),
+        )
+    )
+    out = gap_fill_interpolate(resampled, by="user_id")
+    return out.select("user_id", "bucket", "observed", "n", "avg_value")

@@ -232,3 +232,27 @@ def test_asof_matches_pandas_merge_asof(spark):
                     tolerance,
                     strict,
                 )
+
+
+def test_gap_fill_interpolate_linear_and_edges(spark):
+    from myodish_peak_analysis_spark.operators.asof import (
+        gap_fill_interpolate,
+    )
+
+    r = spark.createDataFrame(
+        # user 1: observed at buckets 0 (v=1.0) and 3 (v=4.0);
+        # gaps 1, 2 interpolate to 2.0, 3.0
+        # user 2: single observation -> nothing to fill
+        [(1, 0, 1.0), (1, 3, 4.0), (2, 7, 9.0)],
+        "user_id long, bucket long, avg_value double",
+    )
+    out = {
+        (r_.user_id, r_.bucket): r_
+        for r_ in gap_fill_interpolate(r, by="user_id").collect()
+    }
+    assert out[(1, 0)].avg_value == 1.0 and out[(1, 0)].observed
+    assert out[(1, 1)].avg_value == 2.0 and not out[(1, 1)].observed
+    assert out[(1, 2)].avg_value == 3.0 and not out[(1, 2)].observed
+    assert out[(1, 3)].avg_value == 4.0 and out[(1, 3)].observed
+    assert out[(2, 7)].avg_value == 9.0
+    assert len(out) == 5
