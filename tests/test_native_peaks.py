@@ -159,3 +159,15 @@ def test_edge_case_battery(spark):
         )
         sub = got[got.channel_id == ch].peak_idx.to_numpy()
         assert np.array_equal(sub, exp), f"channel {ch}: got {sub} exp {exp}"
+
+
+def test_persist_flag_does_not_change_results(spark):
+    """persist_input=True (default) must be a pure performance knob."""
+    frame = _frame(spark, _signals(seed=13))
+    a = native_find_peaks(frame, persist_input=True).collect()
+    b = native_find_peaks(frame, persist_input=False).collect()
+    assert sorted(
+        [(r.channel_id, r.peak_idx, r.peak_value, r.prominence, r.width) for r in a]
+    ) == sorted(
+        [(r.channel_id, r.peak_idx, r.peak_value, r.prominence, r.width) for r in b]
+    )
