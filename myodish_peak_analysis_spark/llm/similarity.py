@@ -566,6 +566,15 @@ def pq_topk(
     so each query's code scan covers only ``nprobe`` posting lists
     instead of all N codes.
 
+    Use as a SHORTLIST generator, not a final ranker: quantization
+    noise at practical (m, k) makes ADC rank-5 precision poor while
+    shortlist containment stays high (measured on clustered synth:
+    recall@5 ≈ 0.2 but 72% of the brute top-5 inside the ADC top-20 —
+    same numbers from a NumPy replication of the identical algorithm,
+    i.e. inherent PQ coarseness, not implementation loss). Feed the
+    top-``k`` shortlist to an exact re-rank (:func:`cosine_topk`
+    restricted to shortlist members) exactly as IVF+PQ systems do.
+
     Determinism: table entries quantized to 9 dp, the ADC sum to 6 dp,
     ranks tie-broken by vec_id — mirrored by the DuckDB oracle.
     """
