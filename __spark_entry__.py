@@ -134,6 +134,7 @@ _ROTATE_FIRST = [
     "pq_topk",
     "peak_interval_stats",
     "resample_interpolate",
+    "pq_rerank_topk",
 ]
 _ROTATE_LAST = [
     # r3-green entries with unchanged code (CORRECTNESS_r03.json;

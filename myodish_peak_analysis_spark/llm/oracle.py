@@ -687,3 +687,44 @@ SELECT query_id, vec_id, adc_dist, rank FROM (
     FROM scored) t
 WHERE rank <= {ANN_LSH_TOPK}
 """
+
+ORACLES["pq_rerank_topk"] = f"""
+WITH {_BASE_CTE},
+{_pq_member_ctes(m=4, k=16, iters=2)},
+qsub AS (
+    SELECT vec_id AS query_id, sub_id, se FROM sub
+    WHERE vec_id % {ANN_QUERY_MOD} = 0
+),
+dtable AS (
+    SELECT q.query_id, q.sub_id, c.centroid_id,
+           ROUND(list_sum(list_transform(list_zip(q.se, c.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS qd
+    FROM qsub q JOIN pc2 c USING (sub_id)
+),
+scored AS (
+    SELECT d.query_id, m.vec_id, ROUND(SUM(d.qd), 6) AS adc_dist
+    FROM pq_members m
+    JOIN dtable d ON m.sub_id = d.sub_id AND m.centroid_id = d.centroid_id
+    WHERE m.vec_id <> d.query_id
+    GROUP BY d.query_id, m.vec_id
+),
+sl AS (
+    SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, vec_id ASC) AS rk
+        FROM scored) t
+    WHERE rk <= 20
+),
+rr AS (
+    SELECT s.query_id, s.vec_id,
+           ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine
+    FROM sl s
+    JOIN base c ON c.vec_id = s.vec_id
+    JOIN base q ON q.vec_id = s.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM rr) t
+WHERE rank <= {ANN_LSH_TOPK}
+"""

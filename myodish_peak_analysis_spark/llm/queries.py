@@ -338,3 +338,13 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["pq_topk"] = q_pq_topk
+
+
+def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC shortlist -> exact cosine re-rank (the IVF+PQ production
+    pattern; exact math touches Q*shortlist pairs only)."""
+    out = similarity.pq_rerank_topk(read_table(spark, sf_dir, "embeddings"))
+    return _long(out, "rank")
+
+
+QUERIES["pq_rerank_topk"] = q_pq_rerank_topk

@@ -606,3 +606,61 @@ def pq_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    k: int = ANN_LSH_TOPK,
+    shortlist: int = 20,
+    query_mod: int = ANN_QUERY_MOD,
+    m: int = 4,
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """The full production PQ pattern: ADC shortlist → EXACT cosine
+    re-rank. :func:`pq_topk` generates each query's ``shortlist``
+    candidates touching only integer code words; this joins the exact
+    embeddings back for ONLY those shortlist pairs (Q·shortlist rows,
+    not Q·N) and ranks by true cosine.
+
+    Scale: the expensive exact math runs on Q·shortlist pairs — the
+    candidate corpus is never scanned with floats. The embedding
+    join-back is keyed on vec_id (and query_id), co-partitioned or
+    broadcast by AQE. Determinism: cosine quantized to 6 dp, vec_id
+    tie-break, as everywhere in this module.
+    """
+    sl = pq_topk(
+        emb,
+        k=shortlist,
+        query_mod=query_mod,
+        m=m,
+        n_centroids=n_centroids,
+        iters=iters,
+    ).select("query_id", "vec_id")
+    base = _with_norm(emb)
+    cand = base.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    q = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    joined = sl.join(cand, "vec_id").join(q, "query_id")
+    cos = F.round(
+        _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -807,3 +807,27 @@ def test_pq_adc_shortlist_contains_brute_topk(spark):
         bt.setdefault(r.query_id, set()).add(r.vec_id)
     containment = [len(sl[q] & bt[q]) / 5 for q in bt]
     assert sum(containment) / len(containment) >= 0.5
+
+
+def test_pq_rerank_orders_by_exact_cosine(spark):
+    import numpy as np
+
+    from myodish_peak_analysis_spark.llm import similarity
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.pq_rerank_topk(
+        emb, k=3, shortlist=10, query_mod=20, m=4, n_centroids=4, iters=2
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows_ in by_q.items():
+        rows_.sort(key=lambda r: r.rank)
+        assert len(rows_) == 3
+        # ranked by true cosine, descending, self excluded
+        cosines = [r.cosine for r in rows_]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.vec_id != q for r in rows_)
