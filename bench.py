@@ -39,10 +39,12 @@ from myodish_peak_analysis_spark.operators.native_peaks import (  # noqa: E402
 )
 from myodish_peak_analysis_spark.operators.smooth import with_fir_smooth  # noqa: E402
 from myodish_peak_analysis_spark.operators.relational import (  # noqa: E402
+    nation_pair_volume,
     pricing_summary,
     segment_revenue_topk,
 )
 from myodish_peak_analysis_spark.operators.sessions import (  # noqa: E402
+    event_transitions,
     funnel_counts,
     session_stats,
 )
@@ -156,6 +158,20 @@ def main() -> None:
             read_table(spark, SF_DIR, "orders"),
             read_table(spark, SF_DIR, "lineitem"),
         ),
+        # round-4 additions: the fact⋈fact dual-nation-role join, the
+        # user-keyed Markov pair rollup, and the explode-heavy top-gram
+        # profile — three distinct shuffle shapes new this round.
+        "nation_pair_volume": lambda: nation_pair_volume(
+            read_table(spark, SF_DIR, "lineitem"),
+            read_table(spark, SF_DIR, "orders"),
+            read_table(spark, SF_DIR, "customer"),
+            read_table(spark, SF_DIR, "supplier"),
+            read_table(spark, SF_DIR, "nation"),
+        ),
+        "event_transitions": lambda: event_transitions(
+            read_table(spark, SF_DIR, "events")
+        ),
+        "repetition_profile": lambda: text.repetition_profile(docs),
     }
 
     times: dict[str, float] = {}

@@ -515,23 +515,25 @@ def nation_pair_volume(
 
     Scale: the only fact×fact operation is lineitem⋈orders on
     ``orderkey`` (co-partitioned hash join; AQE splits skewed keys).
-    supplier⋈nation and customer⋈nation are pre-joined into two tiny
-    (key → nation-name) dims and explicitly ``broadcast()``, so the
-    fact rows never shuffle for dim resolution. The ship-date range
-    predicate reaches the lineitem parquet scan; the final aggregate is
-    map-side combinable into (25×25×years) groups. Revenue is summed in
-    exact integer 1e-4-dollar units and divided back once.
+    supplier⋈nation is pre-joined into a (suppkey → nation-name)
+    mini-dim and explicitly ``broadcast()`` — supplier stays small at
+    every SF. The customer mini-dim grows WITH the data (|customer| ∝
+    SF), so it carries no broadcast hint: AQE broadcasts it while it
+    fits and reverts to a co-partitioned hash join on ``custkey``
+    beyond that — a hard hint would OOM the executors at 100 TB. The
+    ship-date range predicate reaches the lineitem parquet scan; the
+    final aggregate is map-side combinable into (25×25×years) groups.
+    Revenue is summed in exact integer 1e-4-dollar units and divided
+    back once.
     """
     supp_nat = F.broadcast(
         supplier.join(
             F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
         ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
     )
-    cust_nat = F.broadcast(
-        customer.join(
-            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
-        ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
-    )
+    cust_nat = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
     ep_c, disc_c = _cents("l_extendedprice"), _cents("l_discount")
     li = lineitem.filter(
         (F.col("l_shipdate") >= _tslit(date_from))
@@ -592,15 +594,18 @@ def promo_revenue_by_month(
     coming from PROMO-type parts (the harness ``p_type`` is the single
     word class, so the match is equality, not Q14's LIKE 'PROMO%%').
 
-    Scale: ``part`` is projected to (p_partkey, is_promo BOOLEAN) and
-    broadcast — the fact side never shuffles; the month rollup is a
-    map-side-combinable conditional aggregate over exact integer
-    1e-4-dollar units, with the double division done once per group.
+    Scale: ``part`` is projected to (p_partkey, is_promo BOOLEAN) —
+    ~9 bytes/part — but covers EVERY part, so it grows with SF and
+    carries no broadcast hint (contrast
+    :func:`brand_disjunction_revenue`, whose part side is filtered to
+    three brands and safely hinted): AQE broadcasts the projection
+    while it fits and reverts to a co-partitioned ``partkey`` hash join
+    beyond that. The month rollup is a map-side-combinable conditional
+    aggregate over exact integer 1e-4-dollar units, with the double
+    division done once per group.
     """
-    is_promo = F.broadcast(
-        part.select(
-            "p_partkey", (F.col("p_type") == "PROMO").alias("_is_promo")
-        )
+    is_promo = part.select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("_is_promo")
     )
     ep_c, disc_c = _cents("l_extendedprice"), _cents("l_discount")
     li = lineitem.select(
