@@ -589,8 +589,15 @@ def pq_topk(
         "centroid_id",
         _sub_l2sq("se", "c").alias("_qd"),
     )
+    # The (sub_id, centroid_id) key space is intentionally tiny (m·k
+    # values), so a SHUFFLE join here would hash N·m code rows onto
+    # m·k keys — pathological skew by construction. The distance table
+    # is therefore explicitly broadcast (Q·m·k rows, ~30 B each): ADC
+    # is a map-side table lookup over the code scan, which is the whole
+    # point of the algorithm. At 100 TB keep Q bounded per pass (batch
+    # the query set) so the table stays broadcastable.
     scored = (
-        codes.join(dtable, ["sub_id", "centroid_id"])
+        codes.join(F.broadcast(dtable), ["sub_id", "centroid_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.round(F.sum("_qd"), 6).alias("adc_dist"))
