@@ -135,6 +135,7 @@ _ROTATE_FIRST = [
     "peak_interval_stats",
     "resample_interpolate",
     "pq_rerank_topk",
+    "encode_token_ids",
 ]
 _ROTATE_LAST = [
     # r3-green entries with unchanged code (CORRECTNESS_r03.json;

@@ -728,3 +728,28 @@ SELECT query_id, vec_id, cosine, rank FROM (
     FROM rr) t
 WHERE rank <= {ANN_LSH_TOPK}
 """
+
+ORACLES["encode_token_ids"] = f"""
+WITH toks AS (
+    SELECT doc_id, u.pos, u.tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) + 1),
+                      i -> struct_pack(pos := i, tok := tk[i]))) AS u
+        FROM (SELECT doc_id, {_TK} AS tk FROM documents) t) s
+),
+counts AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+vocab AS (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS id
+    FROM counts
+    ORDER BY cnt DESC, tok ASC LIMIT 1000
+),
+enc AS (
+    SELECT t.doc_id, t.pos, COALESCE(v.id, 0)::BIGINT AS id
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+)
+SELECT doc_id,
+       array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ' ') AS token_ids,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov
+FROM enc GROUP BY doc_id
+"""

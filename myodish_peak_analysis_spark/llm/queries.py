@@ -348,3 +348,12 @@ def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["pq_rerank_topk"] = q_pq_rerank_topk
+
+
+def q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding: top-V token ids per document (distributed
+    TakeOrdered vocab, broadcast encode join, bounded per-doc fold)."""
+    return text.encode_token_ids(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["encode_token_ids"] = q_encode_token_ids

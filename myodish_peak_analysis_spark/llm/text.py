@@ -880,3 +880,54 @@ def repetition_profile(docs: DataFrame, ns: tuple[int, ...] = (2, 3)) -> DataFra
             F.col("_top._cnt") * F.length("_top.gram") / F.col("_len"), 6
         ).alias("top_gram_char_frac"),
     )
+
+
+def encode_token_ids(docs: DataFrame, vocab_size: int = 1000) -> DataFrame:
+    """Vocabulary encoding — the tokenize→encode step of training-data
+    prep: build the top-``vocab_size`` token vocabulary (corpus counts,
+    deterministic (count desc, token asc) ranking; id 1 = most
+    frequent) and re-emit every document as its token-id sequence
+    (OOV → 0).
+
+    Output: (doc_id, token_ids — ' '-joined id sequence in document
+    order —, n_tokens, n_oov).
+
+    Scale (100 TB): the vocabulary count is one map-side-combinable
+    token-keyed aggregate; the top-V selection is a distributed
+    TakeOrdered (``orderBy().limit()`` → per-partition heads, k-row
+    driver merge — NEVER a global sort), and only the V surviving rows
+    see a ranking window. The vocab is bounded by construction, so the
+    encode join is a broadcast map-side lookup; the per-doc fold
+    collects at most the document's own tokens. Text never shuffles —
+    only (doc_id, pos, token) triples.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    top = counts.orderBy(F.col("_cnt").desc(), F.col("tok").asc()).limit(
+        int(vocab_size)
+    )
+    vocab = top.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.col("_cnt").desc(), F.col("tok").asc()))
+        .alias("_id"),
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("_id"), F.lit(0)).cast("long").alias("_id"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, _id))), "
+            "s -> CAST(s._id AS STRING)), ' ')"
+        ).alias("token_ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_id") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )

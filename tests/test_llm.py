@@ -831,3 +831,20 @@ def test_pq_rerank_orders_by_exact_cosine(spark):
         cosines = [r.cosine for r in rows_]
         assert cosines == sorted(cosines, reverse=True)
         assert all(r.vec_id != q for r in rows_)
+
+
+def test_encode_token_ids_vocab_rank_and_oov(spark):
+    d = spark.createDataFrame(
+        [
+            (0, "b a a c"),
+            (1, "a b zz"),
+        ],
+        "doc_id long, text string",
+    )
+    # counts: a=3, b=2, c=1, zz=1 -> vocab_size=3 keeps a(1) b(2) c(3)
+    # (count desc, token asc tie-break puts c before zz); zz is OOV -> 0
+    out = {r.doc_id: r for r in text.encode_token_ids(d, vocab_size=3).collect()}
+    assert out[0].token_ids == "2 1 1 3"
+    assert out[0].n_tokens == 4 and out[0].n_oov == 0
+    assert out[1].token_ids == "1 2 0"
+    assert out[1].n_tokens == 3 and out[1].n_oov == 1
