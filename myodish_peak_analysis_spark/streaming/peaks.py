@@ -799,3 +799,59 @@ def streaming_zscores(events_stream: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming event transitions --------------------------------------------
+
+TRANSITION_OUT_SCHEMA = "user_id long, src string, dst string, ts_us long"
+_TRANSITION_STATE_SCHEMA = "ts long, et string"
+
+
+def make_transition_fn():
+    """Stateful Markov-pair emitter: per-user state is the single last
+    (ts, event_type) — O(1). Each event after the user's first emits
+    one (src, dst) transition row stamped with the destination time;
+    aggregating the emitted pairs by (src, dst) reproduces the batch
+    :func:`...operators.sessions.event_transitions` counts exactly on
+    ordered streams (parity pinned by a random-split test). Events are
+    sorted by (ts_us, event_id) inside a batch; cross-batch order is
+    the source's contract, as for every stateful op in this module."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_ts, last_et = state.get if state.exists else (None, None)
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        rows = []
+        if len(batch):
+            batch = batch.sort_values(["ts_us", "event_id"])
+            for et, ts in zip(batch["event_type"], batch["ts_us"]):
+                ts = int(ts)
+                if last_et is not None:
+                    rows.append((int(user_id), last_et, str(et), ts))
+                last_ts, last_et = ts, str(et)
+            state.update((last_ts, last_et))
+        yield pd.DataFrame(rows, columns=["user_id", "src", "dst", "ts_us"])
+
+    return fn
+
+
+def streaming_transitions(events_stream: DataFrame) -> DataFrame:
+    """Live Markov transition pairs: one output row per consecutive
+    event pair of each user, state carried across micro-batches (O(1)
+    per user). Aggregate the sink by (src, dst) for live transition
+    counts — the streaming counterpart of the batch
+    ``event_transitions`` matrix."""
+    from ..schema import ts_micros
+
+    ev = events_stream.select(
+        "event_id", "user_id", "event_type",
+        ts_micros(events_stream).alias("ts_us"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        make_transition_fn(),
+        TRANSITION_OUT_SCHEMA,
+        _TRANSITION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
