@@ -136,6 +136,7 @@ _ROTATE_FIRST = [
     "resample_interpolate",
     "pq_rerank_topk",
     "encode_token_ids",
+    "resample_ohlc",
 ]
 _ROTATE_LAST = [
     # r3-green entries with unchanged code (CORRECTNESS_r03.json;
@@ -245,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constrained_peak_attributes": _q.q_constrained_peak_attributes,
         "peak_interval_stats": _q.q_peak_interval_stats,
         "resample_interpolate": _q.q_resample_interpolate,
+        "resample_ohlc": _q.q_resample_ohlc,
     }
     out.update(_llm_q.QUERIES)
     return _rotate(out)
@@ -297,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "native_find_peaks_nodist": _oracle.native_find_peaks_nodist_oracle(),
         "peak_interval_stats": _oracle.peak_interval_stats_oracle(),
         "resample_interpolate": _oracle.resample_interpolate_oracle(),
+        "resample_ohlc": _oracle.resample_ohlc_oracle(),
         # fidelity_peaks / fidelity_signal / native_find_peaks:
         # intentionally no oracle (non-SQL-expressible: greedy distance
         # suppression is priority-order sequential); parity pinned by

@@ -280,3 +280,51 @@ def gap_fill_interpolate(
         .drop("_obs", "_pb", "_pv", "_nb", "_nv")
         .withColumnRenamed("_observed", "observed")
     )
+
+
+def resample_ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: str,
+    bucket_width: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Fixed-bucket OHLC downsample: per (key, bucket) the opening
+    (first by time), high, low and closing (last by time) values plus
+    the count — the classic finance-style resample mode next to
+    :func:`resample`'s avg/min/max.
+
+    Open/close are pure row SELECTIONS (no arithmetic), deterministic
+    under ties via the (ts, id) ordering, so the oracle comparison is
+    bit-exact with no rounding. Scale: one hash shuffle on (key,
+    bucket); both row_number windows reuse that partitioning with one
+    in-partition sort each (ascending + descending — the descending
+    twin replaces a last_value/UnboundedFollowing frame, banned
+    repo-wide); the final aggregate is map-side combinable.
+    """
+    w = int(bucket_width)
+    bucket = F.expr(f"({ts_col} - pmod({ts_col}, {w})) DIV {w}")
+    base = df.select(
+        F.col(by),
+        bucket.alias("bucket"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_v"),
+    )
+    asc = Window.partitionBy(by, "bucket").orderBy(
+        F.col("_ts").asc(), F.col("_id").asc()
+    )
+    desc = Window.partitionBy(by, "bucket").orderBy(
+        F.col("_ts").desc(), F.col("_id").desc()
+    )
+    marked = base.withColumn("_ra", F.row_number().over(asc)).withColumn(
+        "_rd", F.row_number().over(desc)
+    )
+    return marked.groupBy(by, "bucket").agg(
+        F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )

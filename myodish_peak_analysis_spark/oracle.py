@@ -546,3 +546,27 @@ def resample_interpolate_oracle() -> str:
            END) * 1e6 + 0.5) / 1e6 AS avg_value
     FROM w
     """
+
+
+def resample_ohlc_oracle() -> str:
+    hour_us = 3600 * 1_000_000
+    return f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+    ),
+    m AS (
+        SELECT user_id, ts_us // {hour_us} AS bucket, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts_us // {hour_us}
+                                  ORDER BY ts_us ASC, event_id ASC) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts_us // {hour_us}
+                                  ORDER BY ts_us DESC, event_id DESC) AS rd
+        FROM e
+    )
+    SELECT user_id, bucket,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           COUNT(*)::BIGINT AS n
+    FROM m GROUP BY user_id, bucket
+    """

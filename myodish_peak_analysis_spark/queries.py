@@ -622,3 +622,15 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = gap_fill_interpolate(resampled, by="user_id")
     return out.select("user_id", "bucket", "observed", "n", "avg_value")
+
+
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly OHLC resample of event values (selection-only
+    open/close — bit-exact, no rounding)."""
+    from .operators.asof import resample_ohlc
+
+    events = read_table(spark, sf_dir, "events")
+    events = events.withColumn("ts_us", ts_micros(events))
+    return resample_ohlc(
+        events, "ts_us", "value", "user_id", 3600 * 1_000_000
+    )

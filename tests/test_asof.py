@@ -256,3 +256,32 @@ def test_gap_fill_interpolate_linear_and_edges(spark):
     assert out[(1, 3)].avg_value == 4.0 and out[(1, 3)].observed
     assert out[(2, 7)].avg_value == 9.0
     assert len(out) == 5
+
+
+def test_resample_ohlc_selection_semantics(spark):
+    from myodish_peak_analysis_spark.operators.asof import resample_ohlc
+
+    rows = [
+        # user 1, bucket 0 (width 10): ts 1,5,9 -> open=3.0 close=7.0
+        (1, 1, 1, 3.0),
+        (2, 5, 1, 9.0),
+        (3, 9, 1, 7.0),
+        # same ts tie inside bucket: event_id breaks it (id 4 first)
+        (4, 12, 1, 1.0),
+        (5, 12, 1, 2.0),
+        # user 2: single event
+        (6, 3, 2, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, value double"
+    )
+    out = {
+        (r.user_id, r.bucket): r
+        for r in resample_ohlc(df, "ts_us", "value", "user_id", 10).collect()
+    }
+    b0 = out[(1, 0)]
+    assert (b0.open, b0.high, b0.low, b0.close, b0.n) == (3.0, 9.0, 3.0, 7.0, 3)
+    b1 = out[(1, 1)]
+    assert (b1.open, b1.close, b1.n) == (1.0, 2.0, 2)
+    b2 = out[(2, 0)]
+    assert (b2.open, b2.high, b2.low, b2.close, b2.n) == (5.0, 5.0, 5.0, 5.0, 1)
