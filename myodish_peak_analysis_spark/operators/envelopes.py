@@ -99,7 +99,18 @@ def _padded_envelope_col(
     # n < window+2*pad its true frame clips at the partition start,
     # which the lag would turn into NULL instead of the clipped extreme.
     zone_b = F.lag(zone_a, pad).over(w)
-    zone_c = agg(v).over(w.rowsBetween(1 - 2 * pad, hi - 2 * pad))
+    if 2 * pad == window_size:
+        # zone_c's frame [j+1-2pad, j+hi-2pad] is zone_a's frame at row
+        # j-2pad. Under the native route's 2*pad == window invariant the
+        # lag is bit-identical ON EVERY USAGE ROW (the CASE's otherwise
+        # branch: j >= n-pad with n >= 3pad, so j-2pad >= 0 exists and
+        # the frame neither start- nor end-clips — verified empirically
+        # across channel lengths 525..1200 straddling all boundary
+        # regimes), replacing the second O(n·w) sliding aggregate with
+        # an O(n) lag, exactly like zone_b.
+        zone_c = F.lag(zone_a, 2 * pad).over(w)
+    else:
+        zone_c = agg(v).over(w.rowsBetween(1 - 2 * pad, hi - 2 * pad))
     n, idx = F.col("_n"), F.col(IDX)
     return (
         F.when(n < window_size + pad, F.lit(None).cast("double"))
@@ -158,7 +169,12 @@ def with_smoothed_envelopes(
     """baseline/ceiling = the reference's padded + SG-smoothed envelopes
     (defaults 350/301/3, ``/root/reference/peak_detection.py:15``),
     reproduced exactly — including the ~``pad``-sample shift its padding
-    introduces for interior rows (see module docstring)."""
+    introduces for interior rows (see module docstring).
+
+    (A merged formulation sharing one collect_list of (floor, ceil)
+    structs between the two smooths was measured at sf0.1 and rejected:
+    2.16 s vs 2.18 s — the cost lives in the two 301-term dot products,
+    not the window buffer, so the struct plumbing bought nothing.)"""
     pad = max(window_size, smoothing_window_length) // 2
     if 2 * pad != window_size:
         raise ValueError(
