@@ -208,7 +208,10 @@ def _ivf_fit(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
         )
     centroids = spark.createDataFrame(centroids.collect(), schema)
     out = _centroid_assign(base, centroids)
-    base.unpersist()
+    # NO base.unpersist(): `out` is lazy and its full-corpus assignment
+    # scan (the expensive consumer pass) still reads the cache —
+    # releasing it here would force that pass to re-read from source.
+    # CacheManager dedups across calls; clearCache()/eviction bound it.
     return out, centroids
 
 
@@ -441,8 +444,11 @@ def pq_codes(
     the codebook on a uniform sample and apply assignment to the full
     data — quantizer geometry doesn't need every point.
 
-    D must be divisible by ``m`` (asserted per row via the slice
-    arithmetic: ragged tails would silently skew the last subspace).
+    D must be divisible by ``m`` — checked against the first row's
+    dimension (one cheap action; the fit collects centroids anyway), a
+    ragged tail would otherwise be SILENTLY dropped from every code
+    word by the slice arithmetic, identically in both engines, so the
+    oracle could never catch it.
     Determinism: distances quantized to 9 dp with centroid-id
     tie-break; per-dim means cast through FLOAT (absorbs sum-order
     drift between engines) — mirrored exactly by the DuckDB oracle.
@@ -485,8 +491,22 @@ def _pq_fit(
     """Lloyd rounds for :func:`pq_codes`; returns (final assignment —
     (vec_id, sub_id, se, centroid_id, _d) —, codebook-as-literal-table)
     so ADC searches can build distance tables against the quantizer's
-    own centroids without re-deriving them."""
+    own centroids without re-deriving them.
+
+    The subvector cache stays persisted when this returns: the returned
+    assignment is LAZY and its full-corpus scan (the most expensive
+    consumer pass) still reads it — unpersisting here would force that
+    pass to re-explode from source. Spark's CacheManager dedups the
+    entry across calls on the same input; ``spark.catalog.clearCache()``
+    releases it, and MEMORY_AND_DISK eviction bounds the residency."""
     spark = emb.sparkSession
+    first = emb.select(F.size("embedding").alias("d")).first()
+    if first is not None and first.d % m != 0:
+        raise ValueError(
+            f"embedding dim {first.d} not divisible by m={m}: the slice "
+            "arithmetic would silently drop the trailing dims from every "
+            "subspace"
+        )
     subs = _pq_subvectors(emb, m).cache()
     low_ids = emb.orderBy("vec_id").limit(k).select("vec_id")
     cents = (
@@ -537,7 +557,7 @@ def _pq_fit(
         )
     cents = spark.createDataFrame(cents.collect(), schema)
     final = assign(cents)
-    subs.unpersist()
+    # deliberately NO subs.unpersist() here — see docstring
     return final, cents
 
 

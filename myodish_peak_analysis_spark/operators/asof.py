@@ -179,6 +179,23 @@ def resample(
     )
 
 
+def _densify(resampled: DataFrame, by: str, bucket_col: str) -> DataFrame:
+    """Shared densify step for both gap-fill modes: per-key min/max
+    bucket sequence exploded into a dense axis (no driver-side loop),
+    left-joined back with an ``_obs`` marker — the marker comes from
+    the join side, not from any value column, because a
+    genuinely-observed bucket can carry NULL values."""
+    bounds = resampled.groupBy(by).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    dense = bounds.select(
+        by, F.explode(F.expr("sequence(_lo, _hi)")).alias(bucket_col)
+    )
+    return dense.join(
+        resampled.withColumn("_obs", F.lit(True)), [by, bucket_col], "left"
+    )
+
+
 def gap_fill(
     resampled: DataFrame,
     by: str,
@@ -186,19 +203,8 @@ def gap_fill(
     fill_cols: tuple[str, ...] = ("avg_value",),
 ) -> DataFrame:
     """Densify the bucket axis per key (sequence join) and forward-fill
-    the value columns (last observation carried forward). The dense axis
-    comes from a per-key min/max sequence — no driver-side loop."""
-    bounds = resampled.groupBy(by).agg(
-        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
-    )
-    dense = bounds.select(
-        by, F.explode(F.expr("sequence(_lo, _hi)")).alias(bucket_col)
-    )
-    # `_filled` comes from a join-side marker, not from any value column
-    # (a genuinely-observed bucket can carry NULL values)
-    joined = dense.join(
-        resampled.withColumn("_obs", F.lit(True)), [by, bucket_col], "left"
-    )
+    the value columns (last observation carried forward)."""
+    joined = _densify(resampled, by, bucket_col)
     w = (
         Window.partitionBy(by)
         .orderBy(bucket_col)
@@ -238,15 +244,9 @@ def gap_fill_interpolate(
     implementations disagree on half-boundary doubles (Spark rounds
     the shortest-decimal BigDecimal, DuckDB the binary double).
     """
-    bounds = resampled.groupBy(by).agg(
-        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    joined = _densify(resampled, by, bucket_col).withColumn(
+        "_observed", F.coalesce(F.col("_obs"), F.lit(False))
     )
-    dense = bounds.select(
-        by, F.explode(F.expr("sequence(_lo, _hi)")).alias(bucket_col)
-    )
-    joined = dense.join(
-        resampled.withColumn("_obs", F.lit(True)), [by, bucket_col], "left"
-    ).withColumn("_observed", F.coalesce(F.col("_obs"), F.lit(False)))
     v = F.col(value_col)
     obs_b = F.when(v.isNotNull(), F.col(bucket_col))
     obs_v = F.when(v.isNotNull(), v)

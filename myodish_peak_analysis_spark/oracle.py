@@ -549,16 +549,21 @@ def resample_interpolate_oracle() -> str:
 
 
 def resample_ohlc_oracle() -> str:
-    hour_us = 3600 * 1_000_000
+    # FLOOR bucket via the pmod identity, matching the Spark operator:
+    # DuckDB's // truncates toward zero (-1 // 3600 = 0), which would
+    # bucket pre-epoch timestamps differently from Spark's
+    # (ts - pmod(ts, w)) DIV w.
+    w = 3600 * 1_000_000
+    fb = f"(ts_us - ((ts_us % {w} + {w}) % {w})) // {w}"
     return f"""
     WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
     ),
     m AS (
-        SELECT user_id, ts_us // {hour_us} AS bucket, value,
-               ROW_NUMBER() OVER (PARTITION BY user_id, ts_us // {hour_us}
+        SELECT user_id, {fb} AS bucket, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, {fb}
                                   ORDER BY ts_us ASC, event_id ASC) AS ra,
-               ROW_NUMBER() OVER (PARTITION BY user_id, ts_us // {hour_us}
+               ROW_NUMBER() OVER (PARTITION BY user_id, {fb}
                                   ORDER BY ts_us DESC, event_id DESC) AS rd
         FROM e
     )

@@ -398,6 +398,13 @@ def make_constrained_peaks_fn(
     non-NaN signal values, in-order arrival across micro-batches.
     ``wlen`` must be finite (it bounds the state); ``distance=None``
     skips suppression (each candidate is its own component).
+
+    State caveat: the "open component" term of the state bound is only
+    small when candidates are SPARSER than ``distance`` often enough
+    for gaps to seal components. On a raw noisy signal (a local maximum
+    every few samples) the whole stream is one component and pending
+    candidates grow with it — feed SG-smoothed signals, exactly as the
+    batch pipeline does, or suppress upstream.
     """
     import numpy as np
 
@@ -479,10 +486,19 @@ def make_constrained_peaks_fn(
         elif dist is None:
             flush_pend()
 
-        # Emit survivors whose wlen-neighborhood is fully buffered.
+        # Emit survivors. In the suppression-only config (no prominence,
+        # no width) a sealed survivor needs no neighborhood at all —
+        # emit immediately, matching the batch route, which skips the
+        # gather entirely in that mode (waiting for p + wlen//2 would
+        # also strand every end-of-stream peak for no reason).
+        # Otherwise wait until the wlen-neighborhood is fully buffered.
+        need_nb = prominence is not None or width is not None
         buf_end = buf_start + len(buf) - 1  # inclusive; -2 when empty
-        while surv and surv[0][0] + half <= buf_end:
+        while surv and ((not need_nb) or surv[0][0] + half <= buf_end):
             p, pv = surv.pop(0)
+            if not need_nb:
+                out_rows.append((int(channel_id), int(p), float(pv), None, None))
+                continue
             lo = max(buf_start, p - half)
             y = np.asarray(buf[lo - buf_start : p + half - buf_start + 1])
             lp = np.asarray([p - lo], dtype=np.intp)

@@ -872,3 +872,42 @@ def test_streaming_transitions_end_to_end(spark, tmp_path):
     # batches; either order yields exactly two pairs for user 7)
     assert len([g for g in got if g[0] == 7]) == 2
     assert not [g for g in got if g[0] == 8]  # single event: no pair
+
+
+def test_streaming_find_peaks_suppression_only_emits_immediately(spark):
+    """distance-only config: a sealed survivor needs no neighborhood, so
+    it must emit without waiting for wlen//2 trailing samples (matching
+    the batch route, which skips the gather in this mode)."""
+    import numpy as np
+    import pandas as pd
+
+    from myodish_peak_analysis_spark.functions import sigproc
+    from myodish_peak_analysis_spark.streaming.peaks import (
+        make_constrained_peaks_fn,
+    )
+
+    # smooth signal with peaks ~63 samples apart (> distance), so
+    # suppression components seal as the stream advances — the operator
+    # targets SG-smoothed signals, where candidates are sparse (a raw
+    # noisy signal is one never-sealing component by construction)
+    y = np.sin(np.arange(400) / 10.0) + 0.001 * np.arange(400)
+    fn = make_constrained_peaks_fn(
+        distance=20, prominence=None, width=None, wlen=250
+    )
+    state = StubState()
+    got = []
+    for lo, hi in ((0, 150), (150, 400)):
+        pdf = pd.DataFrame(
+            {"sample_idx": np.arange(lo, hi), "signal_value": y[lo:hi]}
+        )
+        (out,) = fn((1,), iter([pdf]), state)
+        got += [(r.peak_idx, r.peak_value) for r in out.itertuples()]
+    idxs = sigproc.find_peaks(y, distance=20, prominence=None, width=None)
+    ref = [(int(p), float(y[p])) for p in idxs]
+    # decided prefix: everything except peaks in the still-open tail
+    # component must be emitted; with distance-only there is no wlen
+    # wait, so at minimum every reference peak more than `distance`
+    # before the final candidate is present
+    assert got == [r for r in ref if r in got]  # order + subset of ref
+    assert len(got) >= len(ref) - 2
+    assert all(p <= 400 for p, _ in got)
