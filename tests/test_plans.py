@@ -29,3 +29,56 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         if "CartesianProduct" in plan:
             failures.append(f"{name}: CartesianProduct in plan")
     assert not failures, "\n".join(failures)
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pipeline_plan_has_exactly_one_hash_exchange(spark):
+    """PLANS.md's headline claim, pinned: the whole native pipeline
+    (smooth → envelopes → diastolic → peaks → attributes) shares ONE
+    channel-hash exchange; every window stage reuses or in-partition
+    re-sorts that distribution. A second hashpartitioning exchange
+    means someone broke the shared-partitioning discipline."""
+    from myodish_peak_analysis_spark.api import PeakPipeline
+    from myodish_peak_analysis_spark.schema import signal_frame
+    from tests.conftest import SF001
+
+    sig = signal_frame(spark, SF001, n_channels=1)
+    pipe = (
+        PeakPipeline(sig)
+        .smooth()
+        .envelopes()
+        .diastolic()
+        .detect_peaks()
+        .attributes()
+    )
+    plan = _plan_of(pipe.df if hasattr(pipe, "df") else pipe)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_stratified_sample_plan_is_exchange_free(spark):
+    """The multiplicative-hash keep/drop decision must stay in the scan
+    stage: zero exchanges of any kind (PLANS.md's zero-movement claim)."""
+    from myodish_peak_analysis_spark.llm.sampling import stratified_sample
+    from myodish_peak_analysis_spark.schema import read_table
+    from tests.conftest import SF001
+
+    plan = _plan_of(stratified_sample(read_table(spark, SF001, "documents")))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_blocklist_filter_corpus_never_shuffles(spark):
+    """LEFT ANTI by content hash: the corpus side must be filtered
+    map-side against a broadcast — no hashpartitioning exchange."""
+    from myodish_peak_analysis_spark.llm.dedup import blocklist_filter
+    from myodish_peak_analysis_spark.schema import read_table
+    from tests.conftest import SF001
+
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF001, "documents")
+    block = docs.limit(5).select(F.md5("text").alias("text_hash"))
+    plan = _plan_of(blocklist_filter(docs, block))
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
