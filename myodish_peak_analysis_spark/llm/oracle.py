@@ -599,22 +599,33 @@ FROM t
 """
 
 
+def _fq(expr: str, dp: int) -> str:
+    """Floor-based half-up quantizer for NON-NEGATIVE doubles —
+    identical IEEE ops to the Spark side's ``similarity._floor_q``
+    (multiply, +0.5, floor, divide), so the two engines can never
+    disagree on a half-boundary double the way ROUND does (Java
+    BigDecimal shortest-decimal HALF_UP vs DuckDB binary-double)."""
+    return f"(FLOOR(({expr}) * 1e{dp} + 0.5) / 1e{dp})"
+
+
 def _pq_member_ctes(m: int, k: int, iters: int) -> str:
     """Product-quantization twin of :func:`_kmeans_member_ctes`:
     per-subspace deterministic k-means (init = subvectors of the k
-    lowest vec_ids, fixed Lloyd rounds, squared-L2 assignment rounded
-    to 9 dp with centroid-id tie-break, per-dim means cast through
-    FLOAT). Ends with ``pq_members`` (vec_id, sub_id, centroid_id, d);
-    expects ``base`` in scope."""
+    lowest vec_ids, fixed Lloyd rounds, squared-L2 assignment
+    floor-quantized to 9 dp with centroid-id tie-break, per-dim means
+    cast through FLOAT). Ends with ``pq_members``
+    (vec_id, sub_id, centroid_id, d); expects ``base`` in scope."""
     dsub = f"(len(e) // {m})"
+    l2 = (
+        "list_sum(list_transform(list_zip(s.se, c.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
     assign = (
         "SELECT vec_id, sub_id, se, centroid_id, d FROM ("
         "SELECT s.vec_id, s.sub_id, s.se, c.centroid_id, "
-        "ROUND(list_sum(list_transform(list_zip(s.se, c.c), "
-        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS d, "
+        f"{_fq(l2, 9)} AS d, "
         "ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY "
-        "ROUND(list_sum(list_transform(list_zip(s.se, c.c), "
-        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) ASC, c.centroid_id) AS rk "
+        f"{_fq(l2, 9)} ASC, c.centroid_id) AS rk "
         "FROM sub s JOIN {cents} c USING (sub_id)) t WHERE rk = 1"
     )
     ctes = [
@@ -656,7 +667,7 @@ WITH {_BASE_CTE},
 SELECT vec_id,
        array_to_string(list(CAST(centroid_id AS VARCHAR) ORDER BY sub_id),
                        ',') AS codes,
-       ROUND(SUM(d), 6) AS qerr
+       (FLOOR(SUM(d) * 1e6 + 0.5) / 1e6) AS qerr
 FROM pq_members
 GROUP BY vec_id
 """
@@ -670,12 +681,12 @@ qsub AS (
 ),
 dtable AS (
     SELECT q.query_id, q.sub_id, c.centroid_id,
-           ROUND(list_sum(list_transform(list_zip(q.se, c.c),
-                 p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS qd
+           (FLOOR(list_sum(list_transform(list_zip(q.se, c.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1e9 + 0.5) / 1e9) AS qd
     FROM qsub q JOIN pc2 c USING (sub_id)
 ),
 scored AS (
-    SELECT d.query_id, m.vec_id, ROUND(SUM(d.qd), 6) AS adc_dist
+    SELECT d.query_id, m.vec_id, (FLOOR(SUM(d.qd) * 1e6 + 0.5) / 1e6) AS adc_dist
     FROM pq_members m
     JOIN dtable d ON m.sub_id = d.sub_id AND m.centroid_id = d.centroid_id
     WHERE m.vec_id <> d.query_id
@@ -697,12 +708,12 @@ qsub AS (
 ),
 dtable AS (
     SELECT q.query_id, q.sub_id, c.centroid_id,
-           ROUND(list_sum(list_transform(list_zip(q.se, c.c),
-                 p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS qd
+           (FLOOR(list_sum(list_transform(list_zip(q.se, c.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1e9 + 0.5) / 1e9) AS qd
     FROM qsub q JOIN pc2 c USING (sub_id)
 ),
 scored AS (
-    SELECT d.query_id, m.vec_id, ROUND(SUM(d.qd), 6) AS adc_dist
+    SELECT d.query_id, m.vec_id, (FLOOR(SUM(d.qd) * 1e6 + 0.5) / 1e6) AS adc_dist
     FROM pq_members m
     JOIN dtable d ON m.sub_id = d.sub_id AND m.centroid_id = d.centroid_id
     WHERE m.vec_id <> d.query_id
@@ -728,6 +739,82 @@ SELECT query_id, vec_id, cosine, rank FROM (
     FROM rr) t
 WHERE rank <= {ANN_LSH_TOPK}
 """
+
+def ivf_pq_topk_sql(
+    k: int = ANN_LSH_TOPK,
+    shortlist: int = 20,
+    query_mod: int = ANN_QUERY_MOD,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    ivf_iters: int = 3,
+    m: int = 4,
+    n_centroids: int = 16,
+    pq_iters: int = 2,
+) -> str:
+    """Composed IVF×PQ search: chains the unrolled k-means quantizer
+    (:func:`_kmeans_member_ctes` — ``members``/``c{ivf_iters}``) and
+    the per-subspace PQ codebook (:func:`_pq_member_ctes` —
+    ``sub``/``pq_members``/``pc{pq_iters}``; disjoint CTE names), then
+    probes nprobe posting lists, ADC-ranks only their members, and
+    exact-re-ranks the shortlist — mirroring
+    ``similarity.ivf_pq_topk`` stage for stage."""
+    kchain = _kmeans_member_ctes(n_clusters, ivf_iters)
+    pchain = _pq_member_ctes(m, n_centroids, pq_iters)
+    return f"""
+    WITH {_BASE_CTE},
+    {kchain},
+    {pchain},
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM members
+          WHERE vec_id % {query_mod} = 0),
+    qprobe AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       ROUND(list_dot_product(q.qe, c.c) / (q.qn * c.cn), 9) DESC,
+                       c.centroid_id) AS rk
+            FROM q CROSS JOIN c{ivf_iters} c) t WHERE rk <= {nprobe}),
+    cand AS (
+        SELECT p.query_id, mm.vec_id
+        FROM qprobe p JOIN members mm USING (centroid_id)
+        WHERE mm.vec_id <> p.query_id),
+    qsub AS (
+        SELECT vec_id AS query_id, sub_id, se FROM sub
+        WHERE vec_id % {query_mod} = 0),
+    dtable AS (
+        SELECT q.query_id, q.sub_id, c.centroid_id,
+               (FLOOR(list_sum(list_transform(list_zip(q.se, c.c),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1e9 + 0.5) / 1e9) AS qd
+        FROM qsub q JOIN pc{pq_iters} c USING (sub_id)),
+    scored AS (
+        SELECT cd.query_id, cd.vec_id,
+               (FLOOR(SUM(d.qd) * 1e6 + 0.5) / 1e6) AS adc_dist
+        FROM cand cd
+        JOIN pq_members pm ON pm.vec_id = cd.vec_id
+        JOIN dtable d ON d.query_id = cd.query_id
+                     AND d.sub_id = pm.sub_id
+                     AND d.centroid_id = pm.centroid_id
+        GROUP BY cd.query_id, cd.vec_id),
+    sl AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist ASC, vec_id ASC) AS rk
+            FROM scored) t
+        WHERE rk <= {shortlist}),
+    rr AS (
+        SELECT s.query_id, s.vec_id,
+               ROUND(list_dot_product(qb.e, cb.e) / (qb.nrm * cb.nrm), 6) AS cosine
+        FROM sl s
+        JOIN base cb ON cb.vec_id = s.vec_id
+        JOIN base qb ON qb.vec_id = s.query_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM rr) t
+    WHERE rank <= {k}
+    """
+
+
+ORACLES["ivf_pq_topk"] = ivf_pq_topk_sql()
 
 ORACLES["encode_token_ids"] = f"""
 WITH toks AS (

@@ -76,6 +76,11 @@ def lsh_planes_for(n: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
     return planes
 
 
+PQ_MAX_DTABLE_ROWS = 50_000_000  #: ADC distance-table broadcast bound
+#: (Q·m·k rows, ~30 B each → ~1.5 GB at the bound; Spark's broadcast
+#: hard cap is 8 GB). pq_topk/ivf_pq_topk raise past this instead of
+#: failing the job late — batch the query set to stay under it.
+
 KMEANS_CLUSTERS = 16  #: deterministic k-means default (IVF coarse
 #: quantizer + SemDeDup clustering) — the count the DuckDB oracles
 #: mirror. Scale callers derive k from N via :func:`kmeans_clusters_for`.

@@ -350,6 +350,17 @@ def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["pq_rerank_topk"] = q_pq_rerank_topk
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF×PQ search: nprobe posting lists -> ADC shortlist
+    over integer codes -> exact cosine re-rank (the FAISS IVFx,PQy
+    production pattern as one operator)."""
+    out = similarity.ivf_pq_topk(read_table(spark, sf_dir, "embeddings"))
+    return _long(out, "rank")
+
+
+QUERIES["ivf_pq_topk"] = q_ivf_pq_topk
+
+
 def q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-V token ids per document (distributed
     TakeOrdered vocab, broadcast encode join, bounded per-doc fold)."""

@@ -33,6 +33,7 @@ from .params import (
     ANN_TOPK,
     KMEANS_CLUSTERS,
     LSH_PLANES,
+    PQ_MAX_DTABLE_ROWS,
     kmeans_clusters_for,
     lsh_plane_weights,
     lsh_planes_for,
@@ -372,11 +373,27 @@ def lsh_topk(
     k: int = ANN_LSH_TOPK,
     query_mod: int = ANN_QUERY_MOD,
     n_planes: int | str | None = None,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """ANN top-k: exact cosine, but only among candidates sharing the
     query's LSH bucket — the join is keyed ON the bucket. ``n_planes``
     as in :func:`embedding_neardup`: "auto" derives log2(N) planes so
-    bucket population stays bounded at scale."""
+    bucket population stays bounded at scale.
+
+    ``multi_probe`` is THE recall knob (Lv et al. 2007, "Multi-probe
+    LSH", public): ``multi_probe=1`` additionally probes every bucket
+    at Hamming distance 1 from the query's own (each of the ``p`` sign
+    bits flipped once), so a near neighbor that landed just across one
+    hyperplane is still found. Cost shape is unchanged — the query
+    side explodes to ``p+1`` probe rows per query (still broadcast;
+    queries are the small side) and the join stays keyed on the bucket;
+    probe buckets are distinct values, so no candidate pair is produced
+    twice. Recall strictly grows with the probe radius while candidate
+    volume grows only additively (one extra bucket per flipped bit),
+    which is why multi-probe beats lowering the plane count: fewer
+    planes would grow EVERY bucket multiplicatively. Radius > 1 probes
+    all masks of popcount <= multi_probe (combinatorial — keep <= 2).
+    The oracle mirrors the deterministic single-probe default."""
     p = _resolve_planes(emb, n_planes)
     base = _with_norm(emb).withColumn("bucket", lsh_bucket_col(p))
     q = base.filter(F.col("vec_id") % query_mod == 0).select(
@@ -385,6 +402,25 @@ def lsh_topk(
         F.col("_norm").alias("q_norm"),
         F.col("bucket").alias("q_bucket"),
     )
+    if multi_probe:
+        from itertools import combinations
+
+        masks = [0] + [
+            sum(1 << b for b in bits)
+            for r in range(1, multi_probe + 1)
+            for bits in combinations(range(p), r)
+        ]
+        q = q.withColumn(
+            "q_bucket",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("q_bucket").bitwiseXOR(F.lit(mask)).cast("long")
+                        for mask in masks
+                    ]
+                )
+            ),
+        )
     c = base.select("vec_id", "embedding", "_norm", "bucket")
     joined = c.join(
         F.broadcast(q),
@@ -406,11 +442,25 @@ def lsh_topk(
     return ranked.filter(F.col("rank") <= k)
 
 
+def _floor_q(col: F.Column, dp: int) -> F.Column:
+    """Half-up quantizer for NON-NEGATIVE doubles via
+    floor(x·10^dp + 0.5)/10^dp. Unlike ``F.round`` (Java BigDecimal
+    HALF_UP on the shortest-decimal representation) vs DuckDB ``ROUND``
+    (on the binary double), this computes the identical IEEE ops in
+    both engines, so half-boundary doubles can never disagree — the
+    same trick ``gap_fill_interpolate`` uses, applied to every PQ
+    distance. Non-negative inputs only (floor+0.5 is half-toward-+inf,
+    which differs from HALF_UP for negatives; squared L2 is >= 0)."""
+    s = 10.0 ** dp
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
 def _sub_l2sq(a: str, b: str) -> F.Column:
-    """Rounded squared L2 distance between two double arrays — quantized
-    to 9 dp before ranking so engine FP drift can't reorder
-    assignments (same contract as the cosine quantizers above)."""
-    return F.round(
+    """Squared L2 distance between two double arrays — quantized to
+    9 dp (floor-based half-up, see :func:`_floor_q`) before ranking so
+    engine FP drift can't reorder assignments (same contract as the
+    cosine quantizers above)."""
+    return _floor_q(
         F.expr(
             f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
             f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -459,7 +509,7 @@ def pq_codes(
             "array_join(transform(array_sort(collect_list(struct(sub_id, "
             "centroid_id))), s -> CAST(s.centroid_id AS STRING)), ',')"
         ).alias("codes"),
-        F.round(F.sum("_d"), 6).alias("qerr"),
+        _floor_q(F.sum("_d"), 6).alias("qerr"),
     )
 
 
@@ -500,13 +550,26 @@ def _pq_fit(
     entry across calls on the same input; ``spark.catalog.clearCache()``
     releases it, and MEMORY_AND_DISK eviction bounds the residency."""
     spark = emb.sparkSession
-    first = emb.select(F.size("embedding").alias("d")).first()
-    if first is not None and first.d % m != 0:
-        raise ValueError(
-            f"embedding dim {first.d} not divisible by m={m}: the slice "
-            "arithmetic would silently drop the trailing dims from every "
-            "subspace"
-        )
+    # min/max over ALL rows (one cheap action, like the first() it
+    # replaces): a first()-only check would pass on the sampled row and
+    # the slice arithmetic would then SILENTLY drop trailing dims from
+    # the nonconforming rows — ragged corpora must be rejected outright.
+    dims = emb.agg(
+        F.min(F.size("embedding")).alias("dmin"),
+        F.max(F.size("embedding")).alias("dmax"),
+    ).first()
+    if dims is not None and dims.dmin is not None:
+        if dims.dmin != dims.dmax:
+            raise ValueError(
+                f"ragged embedding dims [{dims.dmin}, {dims.dmax}]: PQ "
+                "subvector slicing requires a uniform dimension"
+            )
+        if dims.dmin % m != 0:
+            raise ValueError(
+                f"embedding dim {dims.dmin} not divisible by m={m}: the "
+                "slice arithmetic would silently drop the trailing dims "
+                "from every subspace"
+            )
     subs = _pq_subvectors(emb, m).cache()
     low_ids = emb.orderBy("vec_id").limit(k).select("vec_id")
     cents = (
@@ -595,14 +658,17 @@ def pq_topk(
     top-``k`` shortlist to an exact re-rank (:func:`cosine_topk`
     restricted to shortlist members) exactly as IVF+PQ systems do.
 
-    Determinism: table entries quantized to 9 dp, the ADC sum to 6 dp,
-    ranks tie-broken by vec_id — mirrored by the DuckDB oracle.
+    Determinism: table entries quantized to 9 dp, the ADC sum to 6 dp
+    (both floor-based half-up, engine-agnostic) — mirrored by the
+    DuckDB oracle.
     """
     final, cents = _pq_fit(emb, m=m, k=n_centroids, iters=iters)
     codes = final.select("vec_id", "sub_id", "centroid_id")
-    qsub = _pq_subvectors(
-        emb.filter(F.col("vec_id") % query_mod == 0), m
-    ).select(F.col("vec_id").alias("query_id"), "sub_id", "se")
+    queries = emb.filter(F.col("vec_id") % query_mod == 0)
+    _check_dtable_bound(queries, m, n_centroids)
+    qsub = _pq_subvectors(queries, m).select(
+        F.col("vec_id").alias("query_id"), "sub_id", "se"
+    )
     dtable = qsub.join(F.broadcast(cents), "sub_id").select(
         "query_id",
         "sub_id",
@@ -620,7 +686,7 @@ def pq_topk(
         codes.join(F.broadcast(dtable), ["sub_id", "centroid_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("_qd"), 6).alias("adc_dist"))
+        .agg(_floor_q(F.sum("_qd"), 6).alias("adc_dist"))
     )
     return (
         scored.withColumn(
@@ -676,6 +742,161 @@ def pq_rerank_topk(
         F.col("_norm").alias("q_norm"),
     )
     joined = sl.join(cand, "vec_id").join(q, "query_id")
+    cos = F.round(
+        _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _check_dtable_bound(
+    queries: DataFrame, m: int, n_centroids: int, max_rows: int = PQ_MAX_DTABLE_ROWS
+) -> int:
+    """Enforce (not just document) the "batch the query set" contract:
+    the ADC distance table has Q·m·n_centroids rows and is ALWAYS
+    broadcast — a shuffle join on its tiny (sub, centroid) key space
+    would be pathological skew by construction — so an unbounded query
+    population would push the broadcast past executor memory and fail
+    the job late and confusingly. One cheap count on the
+    filter-pushdown query scan; raises with the batching remedy when
+    the table would exceed ``max_rows`` (~30 B/row: the default bound
+    is ~1.5 GB, inside Spark's 8 GB broadcast hard cap with headroom)."""
+    q_n = queries.count()
+    rows = q_n * m * n_centroids
+    if rows > max_rows:
+        raise ValueError(
+            f"ADC distance table would have {rows} rows "
+            f"({q_n} queries x m={m} x k={n_centroids}) — past the "
+            f"broadcastable bound {max_rows}. Batch the query set "
+            "(run pq_topk/ivf_pq_topk per query shard) instead."
+        )
+    return q_n
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    k: int = ANN_LSH_TOPK,
+    shortlist: int = 20,
+    query_mod: int = ANN_QUERY_MOD,
+    n_clusters: int | str | None = None,
+    nprobe: int = 2,
+    ivf_iters: int = 3,
+    m: int = 4,
+    n_centroids: int = 16,
+    pq_iters: int = 2,
+) -> DataFrame:
+    """The composed IVF×PQ search — the operator a 100 TB user actually
+    calls (the FAISS ``IVFx,PQy`` production pattern, Jégou et al.
+    2011, public): the IVF coarse quantizer restricts each query to its
+    ``nprobe`` nearest posting lists, PQ ADC ranks ONLY those lists'
+    members through their m-integer code words, and the ``shortlist``
+    best get an exact-cosine re-rank.
+
+    Scale shape, stage by stage:
+      1. coarse quantizer (:func:`ivf_index` internals): broadcast
+         k-centroid assignment, one keyed shuffle per Lloyd round;
+      2. posting-list restriction: the (query, centroid) probe set
+         joins the member list KEYED ON centroid_id — each query scans
+         nprobe/k of the corpus instead of all N;
+      3. ADC: the Q·m·n_centroids distance table is broadcast
+         (bounded by :func:`_check_dtable_bound`); candidate codes are
+         joined on integer (sub, centroid) keys — candidates are never
+         touched as floats;
+      4. exact re-rank: true cosine over Q·shortlist pairs only.
+    Versus :func:`pq_topk` alone, the code scan shrinks from all N
+    codes to the probed posting lists; versus :func:`ivf_topk` alone,
+    the in-list ranking touches 4-byte code words instead of D floats.
+
+    Determinism mirrors the components exactly (probe cosine 9 dp +
+    centroid-id tie-break, floor-quantized ADC distances, final cosine
+    6 dp + vec_id tie-break), so the chained DuckDB oracle
+    (``llm.oracle.ivf_pq_topk_sql``) hash-matches.
+    """
+    members, cents = _ivf_fit(emb, k=_resolve_clusters(emb, n_clusters), iters=ivf_iters)
+    final, pq_cents = _pq_fit(emb, m=m, k=n_centroids, iters=pq_iters)
+    codes = final.select(
+        "vec_id", "sub_id", F.col("centroid_id").alias("code_id")
+    )
+    q = members.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    # bound check counts the RAW filtered scan (filter-pushdown cheap),
+    # not q — counting q would force the IVF assignment early.
+    _check_dtable_bound(
+        emb.filter(F.col("vec_id") % query_mod == 0), m, n_centroids
+    )
+    # 1. coarse probe: each query's nprobe nearest IVF centroids.
+    qprobe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_cos",
+            F.round(_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 9),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_cos").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    # 2. posting-list restriction: candidate ids only — no floats.
+    cand = (
+        qprobe.join(members.select("centroid_id", "vec_id"), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    # 3. ADC over the restricted candidates.
+    qsub = _pq_subvectors(
+        emb.filter(F.col("vec_id") % query_mod == 0), m
+    ).select(F.col("vec_id").alias("query_id"), "sub_id", "se")
+    dtable = qsub.join(F.broadcast(pq_cents), "sub_id").select(
+        "query_id",
+        "sub_id",
+        F.col("centroid_id").alias("code_id"),
+        _sub_l2sq("se", "c").alias("_qd"),
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dtable), ["query_id", "sub_id", "code_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(_floor_q(F.sum("_qd"), 6).alias("adc_dist"))
+    )
+    sl = (
+        scored.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("adc_dist").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    # 4. exact re-rank on the shortlist only.
+    base = _with_norm(emb)
+    cand_emb = base.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    joined = sl.join(cand_emb, "vec_id").join(q, "query_id")
     cos = F.round(
         _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
     )
