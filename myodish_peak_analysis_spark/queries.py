@@ -6,6 +6,11 @@ These are also the canonical usage examples of the operator library —
 every function is the idiomatic Spark formulation (window functions over
 one (channel_id, sample_idx) sort; no collect, no Python in the hot
 path) that the oracle SQL mirrors.
+
+Cache lifetime: some builders (``q_native_find_peaks*``, the PQ/IVF
+family) persist intermediates that OUTLIVE the call by design — see
+:func:`..session.release_caches` for the contract and the one-call
+release.
 """
 
 from __future__ import annotations

@@ -13,6 +13,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def release_caches(spark: SparkSession) -> None:
+    """Release every cache entry the operator library has accumulated.
+
+    Cache-lifetime contract (the package-level statement of what each
+    operator docstring notes locally): a few operators persist
+    intermediates BY DESIGN and deliberately do not unpersist them
+    before returning, because the returned DataFrame is lazy and its
+    most expensive consumer pass still reads the cache —
+    ``native_find_peaks(persist_input=True)`` (slim input projection),
+    ``_pq_fit`` (subvector explosion), ``_ivf_fit`` (normed base).
+    Spark's CacheManager dedups identical canonicalized plans, so
+    repeated calls on the SAME input share one entry — but a long
+    session calling them across many DISTINCT inputs accumulates
+    entries (bounded by MEMORY_AND_DISK eviction, not released).
+    Call this between unrelated workloads, or pass
+    ``persist_input=False`` / pre-cache inputs yourself to opt out
+    per call."""
+    spark.catalog.clearCache()
+
+
 def get_spark(app_name: str = "myodish-peak-analysis-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (

@@ -349,12 +349,14 @@ CONSTRAINED_OUT_SCHEMA = (
 )
 #: buf_start/buf — contiguous trailing sample window (indices implicit);
 #: run machinery as in the envelope operator; pend — candidates of the
-#: OPEN distance-suppression component; surv — suppression survivors
-#: awaiting their right wlen-neighborhood.
+#: OPEN distance-suppression component (pend_e: already-emitted
+#: "blocker" survivors retained only as suppression context — see
+#: the compaction notes in :func:`make_constrained_peaks_fn`); surv —
+#: suppression survivors awaiting their right wlen-neighborhood.
 _CONSTRAINED_STATE_SCHEMA = (
     "buf_start long, buf array<double>, "
     "run_start long, run_value double, has_prev boolean, prev_run_value double, "
-    "pend_p array<long>, pend_v array<double>, "
+    "pend_p array<long>, pend_v array<double>, pend_e array<boolean>, "
     "surv_p array<long>, surv_v array<double>"
 )
 
@@ -365,6 +367,7 @@ def make_constrained_peaks_fn(
     width: float | None = 1.0,
     rel_height: float = 0.3,
     wlen: int = 250,
+    max_component_span: int | None = None,
 ):
     """Stateful per-channel constrained peak detector — the streaming
     mirror of ``operators.native_peaks.native_find_peaks`` (SciPy
@@ -399,12 +402,38 @@ def make_constrained_peaks_fn(
     ``wlen`` must be finite (it bounds the state); ``distance=None``
     skips suppression (each candidate is its own component).
 
-    State caveat: the "open component" term of the state bound is only
-    small when candidates are SPARSER than ``distance`` often enough
-    for gaps to seal components. On a raw noisy signal (a local maximum
-    every few samples) the whole stream is one component and pending
-    candidates grow with it — feed SG-smoothed signals, exactly as the
-    batch pipeline does, or suppress upstream.
+    State is bounded BY CONSTRUCTION, in two tiers.
+
+    Tier 1 — EXACT pending-set compaction (per micro-batch): on a
+    candidate-dense signal (a raw noisy stream has a local maximum
+    every few samples) the whole stream is one suppression component
+    that never seals, so the naive pending set grows with the stream.
+    But most greedy decisions are already FINAL: a candidate's status
+    can still change only if it is "tainted" — within ``distance`` of
+    the open frontier, or reachable from a tainted candidate through a
+    chain of would-be-processed-earlier neighbors (higher value, or
+    equal value to its right, each step closer than ``distance``).
+    Untainted candidates are final: killed-final ones are DROPPED
+    (killed candidates never affect anyone else's status — only picked
+    survivors kill), and survivor-finals left of the taint region are
+    EMITTED EARLY, retained as flagged "blockers" while still within
+    ``distance`` of a retained candidate so later greedy runs keep
+    their kills. This is exact — batch parity is bit-identical — and
+    on noise the taint region is small (chains need strictly
+    increasing values step by step), so state stays O(wlen).
+
+    Tier 2 — hard span guard (``max_component_span``, default
+    ``4·wlen`` samples, checked per appended candidate so emissions
+    stay micro-batch-split-invariant): tier 1's taint region is
+    unbounded in the worst case (candidates with increasing values
+    spaced ``distance−1`` apart taint arbitrarily far — each new
+    arrival really can flip every earlier survivor, so ANY state
+    bound must approximate somewhere). When the taint region itself
+    outgrows the guard, the pending prefix is FORCE-SEALED at the
+    widest internal candidate gap at least ``distance`` left of the
+    newest candidate — the only (documented) approximation in this
+    operator, reachable only on adversarial value ramps, never on
+    smoothed or plain-noise signals.
     """
     import numpy as np
 
@@ -418,6 +447,7 @@ def make_constrained_peaks_fn(
     odd = int(np.ceil(wlen))
     half = (odd + 1) // 2 if odd % 2 == 0 else odd // 2
     dist = None if distance is None else int(np.ceil(distance))
+    max_span = 4 * odd if max_component_span is None else int(max_component_span)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (channel_id,) = key
@@ -431,11 +461,12 @@ def make_constrained_peaks_fn(
                 prev_run_value,
                 pend_p,
                 pend_v,
+                pend_e,
                 surv_p,
                 surv_v,
             ) = state.get
             buf = list(buf)
-            pend = list(zip(pend_p, pend_v))
+            pend = list(zip(pend_p, pend_v, pend_e))
             surv = list(zip(surv_p, surv_v))
         else:
             buf_start, buf = -1, []
@@ -443,20 +474,117 @@ def make_constrained_peaks_fn(
             has_prev, prev_run_value = False, 0.0
             pend, surv = [], []
 
+        def greedy_into_surv(items) -> None:
+            # blockers (emitted=True) participate in the greedy but are
+            # never re-emitted
+            if dist is None:
+                surv.extend((p, v) for p, v, e in items if not e)
+                return
+            p_arr = np.asarray([p for p, _, _ in items], dtype=np.intp)
+            v_arr = np.asarray([v for _, v, _ in items], dtype=np.float64)
+            keep = _select_by_distance(p_arr, v_arr, dist)
+            surv.extend(
+                (int(it[0]), float(it[1]))
+                for it, k in zip(items, keep)
+                if k and not it[2]
+            )
+
         def flush_pend() -> None:
             # component sealed: run the same greedy kernel the batch
             # route uses, restricted to the component (exact — see
             # docstring), survivors queue for their neighborhoods
             if not pend:
                 return
-            if dist is None:
-                surv.extend(pend)
-            else:
-                p_arr = np.asarray([p for p, _ in pend], dtype=np.intp)
-                v_arr = np.asarray([v for _, v in pend], dtype=np.float64)
-                keep = _select_by_distance(p_arr, v_arr, dist)
-                surv.extend((int(p), float(v)) for p, v in zip(p_arr[keep], v_arr[keep]))
+            greedy_into_surv(pend)
             pend.clear()
+
+        def force_seal() -> None:
+            # tier-2 span guard tripped (see docstring): split the open
+            # component at the widest internal gap whose prefix ends
+            # at least `dist` left of the newest candidate, seal the
+            # prefix alone, keep the tail open.
+            limit = pend[-1][0] - dist
+            split, best = None, -1
+            for i in range(1, len(pend)):
+                if pend[i - 1][0] > limit:
+                    break
+                gap = pend[i][0] - pend[i - 1][0]
+                if gap > best:
+                    split, best = i, gap
+            if split is None:  # every candidate crowds the newest
+                split = len(pend) - 1
+            greedy_into_surv(pend[:split])
+            del pend[:split]
+
+        def compact() -> None:
+            # tier-1 EXACT compaction (see docstring): drop
+            # killed-final candidates, emit survivor-finals left of
+            # the taint region (retaining near ones as blockers).
+            if dist is None or len(pend) < 2 or run_start < 0:
+                return
+            n = len(pend)
+            pos = [p for p, _, _ in pend]
+            val = [v for _, v, _ in pend]
+            keep = _select_by_distance(
+                np.asarray(pos, dtype=np.intp),
+                np.asarray(val, dtype=np.float64),
+                dist,
+            )
+            # taint fixpoint: status may still change with future
+            # arrivals. Base: within dist of the open frontier (future
+            # plateau midpoints are >= run_start). Step: a tainted
+            # neighbor closer than dist that the greedy would process
+            # first (higher value; equal value only from the right —
+            # stable argsort processes equal values right-first).
+            taint = [p > run_start - dist for p in pos]
+            changed = True
+            while changed:
+                changed = False
+                for i in range(n - 1, -1, -1):
+                    if taint[i]:
+                        continue
+                    j = i + 1
+                    while j < n and pos[j] - pos[i] < dist:
+                        if taint[j] and val[j] >= val[i]:
+                            taint[i] = True
+                            changed = True
+                            break
+                        j += 1
+                    if taint[i]:
+                        continue
+                    j = i - 1
+                    while j >= 0 and pos[i] - pos[j] < dist:
+                        if taint[j] and val[j] > val[i]:
+                            taint[i] = True
+                            changed = True
+                            break
+                        j -= 1
+            min_t = min(
+                (p for p, t in zip(pos, taint) if t), default=None
+            )
+            new_pend = []
+            for i in range(n):
+                p_i, v_i, e_i = pend[i]
+                if taint[i]:
+                    new_pend.append(pend[i])
+                    continue
+                near = min_t is not None and p_i > min_t - dist
+                if not keep[i]:
+                    # killed-final: drop (killed candidates never kill
+                    # others); an emitted blocker can't be killed-final
+                    # but the drop would be safe regardless
+                    continue
+                if e_i:
+                    if near:  # blocker still in reach of the taint zone
+                        new_pend.append(pend[i])
+                    continue
+                if min_t is None or p_i < min_t:
+                    surv.append((int(p_i), float(v_i)))
+                    if near:
+                        new_pend.append((p_i, v_i, True))
+                else:  # survivor-final right of the taint front: hold
+                    new_pend.append(pend[i])
+            pend[:] = new_pend
 
         out_rows = []
         for pdf in pdfs:
@@ -474,7 +602,15 @@ def make_constrained_peaks_fn(
                         p = (run_start + idx - 1) // 2
                         if dist is not None and pend and p - pend[-1][0] >= dist:
                             flush_pend()
-                        pend.append((p, run_value))
+                        pend.append((p, run_value, False))
+                        # per-candidate span guard (split-invariant:
+                        # depends only on the sample sequence). Tier-1
+                        # exact compaction first; force-seal only if
+                        # the TAINT REGION itself outgrew the guard.
+                        if dist is not None and pend[-1][0] - pend[0][0] > max_span:
+                            compact()
+                            if len(pend) > 1 and pend[-1][0] - pend[0][0] > max_span:
+                                force_seal()
                     has_prev, prev_run_value = True, run_value
                     run_start, run_value = idx, v
 
@@ -485,6 +621,9 @@ def make_constrained_peaks_fn(
             flush_pend()
         elif dist is None:
             flush_pend()
+        # Tier-1 exact compaction of whatever stays open (no-op when the
+        # component is small or sealed).
+        compact()
 
         # Emit survivors. In the suppression-only config (no prominence,
         # no width) a sealed survivor needs no neighborhood at all —
@@ -545,7 +684,7 @@ def make_constrained_peaks_fn(
         # candidate can still reach.
         if buf:
             needs = [run_start] if run_start >= 0 else []
-            needs += [p for p, _ in pend] + [p for p, _ in surv]
+            needs += [p for p, _, _ in pend] + [p for p, _ in surv]
             min_keep = (min(needs) if needs else buf_end + 1) - half
             if min_keep > buf_start:
                 drop = min(len(buf), min_keep - buf_start)
@@ -560,8 +699,9 @@ def make_constrained_peaks_fn(
                 run_value,
                 has_prev,
                 prev_run_value,
-                [p for p, _ in pend],
-                [v for _, v in pend],
+                [p for p, _, _ in pend],
+                [v for _, v, _ in pend],
+                [e for _, _, e in pend],
                 [p for p, _ in surv],
                 [v for _, v in surv],
             )
@@ -582,19 +722,24 @@ def streaming_find_peaks(
     width: float | None = 1.0,
     rel_height: float = 0.3,
     wlen: int = 250,
+    max_component_span: int | None = None,
 ) -> DataFrame:
     """Streaming constrained peak detection with the reference defaults
     (``/root/reference/peak_detection.py:251`` semantics): peaks are
     emitted as soon as their suppression component seals and their
     ``wlen`` neighborhood arrives, bit-identical to the batch
     ``native_find_peaks`` on every decided peak (cross-batch parity in
-    ``test_streaming.py``). State is O(wlen) per channel — see
-    :func:`make_constrained_peaks_fn`."""
+    ``test_streaming.py``). State is O(wlen + max_component_span) per
+    channel by construction — see :func:`make_constrained_peaks_fn`
+    for the span guard (default ``4·wlen``) that bounds it even on
+    candidate-dense raw signals."""
     sig = signal_stream.select(
         "channel_id", "sample_idx", F.col(value_col).alias("signal_value")
     )
     return sig.groupBy("channel_id").applyInPandasWithState(
-        make_constrained_peaks_fn(distance, prominence, width, rel_height, wlen),
+        make_constrained_peaks_fn(
+            distance, prominence, width, rel_height, wlen, max_component_span
+        ),
         CONSTRAINED_OUT_SCHEMA,
         _CONSTRAINED_STATE_SCHEMA,
         "append",

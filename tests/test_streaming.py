@@ -911,3 +911,140 @@ def test_streaming_find_peaks_suppression_only_emits_immediately(spark):
     assert got == [r for r in ref if r in got]  # order + subset of ref
     assert len(got) >= len(ref) - 2
     assert all(p <= 400 for p, _ in got)
+
+
+def test_streaming_find_peaks_state_bounded_and_exact_on_raw_noise(spark):
+    """The round-4 caveat closed: on an UNSMOOTHED noisy signal the
+    whole stream is one suppression component (no candidate gap ever
+    reaches `distance`), and the old implementation's pending set grew
+    with the stream. Tier-1 exact compaction must now (a) hold pending
+    candidates and the sample buffer at O(wlen) while (b) emitting a
+    decided prefix bit-identical to the golden batch chain, in
+    position order, split-invariantly."""
+    import numpy as np
+    import pandas as pd
+
+    from myodish_peak_analysis_spark.functions.sigproc import (
+        _select_by_distance,
+        local_maxima_plateau,
+        peak_prominences,
+        peak_widths,
+    )
+    from myodish_peak_analysis_spark.streaming.peaks import (
+        make_constrained_peaks_fn,
+    )
+
+    kw = dict(distance=5, prominence=0.1, width=1.0, rel_height=0.3, wlen=20)
+    rng = np.random.default_rng(17)
+    y = rng.standard_normal(5000)
+
+    def golden(y):
+        peaks, _, _ = local_maxima_plateau(y)
+        if peaks.size:
+            peaks = peaks[_select_by_distance(peaks, y[peaks], kw["distance"])]
+        proms, lb, rb = peak_prominences(y, peaks, kw["wlen"])
+        m = proms >= kw["prominence"]
+        peaks, proms, lb, rb = peaks[m], proms[m], lb[m], rb[m]
+        widths = peak_widths(y, peaks, kw["rel_height"], proms, lb, rb)
+        m = widths >= kw["width"]
+        return {
+            int(p): (float(y[p]), float(pr), float(w))
+            for p, pr, w in zip(peaks[m], proms[m], widths[m])
+        }
+
+    def drive(cuts):
+        fn = make_constrained_peaks_fn(**kw)
+        state = StubState()
+        got, max_pend, max_buf, last, ordered = {}, 0, 0, -1, True
+        bounds = [0] + sorted(set(cuts)) + [len(y)]
+        for lo, hi in zip(bounds, bounds[1:]):
+            if lo == hi:
+                continue
+            pdf = pd.DataFrame(
+                {
+                    "channel_id": 0,
+                    "sample_idx": range(lo, hi),
+                    "signal_value": y[lo:hi],
+                }
+            )
+            for out in fn((0,), iter([pdf]), state):
+                for r in out.itertuples(index=False):
+                    ordered &= r.peak_idx > last
+                    last = int(r.peak_idx)
+                    got[int(r.peak_idx)] = (
+                        float(r.peak_value),
+                        float(r.prominence),
+                        float(r.width),
+                    )
+            s = state.get
+            max_pend = max(max_pend, len(s[6]))
+            max_buf = max(max_buf, len(s[1]))
+        return got, max_pend, max_buf, ordered
+
+    gold = golden(y)
+    cuts = sorted(rng.integers(1, 5000, size=9).tolist())
+    got, max_pend, max_buf, ordered = drive(cuts)
+
+    # (a) bounded state: ~n/3 candidates arrive; retention is O(wlen)
+    assert max_pend <= 2 * kw["wlen"], max_pend
+    assert max_buf <= 4 * kw["wlen"], max_buf
+    assert ordered  # decided-prefix emission stays position-ordered
+    # (b) exact parity on the decided prefix: nothing extra, nothing
+    # wrong, nothing missing except the undecided tail
+    for p, v in got.items():
+        assert gold.get(p) == v, (p, v, gold.get(p))
+    missing = [p for p in gold if p not in got]
+    assert all(p >= 4700 for p in missing), missing[:5]
+    # (c) split invariance with the compaction active
+    got2, _, _, _ = drive(sorted(rng.integers(1, 5000, size=6).tolist()))
+    assert got == got2
+
+
+def test_streaming_find_peaks_span_guard_on_adversarial_ramp(spark):
+    """Tier-2 guard: candidates with strictly increasing values spaced
+    closer than `distance` taint arbitrarily far back (each arrival
+    really can flip every earlier greedy decision), so exact compaction
+    cannot bound them — the hard span guard must force-seal and keep
+    the pending span at max_component_span while the unguarded run
+    grows with the stream."""
+    import numpy as np
+    import pandas as pd
+
+    from myodish_peak_analysis_spark.streaming.peaks import (
+        make_constrained_peaks_fn,
+    )
+
+    n = 4000
+    y = np.zeros(n)
+    for i in range(1, n, 4):
+        y[i] = 1.0 + i * 1e-3  # ramp: peaks every 4 < distance=5
+
+    def drive(span):
+        fn = make_constrained_peaks_fn(
+            distance=5, prominence=None, width=None, wlen=20,
+            max_component_span=span,
+        )
+        state = StubState()
+        emitted, max_span = 0, 0
+        for lo in range(0, n, 500):
+            hi = min(lo + 500, n)
+            pdf = pd.DataFrame(
+                {
+                    "channel_id": 0,
+                    "sample_idx": range(lo, hi),
+                    "signal_value": y[lo:hi],
+                }
+            )
+            for out in fn((0,), iter([pdf]), state):
+                emitted += len(out)
+            pend_p = state.get[6]
+            if len(pend_p) > 1:
+                max_span = max(max_span, pend_p[-1] - pend_p[0])
+        return emitted, max_span
+
+    emitted_def, span_def = drive(None)  # default guard = 4*wlen = 80
+    emitted_off, span_off = drive(10**9)
+    assert span_def <= 80
+    assert span_off > 1000  # without the guard the component grows
+    assert emitted_def > 900  # guarded run emits a decided prefix
+    assert emitted_off == 0  # unguarded run strands everything
