@@ -5,10 +5,13 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Keys without an ``oracle_sql()`` entry are the genuinely
-non-SQL-expressible operators (constrained SciPy-semantics find_peaks:
-greedy distance suppression + prominence — sequential by nature); the
-driver records a rows-only check for those.
+Keys without an ``oracle_sql()`` entry are the reference-exact
+pandas-UDF twins (``fidelity_peaks`` / ``fidelity_signal``) of
+pipelines that ARE hash-checked through their Spark-native route; the
+driver records a rows-only check for those two, with native<->fidelity
+parity pinned by tests instead. (``native_find_peaks`` itself is
+hash-checked since round 5 — greedy distance suppression turned out to
+be expressible as a recursive CTE.)
 """
 
 from __future__ import annotations
@@ -297,13 +300,16 @@ def oracle_sql() -> dict[str, str]:
         # The distance=None constraint subset IS SQL-expressible — full
         # DuckDB mirror of the plateau/prominence/width pipeline:
         "native_find_peaks_nodist": _oracle.native_find_peaks_nodist_oracle(),
+        # Round 5: the FULL constraint set too — greedy distance
+        # suppression as a recursive CTE (one per-channel pick per
+        # round); converts the former rows-only entry to hash-checked.
+        "native_find_peaks": _oracle.native_find_peaks_oracle(),
         "peak_interval_stats": _oracle.peak_interval_stats_oracle(),
         "resample_interpolate": _oracle.resample_interpolate_oracle(),
         "resample_ohlc": _oracle.resample_ohlc_oracle(),
-        # fidelity_peaks / fidelity_signal / native_find_peaks:
-        # intentionally no oracle (non-SQL-expressible: greedy distance
-        # suppression is priority-order sequential); parity pinned by
-        # tests instead.
+        # fidelity_peaks / fidelity_signal: intentionally no oracle —
+        # they are the reference-exact pandas twins of hash-checked
+        # native pipelines; parity pinned by tests instead.
     }
     out.update(_llm_oracle.ORACLES)
     return out

@@ -11,6 +11,8 @@ exactly-representable derivations (``idx / 100.0``) are left unrounded.
 
 from __future__ import annotations
 
+import math
+
 from .operators.attributes import crossings_sql_cte, peak_attributes_sql_select
 from .operators.envelopes import raw_envelopes_sql_cte, smoothed_envelopes_sql_cte
 from .operators.peaks import threshold_keep_sql_expr
@@ -29,6 +31,25 @@ ORACLE_CHANNELS = 8
 
 def _with(*parts: str) -> str:
     return "WITH " + ",\n".join(p.strip().strip(",") for p in parts)
+
+
+def _inline_named_windows(sql: str) -> str:
+    """Expand every ``WINDOW <name> AS (<def>)`` clause into explicit
+    ``OVER (<def>)`` references. DuckDB's parser rejects named WINDOW
+    clauses anywhere inside a ``WITH RECURSIVE`` statement ("window
+    already defined"), so the one recursive oracle inlines them; the
+    non-recursive oracles keep the readable named form."""
+    import re
+
+    defs = {
+        m.group(1): m.group(2)
+        for m in re.finditer(r"WINDOW\s+(\w+)\s+AS\s+\(([^()]*)\)", sql)
+    }
+    sql = re.sub(r"\n?\s*WINDOW\s+\w+\s+AS\s+\([^()]*\)", "", sql)
+    for name, d in defs.items():
+        sql = re.sub(rf"OVER\s+\(\s*{name}\b", f"OVER ({d} ", sql)
+        sql = re.sub(rf"OVER\s+{name}\b", f"OVER ({d})", sql)
+    return sql
 
 
 def _sig() -> str:
@@ -354,18 +375,55 @@ def native_find_peaks_nodist_oracle(
     rel_height: float = 0.3,
     wlen: int = 250,
 ) -> str:
-    """SQL mirror of ``native_find_peaks(sig, distance=None)`` — plateau
-    RLE candidates + the SciPy prominence base-walks + interpolated
-    width, as set algebra the DuckDB optimizer decorrelates into joins.
+    """SQL mirror of ``native_find_peaks(sig, distance=None)`` — see
+    :func:`native_find_peaks_oracle` (this is its ``distance=None``
+    specialization, kept as a separately-registered entry so the
+    suppression-free pipeline stays independently hash-checked)."""
+    return native_find_peaks_oracle(
+        distance=None,
+        prominence=prominence,
+        width=width,
+        rel_height=rel_height,
+        wlen=wlen,
+    )
+
+
+def native_find_peaks_oracle(
+    distance: int | None = 20,
+    prominence: float = 0.3,
+    width: float = 1.0,
+    rel_height: float = 0.3,
+    wlen: int = 250,
+) -> str:
+    """SQL mirror of ``native_find_peaks`` — plateau RLE candidates +
+    greedy distance suppression + the SciPy prominence base-walks +
+    interpolated width, as set algebra the DuckDB optimizer
+    decorrelates into joins.
 
     The sequential walk becomes closed-form: the left stopper is the
     LAST sample above peak height inside the wlen half-window; the base
     is the MIN over (stopper, peak) with nearest-to-peak tie-breaking
     (MAX index left / MIN index right — what the walk's strict
-    ``x.s < acc.minv`` update keeps). The only constraint this cannot
-    express is greedy distance suppression (priority-ordered, global per
-    channel) — hence the distance=None variant; the full-constraint
-    route stays rows-only, pinned by tests/test_native_peaks.py.
+    ``x.s < acc.minv`` update keeps).
+
+    Greedy distance suppression — priority-ordered and sequential, the
+    one constraint rounds 1-4 recorded as non-SQL-expressible — IS
+    expressible as a recursive CTE after all: each round picks every
+    channel's highest-priority remaining candidate (value DESC,
+    position DESC) and deletes candidates closer than ``distance`` to
+    it; picked rows don't re-enter the working set, so the recursion
+    drains in at most max-survivors-per-channel rounds. One pick per
+    channel per round is exactly the greedy's semantics (the global
+    priority order within a channel is what the per-round top-1
+    reproduces; channels never interact). O(rounds x remaining) work —
+    tractable at oracle scale (sf0.01: ~800 candidates, ~60 rounds),
+    never the production path. Tie caveat: for candidates with exactly
+    equal smoothed values the NumPy kernel's order comes from an
+    unstable argsort; the SQL pins value DESC, position DESC. Exact
+    double ties between distinct 301-tap FIR windows inside one
+    channel do not occur in the harness data (hash-checked), and the
+    randomized parity tests in tests/test_native_peaks.py would
+    surface an input family where they do.
 
     Rows surviving the prominence filter always have BOTH bases strictly
     below the peak (prom = pv - max(lb, rb) > 0), so the walk-empty
@@ -399,6 +457,26 @@ def native_find_peaks_nodist_oracle(
             WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
               AND prev_v < v AND next_v < v
         )""",
+    ]
+    if distance is not None:
+        dist = int(math.ceil(distance))
+        parts += [
+            f"""supp AS (
+                SELECT channel_id, p, pv, FALSE AS picked FROM cand
+                UNION ALL
+                SELECT channel_id, p, pv, p = top_p AS picked FROM (
+                    SELECT channel_id, p, pv,
+                           FIRST_VALUE(p) OVER (PARTITION BY channel_id
+                               ORDER BY pv DESC, p DESC) AS top_p
+                    FROM supp WHERE NOT picked) t
+                WHERE p = top_p OR ABS(p - top_p) >= {dist}
+            )""",
+            "kept AS (SELECT channel_id, p, pv FROM supp WHERE picked)",
+        ]
+        cand_src = "kept"
+    else:
+        cand_src = "cand"
+    parts += [
         f"""stops AS (
             SELECT c.channel_id, c.p, c.pv,
               COALESCE((SELECT MAX(s.sample_idx) FROM smoothed s
@@ -409,7 +487,7 @@ def native_find_peaks_nodist_oracle(
                  WHERE s.channel_id = c.channel_id
                    AND s.sample_idx <= c.p + {half} AND s.sample_idx > c.p
                    AND s.smooth > c.pv), c.p + {half} + 1) AS rstop
-            FROM cand c
+            FROM {cand_src} c
         )""",
         """bases AS (
             SELECT st.*,
@@ -471,13 +549,16 @@ def native_find_peaks_nodist_oracle(
             FROM ys
         )""",
     ]
-    return (
+    body = (
         f"{_with(*parts)} SELECT channel_id, peak_idx, "
         f"ROUND(peak_value, {ROUND_DP}) AS peak_value, "
         f"ROUND(prominence, {ROUND_DP}) AS prominence, "
         f"ROUND(width, {ROUND_DP}) AS width "
         f"FROM widthed WHERE width >= {float(width)!r}"
     )
+    if distance is not None:
+        body = _inline_named_windows(body).replace("WITH ", "WITH RECURSIVE ", 1)
+    return body
 
 
 def peak_interval_stats_oracle(fs: float = 100.0) -> str:

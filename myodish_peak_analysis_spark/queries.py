@@ -437,8 +437,10 @@ def q_native_find_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 constrained find_peaks, JVM-side route (operators/native_peaks):
     plateau candidates and prominence/width run as window + array-HOF
     expressions; only the sparse candidate list crosses Arrow for greedy
-    distance suppression. Not SQL-expressible — rows-only check; exact
-    parity with the NumPy kernel is pinned by tests/test_native_peaks.py."""
+    distance suppression. Hash-checked since round 5: the greedy
+    suppression is a recursive CTE in the DuckDB mirror
+    (oracle.native_find_peaks_oracle); exact parity with the NumPy
+    kernel is additionally pinned by tests/test_native_peaks.py."""
     from .operators.native_peaks import native_find_peaks
 
     sig = with_fir_smooth(signal_frame(spark, sf_dir, n_channels=ORACLE_CHANNELS))
