@@ -107,8 +107,21 @@ def minhash_band_keys(sigs: DataFrame) -> DataFrame:
 
 def minhash_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    The join is per-bucket (groupBy band+key), never all-pairs."""
-    keys = minhash_band_keys(minhash_signatures(docs))
+    The join is per-bucket (groupBy band+key), never all-pairs.
+
+    The band-key frame is cached before the self-join: the two join
+    sides are the same MinHash pipeline, and without the cache each
+    side executes the full shingle+signature subplan (AQE broadcasts
+    one side, so there is no shuffle-exchange reuse to share it —
+    measured 2x the pipeline cost at sf0.1). The cache is 4 rows/doc
+    of (id, band, hash) — O(corpus rows), spill-safe MEMORY_AND_DISK;
+    lifetime per the package cache contract
+    (:func:`...session.release_caches`)."""
+    from pyspark import StorageLevel
+
+    keys = minhash_band_keys(minhash_signatures(docs)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = keys.alias("a"), keys.alias("b")
     return (
         a.join(
@@ -271,20 +284,30 @@ def dedup_clusters(
     near-dup edges (itself if it has none). The canonical "keep one per
     cluster" step of a dedup pipeline.
 
-    Implementation: min-label propagation to FIXPOINT — each round joins
-    labels across edges and keeps the elementwise min; convergence is
-    checked per round and the loop runs until no label changes (cluster
-    diameters are 2-3 for near-dup graphs in practice; ``max_iters`` is
-    a runaway backstop, and converging within it is required for the
-    oracle contract — the DuckDB mirror computes the exact transitive
-    closure). The edge set is computed ONCE and cached (it contains the
-    whole MinHash+Jaccard subplan); per-round labels are unpersisted as
-    soon as the next round materializes. At 100 TB pass
-    ``method="star"``: the same near-dup edge set then runs through
-    :func:`star_components` (large-star/small-star, O(log^2 n) rounds
-    independent of component diameter) and returns the identical
-    (doc_id, cluster_id) frame — the default stays the oracle-checked
-    propagation-to-fixpoint form.
+    Implementation: min-label propagation to FIXPOINT, restricted to
+    the EDGE-TOUCHED SUBGRAPH — a doc with no near-dup edge can never
+    change its label, so the per-round joins run over only the nodes
+    that appear in some pair (a tiny fraction of the corpus: near-dup
+    rate × 2) and the untouched remainder gets ``cluster_id = doc_id``
+    through one final left join. At 100 TB this is the difference
+    between shuffling the corpus per round and shuffling the near-dup
+    subgraph per round. Each round joins labels across edges and keeps
+    the elementwise min, carrying the previous label so convergence is
+    read off the SAME cached frame (no extra per-round join); the loop
+    runs until no label changes (cluster diameters are 2-3 for
+    near-dup graphs in practice; ``max_iters`` is a runaway backstop,
+    and converging within it is required for the oracle contract — the
+    DuckDB mirror computes the exact transitive closure). The edge set
+    is computed ONCE and cached (it contains the whole MinHash+Jaccard
+    subplan); per-round labels are unpersisted as soon as the next
+    round materializes. At 100 TB pass ``method="star"``: the same
+    near-dup edge set then runs through :func:`star_components`
+    (large-star/small-star, O(log^2 n) rounds independent of component
+    diameter) and returns the identical (doc_id, cluster_id) frame —
+    the default stays the oracle-checked propagation-to-fixpoint form.
+    Measured head-to-head at sf0.1 (docs/PLANS.md): label-prop ~2.3 s,
+    star ~2.3 s at diameter <= 3 — the star route's advantage is the
+    round COUNT bound on deep graphs, not per-round cost.
     """
     pairs = neardup_verified(docs)
     if method == "star":
@@ -304,32 +327,38 @@ def dedup_clusters(
         )
         .cache()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .cache()
+    )
     converged = False
+    prev_cached = labels
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the old label through so the convergence check reads
+        # the one cached frame instead of re-joining old vs new
+        stepped = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("_old"),
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter(F.col("cluster_id") != F.col("_old")).count()
+        prev_cached.unpersist()
+        prev_cached = stepped
+        labels = stepped.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
             break
@@ -340,7 +369,14 @@ def dedup_clusters(
             "pathological near-dup chain; raise max_iters or switch to the "
             "large-star/small-star formulation"
         )
-    return labels
+    out = (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("cluster_id", "_cl"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("_cl"), F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    return out
 
 
 def jaccard_pairs(docs: DataFrame, mod: int = 20, min_jaccard: float = 0.05) -> DataFrame:
