@@ -110,6 +110,36 @@ def main() -> None:
             _attrs_cache["df"] = a
         return peak_averages(_attrs_cache["df"])
 
+    hour_us = 3600 * 1_000_000
+
+    def _events_ts():
+        ev = read_table(spark, SF_DIR, "events")
+        return ev.withColumn("ts_us", ts_micros(ev))
+
+    def _resample_interpolate():
+        from myodish_peak_analysis_spark.operators.asof import (
+            gap_fill_interpolate,
+        )
+
+        ev = _events_ts()
+        micro = F.round(F.round(F.col("value"), 6) * 1e6, 0).cast("long")
+        resampled = (
+            ev.withColumn("bucket", F.expr(f"ts_us DIV {hour_us}"))
+            .groupBy("user_id", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum(micro).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))
+                ).alias("avg_value"),
+            )
+        )
+        return gap_fill_interpolate(resampled, by="user_id")
+
+    def _resample_ohlc():
+        from myodish_peak_analysis_spark.operators.asof import resample_ohlc
+
+        return resample_ohlc(_events_ts(), "ts_us", "value", "user_id", hour_us)
+
     queries = {
         "native_peak_pipeline": lambda: (
             PeakPipeline(sig).smooth().envelopes().diastolic().detect_peaks().attributes()
@@ -172,6 +202,24 @@ def main() -> None:
             read_table(spark, SF_DIR, "events")
         ),
         "repetition_profile": lambda: text.repetition_profile(docs),
+        # round-5 additions: the whole ANN/PQ/resample family was absent
+        # from the bench while the r3/r4 query surface grew — these are
+        # its distinct cost shapes (iterative Lloyd fits with per-round
+        # driver actions, broadcast-codebook integer-keyed ADC joins,
+        # cluster-scoped pair joins, dense-bucket window fills). The
+        # IVF/semantic routes use n_clusters="auto" (k ~ sqrt(N) — the
+        # production scaling) just as ann_lsh_topk benches the auto
+        # plane count; PQ keeps the deterministic (m=4, k=16) codebook
+        # the oracle mirrors.
+        "ann_ivf_topk": lambda: similarity.ivf_topk(emb, n_clusters="auto"),
+        "semantic_dedup": lambda: similarity.semantic_dedup(
+            emb, n_clusters="auto"
+        ),
+        "pq_topk": lambda: similarity.pq_topk(emb),
+        "pq_rerank_topk": lambda: similarity.pq_rerank_topk(emb),
+        "ivf_pq_topk": lambda: similarity.ivf_pq_topk(emb, n_clusters="auto"),
+        "resample_interpolate": lambda: _resample_interpolate(),
+        "resample_ohlc": lambda: _resample_ohlc(),
     }
 
     times: dict[str, float] = {}

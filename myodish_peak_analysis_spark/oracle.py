@@ -41,11 +41,15 @@ def _inline_named_windows(sql: str) -> str:
     non-recursive oracles keep the readable named form."""
     import re
 
-    defs = {
-        m.group(1): m.group(2)
-        for m in re.finditer(r"WINDOW\s+(\w+)\s+AS\s+\(([^()]*)\)", sql)
-    }
-    sql = re.sub(r"\n?\s*WINDOW\s+\w+\s+AS\s+\([^()]*\)", "", sql)
+    # one clause can declare several comma-separated windows:
+    # WINDOW a AS (...), b AS (...), c AS (...)
+    entry = r"\w+\s+AS\s+\([^()]*\)"
+    clause = rf"WINDOW\s+{entry}(?:\s*,\s*{entry})*"
+    defs = {}
+    for m in re.finditer(clause, sql):
+        for e in re.finditer(r"(\w+)\s+AS\s+\(([^()]*)\)", m.group(0)):
+            defs[e.group(1)] = e.group(2)
+    sql = re.sub(rf"\n?\s*{clause}", "", sql)
     for name, d in defs.items():
         sql = re.sub(rf"OVER\s+\(\s*{name}\b", f"OVER ({d} ", sql)
         sql = re.sub(rf"OVER\s+{name}\b", f"OVER ({d})", sql)
@@ -388,14 +392,15 @@ def native_find_peaks_nodist_oracle(
     )
 
 
-def native_find_peaks_oracle(
+def _native_find_peaks_parts(
     distance: int | None = 20,
     prominence: float = 0.3,
     width: float = 1.0,
     rel_height: float = 0.3,
     wlen: int = 250,
-) -> str:
-    """SQL mirror of ``native_find_peaks`` — plateau RLE candidates +
+) -> list:
+    """CTE parts (ending in ``widthed``) for the native constrained
+    find_peaks mirror — plateau RLE candidates +
     greedy distance suppression + the SciPy prominence base-walks +
     interpolated width, as set algebra the DuckDB optimizer
     decorrelates into joins.
@@ -549,12 +554,92 @@ def native_find_peaks_oracle(
             FROM ys
         )""",
     ]
+    return parts
+
+
+def native_find_peaks_oracle(
+    distance: int | None = 20,
+    prominence: float = 0.3,
+    width: float = 1.0,
+    rel_height: float = 0.3,
+    wlen: int = 250,
+) -> str:
+    """Final-select wrapper over :func:`_native_find_peaks_parts` —
+    see that builder for the full contract (recursive-CTE greedy
+    suppression, closed-form prominence/width walks, tie caveat)."""
+    parts = _native_find_peaks_parts(distance, prominence, width, rel_height, wlen)
     body = (
         f"{_with(*parts)} SELECT channel_id, peak_idx, "
         f"ROUND(peak_value, {ROUND_DP}) AS peak_value, "
         f"ROUND(prominence, {ROUND_DP}) AS prominence, "
         f"ROUND(width, {ROUND_DP}) AS width "
         f"FROM widthed WHERE width >= {float(width)!r}"
+    )
+    if distance is not None:
+        body = _inline_named_windows(body).replace("WITH ", "WITH RECURSIVE ", 1)
+    return body
+
+
+def constrained_peak_attributes_oracle(
+    distance: int | None = 20,
+    prominence: float = 0.3,
+    width: float = 1.0,
+    rel_height: float = 0.3,
+    wlen: int = 250,
+) -> str:
+    """SQL mirror of the fully-native constrained chain
+    (``PeakPipeline(...).smooth().envelopes().diastolic()
+    .detect_peaks(constrained=True).attributes()``): the recursive-CTE
+    native_find_peaks kept set replaces the extrema flag in the keep
+    predicate — kept AND envelope-threshold — and the standard
+    crossings/attributes select runs over the same smoothed frame.
+    Converts the second rows-only entry to hash-checked (round 5)."""
+    import re
+
+    keep_th = threshold_keep_sql_expr("smooth", "baseline", "ceiling")
+    np_parts = _native_find_peaks_parts(
+        distance, prominence, width, rel_height, wlen
+    )
+    np_parts.append(
+        "npeaks AS (SELECT channel_id, peak_idx FROM widthed "
+        f"WHERE width >= {float(width)!r})"
+    )
+    # namespace the native-chain CTEs: the extrema/crossings builders
+    # define their own `runs` / `crossed`, so the find_peaks chain's
+    # names get an np_ prefix (sig/bounds/smoothed stay shared — they
+    # are defined once and read by both chains)
+    np_names = (
+        "starts", "runs", "cand", "supp", "kept", "stops",
+        "bases", "prom", "crossed", "ys", "widthed",
+    )
+    def _ns(part: str) -> str:
+        for n in np_names:
+            part = re.sub(rf"\b{n}\b", f"np_{n}", part)
+        return part
+    np_parts = [_ns(p) for p in np_parts]
+    env_parts = [
+        extrema_flags_sql("smoothed", "smooth"),
+        smoothed_envelopes_sql_cte("flagged", "smooth"),
+        _dia_cte(),
+        crossings_sql_cte("dia"),
+    ]
+    keep = (
+        "EXISTS (SELECT 1 FROM npeaks np WHERE np.channel_id = "
+        f"crossed.channel_id AND np.peak_idx = crossed.sample_idx) AND ({keep_th})"
+    )
+    inner = peak_attributes_sql_select(
+        keep_expr=keep, smooth_col="smooth", baseline_col="baseline"
+    )
+    body = (
+        f"{_with(*np_parts, *env_parts)} "
+        f"SELECT channel_id, peak_idx, timestamp, "
+        f"ROUND(peak_value, {ROUND_DP}) AS peak_value, "
+        f"ROUND(baseline_value, {ROUND_DP}) AS baseline_value, "
+        f"ROUND(force, {ROUND_DP}) AS force, "
+        f"ROUND(time_to_peak, {ROUND_DP}) AS time_to_peak, "
+        f"ROUND(time_to_relaxation, {ROUND_DP}) AS time_to_relaxation, "
+        f"ROUND(duration, {ROUND_DP}) AS duration "
+        f"FROM ({inner}) att"
     )
     if distance is not None:
         body = _inline_named_windows(body).replace("WITH ", "WITH RECURSIVE ", 1)
