@@ -84,11 +84,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # the subgraph-restricted dedup_clusters and persisted-band-keys
 # minhash_pairs) and (b) the 43 entries whose newest driver row is r3
 # (rotated out by the r4 window — all re-verified green at HEAD by the
-# local full sweep). 8 + 43 = 51: the final slot (signal_frame — a bare
-# oracle-channelized scan, unchanged since round 1) intentionally sits
-# at position 51 as next round's first rotation candidate.
+# local full sweep). 8 + 42 = 50, exactly the driver's verification cap;
+# signal_frame (a bare oracle-channelized scan, unchanged since round 1)
+# leads _ROTATE_LAST as next round's first rotation candidate.
 _ROTATE_FIRST = [
     # (a) new in round 5 / code-or-oracle changed this round:
+    "dup_span_fraction",
+    "rp_project",
+    "top_loss_customers",
+    "idle_customer_balance",
     "ivf_pq_topk",
     "native_find_peaks",
     "pq_codes",
@@ -136,13 +140,15 @@ _ROTATE_FIRST = [
     "dedup_exact",
     "text_stats",
     "lang_id",
+]
+_ROTATE_LAST = [
+    # unchanged since round 1/r3-green map-only ops, rotated out to fit
+    # the 50-entry cap (displaced by the four round-5 additions):
     "quality_score",
     "token_counts",
     "vocab_top100",
     "gopher_quality",
     "signal_frame",
-]
-_ROTATE_LAST = [
     # newest driver row is r4 (hash-green, code unchanged since):
     "session_stats",
     "funnel_counts",
@@ -249,6 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_interval_stats": _q.q_peak_interval_stats,
         "resample_interpolate": _q.q_resample_interpolate,
         "resample_ohlc": _q.q_resample_ohlc,
+        "top_loss_customers": _q.q_top_loss_customers,
+        "idle_customer_balance": _q.q_idle_customer_balance,
     }
     out.update(_llm_q.QUERIES)
     return _rotate(out)
@@ -308,6 +316,8 @@ def oracle_sql() -> dict[str, str]:
         "peak_interval_stats": _oracle.peak_interval_stats_oracle(),
         "resample_interpolate": _oracle.resample_interpolate_oracle(),
         "resample_ohlc": _oracle.resample_ohlc_oracle(),
+        "top_loss_customers": _relational.top_loss_customers_sql(),
+        "idle_customer_balance": _relational.idle_customer_balance_sql(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle —
         # they are the reference-exact pandas twins of hash-checked
         # native pipelines; parity pinned by tests instead.

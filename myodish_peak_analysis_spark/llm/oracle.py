@@ -840,3 +840,10 @@ SELECT doc_id,
        SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov
 FROM enc GROUP BY doc_id
 """
+
+
+from .text import dup_span_fraction_sql as _dsf_sql  # noqa: E402
+from .similarity import rp_project_sql as _rp_sql  # noqa: E402
+
+ORACLES["dup_span_fraction"] = _dsf_sql()
+ORACLES["rp_project"] = _rp_sql()

@@ -368,3 +368,22 @@ def q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["encode_token_ids"] = q_encode_token_ids
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of tokens covered by corpus-duplicated 8-gram
+    windows (Gopher dup-chars rule cross-document): sparse dup-position
+    window + interval-union coverage, no span materialization."""
+    return text.dup_span_fraction(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["dup_span_fraction"] = q_dup_span_fraction
+
+
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achlioptas sparse random projection to 8 dims (map-only HOF,
+    closed-form ±1/0 coefficients, exact integer-micro arithmetic)."""
+    return similarity.rp_project(read_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["rp_project"] = q_rp_project

@@ -912,3 +912,93 @@ def ivf_pq_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def _rp_coef_sql(i: str, j: str) -> str:
+    """Deterministic Achlioptas sparse-projection coefficient in
+    {+1, -1, 0} with weights {1/6, 1/6, 2/3} (Achlioptas 2003,
+    "Database-friendly random projections" — public), derived from a
+    multiplicative hash of the (input-dim, output-dim) pair. Pure
+    non-negative BIGINT arithmetic, so Spark and DuckDB evaluate it
+    bit-identically (no engine-specific RNG, no negative-modulo
+    divergence)."""
+    h = f"(({i}) * 2654435761 + ({j}) * 40503) % 1000003"
+    return (
+        f"CASE WHEN ({h}) % 6 = 0 THEN 1 "
+        f"WHEN ({h}) % 6 = 1 THEN -1 ELSE 0 END"
+    )
+
+
+def rp_project(emb: DataFrame, d_out: int = 8) -> DataFrame:
+    """Sparse random projection of the embedding column to ``d_out``
+    dims — the cheap dimensionality reduction run ahead of clustering /
+    LSH at corpus scale (Johnson–Lindenstrauss: pairwise distances are
+    preserved within (1±ε) for d_out = O(log N / ε²)).
+
+    Exactness contract: embeddings are quantized once to integer
+    micro-units (the floor-based half-up trick — float→double is exact,
+    so both engines round the same doubles), projected with the
+    {+1,-1,0} coefficients in pure BIGINT arithmetic (order-insensitive
+    exact sums), and divided back once at the end. Output rows
+    (vec_id, out_dim, value) are hash-exact across engines.
+
+    Scale: map-only — a per-row HOF loop of d_out × dim multiply-adds
+    inside whole-stage codegen; no shuffle, no explode, no UDF. The
+    coefficient "matrix" is a closed-form expression, so nothing is
+    broadcast and executors share no state. At 100 TB this is the
+    operator that makes IVF fits / LSH bucketing affordable: k-means on
+    8 dims costs 1/8th of 64, and the projection itself is one pass.
+    """
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    micro = (
+        "transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    sums = [
+        f"aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + _micro[i] * ({_rp_coef_sql('i', str(j))}))"
+        f" AS _s{j}"
+        for j in range(d_out)
+    ]
+    projected = (
+        emb.selectExpr("vec_id", f"{micro} AS _micro")
+        .selectExpr("vec_id", *sums)
+        .selectExpr(
+            "vec_id",
+            f"stack({d_out}, "
+            + ", ".join(f"CAST({j} AS BIGINT), _s{j}" for j in range(d_out))
+            + ") AS (out_dim, _sum_micro)",
+        )
+    )
+    return projected.select(
+        "vec_id",
+        "out_dim",
+        (F.col("_sum_micro") / F.lit(1e6)).alias("value"),
+    )
+
+
+def rp_project_sql(d_out: int = 8) -> str:
+    """DuckDB mirror of :func:`rp_project`: same micro-quantization,
+    same closed-form coefficients, same exact BIGINT sums. The oracle
+    explodes (dim × d_out) rows per vector — fine at oracle scale; the
+    Spark side stays map-only."""
+    coef = _rp_coef_sql("t.i - 1", "j.out_dim")
+    return f"""
+    WITH m AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS micro
+        FROM embeddings
+    ),
+    t AS (
+        SELECT vec_id, unnest(micro) AS v,
+               generate_subscripts(micro, 1) AS i
+        FROM m
+    )
+    SELECT t.vec_id,
+           CAST(j.out_dim AS BIGINT) AS out_dim,
+           CAST(SUM(t.v * ({coef})) AS BIGINT) / 1e6 AS value
+    FROM t CROSS JOIN (SELECT unnest(range({d_out})) AS out_dim) j
+    GROUP BY t.vec_id, j.out_dim
+    """

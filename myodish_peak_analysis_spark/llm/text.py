@@ -511,6 +511,109 @@ def duplicated_spans_sql(gram: int = 8, min_count: int = 2) -> str:
     """
 
 
+def dup_span_fraction(
+    docs: DataFrame, gram: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Per-document fraction of tokens covered by corpus-duplicated
+    ``gram``-token windows — the document-level filter built on the
+    same signal as :func:`duplicated_spans` (Gopher's "fraction of
+    characters in duplicate n-grams" rule, Rae et al. 2021, applied
+    cross-document as in Dolma/RefinedWeb: docs above a coverage
+    threshold are dropped or trimmed).
+
+    Exact interval-union coverage without materializing spans: the
+    duplicated positions each cover ``[pos, pos+gram-1]``; sorted by
+    ``pos`` within a doc, a position's NEW coverage is
+    ``min(gram, pos - lag(pos))`` (gap ≥ gram → full window, overlap →
+    only the fresh suffix). Summing that per doc is the union length —
+    one window pass over the sparse duplicated positions, no
+    per-interval merge loop.
+
+    Scale: identical shape to :func:`duplicated_spans` (map-side gram
+    explode, combinable vocabulary count, join back) plus one window
+    over duplicated positions only (≪ corpus tokens) and a key-only
+    left join onto the doc spine. All-integer outputs except the final
+    single division of two longs (bit-identical IEEE in any engine).
+    """
+    from pyspark.sql import Window
+
+    pos_grams = docs.filter(F.expr(f"size({_TOKENS}) >= {gram}")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size({_TOKENS}) - {gram - 1}), "
+                f"i -> struct(i AS pos, "
+                f"concat_ws(' ', slice({_TOKENS}, i, {gram})) AS gram))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    dup_grams = (
+        pos_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gram")
+    )
+    dup_pos = pos_grams.join(dup_grams, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = dup_pos.withColumn(
+        "_new",
+        F.least(F.lit(gram), F.col("pos") - F.lag("pos").over(w)),
+    ).withColumn("_new", F.coalesce("_new", F.lit(gram)))
+    per_doc = cov.groupBy("doc_id").agg(
+        F.sum("_new").cast("long").alias("dup_tokens")
+    )
+    spine = docs.select(
+        "doc_id", F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens")
+    )
+    return (
+        spine.join(per_doc, "doc_id", "left")
+        .withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_tokens",
+            (F.col("dup_tokens") / F.col("n_tokens")).alias("dup_frac"),
+        )
+    )
+
+
+def dup_span_fraction_sql(gram: int = 8, min_count: int = 2) -> str:
+    """DuckDB mirror of :func:`dup_span_fraction` — same positional
+    grams, same min(gram, gap) union-length window, same single final
+    long/long division."""
+    tk = "string_split(text, ' ')"
+    return f"""
+    WITH pos_grams AS (
+        SELECT doc_id, pos,
+               array_to_string(list_slice({tk}, pos, pos + {gram - 1}), ' ')
+                   AS gram
+        FROM (SELECT doc_id, text, unnest(range(1, len({tk}) - {gram - 2}))
+                         AS pos
+              FROM documents WHERE len({tk}) >= {gram}) t
+    ),
+    dup_grams AS (
+        SELECT gram FROM pos_grams GROUP BY gram
+        HAVING COUNT(*) >= {min_count}
+    ),
+    cov AS (
+        SELECT doc_id,
+               COALESCE(LEAST({gram},
+                   pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)),
+                   {gram}) AS _new
+        FROM pos_grams JOIN dup_grams USING (gram)
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(_new) AS BIGINT) AS dup_tokens
+        FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len({tk}) AS BIGINT) AS n_tokens,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.dup_tokens, 0) / CAST(len({tk}) AS BIGINT) AS dup_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 def inverted_index(docs: DataFrame, min_df: int = 2) -> DataFrame:
     """Term → posting-list index over the corpus (the retrieval-side
     companion of :func:`vocab_counts`): document frequency plus the

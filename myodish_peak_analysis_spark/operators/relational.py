@@ -774,3 +774,165 @@ def parts_never_returned_sql(min_qty: float = 40.0) -> str:
                         AND l.l_quantity >= {min_qty})
     GROUP BY p_brand, p_size
     """
+
+
+def top_loss_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: the k customers who
+    returned the most revenue in a two-quarter order window, with their
+    nation attached — the canonical fact⋈fact⋈dim ranking report.
+
+    Scale: both fact filters reach the scans (order-date window on
+    orders, returnflag on lineitem); orders⋈lineitem is the big
+    co-keyed hash join on orderkey, the customer join shuffles once on
+    custkey, and nation is an explicitly broadcast 25-row dim. Revenue
+    is summed in exact integer cents (deterministic in any partition
+    order) and the ranking is Spark's distributed TakeOrdered — k rows
+    per partition then a k-row driver merge, never a global sort.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= _tslit(date_from))
+        & (F.col("o_orderdate") < _tslit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("_rev"),
+    )
+    per_cust = (
+        ords.join(returned, ords.o_orderkey == returned.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("_rev").alias("_rev_c"))
+    )
+    nat = F.broadcast(nation.select("n_nationkey", "n_name"))
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .join(nat, customer.c_nationkey == nat.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.round(F.col("_rev_c") / 1e4, 6).alias("revenue_lost"),
+            F.col("_rev_c"),
+        )
+        .orderBy(F.col("_rev_c").desc(), F.col("c_custkey").asc())
+        .limit(k)
+        .drop("_rev_c")
+    )
+
+
+def top_loss_customers_sql(
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    k: int = 20,
+) -> str:
+    return f"""
+    WITH per_cust AS (
+        SELECT o.o_custkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS _rev_c
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '{date_from}'
+          AND o.o_orderdate < TIMESTAMP '{date_to}'
+          AND l.l_returnflag = 'R'
+        GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(c.c_acctbal, 2) AS acctbal,
+           ROUND(p._rev_c / 1e4, 6) AS revenue_lost
+    FROM per_cust p
+    JOIN customer c ON c.c_custkey = p.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY p._rev_c DESC, c.c_custkey ASC
+    LIMIT {k}
+    """
+
+
+def idle_customer_balance(
+    customer: DataFrame,
+    orders: DataFrame,
+    segments: tuple[str, ...] = ("BUILDING", "MACHINERY", "AUTOMOBILE"),
+    priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q22-shaped global-promise check: per market segment, count
+    the customers whose account balance beats the positive-balance
+    average of their segment cohort AND who have never placed a
+    ``priority`` order — the scalar-aggregate-filter + NOT-EXISTS
+    combination. (Q22's literal inner predicate — no orders at all — is
+    degenerate on the harness data, where every customer orders; the
+    priority predicate keeps the identical plan shape non-degenerate at
+    every SF.)
+
+    Scale: the cohort average is one tiny map-combinable aggregate
+    (≤ |segments| rows) broadcast back onto the customer scan — the
+    classic two-pass scalar-subquery plan, no self-join of the fact.
+    The NOT EXISTS is a LEFT ANTI join probing only the distinct
+    ``o_custkey`` set (key-only shuffle, map-side distinct). The
+    balance comparison happens in exact integer cents on both engines.
+    """
+    seg = customer.filter(F.col("c_mktsegment").isin(*segments)).select(
+        "c_custkey",
+        "c_mktsegment",
+        _cents("c_acctbal").alias("_bal_c"),
+    )
+    avg_bal = F.broadcast(
+        seg.filter(F.col("_bal_c") > 0)
+        .groupBy("c_mktsegment")
+        .agg(F.avg("_bal_c").alias("_avg_c"))
+    )
+    buyers = (
+        orders.filter(F.col("o_orderpriority") == priority)
+        .select("o_custkey")
+        .distinct()
+    )
+    rich_idle = (
+        seg.join(avg_bal, "c_mktsegment")
+        .filter(F.col("_bal_c") > F.col("_avg_c"))
+        .join(buyers, seg.c_custkey == buyers.o_custkey, "left_anti")
+    )
+    return (
+        rich_idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("_bal_c") / 1e2, 6).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def idle_customer_balance_sql(
+    segments: tuple[str, ...] = ("BUILDING", "MACHINERY", "AUTOMOBILE"),
+    priority: str = "1-URGENT",
+) -> str:
+    seg_list = ", ".join(f"'{s}'" for s in segments)
+    return f"""
+    WITH seg AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS _bal_c
+        FROM customer WHERE c_mktsegment IN ({seg_list})
+    ),
+    avg_bal AS (
+        SELECT c_mktsegment, AVG(_bal_c) AS _avg_c
+        FROM seg WHERE _bal_c > 0 GROUP BY c_mktsegment
+    )
+    SELECT s.c_mktsegment,
+           COUNT(*)::BIGINT AS n_customers,
+           ROUND(CAST(SUM(s._bal_c) AS BIGINT) / 1e2, 6) AS total_balance
+    FROM seg s
+    JOIN avg_bal a ON a.c_mktsegment = s.c_mktsegment
+    WHERE s._bal_c > a._avg_c
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = s.c_custkey
+                        AND o.o_orderpriority = '{priority}')
+    GROUP BY s.c_mktsegment
+    ORDER BY s.c_mktsegment
+    """

@@ -641,3 +641,27 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ohlc(
         events, "ts_us", "value", "user_id", 3600 * 1_000_000
     )
+
+
+def q_top_loss_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-revenue customer ranking (broadcast
+    nation dim, integer-cent revenue, distributed TakeOrdered)."""
+    from .operators.relational import top_loss_customers
+
+    return top_loss_customers(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped scalar-subquery filter + NOT EXISTS (broadcast
+    cohort averages, key-only anti join)."""
+    from .operators.relational import idle_customer_balance
+
+    return idle_customer_balance(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+    )

@@ -1,0 +1,187 @@
+"""Round-5 operators: TPC-H Q10/Q22 shapes, cross-doc duplicated-span
+coverage, and sparse random projection."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def test_top_loss_customers_revenue_and_ranking(spark):
+    from myodish_peak_analysis_spark.operators.relational import (
+        top_loss_customers,
+    )
+
+    customer = spark.createDataFrame(
+        [(1, "Alice", 0, 10.0), (2, "Bob", 1, 20.0), (3, "Cara", 0, 30.0)],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, "1996-02-01"),
+            (200, 2, "1996-03-01"),
+            (300, 3, "1995-01-01"),  # outside window -> excluded
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    lineitem = spark.createDataFrame(
+        [
+            (100, "R", 100.0, 0.10),   # 100 * 0.9 = 90 lost
+            (100, "N", 500.0, 0.00),   # not returned -> ignored
+            (200, "R", 50.0, 0.00),    # 50 lost
+            (300, "R", 999.0, 0.00),   # order outside window
+        ],
+        "l_orderkey long, l_returnflag string, l_extendedprice double,"
+        " l_discount double",
+    )
+    nation = spark.createDataFrame(
+        [(0, "FRANCE"), (1, "KENYA")], "n_nationkey long, n_name string"
+    )
+    rows = top_loss_customers(
+        customer, orders, lineitem, nation,
+        date_from="1996-01-01", date_to="1996-07-01", k=10,
+    ).collect()
+    assert [(r.c_custkey, r.n_name, r.revenue_lost) for r in rows] == [
+        (1, "FRANCE", 90.0),
+        (2, "KENYA", 50.0),
+    ]
+
+
+def test_idle_customer_balance_cohort_and_anti_join(spark):
+    from myodish_peak_analysis_spark.operators.relational import (
+        idle_customer_balance,
+    )
+
+    customer = spark.createDataFrame(
+        [
+            # BUILDING cohort: positive balances 100, 300 -> avg 200
+            (1, "BUILDING", 100.0),   # below avg -> excluded
+            (2, "BUILDING", 300.0),   # above avg, no urgent order -> kept
+            (3, "BUILDING", -50.0),   # negative: not in avg, below -> out
+            # MACHINERY cohort: avg 80
+            (4, "MACHINERY", 80.0),   # equal avg (not >) -> excluded
+            (5, "MACHINERY", 90.0),   # above avg BUT has urgent order
+            # segment not in list -> ignored entirely
+            (6, "HOUSEHOLD", 999.0),
+        ],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    ).selectExpr("c_custkey", "c_mktsegment", "c_acctbal")
+    customer = customer.withColumn(
+        "c_acctbal", customer.c_acctbal.cast("double")
+    )
+    orders = spark.createDataFrame(
+        [(10, 5, "1-URGENT"), (11, 2, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    # MACHINERY avg over positives = (80+90)/2 = 85 -> cust 5 above but
+    # urgent-buyer; cust 4 below. BUILDING avg = 200 -> cust 2 kept.
+    rows = idle_customer_balance(customer, orders).collect()
+    assert [(r.c_mktsegment, r.n_customers, r.total_balance) for r in rows] == [
+        ("BUILDING", 1, 300.0)
+    ]
+
+
+def test_dup_span_fraction_interval_union(spark):
+    from myodish_peak_analysis_spark.llm.text import dup_span_fraction
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the 4-token prefix -> duplicated
+            # 3-grams at positions 1 and 2; union covers tokens 1..4.
+            (1, "a b c d e f"),
+            (2, "a b c d x y"),
+            # doc 3 shares nothing (all unique tokens)
+            (3, "p q r s t u"),
+            # doc 4 too short for a 3-gram window
+            (4, "zz"),
+            # docs 5/6: duplicated 3-grams at positions 1 and 5 (gap >=
+            # gram -> two disjoint windows, coverage 6 of 7)
+            (5, "m n o Z1 m n o"),
+            (6, "m n o Z2 m n o"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac)
+        for r in dup_span_fraction(docs, gram=3, min_count=2).collect()
+    }
+    assert out[1] == (6, 4, 4 / 6)
+    assert out[2] == (6, 4, 4 / 6)
+    assert out[3] == (6, 0, 0.0)
+    assert out[4] == (1, 0, 0.0)
+    # doc 5: dup positions {1, 5} ("m n o" occurs 4x corpus-wide);
+    # "n o Z1" etc. are unique. min(3, 5-1)=3 + first 3 -> 6 tokens.
+    assert out[5] == (7, 6, 6 / 7)
+    assert out[6] == (7, 6, 6 / 7)
+
+
+def test_dup_span_fraction_overlapping_windows(spark):
+    from myodish_peak_analysis_spark.llm.text import dup_span_fraction
+
+    # Duplicated 3-gram positions 1 and 3 overlap (gap 2 < gram):
+    # coverage = 3 + min(3, 2) = 5, not 6.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c x"),
+            (2, "a b c a b Q Q"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.dup_tokens, r.n_tokens)
+        for r in dup_span_fraction(docs, gram=3, min_count=2).collect()
+    }
+    # doc1 dup 3-grams: "a b c"(pos1, also pos4 in doc1? "a b c" at 1
+    # and 4 -> count>=2 alone), "b c a"(1x each.. appears doc1 pos2,
+    # doc2 pos2 -> 2x), "c a b"(doc1 pos3, doc2 pos3 -> 2x),
+    # "a b c" doc1 pos4. doc1 dup positions {1,2,3,4} -> coverage
+    # 3+1+1+1=6 on 7 tokens.
+    assert out[1] == (6, 7)
+    # doc2 dup positions: "a b c"(pos1), "b c a"(pos2), "c a b"(pos3)
+    # -> {1,2,3} -> 3+1+1 = 5 of 7.
+    assert out[2] == (5, 7)
+
+
+def test_rp_project_deterministic_and_map_only(spark):
+    from myodish_peak_analysis_spark.llm.similarity import rp_project
+    from myodish_peak_analysis_spark.schema import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = rp_project(emb, d_out=8)
+    # map-only: no shuffle anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = out.collect()
+    n = emb.count()
+    assert len(rows) == n * 8
+    again = {(r.vec_id, r.out_dim): r.value for r in rp_project(emb, d_out=8).collect()}
+    first = {(r.vec_id, r.out_dim): r.value for r in rows}
+    assert first == again
+    # at least one nonzero projection per vector (64 dims, 1/3 nonzero
+    # coefs -> all-zero output is astronomically unlikely and would
+    # indicate the coefficient hash degenerated)
+    nonzero_vecs = {k[0] for k, v in first.items() if v != 0.0}
+    assert len(nonzero_vecs) == n
+
+
+def test_rp_project_matches_numpy_model(spark):
+    """Pin the coefficient function + integer arithmetic against an
+    independent NumPy evaluation of the same closed form."""
+    from myodish_peak_analysis_spark.llm.similarity import rp_project
+
+    emb = spark.createDataFrame(
+        [(0, [0.5, -0.25, 1.0, 0.125]), (7, [1e-7, 2.5, -3.5, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.out_dim): r.value
+        for r in rp_project(emb, d_out=3).collect()
+    }
+
+    def coef(i, j):
+        m = ((i * 2654435761 + j * 40503) % 1000003) % 6
+        return 1 if m == 0 else (-1 if m == 1 else 0)
+
+    for vid, vec in [(0, [0.5, -0.25, 1.0, 0.125]), (7, [1e-7, 2.5, -3.5, 0.0])]:
+        micro = [int(np.floor(float(np.float32(x)) * 1e6 + 0.5)) for x in vec]
+        for j in range(3):
+            want = sum(m * coef(i, j) for i, m in enumerate(micro)) / 1e6
+            assert got[(vid, j)] == want
