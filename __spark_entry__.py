@@ -93,6 +93,8 @@ _ROTATE_FIRST = [
     "rp_project",
     "top_loss_customers",
     "idle_customer_balance",
+    "bpe_vocab",
+    "bpe_encode",
     "ivf_pq_topk",
     "native_find_peaks",
     "pq_codes",
@@ -138,10 +140,10 @@ _ROTATE_FIRST = [
     "global_max",
     "stim_peak_mean",
     "dedup_exact",
-    "text_stats",
-    "lang_id",
 ]
 _ROTATE_LAST = [
+    "text_stats",
+    "lang_id",
     # unchanged since round 1/r3-green map-only ops, rotated out to fit
     # the 50-entry cap (displaced by the four round-5 additions):
     "quality_score",

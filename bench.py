@@ -39,9 +39,11 @@ from myodish_peak_analysis_spark.operators.native_peaks import (  # noqa: E402
 )
 from myodish_peak_analysis_spark.operators.smooth import with_fir_smooth  # noqa: E402
 from myodish_peak_analysis_spark.operators.relational import (  # noqa: E402
+    idle_customer_balance,
     nation_pair_volume,
     pricing_summary,
     segment_revenue_topk,
+    top_loss_customers,
 )
 from myodish_peak_analysis_spark.operators.sessions import (  # noqa: E402
     event_transitions,
@@ -220,6 +222,23 @@ def main() -> None:
         "ivf_pq_topk": lambda: similarity.ivf_pq_topk(emb, n_clusters="auto"),
         "resample_interpolate": lambda: _resample_interpolate(),
         "resample_ohlc": lambda: _resample_ohlc(),
+        # round-5 additions: the gram-vocabulary interval-union coverage
+        # (dup_span_fraction — the heaviest new shuffle shape), the Q10
+        # TakeOrdered ranking join, the Q22 scalar-subquery + anti join,
+        # and the zero-exchange map-only projection (rp_project — pins
+        # the cost of the pure-codegen path).
+        "dup_span_fraction": lambda: text.dup_span_fraction(docs),
+        "top_loss_customers": lambda: top_loss_customers(
+            read_table(spark, SF_DIR, "customer"),
+            read_table(spark, SF_DIR, "orders"),
+            read_table(spark, SF_DIR, "lineitem"),
+            read_table(spark, SF_DIR, "nation"),
+        ),
+        "idle_customer_balance": lambda: idle_customer_balance(
+            read_table(spark, SF_DIR, "customer"),
+            read_table(spark, SF_DIR, "orders"),
+        ),
+        "rp_project": lambda: similarity.rp_project(emb),
     }
 
     times: dict[str, float] = {}

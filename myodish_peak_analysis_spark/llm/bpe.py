@@ -1,0 +1,202 @@
+"""Distributed BPE-style pair-merge training over the corpus.
+
+Byte-pair encoding (Sennrich et al. 2016, "Neural Machine Translation
+of Rare Words with Subword Units" — public) trains a tokenizer by
+repeatedly (1) counting adjacent symbol pairs corpus-wide, (2) picking
+the most frequent pair, (3) merging its occurrences left-to-right.
+Here the atoms are the harness corpus's whitespace tokens (the corpus
+is synthetic words; on real data the same operators run over
+character/byte atoms — only the initial split changes), and a merged
+pair is written ``left+right``.
+
+Spark shape (100 TB):
+
+* Pair counting is one explode into (l, r) key pairs — rows carry two
+  tokens, never the document — followed by a map-side-combinable
+  count and a 1-row ``orderBy().limit(1)`` (distributed TakeOrdered).
+  One driver action per merge round, exactly the Lloyd-iteration
+  pattern of the IVF/PQ fits.
+* Merge application is a per-row ``aggregate`` HOF fold (left-to-right,
+  non-overlapping, pending-token accumulator) inside whole-stage
+  codegen — no UDF, no shuffle.
+* The evolving token-array frame is persisted per round and the
+  previous round unpersisted after materialization, so round R+1 never
+  recomputes rounds 1..R. Cache lifetime follows the PQ-fit contract
+  (see ``queries.py`` module docstring): the FINAL frame stays
+  persisted for the caller; ``spark.catalog.clearCache()`` releases it.
+
+Determinism: ties on pair count break to the lexicographically
+smallest (left, right) — byte-wise ASCII comparison, identical in
+Spark and DuckDB.
+
+The DuckDB oracle mirrors each round with a string-level apply: with
+every inter-token gap doubled (``' '→'  '``), non-overlapping global
+``replace(' l  r ', ' l+r ')`` is exactly the left-to-right BPE merge
+(adjacent matches no longer share a delimiter space), then spacing is
+re-normalized. ``tests/test_r5_ops.py`` pins the fold against that
+string model on adversarial repeats ("a a a").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+BPE_MERGES = 4
+
+
+def _sq(s: str) -> str:
+    """Escape a token for embedding in a single-quoted SQL literal."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _pairs_expr(toks: str) -> str:
+    """Adjacent (l, r) pairs of a token array; empty for <2 tokens
+    (guarded — Spark's sequence(1, 0) would count DOWN, not empty)."""
+    return (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> struct({toks}[i - 1] AS l, {toks}[i] AS r)) "
+        f"ELSE array() END"
+    )
+
+
+def _merge_apply_expr(toks: str, left: str, right: str) -> str:
+    """Left-to-right non-overlapping merge of (left, right) → left+right
+    as a single fold: the accumulator holds the pending previous token;
+    a (pending=left, current=right) hit emits the merged token and
+    clears the pending slot so the merged token can never re-pair
+    within the same round."""
+    l, r = _sq(left), _sq(right)
+    m = _sq(left + "+" + right)
+    empty = "named_struct('out', CAST(array() AS ARRAY<STRING>), 'pend', CAST(NULL AS STRING))"
+    return (
+        f"aggregate({toks}, {empty}, (acc, x) -> "
+        f"CASE WHEN acc.pend = '{l}' AND x = '{r}' THEN "
+        f"named_struct('out', array_append(acc.out, '{m}'), "
+        f"'pend', CAST(NULL AS STRING)) "
+        f"WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', x) "
+        f"ELSE named_struct('out', array_append(acc.out, acc.pend), 'pend', x) END, "
+        f"acc -> CASE WHEN acc.pend IS NULL THEN acc.out "
+        f"ELSE array_append(acc.out, acc.pend) END)"
+    )
+
+
+def _bpe_run(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Run ``n_merges`` rounds; returns (merge rules, final token frame).
+    The final frame remains persisted (see module docstring)."""
+    cur = docs.selectExpr("doc_id", "split(text, ' ') AS toks").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = cur.select(
+            F.explode(F.expr(_pairs_expr("toks"))).alias("p")
+        ).select("p.l", "p.r")
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((l, r, n))
+        nxt = cur.selectExpr(
+            "doc_id", _merge_apply_expr("toks", l, r) + " AS toks"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    return merges, cur
+
+
+def bpe_vocab(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """The learned merge table: (merge_rank, left_tok, right_tok,
+    n_pairs) — n_pairs is the corpus-wide adjacent-pair count at the
+    time the rule was selected. Tiny (n_merges rows), re-emitted as a
+    driver-literal frame like the k-means centroid tables."""
+    spark = SparkSession.getActiveSession() or docs.sparkSession
+    merges, final = _bpe_run(docs, n_merges)
+    final.unpersist()
+    return spark.createDataFrame(
+        [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "merge_rank long, left_tok string, right_tok string, n_pairs long",
+    )
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """The corpus re-tokenized under the learned merges: (doc_id,
+    text_bpe, n_tokens). ``n_tokens`` shrinks by exactly the number of
+    merge hits — the compression the tokenizer buys."""
+    _, final = _bpe_run(docs, n_merges)
+    return final.select(
+        "doc_id",
+        F.concat_ws(" ", "toks").alias("text_bpe"),
+        F.size("toks").cast("long").alias("n_tokens"),
+    )
+
+
+def _round_ctes(n_merges: int) -> str:
+    """Chained per-round CTEs: cN counts pairs of rN-1, bN picks the
+    top pair, rN applies it with the doubled-space string replace."""
+    tk = "string_split(txt, ' ')"
+    parts = ["r0 AS (SELECT doc_id, text AS txt FROM documents)"]
+    for i in range(1, n_merges + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"""c{i} AS (
+        SELECT pr.l AS l, pr.r AS r, COUNT(*)::BIGINT AS n
+        FROM (SELECT unnest(list_transform(range(1, len({tk})),
+                     i -> {{'l': {tk}[i], 'r': {tk}[i + 1]}})) AS pr
+              FROM {prev}) t
+        GROUP BY pr.l, pr.r)"""
+        )
+        parts.append(
+            f"""b{i} AS (
+        SELECT l, r, n FROM c{i} ORDER BY n DESC, l ASC, r ASC LIMIT 1)"""
+        )
+        parts.append(
+            f"""r{i} AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   replace(' ' || replace(txt, ' ', '  ') || ' ',
+                           ' ' || (SELECT l FROM b{i}) || '  '
+                               || (SELECT r FROM b{i}) || ' ',
+                           ' ' || (SELECT l FROM b{i}) || '+'
+                               || (SELECT r FROM b{i}) || ' '),
+                   ' +', ' ', 'g')) AS txt
+        FROM {prev})"""
+        )
+    return ",\n    ".join(parts)
+
+
+def bpe_vocab_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB mirror of :func:`bpe_vocab` — same rounds, same
+    (count DESC, l, r) tie-break, string-replace apply."""
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, l AS left_tok, "
+        f"r AS right_tok, n AS n_pairs FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_round_ctes(n_merges)}
+    {selects}
+    ORDER BY merge_rank
+    """
+
+
+def bpe_encode_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB mirror of :func:`bpe_encode`."""
+    tk = "string_split(txt, ' ')"
+    return f"""
+    WITH {_round_ctes(n_merges)}
+    SELECT doc_id, txt AS text_bpe, len({tk})::BIGINT AS n_tokens
+    FROM r{n_merges}
+    """

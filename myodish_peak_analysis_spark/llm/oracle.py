@@ -847,3 +847,8 @@ from .similarity import rp_project_sql as _rp_sql  # noqa: E402
 
 ORACLES["dup_span_fraction"] = _dsf_sql()
 ORACLES["rp_project"] = _rp_sql()
+
+from .bpe import bpe_vocab_sql as _bpev_sql, bpe_encode_sql as _bpee_sql  # noqa: E402
+
+ORACLES["bpe_vocab"] = _bpev_sql()
+ORACLES["bpe_encode"] = _bpee_sql()

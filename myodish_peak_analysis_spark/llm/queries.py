@@ -387,3 +387,26 @@ def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["rp_project"] = q_rp_project
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pair-merge trainer: 4 rounds of corpus-wide top-pair
+    selection (map-combinable pair counts + distributed TakeOrdered,
+    one driver action per round — the Lloyd pattern)."""
+    from . import bpe
+
+    return bpe.bpe_vocab(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["bpe_vocab"] = q_bpe_vocab
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus re-tokenized under the learned BPE merges (per-row LTR
+    fold inside codegen — no UDF, no shuffle in the apply)."""
+    from . import bpe
+
+    return bpe.bpe_encode(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["bpe_encode"] = q_bpe_encode

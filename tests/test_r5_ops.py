@@ -185,3 +185,77 @@ def test_rp_project_matches_numpy_model(spark):
         for j in range(3):
             want = sum(m * coef(i, j) for i, m in enumerate(micro)) / 1e6
             assert got[(vid, j)] == want
+
+
+def test_bpe_merge_fold_ltr_semantics(spark):
+    """The fold must implement LEFT-TO-RIGHT non-overlapping merging:
+    'a a a' with rule (a,a) -> [a+a, a] (never [a, a+a])."""
+    from myodish_peak_analysis_spark.llm.bpe import _merge_apply_expr
+
+    df = spark.createDataFrame(
+        [("a a a",), ("a a a a",), ("x a a y",), ("a",), ("b a",)],
+        "text string",
+    ).selectExpr(
+        "text", _merge_apply_expr("split(text, ' ')", "a", "a") + " AS out"
+    )
+    got = {r.text: r.out for r in df.collect()}
+    assert got["a a a"] == ["a+a", "a"]
+    assert got["a a a a"] == ["a+a", "a+a"]
+    assert got["x a a y"] == ["x", "a+a", "y"]
+    assert got["a"] == ["a"]
+    assert got["b a"] == ["b", "a"]
+
+
+def test_bpe_vocab_and_encode_small_corpus(spark):
+    from myodish_peak_analysis_spark.llm.bpe import bpe_encode, bpe_vocab
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big cat big cat big cat"),
+            (2, "big cat dog"),
+            (3, "dog dog dog"),
+        ],
+        "doc_id long, text string",
+    )
+    # round 1: (big,cat) x4 wins; round 2 candidates on the merged
+    # corpus: (big+cat, big+cat) x1 in doc1... pairs of doc1 after
+    # merge: [big+cat, big+cat, big+cat] -> (big+cat,big+cat) x2;
+    # doc2 [big+cat, dog] -> 1; doc3 (dog,dog) x2. Tie 2 vs 2 ->
+    # lexicographic: 'big+cat' < 'dog' -> (big+cat, big+cat).
+    vocab = [
+        (r.merge_rank, r.left_tok, r.right_tok, r.n_pairs)
+        for r in bpe_vocab(docs, n_merges=2).collect()
+    ]
+    assert vocab[0] == (1, "big", "cat", 4)
+    assert vocab[1] == (2, "big+cat", "big+cat", 2)
+    enc = {r.doc_id: (r.text_bpe, r.n_tokens) for r in bpe_encode(docs, n_merges=2).collect()}
+    assert enc[1] == ("big+cat+big+cat big+cat", 2)
+    assert enc[2] == ("big+cat dog", 2)
+    assert enc[3] == ("dog dog dog", 3)
+    spark.catalog.clearCache()
+
+
+def test_bpe_spark_matches_duckdb_string_model(spark):
+    """Cross-model pin at sf0.001: the Spark array fold and the DuckDB
+    doubled-space string replace are the same algorithm."""
+    import duckdb
+
+    from myodish_peak_analysis_spark.llm.bpe import bpe_encode, bpe_encode_sql
+    from myodish_peak_analysis_spark.schema import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r.doc_id: (r.text_bpe, r.n_tokens)
+        for r in bpe_encode(docs, n_merges=3).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = {
+        int(d): (t, int(n))
+        for d, t, n in con.sql(bpe_encode_sql(n_merges=3)).fetchall()
+    }
+    assert got == want
+    spark.catalog.clearCache()
