@@ -95,6 +95,7 @@ _ROTATE_FIRST = [
     "idle_customer_balance",
     "bpe_vocab",
     "bpe_encode",
+    "blocklist_filter_bloom",
     "ivf_pq_topk",
     "native_find_peaks",
     "pq_codes",
@@ -120,7 +121,6 @@ _ROTATE_FIRST = [
     "unigram_logprob",
     "pack_chunks",
     "packing_stats",
-    "curated_corpus",
     "duplicated_spans",
     "returned_orders_by_priority",
     "sketch_profile",
@@ -142,6 +142,7 @@ _ROTATE_FIRST = [
     "dedup_exact",
 ]
 _ROTATE_LAST = [
+    "curated_corpus",
     "text_stats",
     "lang_id",
     # unchanged since round 1/r3-green map-only ops, rotated out to fit

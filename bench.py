@@ -22,6 +22,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from myodish_peak_analysis_spark.api import PeakPipeline  # noqa: E402
 from myodish_peak_analysis_spark.llm import (  # noqa: E402
+    bpe,
     curate,
     dedup,
     packing,
@@ -239,6 +240,10 @@ def main() -> None:
             read_table(spark, SF_DIR, "orders"),
         ),
         "rp_project": lambda: similarity.rp_project(emb),
+        # BPE is iterative (4 top-pair rounds, one driver action each —
+        # the Lloyd cost shape, benched like ann_ivf_topk); build() runs
+        # the fit inside the timed region.
+        "bpe_encode": lambda: bpe.bpe_encode(docs),
     }
 
     times: dict[str, float] = {}

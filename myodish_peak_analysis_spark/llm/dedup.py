@@ -424,3 +424,41 @@ def blocklist_filter(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
         )
         .drop("_bl_hash")
     )
+
+
+def blocklist_filter_bloom(
+    docs: DataFrame, blocklist: DataFrame, m: int = 1 << 20
+) -> DataFrame:
+    """Scale variant of :func:`blocklist_filter` for blocklists too big
+    to broadcast whole: a compact BUCKET-SET gate (a k=1 Bloom filter —
+    the distinct ``xxhash64(hash) mod m`` buckets of the blocklist,
+    ints, ~1/4 the bytes of the md5 strings and collapsing under
+    distinct) is broadcast to every corpus partition; rows whose bucket
+    misses are DEFINITELY clean and never shuffle. Only bucket-positive
+    rows (true hits + ~|corpus|·|blocklist|/m false positives) proceed
+    to the exact anti-join, which may now shuffle both its small sides
+    instead of broadcasting millions of hashes.
+
+    The output is EXACT — identical to :func:`blocklist_filter` for
+    every ``m`` (false positives are removed by the verify join), so
+    the oracle is shared. The corpus projection is read by both
+    branches; at 100 TB persist it (or accept two scans — both beat
+    shuffling the full corpus by content hash, which is what a plain
+    shuffle anti join would do).
+    """
+    keyed = docs.withColumn("_bl_hash", F.md5("text")).withColumn(
+        "_bkt", F.pmod(F.xxhash64("_bl_hash"), F.lit(m))
+    )
+    buckets = (
+        blocklist.select(
+            F.pmod(F.xxhash64("text_hash"), F.lit(m)).alias("_bkt")
+        ).distinct()
+    )
+    clean = keyed.join(F.broadcast(buckets), "_bkt", "left_anti")
+    maybe = keyed.join(F.broadcast(buckets), "_bkt", "leftsemi")
+    verified = maybe.join(
+        blocklist.select(F.col("text_hash").alias("_bl_hash")),
+        "_bl_hash",
+        "left_anti",
+    )
+    return clean.unionByName(verified).drop("_bl_hash", "_bkt")

@@ -852,3 +852,7 @@ from .bpe import bpe_vocab_sql as _bpev_sql, bpe_encode_sql as _bpee_sql  # noqa
 
 ORACLES["bpe_vocab"] = _bpev_sql()
 ORACLES["bpe_encode"] = _bpee_sql()
+
+# blocklist_filter_bloom is EXACT for every bucket count (false
+# positives die in the verify join), so it shares the oracle.
+ORACLES["blocklist_filter_bloom"] = ORACLES["blocklist_filter"]

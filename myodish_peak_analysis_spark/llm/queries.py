@@ -410,3 +410,22 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_encode"] = q_bpe_encode
+
+
+def q_blocklist_filter_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated blocklist filter: broadcast bucket-set gate, exact
+    anti-join over bucket-positives only. EXACT output -> shares
+    blocklist_filter's oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    bad = (
+        text.with_quality_score(docs)
+        .filter(F.col("quality_score") < 0.45)
+        .join(docs, "doc_id")
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    out = dedup.blocklist_filter_bloom(docs, bad)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+QUERIES["blocklist_filter_bloom"] = q_blocklist_filter_bloom

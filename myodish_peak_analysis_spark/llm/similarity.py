@@ -149,7 +149,10 @@ def _centroid_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def ivf_index(
-    emb: DataFrame, k: int | str | None = None, iters: int = 3
+    emb: DataFrame,
+    k: int | str | None = None,
+    iters: int = 3,
+    fit_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: deterministic k-means (init = the k lowest
     vec_ids, ``iters`` fixed Lloyd rounds) → (vec_id, centroid_id)
@@ -168,18 +171,35 @@ def ivf_index(
     run the update on a uniform sample — the quantizer only needs
     cluster geometry, not every point.
     """
-    assigned, _ = _ivf_fit(emb, k=_resolve_clusters(emb, k), iters=iters)
+    assigned, _ = _ivf_fit(
+        emb, k=_resolve_clusters(emb, k), iters=iters,
+        fit_sample_mod=fit_sample_mod,
+    )
     return assigned.select("vec_id", "centroid_id")
 
 
-def _ivf_fit(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
+def _ivf_fit(
+    emb: DataFrame, k: int, iters: int, fit_sample_mod: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Lloyd iterations for :func:`ivf_index`; returns (assignments,
     centroids-as-literal-table) so searches can probe the quantizer's own
-    centroids without re-deriving them."""
+    centroids without re-deriving them.
+
+    ``fit_sample_mod=s`` runs the Lloyd rounds on the deterministic
+    ``vec_id % s == 0`` sample only — the 100 TB path the scale notes
+    promise: the quantizer needs cluster GEOMETRY, not every point, so
+    the per-round shuffle shrinks by s× while the final assignment
+    still covers the full corpus. Default None keeps the full-data fit
+    the oracles mirror."""
     spark = emb.sparkSession
     base = _with_norm(emb).select("vec_id", "embedding", "_norm").cache()
+    fit_base = (
+        base.filter(F.col("vec_id") % fit_sample_mod == 0).cache()
+        if fit_sample_mod
+        else base
+    )
     centroids = (
-        base.orderBy("vec_id")
+        fit_base.orderBy("vec_id")
         .limit(k)
         .select(
             F.row_number().over(Window.orderBy("vec_id")).alias("centroid_id"),
@@ -190,7 +210,7 @@ def _ivf_fit(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     schema = "centroid_id int, c_emb array<float>, c_norm double"
     for _ in range(iters):
         centroids = spark.createDataFrame(centroids.collect(), schema)
-        assigned = _centroid_assign(base, centroids)
+        assigned = _centroid_assign(fit_base, centroids)
         dims = assigned.select(
             "centroid_id", F.posexplode("embedding").alias("dim", "x")
         )
@@ -222,13 +242,17 @@ def ivf_topk(
     query_mod: int = ANN_QUERY_MOD,
     n_clusters: int | str | None = None,
     nprobe: int = 2,
+    fit_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF ANN: search only the members of the query's ``nprobe``
     nearest coarse clusters — the candidate join is keyed on
     centroid_id (posting-list lookup), never a cross join.
     ``n_clusters``: None → deterministic oracle default, "auto" → √N
     (bounds posting-list length as N grows), int → as given."""
-    members, cents = _ivf_fit(emb, k=_resolve_clusters(emb, n_clusters), iters=3)
+    members, cents = _ivf_fit(
+        emb, k=_resolve_clusters(emb, n_clusters), iters=3,
+        fit_sample_mod=fit_sample_mod,
+    )
     members = members.cache()
     q = members.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),

@@ -259,3 +259,57 @@ def test_bpe_spark_matches_duckdb_string_model(spark):
     }
     assert got == want
     spark.catalog.clearCache()
+
+
+def test_blocklist_filter_bloom_exactness(spark):
+    """The bloom gate must be invisible in the result: identical to the
+    plain broadcast anti-join for any bucket count, including m=4 where
+    false positives are guaranteed."""
+    from myodish_peak_analysis_spark.llm.dedup import (
+        blocklist_filter,
+        blocklist_filter_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    bad = docs.filter("doc_id % 7 = 0").selectExpr("md5(text) AS text_hash")
+    want = sorted(r.doc_id for r in blocklist_filter(docs, bad).collect())
+    for m in (4, 1 << 20):
+        got = sorted(
+            r.doc_id for r in blocklist_filter_bloom(docs, bad, m=m).collect()
+        )
+        assert got == want, f"m={m}"
+    assert want == [i for i in range(40) if i % 7 != 0]
+
+
+def test_ivf_fit_sample_mod_recall(spark):
+    """The sampled Lloyd fit must (a) assign EVERY corpus vector, and
+    (b) keep IVF top-1 recall vs brute force close to the full fit's."""
+    from myodish_peak_analysis_spark.llm.similarity import (
+        cosine_topk,
+        ivf_index,
+        ivf_topk,
+    )
+    from myodish_peak_analysis_spark.schema import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    assigned = ivf_index(emb, k=8, fit_sample_mod=3)
+    assert assigned.count() == n  # full corpus assigned
+    assert assigned.select("centroid_id").distinct().count() > 1
+
+    def top1(df):
+        return {
+            r.query_id: r.vec_id for r in df.filter("rank = 1").collect()
+        }
+
+    brute = top1(cosine_topk(emb, k=1))
+    sampled = top1(ivf_topk(emb, k=1, n_clusters=8, fit_sample_mod=3))
+    full = top1(ivf_topk(emb, k=1, n_clusters=8))
+    recall_sampled = sum(sampled.get(q) == v for q, v in brute.items()) / len(brute)
+    recall_full = sum(full.get(q) == v for q, v in brute.items()) / len(brute)
+    # sampled fit loses little geometry: stay within 0.25 of full fit
+    assert recall_sampled >= recall_full - 0.25
+    spark.catalog.clearCache()
