@@ -96,6 +96,8 @@ _ROTATE_FIRST = [
     "bpe_vocab",
     "bpe_encode",
     "blocklist_filter_bloom",
+    "bpe_apply",
+    "incremental_neardup",
     "ivf_pq_topk",
     "native_find_peaks",
     "pq_codes",
@@ -138,10 +140,10 @@ _ROTATE_FIRST = [
     "peak_averages",
     "stim_normalize",
     "global_max",
-    "stim_peak_mean",
-    "dedup_exact",
 ]
 _ROTATE_LAST = [
+    "stim_peak_mean",
+    "dedup_exact",
     "curated_corpus",
     "text_stats",
     "lang_id",

@@ -200,3 +200,53 @@ def bpe_encode_sql(n_merges: int = BPE_MERGES) -> str:
     SELECT doc_id, txt AS text_bpe, len({tk})::BIGINT AS n_tokens
     FROM r{n_merges}
     """
+
+
+def bpe_apply(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """The SERVING path: re-tokenize a corpus under an already-trained
+    merge table — no fit, no driver actions, no shuffle. The rules are
+    inlined as literals into one chained fold expression (rule i+1
+    folds over rule i's output), so the whole apply is a single
+    map-only whole-stage-codegen pass; at 100 TB this is the operator
+    the tokenization stage of a training run actually executes, with
+    ``bpe_vocab`` (or a sampled fit) having produced ``merges`` once.
+
+    Output schema matches :func:`bpe_encode`."""
+    expr = "split(text, ' ')"
+    for left, right in merges:
+        expr = _merge_apply_expr(expr, left, right)
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.expr(expr)).alias("text_bpe"),
+        F.size(F.expr(expr)).cast("long").alias("n_tokens"),
+    )
+
+
+def bpe_apply_sql(merges: list[tuple[str, str]]) -> str:
+    """DuckDB mirror of :func:`bpe_apply` — the same fixed rules via
+    the doubled-space string replace, chained."""
+    expr = "text"
+    for left, right in merges:
+        l = left.replace("'", "''")
+        r = right.replace("'", "''")
+        expr = (
+            f"trim(regexp_replace(replace(' ' || replace({expr}, ' ', '  ')"
+            f" || ' ', ' {l}  {r} ', ' {l}+{r} '), ' +', ' ', 'g'))"
+        )
+    return f"""
+    SELECT doc_id, {expr} AS text_bpe,
+           len(string_split({expr}, ' '))::BIGINT AS n_tokens
+    FROM documents
+    """
+
+
+# Deterministic fixed rules for the oracle-checked serving-path query:
+# chosen so later rules consume earlier rules' outputs (rule 2's left
+# side is rule 1's merged token), exercising the chained fold.
+APPLY_MERGES: list[tuple[str, str]] = [
+    ("data", "slow"),
+    ("data+slow", "small"),
+    ("the", "fast"),
+]

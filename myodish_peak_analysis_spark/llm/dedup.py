@@ -462,3 +462,47 @@ def blocklist_filter_bloom(
         "left_anti",
     )
     return clean.unionByName(verified).drop("_bl_hash", "_bkt")
+
+
+def incremental_neardup(
+    new_docs: DataFrame, corpus: DataFrame, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Asymmetric near-dup: screen an incoming batch against the
+    EXISTING corpus without re-running global dedup — the daily-crawl
+    gate of a production pipeline (is today's batch a near-copy of
+    anything already ingested?).
+
+    Same banded MinHash-LSH machinery as :func:`neardup_verified`, but
+    the bucket join is new×corpus only (never corpus×corpus — at 100 TB
+    the corpus band keys are a MATERIALIZED index maintained across
+    batches; the new batch's keys are computed fresh and are the small
+    probing side). The exact Jaccard verify touches candidate pairs
+    only. Output: (new_doc_id, corpus_doc_id, jaccard ≥ min_jaccard).
+    """
+    new_keys = minhash_band_keys(minhash_signatures(new_docs)).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "band_key"
+    )
+    corpus_keys = minhash_band_keys(minhash_signatures(corpus)).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band", "band_key"
+    )
+    cand = (
+        new_keys.join(corpus_keys, ["band", "band_key"])
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    t_new = new_docs.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.expr(f"array_distinct({_TOKENS})").alias("toks_a"),
+    )
+    t_corp = corpus.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.expr(f"array_distinct({_TOKENS})").alias("toks_b"),
+    )
+    j = cand.join(t_new, "new_doc_id").join(t_corp, "corpus_doc_id")
+    jac = _jaccard_expr("toks_a", "toks_b")
+    return (
+        j.select(
+            "new_doc_id", "corpus_doc_id", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

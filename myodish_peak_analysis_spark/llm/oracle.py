@@ -856,3 +856,32 @@ ORACLES["bpe_encode"] = _bpee_sql()
 # blocklist_filter_bloom is EXACT for every bucket count (false
 # positives die in the verify join), so it shares the oracle.
 ORACLES["blocklist_filter_bloom"] = ORACLES["blocklist_filter"]
+
+from .bpe import bpe_apply_sql as _bpea_sql, APPLY_MERGES as _APPLY_MERGES  # noqa: E402
+
+ORACLES["bpe_apply"] = _bpea_sql(_APPLY_MERGES)
+
+# incremental_neardup: per-doc signatures are side-independent, so the
+# oracle computes bandkeys over the full table and restricts by side.
+ORACLES["incremental_neardup"] = f"""
+WITH {_minhash_sig_sql()},
+{_band_keys_sql()},
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+    FROM bandkeys n
+    JOIN bandkeys c
+      ON n.band = c.band AND n.band_key = c.band_key
+    WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+),
+t AS (SELECT doc_id, list_distinct({_TK}) AS toks FROM documents)
+SELECT * FROM (
+    SELECT cand.new_doc_id, cand.corpus_doc_id,
+           ROUND(CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS DOUBLE)
+                 / (len(ta.toks) + len(tb.toks)
+                    - len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))), 6)
+               AS jaccard
+    FROM cand
+    JOIN t ta ON ta.doc_id = cand.new_doc_id
+    JOIN t tb ON tb.doc_id = cand.corpus_doc_id
+) v WHERE jaccard >= 0.5
+"""

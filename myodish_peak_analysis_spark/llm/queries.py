@@ -429,3 +429,27 @@ def q_blocklist_filter_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["blocklist_filter_bloom"] = q_blocklist_filter_bloom
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE serving path: fixed pre-trained merge rules inlined as one
+    chained codegen fold - map-only, no fit, no shuffle."""
+    from . import bpe
+
+    return bpe.bpe_apply(read_table(spark, sf_dir, "documents"), bpe.APPLY_MERGES)
+
+
+QUERIES["bpe_apply"] = q_bpe_apply
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric batch-vs-corpus near-dup gate (new = doc_id%10==0,
+    corpus = the rest): banded LSH bucket join new x corpus only, exact
+    Jaccard verify on candidates."""
+    docs = read_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_neardup(new_docs, corpus)
+
+
+QUERIES["incremental_neardup"] = q_incremental_neardup

@@ -313,3 +313,54 @@ def test_ivf_fit_sample_mod_recall(spark):
     # sampled fit loses little geometry: stay within 0.25 of full fit
     assert recall_sampled >= recall_full - 0.25
     spark.catalog.clearCache()
+
+
+def test_bpe_apply_chained_rules_and_map_only(spark):
+    from myodish_peak_analysis_spark.llm.bpe import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b a b c")],
+        "doc_id long, text string",
+    )
+    # rule 2 consumes rule 1's output: (a,b) -> a+b, then (a+b, c)
+    out = {
+        r.doc_id: (r.text_bpe, r.n_tokens)
+        for r in bpe_apply(docs, [("a", "b"), ("a+b", "c")]).collect()
+    }
+    assert out[1] == ("a+b+c d", 2)
+    assert out[2] == ("a+b a+b+c", 2)
+    # serving path is map-only: no shuffle in the plan
+    plan = (
+        bpe_apply(docs, [("a", "b")])._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_incremental_neardup_vs_symmetric(spark):
+    """Batch-vs-corpus pairs must be exactly the symmetric verified
+    pairs that straddle the split (restricted to its candidates)."""
+    from myodish_peak_analysis_spark.llm.dedup import (
+        incremental_neardup,
+        neardup_verified,
+    )
+    from myodish_peak_analysis_spark.schema import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    new_docs = docs.filter("doc_id % 10 = 0")
+    corpus = docs.filter("doc_id % 10 != 0")
+    inc = {
+        (r.new_doc_id, r.corpus_doc_id): r.jaccard
+        for r in incremental_neardup(new_docs, corpus).collect()
+    }
+    # symmetric run over the full corpus, restricted to straddling pairs
+    sym = {}
+    for r in neardup_verified(docs).collect():
+        a, b = r.doc_id_a, r.doc_id_b
+        if (a % 10 == 0) != (b % 10 == 0):
+            n, c = (a, b) if a % 10 == 0 else (b, a)
+            sym[(n, c)] = r.jaccard
+    assert inc == sym
+    # no self-pairs, sides disjoint
+    assert all(n % 10 == 0 and c % 10 != 0 for n, c in inc)
