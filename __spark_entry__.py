@@ -98,6 +98,7 @@ _ROTATE_FIRST = [
     "blocklist_filter_bloom",
     "bpe_apply",
     "incremental_neardup",
+    "forecast_revenue_change",
     "ivf_pq_topk",
     "native_find_peaks",
     "pq_codes",
@@ -139,9 +140,9 @@ _ROTATE_FIRST = [
     "crossing_points",
     "peak_averages",
     "stim_normalize",
-    "global_max",
 ]
 _ROTATE_LAST = [
+    "global_max",
     "stim_peak_mean",
     "dedup_exact",
     "curated_corpus",
@@ -262,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ohlc": _q.q_resample_ohlc,
         "top_loss_customers": _q.q_top_loss_customers,
         "idle_customer_balance": _q.q_idle_customer_balance,
+        "forecast_revenue_change": _q.q_forecast_revenue_change,
     }
     out.update(_llm_q.QUERIES)
     return _rotate(out)
@@ -323,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_ohlc": _oracle.resample_ohlc_oracle(),
         "top_loss_customers": _relational.top_loss_customers_sql(),
         "idle_customer_balance": _relational.idle_customer_balance_sql(),
+        "forecast_revenue_change": _relational.forecast_revenue_change_sql(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle —
         # they are the reference-exact pandas twins of hash-checked
         # native pipelines; parity pinned by tests instead.

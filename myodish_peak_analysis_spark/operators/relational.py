@@ -936,3 +936,62 @@ def idle_customer_balance_sql(
     GROUP BY s.c_mktsegment
     ORDER BY s.c_mktsegment
     """
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecasting query: the revenue that would be
+    gained by eliminating small discounts — one scan, three pushable
+    predicates, one global sum. The point of the shape is that EVERY
+    predicate reaches the parquet scan (ship-date range, discount
+    band, quantity cap) and the aggregate is a map-side partial into a
+    single row; there is no join and no groupBy key — the minimal
+    full-scan query a warehouse runs constantly.
+
+    Exactness: discount lands on hundredths in the data, so the cents
+    product (price_cents × discount_cents) is integer-exact; one
+    division at the end.
+    """
+    # plain column comparisons (not _cents expressions) so every
+    # predicate is pushable to the parquet scan; the data's discounts
+    # are exact 2-decimal doubles, so the double literals compare
+    # identically in Spark and DuckDB.
+    filtered = lineitem.filter(
+        (F.col("l_shipdate") >= _tslit(date_from))
+        & (F.col("l_shipdate") < _tslit(date_to))
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    rev = _cents("l_extendedprice") * _cents("l_discount")
+    return filtered.agg(
+        F.round(F.sum(rev) / 1e4, 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def forecast_revenue_change_sql(
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> str:
+    return f"""
+    SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * CAST(ROUND(l_discount * 100) AS BIGINT))
+                      AS BIGINT) / 1e4, 6) AS revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{date_from}'
+      AND l_shipdate < TIMESTAMP '{date_to}'
+      AND l_discount >= {disc_lo}
+      AND l_discount <= {disc_hi}
+      AND l_quantity < {max_qty}
+    """

@@ -665,3 +665,10 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "customer"),
         read_table(spark, sf_dir, "orders"),
     )
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped full-pushdown scan aggregate."""
+    from .operators.relational import forecast_revenue_change
+
+    return forecast_revenue_change(read_table(spark, sf_dir, "lineitem"))

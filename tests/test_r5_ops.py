@@ -364,3 +364,34 @@ def test_incremental_neardup_vs_symmetric(spark):
     assert inc == sym
     # no self-pairs, sides disjoint
     assert all(n % 10 == 0 and c % 10 != 0 for n, c in inc)
+
+
+def test_forecast_revenue_change_pushdown_and_values(spark):
+    from myodish_peak_analysis_spark.operators.relational import (
+        forecast_revenue_change,
+    )
+    from myodish_peak_analysis_spark.schema import read_table
+
+    li = spark.createDataFrame(
+        [
+            ("1996-06-01", 0.06, 10.0, 100.0),   # kept: 100*0.06 = 6.0
+            ("1996-06-01", 0.04, 10.0, 100.0),   # discount below band
+            ("1996-06-01", 0.06, 30.0, 100.0),   # quantity too high
+            ("1995-06-01", 0.06, 10.0, 100.0),   # before window
+            ("1996-06-01", 0.07, 1.0, 50.0),     # kept: 50*0.07 = 3.5
+        ],
+        "l_shipdate string, l_discount double, l_quantity double,"
+        " l_extendedprice double",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz"))
+    row = forecast_revenue_change(li).collect()[0]
+    assert (row.revenue, row.n_lines) == (9.5, 2)
+    # every predicate must reach the parquet scan on real data
+    df = forecast_revenue_change(
+        read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed
