@@ -506,3 +506,38 @@ def incremental_neardup(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def with_minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Map-only twin of :func:`minhash_signatures`: the per-doc min is a
+    HOF fold over the row's own shingle array instead of explode +
+    groupBy — IDENTICAL output columns (parity pinned in tests), zero
+    shuffle, and therefore STREAMING-SAFE (no aggregation state). Input
+    columns are preserved (appended sig_0..sig_{PERMS-1}), so stream
+    metadata (ts, tokens) rides along. Docs with < SHINGLE_K tokens are
+    dropped, as in the batch twin.
+
+    The batch pipeline keeps the explode+groupBy form because its
+    exchange doubles as the shuffle the banded join reuses; this form
+    is for streams and for map-only composition."""
+    k = SHINGLE_K
+    sh = (
+        f"array_distinct(transform(sequence(1, size({_TOKENS}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({_TOKENS}, i, {k}))))"
+    )
+    hs = (
+        f"transform({sh}, s -> "
+        f"CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))"
+    )
+    out = docs.filter(F.expr(f"size({_TOKENS}) >= {k}")).withColumn(
+        "_hs", F.expr(hs)
+    )
+    for j, (a, b) in enumerate(MINHASH_COEFFS):
+        out = out.withColumn(
+            f"sig_{j}",
+            F.expr(
+                f"array_min(transform(_hs, h -> "
+                f"({a}L * h + {b}L) % {MINHASH_PRIME}L))"
+            ),
+        )
+    return out.drop("_hs")

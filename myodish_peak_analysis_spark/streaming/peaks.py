@@ -1016,3 +1016,75 @@ def streaming_transitions(events_stream: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_neardup_gate(
+    doc_stream: DataFrame,
+    corpus_docs: DataFrame,
+    min_jaccard: float = 0.5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``llm.dedup.incremental_neardup``: gate an
+    INCOMING document stream against the static ingested corpus. Each
+    arriving doc's MinHash signature is computed STATELESSLY
+    (``with_minhash_signatures`` — a per-row HOF fold, no aggregation
+    state), its band keys probe the corpus band-key index via a
+    stream-static broadcast join, and candidates are verified with
+    exact Jaccard against the corpus token frame. The only stateful
+    stage is ``dropDuplicatesWithinWatermark`` collapsing the same
+    (new, corpus) pair found in several bands — state is bounded by
+    the watermark, not the corpus.
+
+    At 100 TB the two static sides are the MATERIALIZED band-key index
+    and token store (bucketed tables, re-read per micro-batch); here
+    they are derived from ``corpus_docs`` lazily. Requires a ``ts``
+    timestamp column on the stream. Output (append-safe):
+    (ts, new_doc_id, corpus_doc_id, jaccard ≥ min_jaccard).
+    """
+    from ..llm.dedup import (
+        _jaccard_expr,
+        _TOKENS,
+        minhash_band_keys,
+        minhash_signatures,
+        with_minhash_signatures,
+    )
+    from ..llm.params import MINHASH_BANDS, MINHASH_ROWS
+
+    corpus_keys = F.broadcast(
+        minhash_band_keys(minhash_signatures(corpus_docs)).select(
+            F.col("doc_id").alias("corpus_doc_id"), "band", "band_key"
+        )
+    )
+    corpus_toks = F.broadcast(
+        corpus_docs.select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            F.expr(f"array_distinct({_TOKENS})").alias("toks_b"),
+        )
+    )
+    sigs = with_minhash_signatures(doc_stream).withColumn(
+        "toks_a", F.expr(f"array_distinct({_TOKENS})")
+    )
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [f"sig_{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
+        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        bands.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    keyed = sigs.select(
+        "ts",
+        F.col("doc_id").alias("new_doc_id"),
+        "toks_a",
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select("ts", "new_doc_id", "toks_a", "bk.band", "bk.band_key")
+    cand = keyed.join(corpus_keys, ["band", "band_key"]).join(
+        corpus_toks, "corpus_doc_id"
+    )
+    jac = _jaccard_expr("toks_a", "toks_b")
+    verified = cand.select(
+        "ts",
+        "new_doc_id",
+        "corpus_doc_id",
+        F.round(jac, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
+    return verified.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["new_doc_id", "corpus_doc_id"]
+    )

@@ -1048,3 +1048,49 @@ def test_streaming_find_peaks_span_guard_on_adversarial_ramp(spark):
     assert span_off > 1000  # without the guard the component grows
     assert emitted_def > 900  # guarded run emits a decided prefix
     assert emitted_off == 0  # unguarded run strands everything
+
+
+def test_streaming_neardup_gate_batch_parity(spark, tmp_path):
+    """The streaming gate must emit exactly the batch
+    incremental_neardup pairs for the same new-batch/corpus split."""
+    import datetime as dt
+
+    from myodish_peak_analysis_spark.llm.dedup import incremental_neardup
+    from myodish_peak_analysis_spark.schema import read_table
+    from myodish_peak_analysis_spark.streaming.peaks import (
+        streaming_neardup_gate,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    new_docs = docs.filter("doc_id % 10 = 0")
+    corpus = docs.filter("doc_id % 10 != 0")
+    want = sorted(
+        (r.new_doc_id, r.corpus_doc_id, r.jaccard)
+        for r in incremental_neardup(new_docs, corpus).collect()
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    src = os.path.join(str(tmp_path), "newdocs")
+    new_docs.selectExpr(
+        "doc_id", "text", f"timestamp '{base.isoformat()}' AS ts"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    q = (
+        streaming_neardup_gate(stream, corpus)
+        .writeStream.format("memory")
+        .queryName("neardup_gate_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.new_doc_id, r.corpus_doc_id, r.jaccard)
+            for r in spark.sql("select * from neardup_gate_sink").collect()
+        )
+    finally:
+        q.stop()
+    assert got == want
+    assert len(want) > 0  # the sf0.001 split does produce pairs
