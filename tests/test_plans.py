@@ -82,3 +82,43 @@ def test_blocklist_filter_corpus_never_shuffles(spark):
     block = docs.limit(5).select(F.md5("text").alias("text_hash"))
     plan = _plan_of(blocklist_filter(docs, block))
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+
+def test_round5_plan_shapes(spark):
+    """Round-5 claims pinned: Q10 ranks via distributed TakeOrdered
+    (never a global Sort+Limit materialization), the bloom blocklist's
+    joins are all broadcast (the corpus never shuffles), and the Q6
+    aggregate has no Exchange except the final single-row merge."""
+    from myodish_peak_analysis_spark.operators.relational import (
+        forecast_revenue_change,
+        top_loss_customers,
+    )
+    from myodish_peak_analysis_spark.llm.dedup import blocklist_filter_bloom
+    from myodish_peak_analysis_spark.schema import read_table
+    from tests.conftest import SF001
+
+    li = read_table(spark, SF001, "lineitem")
+    plan = _plan_of(
+        top_loss_customers(
+            read_table(spark, SF001, "customer"),
+            read_table(spark, SF001, "orders"),
+            li,
+            read_table(spark, SF001, "nation"),
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+
+    docs = read_table(spark, SF001, "documents")
+    bad = docs.limit(5).selectExpr("md5(text) AS text_hash")
+    plan = _plan_of(blocklist_filter_bloom(docs, bad))
+    assert "BroadcastHashJoin" in plan
+    # no shuffle of the corpus: no hash/range repartition anywhere —
+    # the only allowed exchanges are the broadcasts themselves and the
+    # SinglePartition merges building the tiny bucket/blocklist sides
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+    plan = _plan_of(forecast_revenue_change(li))
+    # scan-agg: one partial agg, one final agg, one single-partition
+    # exchange between them; no join operators at all
+    assert "Join" not in plan
