@@ -101,6 +101,7 @@ _ROTATE_FIRST = [
     "incremental_neardup",
     "forecast_revenue_change",
     "mad_outliers",
+    "token_entropy",
     "ivf_pq_topk",
     "native_find_peaks",
     "pq_codes",
@@ -140,9 +141,9 @@ _ROTATE_FIRST = [
     "threshold_peaks",
     "peak_attributes",
     "crossing_points",
-    "peak_averages",
 ]
 _ROTATE_LAST = [
+    "peak_averages",
     "stim_normalize",
     "global_max",
     "stim_peak_mean",

@@ -885,3 +885,7 @@ SELECT * FROM (
     JOIN t tb ON tb.doc_id = cand.corpus_doc_id
 ) v WHERE jaccard >= 0.5
 """
+
+from .text import token_entropy_sql as _te_sql  # noqa: E402
+
+ORACLES["token_entropy"] = _te_sql()

@@ -453,3 +453,12 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["incremental_neardup"] = q_incremental_neardup
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (two
+    doc-keyed map-combinable aggregates; quantized log2 sums)."""
+    return text.token_entropy(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["token_entropy"] = q_token_entropy

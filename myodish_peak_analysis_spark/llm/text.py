@@ -1034,3 +1034,75 @@ def encode_token_ids(docs: DataFrame, vocab_size: int = 1000) -> DataFrame:
         .cast("long")
         .alias("n_oov"),
     )
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Shannon entropy of each document's token distribution in
+    bits/token — the diversity signal that separates template/spam text
+    (few tokens repeated, low entropy) from natural text, used as a
+    quality filter alongside the Gopher rules.
+
+    H = log2(n) − (1/n)·Σ c_t·log2(c_t) over per-doc term counts c_t.
+    Determinism contract: every log2 is quantized to integer 1e-6
+    units with the engine-portable floor trick (floor(x·1e6 + 0.5) —
+    NOT ``F.round``, whose BigDecimal HALF_UP disagrees with DuckDB's
+    binary-double ROUND exactly on decimal-half values like the
+    4.1529205 this corpus actually produces), all sums are BIGINT, and
+    the one final quantization uses the same floor trick — aggregation
+    order and round-half rules can never move the result.
+
+    Scale: one explode into (doc_id, term) pairs, one map-combinable
+    count keyed (doc_id, term) — per-doc vocabulary state, no global
+    vocabulary, no window — then a second map-combinable rollup to one
+    row per doc. Both exchanges are doc-keyed (skew-free).
+    """
+    counts = (
+        docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lp_micro = F.floor(F.log2("c") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * lp_micro).cast("long").alias("_s_micro"),
+    )
+    lpn_micro = F.floor(F.log2("n_tokens") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    h_micro = (
+        lpn_micro.cast("double")
+        - F.col("_s_micro").cast("double") / F.col("n_tokens")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.floor(h_micro + F.lit(0.5)) / F.lit(1e6)).alias("entropy"),
+    )
+
+
+def token_entropy_sql() -> str:
+    """DuckDB mirror of :func:`token_entropy` — identical
+    quantize-then-exact-sum formulation."""
+    tk = "string_split(text, ' ')"
+    return f"""
+    WITH counts AS (
+        SELECT doc_id, term, COUNT(*)::BIGINT AS c
+        FROM (SELECT doc_id, unnest({tk}) AS term FROM documents) t
+        GROUP BY doc_id, term
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*)::BIGINT AS n_distinct,
+               CAST(SUM(c * CAST(floor(log2(c) * 1e6 + 0.5) AS BIGINT))
+                    AS BIGINT) AS _s_micro
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           floor(CAST(floor(log2(n_tokens) * 1e6 + 0.5) AS BIGINT)
+                 - CAST(_s_micro AS DOUBLE) / n_tokens + 0.5) / 1e6
+               AS entropy
+    FROM per_doc
+    """

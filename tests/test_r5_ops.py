@@ -395,3 +395,25 @@ def test_forecast_revenue_change_pushdown_and_values(spark):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         assert frag in pushed
+
+
+def test_token_entropy_known_values(spark):
+    from myodish_peak_analysis_spark.llm.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one symbol -> H = 0
+            (2, "a b c d"),          # uniform over 4 -> H = 2 bits
+            (3, "a a b b c c d d"),  # uniform over 4 -> H = 2 bits
+            (4, "a a a b"),          # H = 2 - (3*log2(3))/4 = 0.811278
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.entropy)
+        for r in token_entropy(docs).collect()
+    }
+    assert out[1] == (4, 1, 0.0)
+    assert out[2] == (4, 4, 2.0)
+    assert out[3] == (8, 4, 2.0)
+    assert out[4] == (4, 2, 0.811278)
