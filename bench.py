@@ -31,6 +31,7 @@ from myodish_peak_analysis_spark.llm import (  # noqa: E402
     text,
 )
 from myodish_peak_analysis_spark.operators.analytics import (  # noqa: E402
+    mad_outliers,
     range_pairs,
     value_histogram,
 )
@@ -244,6 +245,14 @@ def main() -> None:
         # the Lloyd cost shape, benched like ann_ivf_topk); build() runs
         # the fit inside the timed region.
         "bpe_encode": lambda: bpe.bpe_encode(docs),
+        "incremental_neardup": lambda: dedup.incremental_neardup(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+        ),
+        "token_entropy": lambda: text.token_entropy(docs),
+        "mad_outliers": lambda: mad_outliers(
+            read_table(spark, SF_DIR, "events")
+        ),
     }
 
     times: dict[str, float] = {}
