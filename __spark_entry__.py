@@ -102,6 +102,7 @@ _ROTATE_FIRST = [
     "forecast_revenue_change",
     "mad_outliers",
     "token_entropy",
+    "rp_ivf_topk",
     "ivf_pq_topk",
     "native_find_peaks",
     "pq_codes",
@@ -140,9 +141,9 @@ _ROTATE_FIRST = [
     "naive_peaks",
     "threshold_peaks",
     "peak_attributes",
-    "crossing_points",
 ]
 _ROTATE_LAST = [
+    "crossing_points",
     "peak_averages",
     "stim_normalize",
     "global_max",

@@ -274,12 +274,26 @@ def main() -> None:
         rows[name] = df.count()  # untimed bookkeeping
 
     total = round(sum(times.values()), 3)
+    # The bench set grew from 25 (r4) to 39 queries; this subtotal over
+    # the exact r4 set keeps cross-round comparison one subtraction
+    # away instead of buried in per-query diffs.
+    r4_set = {
+        "native_peak_pipeline", "native_peak_averages", "native_find_peaks",
+        "fidelity_peaks", "session_stats", "funnel_counts", "value_histogram",
+        "range_pairs_1h", "stratified_sample", "pack_chunks", "curated_corpus",
+        "dedup_exact", "dedup_clusters", "minhash_pairs", "unigram_logprob",
+        "simhash", "text_stats", "doc_fingerprints", "ann_cosine_topk",
+        "ann_lsh_topk", "pricing_summary", "top_revenue_orders",
+        "nation_pair_volume", "event_transitions", "repetition_profile",
+    }
+    r4_subtotal = round(sum(v for k, v in times.items() if k in r4_set), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                "r4_subset_total": r4_subtotal,
                 "queries": times,
                 "rows": rows,
                 "sf": sf,

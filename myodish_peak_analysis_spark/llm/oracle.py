@@ -889,3 +889,80 @@ SELECT * FROM (
 from .text import token_entropy_sql as _te_sql  # noqa: E402
 
 ORACLES["token_entropy"] = _te_sql()
+
+
+def rp_ivf_topk_sql(
+    k: int = ANN_LSH_TOPK,
+    query_mod: int = ANN_QUERY_MOD,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    d_out: int = 8,
+    iters: int = 3,
+) -> str:
+    """RP×IVF: the k-means chain runs over the PROJECTED base (same
+    float-cast micro-exact values as Spark's ``_rp_float_embedding``),
+    the re-rank over the original vectors."""
+    from .similarity import _rp_coef_sql
+
+    coef = _rp_coef_sql("t.i - 1", "j.out_dim")
+    chain = _kmeans_member_ctes(n_clusters, iters)
+    return f"""
+    WITH m AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS micro
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT t.vec_id, j.out_dim,
+               CAST(SUM(t.v * ({coef})) AS BIGINT) AS s
+        FROM (SELECT vec_id, unnest(micro) AS v,
+                     generate_subscripts(micro, 1) AS i
+              FROM m) t
+        CROSS JOIN (SELECT unnest(range({d_out})) AS out_dim) j
+        GROUP BY t.vec_id, j.out_dim
+    ),
+    parr AS (
+        SELECT vec_id,
+               list(CAST(CAST(s / 1e6 AS FLOAT) AS DOUBLE)
+                    ORDER BY out_dim) AS e
+        FROM proj GROUP BY vec_id
+    ),
+    base AS (
+        SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM parr
+    ),
+    {chain},
+    orig AS (
+        SELECT vec_id, embedding::DOUBLE[] AS oe,
+               sqrt({_DOT_SELF}) AS onrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM members
+          WHERE vec_id % {query_mod} = 0),
+    qprobe AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       ROUND(list_dot_product(q.qe, c.c) / (q.qn * c.cn), 9)
+                           DESC,
+                       c.centroid_id) AS rk
+            FROM q CROSS JOIN c{iters} c) t WHERE rk <= {nprobe}),
+    cand AS (
+        SELECT p.query_id, m2.vec_id,
+               ROUND(list_dot_product(oq.oe, oc.oe) / (oq.onrm * oc.onrm), 6)
+                   AS cosine
+        FROM qprobe p
+        JOIN members m2 USING (centroid_id)
+        JOIN orig oq ON oq.vec_id = p.query_id
+        JOIN orig oc ON oc.vec_id = m2.vec_id
+        WHERE m2.vec_id <> p.query_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rank
+        FROM cand)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+ORACLES["rp_ivf_topk"] = rp_ivf_topk_sql()

@@ -462,3 +462,14 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["token_entropy"] = q_token_entropy
+
+
+def q_rp_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed RP x IVF search: coarse quantizer entirely in the
+    8-dim random projection (fit + probe 8x cheaper), exact cosine
+    re-rank over the probed posting lists in the original space."""
+    out = similarity.rp_ivf_topk(read_table(spark, sf_dir, "embeddings"))
+    return _long(out, "rank")
+
+
+QUERIES["rp_ivf_topk"] = q_rp_ivf_topk

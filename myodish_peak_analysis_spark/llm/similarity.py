@@ -953,6 +953,37 @@ def _rp_coef_sql(i: str, j: str) -> str:
     )
 
 
+def _rp_sums(emb: DataFrame, d_out: int) -> DataFrame:
+    """(vec_id, _s0.._s{d_out-1}) — the exact BIGINT micro-unit
+    projection sums shared by :func:`rp_project` (long format) and
+    :func:`_rp_float_embedding` (array format)."""
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    micro = (
+        "transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    sums = [
+        f"aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + _micro[i] * ({_rp_coef_sql('i', str(j))}))"
+        f" AS _s{j}"
+        for j in range(d_out)
+    ]
+    return emb.selectExpr("vec_id", f"{micro} AS _micro").selectExpr(
+        "vec_id", *sums
+    )
+
+
+def _rp_float_embedding(emb: DataFrame, d_out: int) -> DataFrame:
+    """(vec_id, embedding array<float>) of the projected vectors —
+    micro-exact doubles cast once to FLOAT, so both engines hold
+    bit-identical float32 values and everything downstream (norms,
+    cosines, k-means) sees the same numbers."""
+    arr = ", ".join(f"CAST(_s{j} / 1e6 AS FLOAT)" for j in range(d_out))
+    return _rp_sums(emb, d_out).selectExpr(
+        "vec_id", f"array({arr}) AS embedding"
+    )
+
+
 def rp_project(emb: DataFrame, d_out: int = 8) -> DataFrame:
     """Sparse random projection of the embedding column to ``d_out``
     dims — the cheap dimensionality reduction run ahead of clustering /
@@ -973,20 +1004,8 @@ def rp_project(emb: DataFrame, d_out: int = 8) -> DataFrame:
     operator that makes IVF fits / LSH bucketing affordable: k-means on
     8 dims costs 1/8th of 64, and the projection itself is one pass.
     """
-    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
-    micro = (
-        "transform(embedding, x -> "
-        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
-    )
-    sums = [
-        f"aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), "
-        f"(acc, i) -> acc + _micro[i] * ({_rp_coef_sql('i', str(j))}))"
-        f" AS _s{j}"
-        for j in range(d_out)
-    ]
     projected = (
-        emb.selectExpr("vec_id", f"{micro} AS _micro")
-        .selectExpr("vec_id", *sums)
+        _rp_sums(emb, d_out)
         .selectExpr(
             "vec_id",
             f"stack({d_out}, "
@@ -1026,3 +1045,91 @@ def rp_project_sql(d_out: int = 8) -> str:
     FROM t CROSS JOIN (SELECT unnest(range({d_out})) AS out_dim) j
     GROUP BY t.vec_id, j.out_dim
     """
+
+
+def rp_ivf_topk(
+    emb: DataFrame,
+    k: int = ANN_LSH_TOPK,
+    query_mod: int = ANN_QUERY_MOD,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    d_out: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """The composed RP×IVF search the scale notes promise: the coarse
+    quantizer (k-means fit, centroid probing, posting lists) runs
+    entirely in the ``d_out``-dimensional random projection — every fit
+    iteration and probe costs D/d_out of the full-dimension IVF — and
+    only the final ranking touches the original vectors, as an exact
+    cosine re-rank over the probed posting lists.
+
+    Exactness contract: the projected vectors are micro-exact doubles
+    cast once to FLOAT (bit-identical across engines), so the Lloyd
+    fit, probe ranking (9 dp + centroid tie-break) and membership are
+    deterministic; the re-rank is the same 6 dp + vec_id ranking every
+    ANN operator here uses. Output schema matches :func:`ivf_topk`.
+
+    Scale: the JL guarantee is about GEOMETRY — nearest-centroid
+    structure survives projection — so recall loss lives only in the
+    posting-list restriction (tunable via nprobe), while fit cost
+    drops 8× at d_out=8/D=64 and the probe crossJoin touches 8-float
+    rows. Candidates never move: the posting-list join carries ids.
+    """
+    proj = _rp_float_embedding(emb, d_out)
+    members, cents = _ivf_fit(proj, k=n_clusters, iters=iters)
+    q = members.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_cos",
+            F.round(
+                _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 9
+            ),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_cos").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        qprobe.join(members.select("centroid_id", "vec_id"), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    base = _with_norm(emb)
+    cand_emb = base.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    qorig = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qo_emb"),
+        F.col("_norm").alias("qo_norm"),
+    )
+    joined = cand.join(cand_emb, "vec_id").join(qorig, "query_id")
+    cos = F.round(
+        _dot("qo_emb", "c_emb") / (F.col("qo_norm") * F.col("c_norm")), 6
+    )
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
