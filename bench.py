@@ -222,6 +222,7 @@ def main() -> None:
         "pq_topk": lambda: similarity.pq_topk(emb),
         "pq_rerank_topk": lambda: similarity.pq_rerank_topk(emb),
         "ivf_pq_topk": lambda: similarity.ivf_pq_topk(emb, n_clusters="auto"),
+        "rp_ivf_topk": lambda: similarity.rp_ivf_topk(emb),
         "resample_interpolate": lambda: _resample_interpolate(),
         "resample_ohlc": lambda: _resample_ohlc(),
         # round-5 additions: the gram-vocabulary interval-union coverage

@@ -560,12 +560,18 @@ def _pq_subvectors(emb: DataFrame, m: int) -> DataFrame:
 
 
 def _pq_fit(
-    emb: DataFrame, m: int, k: int, iters: int
+    emb: DataFrame, m: int, k: int, iters: int,
+    fit_sample_mod: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd rounds for :func:`pq_codes`; returns (final assignment —
     (vec_id, sub_id, se, centroid_id, _d) —, codebook-as-literal-table)
     so ADC searches can build distance tables against the quantizer's
     own centroids without re-deriving them.
+
+    ``fit_sample_mod=s`` trains the codebook on the deterministic
+    ``vec_id % s == 0`` sample (the same 100 TB sample-fit contract as
+    ``_ivf_fit``); the final code assignment always covers the full
+    corpus. Default None keeps the full-data fit the oracles mirror.
 
     The subvector cache stays persisted when this returns: the returned
     assignment is LAZY and its full-corpus scan (the most expensive
@@ -595,7 +601,16 @@ def _pq_fit(
                 "from every subspace"
             )
     subs = _pq_subvectors(emb, m).cache()
-    low_ids = emb.orderBy("vec_id").limit(k).select("vec_id")
+    fit_subs = (
+        subs.filter(F.col("vec_id") % fit_sample_mod == 0).cache()
+        if fit_sample_mod
+        else subs
+    )
+    low_ids = (
+        emb.filter(F.col("vec_id") % fit_sample_mod == 0)
+        if fit_sample_mod
+        else emb
+    ).orderBy("vec_id").limit(k).select("vec_id")
     cents = (
         subs.join(F.broadcast(low_ids), "vec_id")
         .select(
@@ -608,8 +623,8 @@ def _pq_fit(
     )
     schema = "sub_id int, centroid_id int, c array<double>"
 
-    def assign(cdf: DataFrame) -> DataFrame:
-        j = subs.join(F.broadcast(cdf), "sub_id")
+    def assign(cdf: DataFrame, source: DataFrame = subs) -> DataFrame:
+        j = source.join(F.broadcast(cdf), "sub_id")
         d = _sub_l2sq("se", "c")
         return (
             j.withColumn("_d", d)
@@ -627,7 +642,7 @@ def _pq_fit(
 
     for _ in range(iters):
         cents = spark.createDataFrame(cents.collect(), schema)
-        a = assign(cents)
+        a = assign(cents, fit_subs)
         cents = (
             a.select("sub_id", "centroid_id", F.posexplode("se").alias("dim", "x"))
             .groupBy("sub_id", "centroid_id", "dim")

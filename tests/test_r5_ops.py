@@ -444,3 +444,17 @@ def test_rp_ivf_topk_recall_vs_brute(spark):
     # projection destroyed neighborhood structure
     assert recall >= 0.6, recall
     spark.catalog.clearCache()
+
+
+def test_pq_fit_sample_mod_assigns_full_corpus(spark):
+    from myodish_peak_analysis_spark.llm.similarity import _pq_fit
+    from myodish_peak_analysis_spark.schema import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    final, cents = _pq_fit(emb, m=4, k=8, iters=1, fit_sample_mod=3)
+    n = emb.count()
+    # every vector coded in every subspace, codebook ids in range
+    assert final.count() == n * 4
+    ids = {r.centroid_id for r in final.select("centroid_id").distinct().collect()}
+    assert ids <= set(range(1, 9))
+    spark.catalog.clearCache()

@@ -110,3 +110,29 @@ def test_write_sized_rolls_files_and_bounds_count(spark, tmp_path):
     assert all(4 <= n <= 8 for n in per_part.values()), per_part
     back = spark.read.parquet(out)
     assert back.count() == 1000
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """The partition-pruning contract of write_parquet(partition_by=...):
+    a filter on the partition column must become a PartitionFilter
+    (pruned at file listing), not a data filter over all rows."""
+    import os
+
+    from myodish_peak_analysis_spark.schema import read_table
+    from myodish_peak_analysis_spark.sinks import write_parquet
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    path = os.path.join(str(tmp_path), "by_source")
+    write_parquet(docs, path, partition_by=("source",))
+    one = docs.select("source").first()["source"]
+    back = spark.read.parquet(path).filter(f"source = '{one}'")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    # the partition predicate must appear in PartitionFilters, and the
+    # row-level PushedFilters must NOT need it
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "source" in pf
+    n_src = docs.filter(f"source = '{one}'").count()
+    assert back.count() == n_src
