@@ -833,6 +833,7 @@ def ivf_pq_topk(
     m: int = 4,
     n_centroids: int = 16,
     pq_iters: int = 2,
+    fit_sample_mod: int | None = None,
 ) -> DataFrame:
     """The composed IVF×PQ search — the operator a 100 TB user actually
     calls (the FAISS ``IVFx,PQy`` production pattern, Jégou et al.
@@ -861,8 +862,14 @@ def ivf_pq_topk(
     6 dp + vec_id tie-break), so the chained DuckDB oracle
     (``llm.oracle.ivf_pq_topk_sql``) hash-matches.
     """
-    members, cents = _ivf_fit(emb, k=_resolve_clusters(emb, n_clusters), iters=ivf_iters)
-    final, pq_cents = _pq_fit(emb, m=m, k=n_centroids, iters=pq_iters)
+    members, cents = _ivf_fit(
+        emb, k=_resolve_clusters(emb, n_clusters), iters=ivf_iters,
+        fit_sample_mod=fit_sample_mod,
+    )
+    final, pq_cents = _pq_fit(
+        emb, m=m, k=n_centroids, iters=pq_iters,
+        fit_sample_mod=fit_sample_mod,
+    )
     codes = final.select(
         "vec_id", "sub_id", F.col("centroid_id").alias("code_id")
     )
