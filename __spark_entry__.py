@@ -83,7 +83,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # operator additions, the floor-quantized PQ family, the composed
 # ivf_pq_topk/rp_ivf_topk, the recursive-CTE native_find_peaks oracle,
 # the restructured dedup entries) and (b) entries whose newest driver
-# row is r3 — 21 + 29 = 50, exactly the driver's verification cap. The
+# row is r3 — 22 + 28 = 50, exactly the driver's verification cap. The
 # remaining r3-green map-only ops it displaced lead _ROTATE_LAST as
 # next round's first rotation candidates; everything outside the head
 # is re-verified green at HEAD by the local full sweep
@@ -103,6 +103,7 @@ _ROTATE_FIRST = [
     "mad_outliers",
     "token_entropy",
     "rp_ivf_topk",
+    "hybrid_neardup",
     "ivf_pq_topk",
     "native_find_peaks",
     "pq_codes",
@@ -140,9 +141,9 @@ _ROTATE_FIRST = [
     "diastolic",
     "naive_peaks",
     "threshold_peaks",
-    "peak_attributes",
 ]
 _ROTATE_LAST = [
+    "peak_attributes",
     "crossing_points",
     "peak_averages",
     "stim_normalize",

@@ -541,3 +541,52 @@ def with_minhash_signatures(docs: DataFrame) -> DataFrame:
             ),
         )
     return out.drop("_hs")
+
+
+def hybrid_neardup(
+    docs: DataFrame,
+    emb: DataFrame,
+    min_jaccard: float = 0.2,
+    cosine_threshold: float = 0.2,
+) -> DataFrame:
+    """Lexical×semantic near-dup: MinHash-LSH candidate pairs verified
+    by exact Jaccard, then ENRICHED with the embedding cosine of the
+    pair (documents ⋈ embeddings on doc_id = vec_id) — the cross-modal
+    check a production dedup uses to separate true near-dups (high
+    lexical AND semantic similarity) from template collisions (shared
+    boilerplate tokens, unrelated content: high Jaccard, low cosine).
+    Output: (doc_id_a, doc_id_b, jaccard, cosine, semantic_match).
+
+    Scale: candidates come only from LSH buckets (never all-pairs);
+    the embedding enrichment is two id-keyed joins carrying one vector
+    per side for CANDIDATE PAIRS only — the corpus-wide embedding
+    table is never paired with itself.
+    """
+    from .similarity import _dot, _with_norm
+
+    pairs = neardup_verified(docs, min_jaccard=min_jaccard)
+    e = _with_norm(emb).select("vec_id", "embedding", "_norm")
+    ea = e.select(
+        F.col("vec_id").alias("doc_id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("_norm").alias("norm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("doc_id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("_norm").alias("norm_b"),
+    )
+    cos = F.round(
+        _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6
+    )
+    return (
+        pairs.join(ea, "doc_id_a")
+        .join(eb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "jaccard",
+            cos.alias("cosine"),
+            (cos >= F.lit(cosine_threshold)).alias("semantic_match"),
+        )
+    )

@@ -966,3 +966,40 @@ def rp_ivf_topk_sql(
 
 
 ORACLES["rp_ivf_topk"] = rp_ivf_topk_sql()
+
+ORACLES["hybrid_neardup"] = f"""
+WITH {_minhash_sig_sql()},
+{_band_keys_sql()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM bandkeys a
+    JOIN bandkeys b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+t AS (SELECT doc_id, list_distinct({_TK}) AS toks FROM documents),
+v AS (
+    SELECT * FROM (
+        SELECT cand.doc_id_a, cand.doc_id_b,
+               ROUND(CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS DOUBLE)
+                     / (len(ta.toks) + len(tb.toks)
+                        - len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))), 6)
+                   AS jaccard
+        FROM cand
+        JOIN t ta ON ta.doc_id = cand.doc_id_a
+        JOIN t tb ON tb.doc_id = cand.doc_id_b
+    ) p WHERE jaccard >= 0.2
+),
+e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS ee,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+    FROM embeddings
+)
+SELECT v.doc_id_a, v.doc_id_b, v.jaccard,
+       ROUND(list_dot_product(a.ee, b.ee) / (a.nrm * b.nrm), 6) AS cosine,
+       ROUND(list_dot_product(a.ee, b.ee) / (a.nrm * b.nrm), 6) >= 0.2
+           AS semantic_match
+FROM v
+JOIN e a ON a.vec_id = v.doc_id_a
+JOIN e b ON b.vec_id = v.doc_id_b
+"""

@@ -473,3 +473,16 @@ def q_rp_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["rp_ivf_topk"] = q_rp_ivf_topk
+
+
+def q_hybrid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical LSH near-dup pairs enriched with embedding cosine
+    (documents x embeddings on doc_id = vec_id) - separates true
+    near-dups from template collisions."""
+    return dedup.hybrid_neardup(
+        read_table(spark, sf_dir, "documents"),
+        read_table(spark, sf_dir, "embeddings"),
+    )
+
+
+QUERIES["hybrid_neardup"] = q_hybrid_neardup

@@ -458,3 +458,40 @@ def test_pq_fit_sample_mod_assigns_full_corpus(spark):
     ids = {r.centroid_id for r in final.select("centroid_id").distinct().collect()}
     assert ids <= set(range(1, 9))
     spark.catalog.clearCache()
+
+
+def test_hybrid_neardup_separates_template_collisions(spark):
+    from myodish_peak_analysis_spark.llm.dedup import hybrid_neardup
+
+    # docs 1/2: true near-dups (shared text, aligned embeddings);
+    # docs 3/4: template collision (same boilerplate tokens, but
+    # orthogonal embeddings -> semantic_match False).
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one"),
+            (2, shared + " two"),
+            (3, shared + " three"),
+            (4, shared + " four"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r.doc_id_a, r.doc_id_b): (r.jaccard, r.cosine, r.semantic_match)
+        for r in hybrid_neardup(docs, emb, min_jaccard=0.2).collect()
+    }
+    # all pairs share 8 of 9 distinct tokens -> all lexical near-dups
+    assert len(out) == 6
+    assert out[(1, 2)][2] is True        # aligned embeddings
+    assert out[(3, 4)][2] is False       # orthogonal embeddings
+    assert out[(1, 3)][2] is False
+    assert abs(out[(1, 2)][0] - 8 / 10) < 1e-9
