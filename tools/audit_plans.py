@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Whole-surface plan audit: build the physical plan of EVERY
+registered ``queries()`` entry at sf0.01 and tabulate the shape
+signals that matter at 100 TB — exchange count, broadcast joins,
+cartesian products (must be 0), Python-eval stages (must be 0 outside
+the explicitly-fidelity routes), and TakeOrdered usage.
+
+Writes a markdown table to stdout; redirect into docs/.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+from myodish_peak_analysis_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# The fidelity twins run the reference algorithm in applyInPandas BY
+# DESIGN; every other query must be Python-free.
+PYTHON_ALLOWED = {"fidelity_peaks", "fidelity_signal", "native_find_peaks",
+                  "native_find_peaks_nodist", "constrained_peak_attributes",
+                  "peak_interval_stats"}
+
+
+def main() -> None:
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    violations = []
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            violations.append(f"{name}: failed to plan ({exc})")
+            continue
+        n_ex = plan.count("Exchange") - plan.count("BroadcastExchange")
+        n_bc = plan.count("BroadcastHashJoin") + plan.count(
+            "BroadcastNestedLoopJoin"
+        )
+        n_cart = plan.count("CartesianProduct")
+        n_py = plan.count("PythonEval") + plan.count("FlatMapGroupsInPandas")
+        n_tko = plan.count("TakeOrderedAndProject")
+        rows.append((name, n_ex, n_bc, n_cart, n_py, n_tko))
+        if n_cart:
+            violations.append(f"{name}: CartesianProduct")
+        if n_py and name not in PYTHON_ALLOWED:
+            violations.append(f"{name}: unexpected Python stage")
+    print("| query | shuffles | bcast joins | cartesian | python | takeOrdered |")
+    print("|---|---|---|---|---|---|")
+    for r in sorted(rows):
+        print("| {} | {} | {} | {} | {} | {} |".format(*r))
+    print()
+    print(f"{len(rows)} queries audited; violations: {len(violations)}")
+    for v in violations:
+        print("VIOLATION:", v)
+    if violations:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
