@@ -46,15 +46,29 @@ def main() -> None:
         n_cart = plan.count("CartesianProduct")
         n_py = plan.count("PythonEval") + plan.count("FlatMapGroupsInPandas")
         n_tko = plan.count("TakeOrderedAndProject")
-        rows.append((name, n_ex, n_bc, n_cart, n_py, n_tko))
+        n_ims = plan.count("InMemoryTableScan")
+        rows.append((name, n_ex, n_bc, n_cart, n_py, n_tko, n_ims))
         if n_cart:
             violations.append(f"{name}: CartesianProduct")
         if n_py and name not in PYTHON_ALLOWED:
             violations.append(f"{name}: unexpected Python stage")
-    print("| query | shuffles | bcast joins | cartesian | python | takeOrdered |")
-    print("|---|---|---|---|---|---|")
+    print(
+        "| query | shuffles | bcast joins | cartesian | python |"
+        " takeOrdered | cache hits |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for r in sorted(rows):
-        print("| {} | {} | {} | {} | {} | {} |".format(*r))
+        print("| {} | {} | {} | {} | {} | {} | {} |".format(*r))
+    print()
+    print(
+        "NOTE: `shuffles` counts Exchange nodes in the PRINTED plan,"
+        " which expands the full cached lineage under every"
+        " InMemoryRelation — iterative queries (dedup_clusters, the"
+        " Lloyd fits) therefore print hundreds of exchanges whose"
+        " EXECUTION is an InMemoryTableScan cache hit (see the"
+        " `cache hits` column); their real per-round cost is one keyed"
+        " shuffle."
+    )
     print()
     print(f"{len(rows)} queries audited; violations: {len(violations)}")
     for v in violations:
