@@ -362,13 +362,24 @@ def dedup_clusters(
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
+        edges.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge within {max_iters} rounds — "
             "pathological near-dup chain; raise max_iters or switch to the "
             "large-star/small-star formulation"
         )
+    # Truncate the per-round lineage: without this, the returned frame
+    # SILENTLY depends on the session caches built above — a
+    # clearCache() before execution would recompute the whole unrolled
+    # chain, and each round references the previous labels twice
+    # (directly + through neighbor_min), so the uncached recompute is
+    # O(2^rounds) subplans. localCheckpoint materializes the tiny
+    # (doc_id, cluster_id) frame as executor blocks and cuts every
+    # upstream dependency, making the result self-contained.
+    labels = labels.localCheckpoint(eager=True)
+    prev_cached.unpersist()
+    edges.unpersist()
     out = (
         docs.select("doc_id")
         .join(labels.withColumnRenamed("cluster_id", "_cl"), "doc_id", "left")
