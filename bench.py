@@ -114,35 +114,13 @@ def main() -> None:
             _attrs_cache["df"] = a
         return peak_averages(_attrs_cache["df"])
 
-    hour_us = 3600 * 1_000_000
-
-    def _events_ts():
-        ev = read_table(spark, SF_DIR, "events")
-        return ev.withColumn("ts_us", ts_micros(ev))
-
-    def _resample_interpolate():
-        from myodish_peak_analysis_spark.operators.asof import (
-            gap_fill_interpolate,
-        )
-
-        ev = _events_ts()
-        micro = F.round(F.round(F.col("value"), 6) * 1e6, 0).cast("long")
-        resampled = (
-            ev.withColumn("bucket", F.expr(f"ts_us DIV {hour_us}"))
-            .groupBy("user_id", "bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                (
-                    F.sum(micro).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))
-                ).alias("avg_value"),
-            )
-        )
-        return gap_fill_interpolate(resampled, by="user_id")
-
-    def _resample_ohlc():
-        from myodish_peak_analysis_spark.operators.asof import resample_ohlc
-
-        return resample_ohlc(_events_ts(), "ts_us", "value", "user_id", hour_us)
+    # bench times the REGISTERED builders (not re-derived copies, which
+    # r5 review flagged as a drift hazard: a formulation change in the
+    # verified query would leave the bench silently timing the old one)
+    from myodish_peak_analysis_spark.queries import (
+        q_resample_interpolate,
+        q_resample_ohlc,
+    )
 
     queries = {
         "native_peak_pipeline": lambda: (
@@ -223,8 +201,8 @@ def main() -> None:
         "pq_rerank_topk": lambda: similarity.pq_rerank_topk(emb),
         "ivf_pq_topk": lambda: similarity.ivf_pq_topk(emb, n_clusters="auto"),
         "rp_ivf_topk": lambda: similarity.rp_ivf_topk(emb),
-        "resample_interpolate": lambda: _resample_interpolate(),
-        "resample_ohlc": lambda: _resample_ohlc(),
+        "resample_interpolate": lambda: q_resample_interpolate(spark, SF_DIR),
+        "resample_ohlc": lambda: q_resample_ohlc(spark, SF_DIR),
         # round-5 additions: the gram-vocabulary interval-union coverage
         # (dup_span_fraction — the heaviest new shuffle shape), the Q10
         # TakeOrdered ranking join, the Q22 scalar-subquery + anti join,

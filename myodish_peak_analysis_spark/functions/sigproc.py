@@ -111,7 +111,14 @@ def _select_by_distance(peaks: np.ndarray, priority: np.ndarray, distance: int):
     n = peaks.size
     keep = np.ones(n, dtype=bool)
     # Highest priority last in argsort; iterate descending priority.
-    for j in np.argsort(priority)[::-1]:
+    # kind="stable" pins the equal-value order to ascending index, so
+    # reversed iteration processes equal values RIGHT-FIRST — the same
+    # total order as (value DESC, position DESC), which is what the
+    # recursive-CTE oracle pins, what the streaming compact() taint
+    # step assumes, and what SciPy's own _select_by_peak_distance uses
+    # (it also argsorts with kind='stable'). The default unstable
+    # introsort gave an arbitrary equal-value order (r5 review).
+    for j in np.argsort(priority, kind="stable")[::-1]:
         if not keep[j]:
             continue
         k = j - 1

@@ -162,15 +162,26 @@ def _round_ctes(n_merges: int) -> str:
             f"""b{i} AS (
         SELECT l, r, n FROM c{i} ORDER BY n DESC, l ASC, r ASC LIMIT 1)"""
         )
+        # COALESCE to a chr(1) sentinel: when a round has NO remaining
+        # pairs, b{i} is empty and the bare scalar subqueries would be
+        # NULL — replace(txt, NULL, NULL) = NULL would WIPE every doc
+        # while the Spark loop just breaks. The sentinel pattern
+        # ' \\x01  \\x01 ' can never occur in the doubled text (tokens
+        # never contain control chars), so the round becomes the
+        # identity double-space round-trip, matching Spark's break.
         parts.append(
             f"""r{i} AS (
         SELECT doc_id,
                trim(regexp_replace(
                    replace(' ' || replace(txt, ' ', '  ') || ' ',
-                           ' ' || (SELECT l FROM b{i}) || '  '
-                               || (SELECT r FROM b{i}) || ' ',
-                           ' ' || (SELECT l FROM b{i}) || '+'
-                               || (SELECT r FROM b{i}) || ' '),
+                           ' ' || COALESCE((SELECT l FROM b{i}), chr(1))
+                               || '  '
+                               || COALESCE((SELECT r FROM b{i}), chr(1))
+                               || ' ',
+                           ' ' || COALESCE((SELECT l FROM b{i}), chr(1))
+                               || '+'
+                               || COALESCE((SELECT r FROM b{i}), chr(1))
+                               || ' '),
                    ' +', ' ', 'g')) AS txt
         FROM {prev})"""
         )

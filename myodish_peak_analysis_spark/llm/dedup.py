@@ -92,16 +92,25 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_band_keys(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) — band_key = md5 of the band's signature
-    slice; equal keys put docs in the same LSH bucket."""
+def band_structs() -> list:
+    """Per-row (band, band_key) struct columns derived from the
+    sig_0..sig_{PERMS-1} signature columns — the SINGLE definition of
+    the banding scheme, shared by :func:`minhash_band_keys` and the
+    streaming gate (`streaming.peaks.streaming_neardup_gate`) so the
+    two can never probe each other with incompatible keys."""
     bands = []
     for b in range(MINHASH_BANDS):
         cols = [f"sig_{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
         key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
         bands.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    return bands
+
+
+def minhash_band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — band_key = md5 of the band's signature
+    slice; equal keys put docs in the same LSH bucket."""
     return sigs.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bk")
+        "doc_id", F.explode(F.array(*band_structs())).alias("bk")
     ).select("doc_id", "bk.band", "bk.band_key")
 
 
@@ -364,6 +373,7 @@ def dedup_clusters(
             break
     if not converged:
         edges.unpersist()
+        prev_cached.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge within {max_iters} rounds — "
             "pathological near-dup chain; raise max_iters or switch to the "

@@ -537,10 +537,22 @@ def pq_codes(
     )
 
 
-def _pq_subvectors(emb: DataFrame, m: int) -> DataFrame:
-    """(vec_id, sub_id, se): the m contiguous double-cast subvectors."""
+def _pq_subvectors(emb: DataFrame, m: int, expect_dim: int | None = None) -> DataFrame:
+    """(vec_id, sub_id, se): the m contiguous double-cast subvectors.
+
+    ``expect_dim`` embeds a per-row guard that raises on any row whose
+    dimension differs — ragged corpora fail LOUDLY during the normal
+    pass instead of silently dropping trailing dims, at zero extra
+    scans (the r5-review replacement for the full-table min/max agg)."""
     dsub = f"(size(embedding) DIV {m})"
-    return emb.select(
+    guard = (
+        f"IF(size(embedding) = {expect_dim}, embedding, "
+        f"raise_error(concat('PQ: ragged embedding dim ', size(embedding), "
+        f"' != {expect_dim}')))"
+        if expect_dim is not None
+        else "embedding"
+    )
+    return emb.withColumn("_emb", F.expr(guard)).select(
         "vec_id",
         F.explode(
             F.array(
@@ -548,7 +560,7 @@ def _pq_subvectors(emb: DataFrame, m: int) -> DataFrame:
                     F.struct(
                         F.lit(s + 1).alias("sub_id"),
                         F.expr(
-                            f"transform(slice(embedding, {s} * {dsub} + 1, "
+                            f"transform(slice(_emb, {s} * {dsub} + 1, "
                             f"{dsub}), x -> CAST(x AS DOUBLE))"
                         ).alias("se"),
                     )
@@ -580,27 +592,20 @@ def _pq_fit(
     entry across calls on the same input; ``spark.catalog.clearCache()``
     releases it, and MEMORY_AND_DISK eviction bounds the residency."""
     spark = emb.sparkSession
-    # min/max over ALL rows (one cheap action, like the first() it
-    # replaces): a first()-only check would pass on the sampled row and
-    # the slice arithmetic would then SILENTLY drop trailing dims from
-    # the nonconforming rows — ragged corpora must be rejected outright.
-    dims = emb.agg(
-        F.min(F.size("embedding")).alias("dmin"),
-        F.max(F.size("embedding")).alias("dmax"),
-    ).first()
-    if dims is not None and dims.dmin is not None:
-        if dims.dmin != dims.dmax:
-            raise ValueError(
-                f"ragged embedding dims [{dims.dmin}, {dims.dmax}]: PQ "
-                "subvector slicing requires a uniform dimension"
-            )
-        if dims.dmin % m != 0:
-            raise ValueError(
-                f"embedding dim {dims.dmin} not divisible by m={m}: the "
-                "slice arithmetic would silently drop the trailing dims "
-                "from every subspace"
-            )
-    subs = _pq_subvectors(emb, m).cache()
+    # dim discovery is one O(1) first(); uniformity is enforced by a
+    # PER-ROW raise_error guard inside the subvector expression (see
+    # _pq_subvectors) — ragged corpora fail loudly during the normal
+    # pass, with no extra full-table scan (the r4 min/max agg cost an
+    # entire corpus read per PQ entry point at scale).
+    row = emb.select(F.size("embedding").alias("d")).first()
+    dim0 = None if row is None or row["d"] is None else int(row["d"])
+    if dim0 is not None and dim0 % m != 0:
+        raise ValueError(
+            f"embedding dim {dim0} not divisible by m={m}: the "
+            "slice arithmetic would silently drop the trailing dims "
+            "from every subspace"
+        )
+    subs = _pq_subvectors(emb, m, expect_dim=dim0).cache()
     fit_subs = (
         subs.filter(F.col("vec_id") % fit_sample_mod == 0).cache()
         if fit_sample_mod
@@ -978,10 +983,23 @@ def _rp_coef_sql(i: str, j: str) -> str:
 def _rp_sums(emb: DataFrame, d_out: int) -> DataFrame:
     """(vec_id, _s0.._s{d_out-1}) — the exact BIGINT micro-unit
     projection sums shared by :func:`rp_project` (long format) and
-    :func:`_rp_float_embedding` (array format)."""
-    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    :func:`_rp_float_embedding` (array format).
+
+    Empty input → empty output with the right schema (no first()-crash);
+    a per-row raise_error guard rejects ragged dimensions loudly (rows
+    SHORTER than the probed dim would otherwise throw an opaque array
+    index error; LONGER rows would silently drop trailing dims)."""
+    row = emb.select(F.size("embedding").alias("d")).first()
+    if row is None or row["d"] is None:
+        schema = "vec_id long, " + ", ".join(
+            f"_s{j} long" for j in range(d_out)
+        )
+        return emb.sparkSession.createDataFrame([], schema)
+    dim = int(row["d"])
     micro = (
-        "transform(embedding, x -> "
+        f"transform(IF(size(embedding) = {dim}, embedding, "
+        f"raise_error(concat('rp_project: ragged embedding dim ', "
+        f"size(embedding), ' != {dim}'))), x -> "
         "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
     )
     sums = [

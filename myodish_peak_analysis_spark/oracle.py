@@ -422,13 +422,11 @@ def _native_find_peaks_parts(
     priority order within a channel is what the per-round top-1
     reproduces; channels never interact). O(rounds x remaining) work —
     tractable at oracle scale (sf0.01: ~800 candidates, ~60 rounds),
-    never the production path. Tie caveat: for candidates with exactly
-    equal smoothed values the NumPy kernel's order comes from an
-    unstable argsort; the SQL pins value DESC, position DESC. Exact
-    double ties between distinct 301-tap FIR windows inside one
-    channel do not occur in the harness data (hash-checked), and the
-    randomized parity tests in tests/test_native_peaks.py would
-    surface an input family where they do.
+    never the production path. Ties: both sides pin the SAME total
+    order — the SQL orders value DESC, position DESC, and the NumPy
+    kernel argsorts with kind="stable" reversed (equal values
+    right-first, matching SciPy's own stable argsort) — so exact
+    double ties, though absent in the harness data, cannot diverge.
 
     Rows surviving the prominence filter always have BOTH bases strictly
     below the peak (prom = pv - max(lb, rb) > 0), so the walk-empty

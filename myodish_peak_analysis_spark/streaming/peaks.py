@@ -1044,11 +1044,11 @@ def streaming_neardup_gate(
     from ..llm.dedup import (
         _jaccard_expr,
         _TOKENS,
+        band_structs,
         minhash_band_keys,
         minhash_signatures,
         with_minhash_signatures,
     )
-    from ..llm.params import MINHASH_BANDS, MINHASH_ROWS
 
     corpus_keys = F.broadcast(
         minhash_band_keys(minhash_signatures(corpus_docs)).select(
@@ -1064,11 +1064,7 @@ def streaming_neardup_gate(
     sigs = with_minhash_signatures(doc_stream).withColumn(
         "toks_a", F.expr(f"array_distinct({_TOKENS})")
     )
-    bands = []
-    for b in range(MINHASH_BANDS):
-        cols = [f"sig_{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
-        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        bands.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    bands = band_structs()
     keyed = sigs.select(
         "ts",
         F.col("doc_id").alias("new_doc_id"),

@@ -495,3 +495,38 @@ def test_hybrid_neardup_separates_template_collisions(spark):
     assert out[(3, 4)][2] is False       # orthogonal embeddings
     assert out[(1, 3)][2] is False
     assert abs(out[(1, 2)][0] - 8 / 10) < 1e-9
+
+
+def test_bpe_pair_exhaustion_parity(spark):
+    """When merges exhaust before n_merges rounds, Spark breaks out of
+    the loop; the SQL mirror's remaining rounds must become identity
+    (r5 review: bare scalar subqueries over the empty round table
+    produced NULL and wiped every doc)."""
+    import duckdb
+
+    from myodish_peak_analysis_spark.llm.bpe import (
+        bpe_encode,
+        bpe_encode_sql,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text_bpe, r.n_tokens)
+        for r in bpe_encode(docs, n_merges=4).collect()
+    }
+    assert got == {1: ("a+b", 1), 2: ("a+b", 1)}
+    assert bpe_vocab(docs, n_merges=4).count() == 1
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "(VALUES (1, 'a b'), (2, 'a b')) t(doc_id, text)"
+    )
+    want = {
+        int(d): (t, int(n))
+        for d, t, n in con.sql(bpe_encode_sql(n_merges=4)).fetchall()
+    }
+    assert got == want
+    spark.catalog.clearCache()

@@ -39,12 +39,23 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             violations.append(f"{name}: failed to plan ({exc})")
             continue
-        n_ex = plan.count("Exchange") - plan.count("BroadcastExchange")
+        # "Exchange" substring-matches BroadcastExchange and
+        # ReusedExchange too — subtract both so the column counts only
+        # real shuffle materializations.
+        n_ex = (
+            plan.count("Exchange")
+            - plan.count("BroadcastExchange")
+            - plan.count("ReusedExchange")
+        )
         n_bc = plan.count("BroadcastHashJoin") + plan.count(
             "BroadcastNestedLoopJoin"
         )
         n_cart = plan.count("CartesianProduct")
-        n_py = plan.count("PythonEval") + plan.count("FlatMapGroupsInPandas")
+        # Spark's Python-execution nodes are BatchEvalPython /
+        # ArrowEvalPython (scalar UDFs) and *InPandas (grouped/map
+        # Arrow) — "EvalPython" + "InPandas" covers all of them;
+        # the old "PythonEval" substring matched NONE.
+        n_py = plan.count("EvalPython") + plan.count("InPandas")
         n_tko = plan.count("TakeOrderedAndProject")
         n_ims = plan.count("InMemoryTableScan")
         rows.append((name, n_ex, n_bc, n_cart, n_py, n_tko, n_ims))
