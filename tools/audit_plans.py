@@ -20,11 +20,15 @@ from myodish_peak_analysis_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-# The fidelity twins run the reference algorithm in applyInPandas BY
-# DESIGN; every other query must be Python-free.
+# Arrow/pandas stages are allowed ONLY where they are the design:
+# the reference-exact fidelity twins (applyInPandas), the sparse
+# candidate-suppression step of the constrained peak family, and the
+# multimodal decode plumbing (mapInPandas over opaque binary columns —
+# the one place a JVM expression genuinely cannot express the work).
+# Every other query must be Python-free.
 PYTHON_ALLOWED = {"fidelity_peaks", "fidelity_signal", "native_find_peaks",
                   "native_find_peaks_nodist", "constrained_peak_attributes",
-                  "peak_interval_stats"}
+                  "peak_interval_stats", "media_metadata"}
 
 
 def main() -> None:
