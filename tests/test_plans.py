@@ -17,6 +17,7 @@ from tests.conftest import SF001
 def test_no_cartesian_product_in_any_registered_query(spark):
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
+    from tools.audit_plans import PYTHON_ALLOWED
 
     failures = []
     for name, fn in entry.queries().items():
@@ -28,6 +29,9 @@ def test_no_cartesian_product_in_any_registered_query(spark):
             continue
         if "CartesianProduct" in plan:
             failures.append(f"{name}: CartesianProduct in plan")
+        n_py = plan.count("EvalPython") + plan.count("InPandas")
+        if n_py and name not in PYTHON_ALLOWED:
+            failures.append(f"{name}: unexpected Python/Arrow stage")
     assert not failures, "\n".join(failures)
 
 
