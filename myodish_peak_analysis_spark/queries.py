@@ -680,3 +680,12 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return mad_outliers(ev)
+
+
+def q_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (each stage within 24h of the
+    previous stage's first-touch entry; same one-scan chained
+    running-min plan as funnel_counts)."""
+    from .operators.sessions import funnel_within
+
+    return funnel_within(read_table(spark, sf_dir, "events"))

@@ -130,3 +130,30 @@ def test_top_event_paths_prefix_and_ties(spark):
         ("a>b>c", 2),
         ("a>a>a", 1),
     ]
+
+
+def test_funnel_within_time_bound_binds(spark):
+    import datetime as dt
+
+    from myodish_peak_analysis_spark.operators.sessions import (
+        funnel_counts,
+        funnel_within,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1 converts fully within an hour each step
+        (1, "view", base), (1, "cart", base + h), (1, "purchase", base + 2 * h),
+        # user 2: cart comes 3 days after view -> excluded by 24h bound
+        (2, "view", base), (2, "cart", base + dt.timedelta(days=3)),
+        (2, "purchase", base + dt.timedelta(days=3, hours=1)),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, ts) for i, (u, t, ts) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    unbounded = {r.step: r.n_users for r in funnel_counts(ev, ("view", "cart", "purchase")).collect()}
+    bounded = {r.step: r.n_users for r in funnel_within(ev, ("view", "cart", "purchase")).collect()}
+    assert unbounded == {1: 2, 2: 2, 3: 2}
+    assert bounded == {1: 2, 2: 1, 3: 1}
