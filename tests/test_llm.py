@@ -953,8 +953,18 @@ def test_pq_ragged_embedding_dims_rejected(spark):
 
     rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    with pytest.raises(ValueError, match="ragged"):
-        similarity.pq_codes(emb, m=2, k=2, iters=1)
+    # the guard is a PER-ROW raise_error inside the subvector pass (no
+    # extra validation scan), so it surfaces as a Spark job failure at
+    # action time, not a driver-side ValueError
+    with pytest.raises(Exception, match="ragged"):
+        similarity.pq_codes(emb, m=2, k=2, iters=1).collect()
+    # the m-divisibility check stays driver-side (O(1) first())
+    uniform = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codes(uniform, m=2, k=2, iters=1)
 
 
 def test_pq_dtable_bound_enforced(spark):
