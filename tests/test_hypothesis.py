@@ -142,3 +142,78 @@ def test_pack_span_formula_matches_token_simulation(sizes, cap):
     last = max(per_chunk)
     assert all(v == cap for c, v in per_chunk.items() if c != last)
     assert sum(per_chunk.values()) == sum(sizes)
+
+
+# --- round-5 models ---------------------------------------------------
+
+tokens_small = st.lists(
+    st.sampled_from(["a", "b", "c"]), min_size=0, max_size=30
+)
+
+
+def brute_bpe_merge(toks, left, right):
+    """Spec: left-to-right non-overlapping merge of (left, right)."""
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+            out.append(left + "+" + right)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def string_model_merge(toks, left, right):
+    """The DuckDB oracle's doubled-space replace, in Python: with every
+    inter-token gap doubled, global non-overlapping replace IS the LTR
+    merge (adjacent matches no longer share a delimiter)."""
+    import re
+
+    s = " " + "  ".join(toks) + " " if toks else ""
+    s = s.replace(f" {left}  {right} ", f" {left}+{right} ")
+    return re.sub(" +", " ", s).strip().split(" ") if s.strip() else []
+
+
+@given(tokens_small, st.sampled_from(["a", "b", "c"]), st.sampled_from(["a", "b", "c"]))
+@settings(max_examples=300, deadline=None)
+def test_bpe_string_model_equals_ltr_merge(toks, left, right):
+    assert string_model_merge(toks, left, right) == brute_bpe_merge(
+        toks, left, right
+    )
+
+
+positions = st.lists(
+    st.integers(min_value=1, max_value=60), min_size=1, max_size=25
+).map(lambda xs: sorted(set(xs)))
+
+
+@given(positions, st.integers(min_value=1, max_value=8))
+@settings(max_examples=300, deadline=None)
+def test_interval_union_gap_formula(pos, gram):
+    """dup_span_fraction's coverage formula: sum of min(gram, gap) over
+    sorted duplicated positions equals the true union length of the
+    intervals [p, p+gram-1]."""
+    formula = gram + sum(
+        min(gram, b - a) for a, b in zip(pos, pos[1:])
+    )
+    union = set()
+    for p in pos:
+        union.update(range(p, p + gram))
+    assert formula == len(union)
+
+
+def test_distance_suppression_equal_values_right_first():
+    """Stable-sort contract: among exactly-equal candidate values, the
+    RIGHTMOST survives (value DESC, position DESC — what the recursive
+    CTE pins and the streaming taint step assumes)."""
+    from myodish_peak_analysis_spark.functions.sigproc import (
+        _select_by_distance,
+    )
+
+    peaks = np.array([0, 3, 6, 20, 23], dtype=np.intp)
+    vals = np.array([1.0, 1.0, 1.0, 2.0, 2.0])
+    keep = _select_by_distance(peaks, vals, 5)
+    # crowd 1 (0,3,6 equal): 6 processed first, kills 3; 0 survives
+    # (distance 6 >= 5). crowd 2 (20,23 equal): 23 wins.
+    assert list(peaks[keep]) == [0, 6, 23]
