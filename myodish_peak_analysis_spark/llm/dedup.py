@@ -611,3 +611,32 @@ def hybrid_neardup(
             (cos >= F.lit(cosine_threshold)).alias("semantic_match"),
         )
     )
+
+
+def canonical_corpus(docs: DataFrame) -> DataFrame:
+    """The dedup pipeline's FINAL materialization: one representative
+    per connected near-dup cluster — the longest document (ties → the
+    lowest doc_id), singletons kept as-is. This is the step that turns
+    the cluster report into the training corpus: near-dup families
+    collapse to their most complete member instead of the arbitrary
+    lowest-id member.
+
+    Scale: one window ranked per cluster_id over (corpus ⋈ clusters) —
+    cluster cardinality is near-dup family size (tiny), so no window
+    partition can outgrow a task; everything upstream is the bucketed
+    LSH machinery of :func:`dedup_clusters` (whose result is
+    localCheckpoint-ed, so this plan is one join + one window over a
+    self-contained frame).
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(docs)
+    scored = docs.join(clusters, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", "cluster_id", "lang", "source", "n_chars")
+    )

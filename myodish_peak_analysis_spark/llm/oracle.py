@@ -1003,3 +1003,23 @@ FROM v
 JOIN e a ON a.vec_id = v.doc_id_a
 JOIN e b ON b.vec_id = v.doc_id_b
 """
+
+# canonical_corpus composes the dedup_clusters transitive closure with
+# a per-cluster keeper rank; built by extending the recursive oracle's
+# CTE chain (the final SELECT becomes a CTE).
+_DC = ORACLES["dedup_clusters"].rstrip()
+_DC_PREFIX = _DC.rsplit("SELECT src AS doc_id", 1)[0].rstrip()
+assert _DC_PREFIX.endswith(")"), "dedup_clusters oracle shape changed"
+ORACLES["canonical_corpus"] = _DC_PREFIX + """,
+clusters AS (
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+),
+scored AS (
+    SELECT d.doc_id, c.cluster_id, d.lang, d.source, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, d.doc_id ASC) AS _rk
+    FROM documents d JOIN clusters c USING (doc_id)
+)
+SELECT doc_id, cluster_id, lang, source, n_chars
+FROM scored WHERE _rk = 1
+"""

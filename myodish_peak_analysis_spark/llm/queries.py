@@ -486,3 +486,12 @@ def q_hybrid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["hybrid_neardup"] = q_hybrid_neardup
+
+
+def q_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware final corpus: longest doc per cluster (ties ->
+    lowest doc_id), singletons kept."""
+    return dedup.canonical_corpus(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["canonical_corpus"] = q_canonical_corpus

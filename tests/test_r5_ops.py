@@ -530,3 +530,25 @@ def test_bpe_pair_exhaustion_parity(spark):
     }
     assert got == want
     spark.catalog.clearCache()
+
+
+def test_canonical_corpus_keeps_longest_per_cluster(spark):
+    from myodish_peak_analysis_spark.llm.dedup import (
+        canonical_corpus,
+        dedup_clusters,
+    )
+    from myodish_peak_analysis_spark.schema import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    kept = {r.doc_id: r.cluster_id for r in canonical_corpus(docs).collect()}
+    clusters = {}
+    for r in dedup_clusters(docs).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    lens = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    # exactly one keeper per cluster, and it is the longest member
+    # (ties -> lowest doc_id)
+    assert len(kept) == len(clusters)
+    for cid, members in clusters.items():
+        best = sorted(members, key=lambda d: (-lens[d], d))[0]
+        assert kept.get(best) == cid, (cid, members, best)
+    spark.catalog.clearCache()
