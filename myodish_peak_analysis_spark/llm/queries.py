@@ -495,3 +495,13 @@ def q_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["canonical_corpus"] = q_canonical_corpus
+
+
+def q_prototype_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label prototype outliers (mislabeled-candidate screen):
+    closed-form label centroids, k least-similar members each."""
+    out = similarity.prototype_outliers(read_table(spark, sf_dir, "embeddings"))
+    return _long(out, "rank")
+
+
+QUERIES["prototype_outliers"] = q_prototype_outliers

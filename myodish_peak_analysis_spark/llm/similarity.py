@@ -1173,3 +1173,97 @@ def rp_ivf_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def prototype_outliers(
+    emb: DataFrame, k: int = 5
+) -> DataFrame:
+    """Label-prototype outlier report (the "confident-learning" style
+    curation screen): each label's prototype is the per-dimension mean
+    of its members; the k members LEAST similar to their own label's
+    prototype are the mislabeled-example candidates a curation pass
+    sends to review. Output: (label, vec_id, cosine, rank) with rank 1
+    = farthest from prototype.
+
+    Determinism contract: per-dim means are cast through FLOAT exactly
+    like the k-means centroid updates (absorbing engine AVG sum-order
+    drift), cosines are quantized to 6 dp with vec_id tie-break before
+    ranking — the proven Lloyd-oracle pattern, so the DuckDB mirror is
+    exact.
+
+    Scale: one (label, dim) keyed aggregate with map-side partial sums
+    (labels × dim rows — tiny), prototypes broadcast back, one window
+    per label. No iteration: a prototype is a single closed-form pass,
+    which is why this runs where a clustering fit would be overkill.
+    """
+    dims = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    protos = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_sm"))
+        .select(
+            "label",
+            F.expr(
+                "transform(_sm, s -> CAST(CAST(s.m AS FLOAT) AS DOUBLE))"
+            ).alias("p_emb"),
+        )
+        .withColumn("p_norm", F.sqrt(_dot("p_emb", "p_emb")))
+    )
+    base = _with_norm(emb)
+    joined = base.join(F.broadcast(protos), "label")
+    cos = F.round(
+        _dot("embedding", "p_emb") / (F.col("_norm") * F.col("p_norm")), 6
+    )
+    return (
+        joined.select("label", "vec_id", cos.alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.col("cosine").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def prototype_outliers_sql(k: int = 5) -> str:
+    """DuckDB mirror of :func:`prototype_outliers` — same FLOAT-cast
+    per-dim means, same 6 dp + vec_id ranking."""
+    return f"""
+    WITH dims AS (
+        SELECT label, vec_id, d.dim AS dim, embedding[d.dim] AS x
+        FROM embeddings
+        CROSS JOIN UNNEST(generate_series(1, CAST(len(embedding) AS BIGINT)))
+            AS d(dim)
+    ),
+    protos AS (
+        SELECT label, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim)
+                   AS p_emb
+        FROM (SELECT label, dim, AVG(CAST(x AS DOUBLE)) AS m
+              FROM dims GROUP BY label, dim) s
+        GROUP BY label
+    ),
+    pn AS (
+        SELECT label, p_emb, sqrt(list_dot_product(p_emb, p_emb)) AS p_norm
+        FROM protos
+    ),
+    scored AS (
+        SELECT e.label, e.vec_id,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], p.p_emb)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * p.p_norm), 6) AS cosine
+        FROM embeddings e JOIN pn p USING (label)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY cosine ASC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT label, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """

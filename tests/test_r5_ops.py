@@ -552,3 +552,27 @@ def test_canonical_corpus_keeps_longest_per_cluster(spark):
         best = sorted(members, key=lambda d: (-lens[d], d))[0]
         assert kept.get(best) == cid, (cid, members, best)
     spark.catalog.clearCache()
+
+
+def test_prototype_outliers_flags_the_odd_one(spark):
+    from myodish_peak_analysis_spark.llm.similarity import prototype_outliers
+
+    emb = spark.createDataFrame(
+        [
+            # label 0 clusters near +x; vec 3 points near -x (mislabeled)
+            (0, 0, [1.0, 0.0]),
+            (1, 0, [0.9, 0.1]),
+            (2, 0, [1.0, 0.1]),
+            (3, 0, [-1.0, 0.05]),
+            # label 1: two aligned members
+            (10, 1, [0.0, 1.0]),
+            (11, 1, [0.1, 1.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = {
+        (r.label, r.rank): r.vec_id
+        for r in prototype_outliers(emb, k=1).collect()
+    }
+    assert out[(0, 1)] == 3  # the flipped vector is label 0's worst fit
+    assert out[(1, 1)] in (10, 11)
