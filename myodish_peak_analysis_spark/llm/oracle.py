@@ -1027,3 +1027,7 @@ FROM scored WHERE _rk = 1
 from .similarity import prototype_outliers_sql as _proto_sql  # noqa: E402
 
 ORACLES["prototype_outliers"] = _proto_sql()
+
+from .sampling import temperature_weights_sql as _tw_sql  # noqa: E402
+
+ORACLES["temperature_weights"] = _tw_sql()

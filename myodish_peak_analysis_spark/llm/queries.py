@@ -505,3 +505,12 @@ def q_prototype_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["prototype_outliers"] = q_prototype_outliers
+
+
+def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature sampling mixture over sources (exact
+    integer-ppb normalization - no cross-engine float-sum order)."""
+    return sampling.temperature_weights(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["temperature_weights"] = q_temperature_weights

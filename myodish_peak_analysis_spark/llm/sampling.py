@@ -207,3 +207,68 @@ def training_order_sql(seed: int = 0, n_shards: int = 8) -> str:
     FROM s
     ORDER BY shard, pos
     """
+
+
+def temperature_weights(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Temperature-flattened sampling mixture (the multilingual-LM
+    recipe — Conneau & Lample 2019, public): sampling probability
+    q_i ∝ p_i^τ with τ=0.5 (square-root sampling), which upweights
+    small sources without drowning large ones. Output per source:
+    the natural share ``p``, the flattened share ``q``, and
+    ``boost = q/p`` (the resampling factor a data loader applies).
+
+    Exactness: p is a division of exact BIGINTs; p^0.5 is ``sqrt`` —
+    correctly-rounded IEEE in every engine (why τ is FIXED at 0.5 for
+    the oracle-checked entry: general ``pow`` is libm-dependent);
+    each sqrt is quantized to integer parts-per-billion BEFORE the
+    normalizing sum, so the denominator is an exact integer and no
+    cross-engine float-sum ordering exists anywhere.
+    """
+    per_src = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("src_chars"),
+    )
+    totals = per_src.agg(F.sum("src_chars").alias("_total"))
+    scored = per_src.crossJoin(F.broadcast(totals)).withColumn(
+        "p", F.col("src_chars").cast("double") / F.col("_total")
+    )
+    r_ppb = F.floor(F.sqrt("p") * F.lit(1e9) + F.lit(0.5)).cast("long")
+    scored = scored.withColumn("_r", r_ppb)
+    denom = scored.agg(F.sum("_r").alias("_rsum"))
+    return (
+        scored.crossJoin(F.broadcast(denom))
+        .select(
+            group_col,
+            "n_docs",
+            "src_chars",
+            "p",
+            (F.col("_r").cast("double") / F.col("_rsum")).alias("q"),
+            (
+                (F.col("_r").cast("double") / F.col("_rsum")) / F.col("p")
+            ).alias("boost"),
+        )
+    )
+
+
+def temperature_weights_sql(group_col: str = "source") -> str:
+    """DuckDB mirror of :func:`temperature_weights` (τ=0.5)."""
+    return f"""
+    WITH per_src AS (
+        SELECT {group_col}, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS src_chars
+        FROM documents GROUP BY {group_col}
+    ),
+    totals AS (SELECT CAST(SUM(src_chars) AS BIGINT) AS _total FROM per_src),
+    scored AS (
+        SELECT {group_col}, n_docs, src_chars,
+               CAST(src_chars AS DOUBLE) / _total AS p,
+               CAST(floor(sqrt(CAST(src_chars AS DOUBLE) / _total) * 1e9
+                          + 0.5) AS BIGINT) AS _r
+        FROM per_src, totals
+    ),
+    denom AS (SELECT CAST(SUM(_r) AS BIGINT) AS _rsum FROM scored)
+    SELECT {group_col}, n_docs, src_chars, p,
+           CAST(_r AS DOUBLE) / _rsum AS q,
+           (CAST(_r AS DOUBLE) / _rsum) / p AS boost
+    FROM scored, denom
+    """

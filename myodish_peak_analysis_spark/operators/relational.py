@@ -995,3 +995,130 @@ def forecast_revenue_change_sql(
       AND l_discount <= {disc_hi}
       AND l_quantity < {max_qty}
     """
+
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped maximum-selection: the supplier(s) whose
+    one-quarter revenue EQUALS the maximum — the "view + scalar-max
+    equality" shape (not a top-1 LIMIT: ties must all surface, which
+    is why the reference query famously needs the subquery).
+
+    Scale: one scan builds the per-supplier revenue aggregate
+    (map-side combinable, supplier-keyed); the max is a 1-row
+    broadcast back over that aggregate — the fact table is read ONCE
+    (plan-visible exchange reuse), never re-scanned for the subquery.
+    Revenue in exact integer cents, so the equality is exact.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _tslit(date_from))
+            & (F.col("l_shipdate") < _tslit(date_to))
+        )
+        .select(
+            "l_suppkey",
+            (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+                "_rev"
+            ),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("_rev").alias("_rev_c"))
+    )
+    mx = rev.agg(F.max("_rev_c").alias("_mx"))
+    supp = supplier.select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("_rev_c") == F.col("_mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev_c") / 1e4, 6).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def top_supplier_revenue_sql(
+    date_from: str = "1996-01-01", date_to: str = "1996-04-01"
+) -> str:
+    return f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS _rev_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{date_from}'
+          AND l_shipdate < TIMESTAMP '{date_to}'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, ROUND(r._rev_c / 1e4, 6) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r._rev_c = (SELECT MAX(_rev_c) FROM rev)
+    ORDER BY s.s_suppkey
+    """
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#23",
+    frac: float = 0.2,
+) -> DataFrame:
+    """TPC-H Q17-shaped correlated average: total revenue of lines
+    whose quantity is below ``frac`` × that part's average quantity,
+    for one brand — the classic correlated scalar aggregate that
+    decorrelates into a per-part aggregate + join.
+
+    Scale: the brand filter broadcasts a small part set; the per-part
+    average is one combinable aggregate over the brand's lines (exact
+    integer cent sums, one double division); the threshold join is
+    part-keyed. The fact is scanned once into both branches with the
+    filter pushed down; exchange reuse shares the scan.
+    """
+    pbrand = F.broadcast(
+        part.filter(F.col("p_brand") == brand).select("p_partkey")
+    )
+    lines = lineitem.join(
+        pbrand, lineitem.l_partkey == pbrand.p_partkey
+    ).select(
+        "l_partkey",
+        _cents("l_quantity").alias("_qty_c"),
+        _cents("l_extendedprice").alias("_ep_c"),
+    )
+    avg_qty = lines.groupBy("l_partkey").agg(
+        (F.sum("_qty_c").cast("double") / F.count(F.lit(1))).alias("_avg_c")
+    ).select(F.col("l_partkey").alias("_pk"), "_avg_c")
+    small = lines.join(avg_qty, lines.l_partkey == F.col("_pk")).filter(
+        F.col("_qty_c").cast("double") < F.lit(frac) * F.col("_avg_c")
+    )
+    return small.agg(
+        F.round(F.sum("_ep_c") / 1e2, 6).alias("small_line_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def small_quantity_revenue_sql(brand: str = "Brand#23", frac: float = 0.2) -> str:
+    return f"""
+    WITH lines AS (
+        SELECT l.l_partkey,
+               CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS _qty_c,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS _ep_c
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = '{brand}'
+    ),
+    avg_qty AS (
+        SELECT l_partkey,
+               CAST(SUM(_qty_c) AS DOUBLE) / COUNT(*) AS _avg_c
+        FROM lines GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(s._ep_c) AS BIGINT) / 1e2, 6)
+               AS small_line_revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lines s JOIN avg_qty a ON a.l_partkey = s.l_partkey
+    WHERE CAST(s._qty_c AS DOUBLE) < {frac} * a._avg_c
+    """

@@ -689,3 +689,24 @@ def q_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sessions import funnel_within
 
     return funnel_within(read_table(spark, sf_dir, "events"))
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped scalar-max equality selection (ties surface;
+    single fact scan + 1-row broadcast max)."""
+    from .operators.relational import top_supplier_revenue
+
+    return top_supplier_revenue(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "supplier"),
+    )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated per-part average threshold."""
+    from .operators.relational import small_quantity_revenue
+
+    return small_quantity_revenue(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "part"),
+    )

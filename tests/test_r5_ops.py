@@ -576,3 +576,46 @@ def test_prototype_outliers_flags_the_odd_one(spark):
     }
     assert out[(0, 1)] == 3  # the flipped vector is label 0's worst fit
     assert out[(1, 1)] in (10, 11)
+
+
+def test_temperature_weights_flattens_toward_uniform(spark):
+    from myodish_peak_analysis_spark.llm.sampling import temperature_weights
+
+    docs = spark.createDataFrame(
+        [(i, "big", 900) for i in range(9)]
+        + [(100, "small", 100)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r.source: (r.p, r.q, r.boost) for r in temperature_weights(docs).collect()}
+    # big: p=0.9878..., small: p=0.0122...; sqrt flattening must boost
+    # the small source above its natural share and shrink the big one
+    assert out["small"][1] > out["small"][0]
+    assert out["big"][1] < out["big"][0]
+    assert out["small"][2] > 1.0 > out["big"][2]
+    # q sums to 1 (integer-ppb normalization)
+    assert abs(out["small"][1] + out["big"][1] - 1.0) < 1e-9
+
+
+def test_top_supplier_revenue_surfaces_ties(spark):
+    from myodish_peak_analysis_spark.operators.relational import (
+        top_supplier_revenue,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (1, "1996-02-01", 100.0, 0.0),
+            (2, "1996-02-01", 100.0, 0.0),   # tie with supplier 1
+            (3, "1996-02-01", 50.0, 0.0),
+            (1, "1995-01-01", 999.0, 0.0),   # outside window
+        ],
+        "l_suppkey long, l_shipdate string, l_extendedprice double,"
+        " l_discount double",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz"))
+    supp = spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    )
+    rows = top_supplier_revenue(li, supp).collect()
+    assert [(r.s_suppkey, r.total_revenue) for r in rows] == [
+        (1, 100.0),
+        (2, 100.0),
+    ]
