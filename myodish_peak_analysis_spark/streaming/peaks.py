@@ -1084,3 +1084,76 @@ def streaming_neardup_gate(
     return verified.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["new_doc_id", "corpus_doc_id"]
     )
+
+
+def streaming_attribution(
+    views_stream: DataFrame,
+    purchases_stream: DataFrame,
+    window_us: int = 3600 * 1_000_000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM event-time join — the canonical attribution query
+    (each purchase matched to the same user's views inside the
+    preceding attribution window), and the one Structured Streaming
+    join shape the stream-static ops can't express: BOTH sides are
+    unbounded.
+
+    Both inputs carry watermarks because Spark requires them to bound
+    the join STATE: a buffered view can be dropped once the purchase
+    side's watermark passes ``view_ts + window``, so state is
+    O(traffic × window), not O(stream). The time bound lives in the
+    join condition itself (range condition on the event-time columns)
+    — that is what lets the engine derive the state-cleanup threshold.
+    Inner join: matches emit eagerly; the watermark only ages state.
+
+    Inputs need (user_id, ts) plus optional payloads; output one row
+    per (view, purchase) pair within the window.
+    """
+    from ..schema import ts_micros
+
+    # watermarks demand TIMESTAMP (not NTZ / long-nanos): derive one
+    # uniform event-time column; join math stays on exact micro longs.
+    v = views_stream.withColumn("_wm_ts", F.col("ts").cast("timestamp"))
+    v = (
+        v.withWatermark("_wm_ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            ts_micros(views_stream).alias("view_us"),
+            "_wm_ts",
+        )
+    )
+    p = purchases_stream.withColumn(
+        "_wm_ts", F.col("ts").cast("timestamp")
+    )
+    p = (
+        p.withWatermark("_wm_ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            ts_micros(purchases_stream).alias("purchase_us"),
+            F.col("value").alias("purchase_value"),
+            F.col("_wm_ts").alias("_wm_ts_p"),
+        )
+    )
+    # the exact bound lives on the micro longs; the SAME bound (one
+    # second of slack for the cast) is restated on the watermarked
+    # event-time columns because that restatement is what lets the
+    # engine derive the state-cleanup threshold for a stream-stream
+    # inner join — without it, both sides' state grows forever.
+    window_s = int(window_us // 1_000_000) + 1
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_us") > F.col("view_us"))
+        & (F.col("purchase_us") <= F.col("view_us") + F.lit(window_us))
+        & (F.col("_wm_ts_p") >= F.col("_wm_ts"))
+        & (
+            F.col("_wm_ts_p")
+            <= F.col("_wm_ts") + F.expr(f"INTERVAL {window_s} SECONDS")
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_us",
+        "purchase_us",
+        "purchase_value",
+    )

@@ -1094,3 +1094,64 @@ def test_streaming_neardup_gate_batch_parity(spark, tmp_path):
         q.stop()
     assert got == want
     assert len(want) > 0  # the sf0.001 split does produce pairs
+
+
+def test_streaming_attribution_matches_batch_join(spark, tmp_path):
+    """Stream-stream event-time join parity: the attribution pairs
+    must equal the batch inequality join over the same split."""
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.schema import read_table, ts_micros
+    from myodish_peak_analysis_spark.streaming.peaks import (
+        streaming_attribution,
+    )
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    views = ev.filter("event_type = 'view'").select("user_id", "ts")
+    buys = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "value"
+    )
+    win = 3600 * 1_000_000
+    vb = views.select(
+        "user_id", ts_micros(views).alias("view_us")
+    )
+    pb = buys.select(
+        F.col("user_id").alias("p_user"),
+        ts_micros(buys).alias("purchase_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = sorted(
+        (r.user_id, r.view_us, r.purchase_us)
+        for r in vb.join(
+            pb,
+            (vb.user_id == pb.p_user)
+            & (pb.purchase_us > vb.view_us)
+            & (pb.purchase_us <= vb.view_us + win),
+        ).collect()
+    )
+    assert len(want) > 0
+
+    vsrc = os.path.join(str(tmp_path), "views")
+    psrc = os.path.join(str(tmp_path), "buys")
+    views.write.parquet(vsrc)
+    buys.write.parquet(psrc)
+    # harness ts is TIMESTAMP(NANOS) in parquet; the streaming reader
+    # needs the same long-nanos schema the batch reader resolves to
+    vs = spark.readStream.schema(views.schema).parquet(vsrc)
+    ps = spark.readStream.schema(buys.schema).parquet(psrc)
+    q = (
+        streaming_attribution(vs, ps, window_us=win)
+        .writeStream.format("memory")
+        .queryName("attr_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.view_us, r.purchase_us)
+            for r in spark.sql("select * from attr_sink").collect()
+        )
+    finally:
+        q.stop()
+    assert got == want
