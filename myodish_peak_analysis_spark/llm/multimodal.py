@@ -73,21 +73,85 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _parse_image_header(payload: bytes):
+    """Pure-stdlib REAL header decode for the formats whose dimensions
+    live in a fixed/parseable header — PNG (IHDR), BMP (BITMAPINFO),
+    and binary PPM/PGM (P6/P5 ASCII header). No third-party codec
+    needed, so this path works in every environment; container formats
+    needing full decoders (JPEG entropy-coded, WebP VP8) fall through
+    to Pillow. Returns (width, height) or None if unrecognized."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        return (
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+        )
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        return (
+            int.from_bytes(payload[18:22], "little", signed=True),
+            abs(int.from_bytes(payload[22:26], "little", signed=True)),
+        )
+    if payload[:2] in (b"P6", b"P5"):
+        toks, i, n = [], 2, len(payload)
+        while len(toks) < 2 and i < n:
+            while i < n and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment to EOL
+                while i < n and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            if j > i:
+                toks.append(payload[i:j])
+            i = j
+        if len(toks) == 2 and toks[0].isdigit() and toks[1].isdigit():
+            return (int(toks[0]), int(toks[1]))
+    return None
+
+
+def _parse_wav_header(payload: bytes):
+    """Pure-stdlib RIFF/WAVE parse: walk chunks for 'fmt ' (sample
+    rate, byte rate) and 'data' (payload size); duration = data bytes
+    / byte rate. Returns (duration_s, sample_rate) or None."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    rate = byte_rate = data_size = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 20 <= n:
+            rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            byte_rate = int.from_bytes(payload[i + 16 : i + 20], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate and byte_rate and data_size is not None:
+        return (data_size / byte_rate, rate)
+    return None
+
+
 def _decode_image_impl(payload: bytes, fake: bool):
     """Codec hook. ``fake=True`` → deterministic md5-derived dims
-    (reproducible tests, SQL-mirrorable oracle). ``fake=False`` → real
-    Pillow decode when the library is installed (see
-    ``requirements-extra.txt``); NotImplementedError otherwise so the
-    gap is loud, not silent."""
+    (reproducible tests, SQL-mirrorable oracle). ``fake=False`` →
+    REAL decode: the pure-stdlib header parser covers PNG/BMP/PPM in
+    any environment; Pillow (requirements-extra.txt) extends coverage
+    to entropy-coded formats; anything else raises loudly."""
     if not fake:
+        dims = _parse_image_header(payload)
+        if dims is not None:
+            return dims
         try:
             import io
 
             from PIL import Image
         except ImportError as exc:
             raise NotImplementedError(
-                "image codec not available in this environment; pass "
-                "fake=True or install Pillow (requirements-extra.txt)"
+                "unrecognized image format and Pillow not installed; "
+                "PNG/BMP/PPM decode needs no library — for other "
+                "formats install Pillow (requirements-extra.txt) or "
+                "pass fake=True"
             ) from exc
         with Image.open(io.BytesIO(payload)) as img:
             return img.size
@@ -96,17 +160,23 @@ def _decode_image_impl(payload: bytes, fake: bool):
 
 
 def _decode_audio_impl(payload: bytes, fake: bool):
-    """Codec hook; real path = soundfile when installed (see
-    ``requirements-extra.txt``), else NotImplementedError."""
+    """Codec hook; real path = the pure-stdlib RIFF/WAVE parser (any
+    environment), soundfile (requirements-extra.txt) for compressed
+    formats, else NotImplementedError."""
     if not fake:
+        meta = _parse_wav_header(payload)
+        if meta is not None:
+            return meta
         try:
             import io
 
             import soundfile
         except ImportError as exc:
             raise NotImplementedError(
-                "audio codec not available in this environment; pass "
-                "fake=True or install soundfile (requirements-extra.txt)"
+                "unrecognized audio format and soundfile not installed; "
+                "WAV decode needs no library — for other formats "
+                "install soundfile (requirements-extra.txt) or pass "
+                "fake=True"
             ) from exc
         with soundfile.SoundFile(io.BytesIO(payload)) as snd:
             return (len(snd) / snd.samplerate, snd.samplerate)
