@@ -67,10 +67,94 @@ def abf_to_parquet(
     count. Requires ``pyabf`` (import-gated — absent in this container)."""
     try:
         import pyabf
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise ImportError(
-            "pyabf is required for ABF ingestion: pip install pyabf"
-        ) from e
+    except ImportError:
+        # stdlib fallback: ABF1 float32 recordings decode without pyabf
+        # (see read_abf1_float); anything else re-raises with guidance.
+        frames, _ = read_abf1_float(abf_path)
+        long = channels_to_long(frames[:n_channels])
+        long.to_parquet(out_path, index=False)
+        return len(long)
     long = channels_to_long(extract_channels(pyabf.ABF(abf_path), n_channels))
     long.to_parquet(out_path, index=False)
     return len(long)
+
+
+# --- pure-stdlib ABF1 subset (no pyabf) ------------------------------------
+#
+# The ABF1 container (public "Axon Binary File Format" spec; field
+# offsets as documented in the pyabf project's format notes, itself
+# pure Python) is a fixed 2048-byte header + interleaved sample data.
+# The subset implemented here — single-sweep, float32 data
+# (nDataFormat=1), gap-free acquisition — covers the layout this
+# engine's converter emits and needs NO scaling math (int16 ABF data
+# requires the full gain/offset chain, which stays on the pyabf path).
+
+_ABF1_MAGIC = b"ABF "
+_ABF1_HEADER = 2048
+_OFF_ACQ_LEN = 10       # lActualAcqLength  int32 — total samples (all chans)
+_OFF_DATA_PTR = 40      # lDataSectionPtr   int32 — in 512-byte blocks
+_OFF_DATA_FORMAT = 100  # nDataFormat       int16 — 0=int16, 1=float32
+_OFF_N_CHANNELS = 120   # nADCNumChannels   int16
+_OFF_SAMPLE_INT = 122   # fADCSampleInterval float32 — µs per ADC conversion
+
+
+def read_abf1_float(path: str) -> tuple[list[pd.DataFrame], float]:
+    """Decode an ABF1 float32 recording with the stdlib only: returns
+    (reference-shaped channel frames, sample_rate_hz). Channels are
+    round-robin interleaved in the data section; the per-channel rate
+    is 1e6 / (fADCSampleInterval × nADCNumChannels), exactly how the
+    public format notes derive dataRate. Raises on int16 payloads
+    (needs the full gain chain → use pyabf) and non-ABF1 magic."""
+    import struct
+
+    import numpy as np
+
+    raw = open(path, "rb").read()
+    if raw[:4] != _ABF1_MAGIC:
+        raise ValueError(
+            "not an ABF1 file (ABF2 and other containers need pyabf)"
+        )
+    acq_len = struct.unpack_from("<i", raw, _OFF_ACQ_LEN)[0]
+    data_ptr = struct.unpack_from("<i", raw, _OFF_DATA_PTR)[0]
+    dformat = struct.unpack_from("<h", raw, _OFF_DATA_FORMAT)[0]
+    nchan = struct.unpack_from("<h", raw, _OFF_N_CHANNELS)[0]
+    interval_us = struct.unpack_from("<f", raw, _OFF_SAMPLE_INT)[0]
+    if dformat != 1:
+        raise NotImplementedError(
+            "ABF1 int16 data needs the instrument gain chain — install "
+            "pyabf; the stdlib path covers float32 recordings"
+        )
+    if nchan <= 0 or acq_len <= 0 or acq_len % nchan:
+        raise ValueError("inconsistent ABF1 channel/sample counts")
+    arr = np.frombuffer(
+        raw, dtype="<f4", count=acq_len, offset=data_ptr * 512
+    ).reshape(-1, nchan)
+    rate = 1e6 / (interval_us * nchan)
+    t = np.arange(arr.shape[0], dtype=np.float64) / rate
+    frames = [
+        pd.DataFrame({"time_index": t, "signal_value": arr[:, c].astype(float)})
+        for c in range(nchan)
+    ]
+    return frames, rate
+
+
+def write_abf1_float(path: str, channels, sample_rate_hz: float) -> None:
+    """Emit the same ABF1 float32 subset (test/round-trip writer and a
+    way to produce engine-readable recordings without an instrument):
+    ``channels`` is an (n_samples, n_channels) array."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(channels, dtype="<f4")
+    n, c = arr.shape
+    header = bytearray(_ABF1_HEADER)
+    header[:4] = _ABF1_MAGIC
+    struct.pack_into("<i", header, _OFF_ACQ_LEN, n * c)
+    struct.pack_into("<i", header, _OFF_DATA_PTR, _ABF1_HEADER // 512)
+    struct.pack_into("<h", header, _OFF_DATA_FORMAT, 1)
+    struct.pack_into("<h", header, _OFF_N_CHANNELS, c)
+    struct.pack_into("<f", header, _OFF_SAMPLE_INT, 1e6 / (sample_rate_hz * c))
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(arr.reshape(-1).tobytes())

@@ -42,9 +42,13 @@ def test_channels_to_long_layout(spark):
     assert df.count() == 60 and set(df.columns) == set(long.columns)
 
 
-def test_abf_to_parquet_requires_pyabf(tmp_path):
-    with pytest.raises(ImportError, match="pyabf"):
-        abf_to_parquet("nonexistent.abf", str(tmp_path / "o.parquet"))
+def test_abf_to_parquet_non_abf1_needs_pyabf(tmp_path):
+    # without pyabf, only the stdlib ABF1 float path is available:
+    # a non-ABF1 payload must fail loudly and point at pyabf
+    bad = tmp_path / "bad.abf"
+    bad.write_bytes(b"ABF2" + b"\x00" * 100)
+    with pytest.raises(ValueError, match="pyabf"):
+        abf_to_parquet(str(bad), str(tmp_path / "o.parquet"))
 
 
 def test_read_documents_three_formats_identical(spark, tmp_path):
@@ -78,3 +82,46 @@ def test_read_documents_three_formats_identical(spark, tmp_path):
     c = read_documents(spark, cs, "csv")
     assert a.schema == b.schema == c.schema
     assert key(a) == key(b) == key(c)
+
+
+def test_abf1_roundtrip_and_parquet_ingestion(spark, tmp_path):
+    """Pure-stdlib ABF1 float path: write a recording, decode it back
+    bit-exact, and run the full abf_to_parquet ingestion (which now
+    falls back to the stdlib reader when pyabf is absent) into a frame
+    the engine can channelize."""
+    import os
+
+    import numpy as np
+
+    from myodish_peak_analysis_spark.sources.abf import (
+        abf_to_parquet,
+        read_abf1_float,
+        write_abf1_float,
+    )
+
+    rng = np.random.default_rng(7)
+    n, c, rate = 400, 3, 100.0
+    data = rng.normal(size=(n, c)).astype("<f4")
+    path = os.path.join(str(tmp_path), "rec.abf")
+    write_abf1_float(path, data, rate)
+
+    frames, got_rate = read_abf1_float(path)
+    # the per-conversion interval is stored as float32, so the
+    # recovered rate is approximate at the 1e-6 level
+    assert abs(got_rate - 100.0) < 1e-3
+    assert len(frames) == c
+    for ch in range(c):
+        assert np.array_equal(
+            frames[ch]["signal_value"].to_numpy(dtype="<f4"), data[:, ch]
+        )
+        assert abs(frames[ch]["time_index"].iloc[1] - 1.0 / rate) < 1e-9
+
+    out = os.path.join(str(tmp_path), "rec.parquet")
+    rows = abf_to_parquet(path, out, n_channels=c)
+    assert rows == n * c
+    df = spark.read.parquet(out)
+    assert df.count() == n * c
+    assert set(df.columns) == {
+        "channel_id", "sample_idx", "time_index", "signal_value",
+    }
+    assert df.filter("channel_id = 2").count() == n
