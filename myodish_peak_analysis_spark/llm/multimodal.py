@@ -86,10 +86,18 @@ def _parse_image_header(payload: bytes):
             int.from_bytes(payload[20:24], "big"),
         )
     if payload[:2] == b"BM" and len(payload) >= 26:
-        return (
-            int.from_bytes(payload[18:22], "little", signed=True),
-            abs(int.from_bytes(payload[22:26], "little", signed=True)),
-        )
+        dib = int.from_bytes(payload[14:18], "little")
+        if dib >= 40:  # BITMAPINFOHEADER and successors: int32 dims
+            return (
+                int.from_bytes(payload[18:22], "little", signed=True),
+                abs(int.from_bytes(payload[22:26], "little", signed=True)),
+            )
+        if dib == 12:  # legacy BITMAPCOREHEADER: uint16 dims
+            return (
+                int.from_bytes(payload[18:20], "little"),
+                int.from_bytes(payload[20:22], "little"),
+            )
+        return None  # unknown DIB variant: fall through to Pillow
     if payload[:2] in (b"P6", b"P5"):
         toks, i, n = [], 2, len(payload)
         while len(toks) < 2 and i < n:

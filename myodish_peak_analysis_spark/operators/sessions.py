@@ -105,7 +105,11 @@ DAY_US = 86_400 * MICROS
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-def funnel_counts(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    max_gap_us: int | None = None,
+) -> DataFrame:
     """Ordered-funnel conversion: how many users performed step 1, then
     step 2 strictly after their first step 1, then step 3 strictly after
     that, ... Each stage is "earliest qualifying event after the user's
@@ -138,6 +142,10 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> D
         if k > 0:
             prev_run = F.min(f"_t{k - 1}_cand").over(w)
             qualifies = qualifies & (F.col("ts_us") > prev_run)
+            if max_gap_us is not None:
+                qualifies = qualifies & (
+                    F.col("ts_us") <= prev_run + F.lit(max_gap_us)
+                )
         ev = ev.withColumn(
             f"_t{k}_cand", F.when(qualifies, F.col("ts_us"))
         )
@@ -154,7 +162,10 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> D
     )
 
 
-def funnel_counts_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+def funnel_counts_sql(
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    max_gap_us: int | None = None,
+) -> str:
     ctes = []
     for k, step in enumerate(steps):
         if k == 0:
@@ -163,10 +174,16 @@ def funnel_counts_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
                 f"WHERE event_type = '{step}' GROUP BY user_id)"
             )
         else:
+            bound = (
+                f"AND epoch_us(e.ts) <= s{k}.t + {max_gap_us} "
+                if max_gap_us is not None
+                else ""
+            )
             ctes.append(
                 f"s{k + 1} AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t "
                 f"FROM events e JOIN s{k} USING (user_id) "
                 f"WHERE e.event_type = '{step}' AND epoch_us(e.ts) > s{k}.t "
+                f"{bound}"
                 f"GROUP BY e.user_id)"
             )
     selects = " UNION ALL ".join(
@@ -356,77 +373,21 @@ def funnel_within(
     steps: tuple[str, ...] = FUNNEL_STEPS,
     max_gap_us: int = 24 * 3600 * 1_000_000,
 ) -> DataFrame:
-    """Time-bounded ordered funnel: :func:`funnel_counts`'s
-    no-backtracking conversion, with the additional product-analytics
-    constraint that each stage must happen within ``max_gap_us`` of the
-    user's previous-stage ENTRY time (first-touch attribution: stage k
-    anchors to the user's earliest qualifying stage-k event, so a later
-    re-entry cannot reopen the window — the standard "converted within
-    24h of signup" funnel).
+    """Time-bounded ordered funnel: :func:`funnel_counts` with the
+    product-analytics constraint that each stage must happen within
+    ``max_gap_us`` of the user's previous-stage ENTRY time
+    (first-touch attribution: stage k anchors to the user's earliest
+    qualifying stage-k event, so a later re-entry cannot reopen the
+    window — the standard "converted within 24h of signup" funnel).
 
-    Plan shape is UNCHANGED from funnel_counts — one scan, one hash
-    exchange + per-user sort, chained running conditional mins — the
-    time bound is one more predicate inside each stage's qualifier,
-    not a join.
-    """
-    from ..schema import ts_micros
-
-    ev = events.select(
-        "user_id", "event_type", ts_micros(events).alias("ts_us")
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    aggs = []
-    for k, step in enumerate(steps):
-        qualifies = F.col("event_type") == step
-        if k > 0:
-            prev_run = F.min(f"_t{k - 1}_cand").over(w)
-            qualifies = (
-                qualifies
-                & (F.col("ts_us") > prev_run)
-                & (F.col("ts_us") <= prev_run + F.lit(max_gap_us))
-            )
-        ev = ev.withColumn(
-            f"_t{k}_cand", F.when(qualifies, F.col("ts_us"))
-        )
-        aggs.append(F.min(f"_t{k}_cand").alias(f"_t{k}"))
-    per_user = ev.groupBy("user_id").agg(*aggs)
-    totals = per_user.agg(
-        *[F.count(f"_t{k}").alias(f"_c{k}") for k in range(len(steps))]
-    )
-    stack = ", ".join(
-        f"{k + 1}, '{step}', _c{k}" for k, step in enumerate(steps)
-    )
-    return totals.selectExpr(
-        f"stack({len(steps)}, {stack}) AS (step, event_type, n_users)"
-    )
+    Thin delegate: the bound is one extra predicate inside
+    :func:`funnel_counts`'s chained running-min qualifiers — same
+    one-scan plan, zero duplicated machinery (r5 review)."""
+    return funnel_counts(events, steps, max_gap_us=max_gap_us)
 
 
 def funnel_within_sql(
     steps: tuple[str, ...] = FUNNEL_STEPS,
     max_gap_us: int = 24 * 3600 * 1_000_000,
 ) -> str:
-    ctes = []
-    for k, step in enumerate(steps):
-        if k == 0:
-            ctes.append(
-                f"s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events "
-                f"WHERE event_type = '{step}' GROUP BY user_id)"
-            )
-        else:
-            ctes.append(
-                f"s{k + 1} AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t "
-                f"FROM events e JOIN s{k} USING (user_id) "
-                f"WHERE e.event_type = '{step}' AND epoch_us(e.ts) > s{k}.t "
-                f"AND epoch_us(e.ts) <= s{k}.t + {max_gap_us} "
-                f"GROUP BY e.user_id)"
-            )
-    selects = " UNION ALL ".join(
-        f"SELECT {k + 1} AS step, '{step}' AS event_type, "
-        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{k + 1}"
-        for k, step in enumerate(steps)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return funnel_counts_sql(steps, max_gap_us=max_gap_us)

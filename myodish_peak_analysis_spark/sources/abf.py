@@ -63,14 +63,23 @@ def extract_channels(abf, n_channels: int = DEFAULT_CHANNELS) -> list[pd.DataFra
 def abf_to_parquet(
     abf_path: str, out_path: str, n_channels: int = DEFAULT_CHANNELS
 ) -> int:
-    """Decode one ABF file and write long-format parquet; returns the row
-    count. Requires ``pyabf`` (import-gated — absent in this container)."""
+    """Decode one ABF file and write long-format parquet; returns the
+    row count. Uses ``pyabf`` when installed; otherwise the stdlib
+    ABF1 float32 reader (:func:`read_abf1_float`). BOTH paths enforce
+    the same contract: a file with fewer than ``n_channels`` channels
+    raises (pyabf via setSweep; the fallback explicitly) — the
+    reference hardcodes 9 channels and a silent short read would
+    corrupt downstream channel math."""
     try:
         import pyabf
     except ImportError:
-        # stdlib fallback: ABF1 float32 recordings decode without pyabf
-        # (see read_abf1_float); anything else re-raises with guidance.
         frames, _ = read_abf1_float(abf_path)
+        if len(frames) < n_channels:
+            raise ValueError(
+                f"ABF file has {len(frames)} channels, "
+                f"n_channels={n_channels} requested — same failure the "
+                "pyabf path raises via setSweep"
+            )
         long = channels_to_long(frames[:n_channels])
         long.to_parquet(out_path, index=False)
         return len(long)
@@ -126,6 +135,18 @@ def read_abf1_float(path: str) -> tuple[list[pd.DataFrame], float]:
         )
     if nchan <= 0 or acq_len <= 0 or acq_len % nchan:
         raise ValueError("inconsistent ABF1 channel/sample counts")
+    if data_ptr * 512 < _ABF1_HEADER:
+        raise ValueError(
+            f"ABF1 data section pointer {data_ptr} lands inside the "
+            "header — corrupt file"
+        )
+    if not (interval_us > 0):
+        raise ValueError(
+            f"ABF1 sample interval {interval_us} µs is not positive — "
+            "corrupt header"
+        )
+    if data_ptr * 512 + acq_len * 4 > len(raw):
+        raise ValueError("ABF1 data section extends past end of file")
     arr = np.frombuffer(
         raw, dtype="<f4", count=acq_len, offset=data_ptr * 512
     ).reshape(-1, nchan)

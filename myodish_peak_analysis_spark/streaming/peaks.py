@@ -1111,9 +1111,13 @@ def streaming_attribution(
     """
     from ..schema import ts_micros
 
-    # watermarks demand TIMESTAMP (not NTZ / long-nanos): derive one
-    # uniform event-time column; join math stays on exact micro longs.
-    v = views_stream.withColumn("_wm_ts", F.col("ts").cast("timestamp"))
+    # watermarks demand TIMESTAMP (not NTZ / long-nanos). Deriving it
+    # via timestamp_micros(ts_micros(...)) is correct for EVERY ts
+    # generation the engine supports — a bare cast("timestamp") would
+    # read the long-nanos generation as epoch SECONDS (r5 review).
+    v = views_stream.withColumn(
+        "_wm_ts", F.timestamp_micros(ts_micros(views_stream))
+    )
     v = (
         v.withWatermark("_wm_ts", watermark)
         .select(
@@ -1123,7 +1127,7 @@ def streaming_attribution(
         )
     )
     p = purchases_stream.withColumn(
-        "_wm_ts", F.col("ts").cast("timestamp")
+        "_wm_ts", F.timestamp_micros(ts_micros(purchases_stream))
     )
     p = (
         p.withWatermark("_wm_ts", watermark)

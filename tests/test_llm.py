@@ -996,9 +996,20 @@ def test_real_image_decode_stdlib_formats(spark):
         )
 
     def bmp(w, h):
+        # BITMAPINFOHEADER: DIB size 40 at offset 14, int32 dims
         return (
-            b"BM" + b"\x00" * 16
+            b"BM" + b"\x00" * 12
+            + struct.pack("<I", 40)
             + struct.pack("<ii", w, h) + b"\x00" * 20
+        )
+
+    def bmp_core(w, h):
+        # legacy BITMAPCOREHEADER: DIB size 12, uint16 dims (r5 review:
+        # the int32 misparse returned silently wrong dims for these)
+        return (
+            b"BM" + b"\x00" * 12
+            + struct.pack("<I", 12)
+            + struct.pack("<HH", w, h) + b"\x00" * 20
         )
 
     ppm = b"P6\n# comment\n640 480\n255\n" + b"\x00" * 8
@@ -1006,13 +1017,14 @@ def test_real_image_decode_stdlib_formats(spark):
         (1, "image", bytearray(png(800, 600)), "s"),
         (2, "image", bytearray(bmp(320, 200)), "s"),
         (3, "image", bytearray(ppm), "s"),
+        (4, "image", bytearray(bmp_core(10, 20)), "s"),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {
         r.media_id: (r.width, r.height)
         for r in image_metadata(media, fake=False).collect()
     }
-    assert out == {1: (800, 600), 2: (320, 200), 3: (640, 480)}
+    assert out == {1: (800, 600), 2: (320, 200), 3: (640, 480), 4: (10, 20)}
 
 
 def test_real_audio_decode_wav(spark):

@@ -125,3 +125,34 @@ def test_abf1_roundtrip_and_parquet_ingestion(spark, tmp_path):
         "channel_id", "sample_idx", "time_index", "signal_value",
     }
     assert df.filter("channel_id = 2").count() == n
+
+
+def test_abf1_corrupt_headers_fail_loudly(tmp_path):
+    import struct
+
+    from myodish_peak_analysis_spark.sources.abf import (
+        abf_to_parquet,
+        read_abf1_float,
+        write_abf1_float,
+    )
+    import numpy as np
+
+    path = str(tmp_path / "c.abf")
+    write_abf1_float(path, np.zeros((10, 2), dtype="<f4"), 100.0)
+    raw = bytearray(open(path, "rb").read())
+
+    bad_ptr = bytearray(raw)
+    struct.pack_into("<i", bad_ptr, 40, 0)  # data ptr inside header
+    (tmp_path / "p.abf").write_bytes(bytes(bad_ptr))
+    with pytest.raises(ValueError, match="inside the header"):
+        read_abf1_float(str(tmp_path / "p.abf"))
+
+    bad_int = bytearray(raw)
+    struct.pack_into("<f", bad_int, 122, 0.0)  # zero sample interval
+    (tmp_path / "i.abf").write_bytes(bytes(bad_int))
+    with pytest.raises(ValueError, match="not positive"):
+        read_abf1_float(str(tmp_path / "i.abf"))
+
+    # short file: fewer channels than requested must raise, not truncate
+    with pytest.raises(ValueError, match="channels"):
+        abf_to_parquet(path, str(tmp_path / "o.parquet"), n_channels=9)
