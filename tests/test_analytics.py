@@ -305,3 +305,33 @@ def test_mad_outliers_known_values(spark):
     }
     assert out[1] == (8, 4.5, 2.0, 1)
     assert out[2] == (3, 5.0, 0.0, 0)
+
+
+def test_trailing_window_stats_range_frame(spark):
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.operators.analytics import (
+        trailing_window_stats,
+    )
+
+    base = 1_000_000_000_000  # µs epoch
+    h = 3600 * 1_000_000
+    rows = [
+        # user 1: events at t0, t0+30min, t0+2h
+        (1, 1, base, 10.0),
+        (2, 1, base + h // 2, 20.0),
+        (3, 1, base + 2 * h, 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"), "value",
+    )
+    out = {
+        r.event_id: (r.n_trailing, r.sum_trailing)
+        for r in trailing_window_stats(ev).collect()
+    }
+    assert out[1] == (1, 10.0)
+    assert out[2] == (2, 30.0)   # t0 is inside the trailing hour
+    assert out[3] == (1, 5.0)    # both earlier events aged out
