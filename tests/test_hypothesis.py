@@ -217,3 +217,108 @@ def test_distance_suppression_equal_values_right_first():
     # crowd 1 (0,3,6 equal): 6 processed first, kills 3; 0 survives
     # (distance 6 >= 5). crowd 2 (20,23 equal): 23 wins.
     assert list(peaks[keep]) == [0, 6, 23]
+
+
+# --- round-5 binary parsers ------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=60000),
+    st.integers(min_value=1, max_value=60000),
+)
+@settings(max_examples=200, deadline=None)
+def test_png_bmp_header_roundtrip(w, h):
+    import struct
+
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        _parse_image_header,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    assert _parse_image_header(png) == (w, h)
+    bmp = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+        + struct.pack("<ii", w, h) + b"\x00" * 20
+    )
+    assert _parse_image_header(bmp) == (w, h)
+    if w < 65536 and h < 65536:
+        core = (
+            b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+            + struct.pack("<HH", w, h) + b"\x00" * 20
+        )
+        assert _parse_image_header(core) == (w, h)
+
+
+@given(
+    st.integers(min_value=1, max_value=9999),
+    st.integers(min_value=1, max_value=9999),
+    st.sampled_from([b" ", b"\n", b"\t", b"\n# x\n", b" # c\n"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_ppm_header_whitespace_and_comments(w, h, sep):
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        _parse_image_header,
+    )
+
+    payload = b"P6" + sep + str(w).encode() + b" " + str(h).encode() + b"\n255\n"
+    assert _parse_image_header(payload) == (w, h)
+
+
+@given(
+    st.integers(min_value=1, max_value=192000),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=500000),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_header_duration_formula(rate, channels, n_frames):
+    import struct
+
+    from myodish_peak_analysis_spark.llm.multimodal import _parse_wav_header
+
+    width = 2
+    data = n_frames * channels * width
+    byte_rate = rate * channels * width
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, byte_rate, channels * width, 8 * width
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + data) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", data)
+    )
+    got = _parse_wav_header(wav)
+    assert got is not None
+    dur, r = got
+    assert r == rate
+    assert dur == data / byte_rate
+
+
+@given(
+    st.integers(min_value=1, max_value=300),
+    st.integers(min_value=1, max_value=9),
+    st.floats(min_value=1.0, max_value=100000.0, allow_nan=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_abf1_roundtrip_property(n, c, rate):
+    import os
+    import tempfile
+
+    from myodish_peak_analysis_spark.sources.abf import (
+        read_abf1_float,
+        write_abf1_float,
+    )
+
+    data = np.arange(n * c, dtype="<f4").reshape(n, c)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.abf")
+        write_abf1_float(path, data, rate)
+        frames, got_rate = read_abf1_float(path)
+    assert len(frames) == c
+    assert abs(got_rate - rate) / rate < 1e-5
+    for ch in range(c):
+        assert np.array_equal(
+            frames[ch]["signal_value"].to_numpy(dtype="<f4"), data[:, ch]
+        )
