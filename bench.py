@@ -234,6 +234,27 @@ def main() -> None:
         ),
     }
 
+    # round-6 additions (VERDICT r5 ask #8): the heavy §2 singles,
+    # timed as the REGISTERED builders (ORACLE_CHANNELS channelization,
+    # fresh scan — exactly what the correctness sweep runs), so the
+    # sweep's slowest entry (`envelopes`, 8.2 s at sf0.01) finally has
+    # a standalone sf0.1 number instead of being visible only inside
+    # native_peak_pipeline (auto channels, cached input). The delta
+    # between `peak_attributes` here and `native_peak_pipeline` above
+    # is the cost of the channelization + caching difference, not of
+    # the operators.
+    from myodish_peak_analysis_spark.queries import (
+        q_constrained_peak_attributes,
+        q_envelopes,
+        q_peak_attributes,
+    )
+
+    queries["envelopes"] = lambda: q_envelopes(spark, SF_DIR)
+    queries["peak_attributes"] = lambda: q_peak_attributes(spark, SF_DIR)
+    queries["constrained_peak_attributes"] = lambda: (
+        q_constrained_peak_attributes(spark, SF_DIR)
+    )
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -253,9 +274,9 @@ def main() -> None:
         rows[name] = df.count()  # untimed bookkeeping
 
     total = round(sum(times.values()), 3)
-    # The bench set grew from 25 (r4) to 39 queries; this subtotal over
-    # the exact r4 set keeps cross-round comparison one subtraction
-    # away instead of buried in per-query diffs.
+    # The bench set grew from 25 (r4) to 39+ queries; this subtotal
+    # over the exact r4 set keeps cross-round comparison one
+    # subtraction away instead of buried in per-query diffs.
     r4_set = {
         "native_peak_pipeline", "native_peak_averages", "native_find_peaks",
         "fidelity_peaks", "session_stats", "funnel_counts", "value_histogram",
@@ -266,6 +287,19 @@ def main() -> None:
         "nation_pair_volume", "event_transitions", "repetition_profile",
     }
     r4_subtotal = round(sum(v for k, v in times.items() if k in r4_set), 3)
+    # r5 post-mortem: the driver records only a bounded TAIL of this
+    # process's combined output, and the single ~2.7 KB result line
+    # (queries + rows dicts together) plus Spark's console-progress
+    # noise overflowed it — BENCH_r05.json came back `parsed: null`
+    # with the object's head (headline total + first queries) cut off.
+    # Two changes keep the record parseable: the progress bar is off
+    # session-wide (session.py), and the `rows` bookkeeping moves to
+    # its own earlier line so the FINAL line — the one a tail buffer
+    # preserves — is the compact headline object.
+    sys.stdout.flush()
+    # no "metric" key: this line must not pattern-match the contract
+    # object if the driver scans lines for it.
+    print(json.dumps({"rows": rows}), flush=True)
     print(
         json.dumps(
             {
@@ -274,12 +308,12 @@ def main() -> None:
                 "unit": "sec",
                 "r4_subset_total": r4_subtotal,
                 "queries": times,
-                "rows": rows,
                 "sf": sf,
                 "n_channels": n_channels,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             }
-        )
+        ),
+        flush=True,
     )
 
 

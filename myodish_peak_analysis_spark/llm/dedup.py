@@ -387,6 +387,15 @@ def dedup_clusters(
     # O(2^rounds) subplans. localCheckpoint materializes the tiny
     # (doc_id, cluster_id) frame as executor blocks and cuts every
     # upstream dependency, making the result self-contained.
+    #
+    # Cluster-deployment note: localCheckpoint trades fault tolerance
+    # for speed — the checkpointed blocks live only on executors, so
+    # on a real cluster a lost executor makes the result
+    # unrecomputable (the lineage it would replay was just cut). For
+    # a 1000-executor run, point spark.checkpoint.dir at durable
+    # storage and use reliable `.checkpoint()` here instead (same
+    # lineage-truncation effect, storage-backed); docs/SCALE.md
+    # carries the deployment guidance.
     labels = labels.localCheckpoint(eager=True)
     prev_cached.unpersist()
     edges.unpersist()
@@ -600,15 +609,20 @@ def hybrid_neardup(
     cos = F.round(
         _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6
     )
+    # materialize the rounded cosine ONCE and derive the boolean from
+    # the materialized column — semantically identical, but the plan no
+    # longer relies on codegen subexpression elimination to avoid
+    # computing the O(dim) dot product twice per candidate pair.
     return (
         pairs.join(ea, "doc_id_a")
         .join(eb, "doc_id_b")
+        .withColumn("cosine", cos)
         .select(
             "doc_id_a",
             "doc_id_b",
             "jaccard",
-            cos.alias("cosine"),
-            (cos >= F.lit(cosine_threshold)).alias("semantic_match"),
+            "cosine",
+            (F.col("cosine") >= F.lit(cosine_threshold)).alias("semantic_match"),
         )
     )
 

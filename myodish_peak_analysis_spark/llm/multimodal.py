@@ -88,15 +88,16 @@ def _parse_image_header(payload: bytes):
     if payload[:2] == b"BM" and len(payload) >= 26:
         dib = int.from_bytes(payload[14:18], "little")
         if dib >= 40:  # BITMAPINFOHEADER and successors: int32 dims
-            return (
-                int.from_bytes(payload[18:22], "little", signed=True),
-                abs(int.from_bytes(payload[22:26], "little", signed=True)),
-            )
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            # biHeight < 0 is the legal top-down orientation (abs it);
+            # biWidth < 0 (or either dim 0) is simply corrupt — return
+            # None so the Pillow/raise path owns the error.
+            h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+            return (w, h) if w > 0 and h > 0 else None
         if dib == 12:  # legacy BITMAPCOREHEADER: uint16 dims
-            return (
-                int.from_bytes(payload[18:20], "little"),
-                int.from_bytes(payload[20:22], "little"),
-            )
+            w = int.from_bytes(payload[18:20], "little")
+            h = int.from_bytes(payload[20:22], "little")
+            return (w, h) if w > 0 and h > 0 else None
         return None  # unknown DIB variant: fall through to Pillow
     if payload[:2] in (b"P6", b"P5"):
         toks, i, n = [], 2, len(payload)
@@ -133,7 +134,10 @@ def _parse_wav_header(payload: bytes):
             rate = int.from_bytes(payload[i + 12 : i + 16], "little")
             byte_rate = int.from_bytes(payload[i + 16 : i + 20], "little")
         elif cid == b"data":
-            data_size = size
+            # The header's declared size can exceed what survived a
+            # truncated download; clamp to the bytes actually present
+            # so duration reflects the real (playable) payload.
+            data_size = min(size, max(0, n - (i + 8)))
         i += 8 + size + (size % 2)  # chunks are word-aligned
     if rate and byte_rate and data_size is not None:
         return (data_size / byte_rate, rate)

@@ -57,5 +57,12 @@ def get_spark(app_name: str = "myodish-peak-analysis-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # The stage-progress bar writes \r-terminated lines to the
+        # console; when a harness captures combined output into a
+        # bounded tail buffer they flood it and can clobber the one
+        # JSON result line bench.py emits (r5: BENCH_r05.json parsed
+        # null because the tail was truncated mid-JSON). Nothing in
+        # this repo reads the bar, so disable it session-wide.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

@@ -73,17 +73,21 @@ def abf_to_parquet(
     try:
         import pyabf
     except ImportError:
+        pyabf = None
+    if pyabf is None:
         frames, _ = read_abf1_float(abf_path)
         if len(frames) < n_channels:
+            # outside any except block: a short file is a data error,
+            # not a fallout of the missing import, and must not carry
+            # a confusing "during handling of ImportError" traceback.
             raise ValueError(
                 f"ABF file has {len(frames)} channels, "
                 f"n_channels={n_channels} requested — same failure the "
                 "pyabf path raises via setSweep"
             )
         long = channels_to_long(frames[:n_channels])
-        long.to_parquet(out_path, index=False)
-        return len(long)
-    long = channels_to_long(extract_channels(pyabf.ABF(abf_path), n_channels))
+    else:
+        long = channels_to_long(extract_channels(pyabf.ABF(abf_path), n_channels))
     long.to_parquet(out_path, index=False)
     return len(long)
 
@@ -118,7 +122,8 @@ def read_abf1_float(path: str) -> tuple[list[pd.DataFrame], float]:
 
     import numpy as np
 
-    raw = open(path, "rb").read()
+    with open(path, "rb") as f:
+        raw = f.read()
     if raw[:4] != _ABF1_MAGIC:
         raise ValueError(
             "not an ABF1 file (ABF2 and other containers need pyabf)"
