@@ -562,9 +562,10 @@ SELECT * FROM (
 ) p WHERE cosine >= 0.4
 """
 
-from .sketches import per_source_profile_sql  # noqa: E402
+from .sketches import per_source_profile_sql, sketch_profile_checked_sql  # noqa: E402
 
 ORACLES["per_source_profile"] = per_source_profile_sql()
+ORACLES["sketch_profile"] = sketch_profile_checked_sql()
 
 from .sampling import training_order_sql  # noqa: E402
 

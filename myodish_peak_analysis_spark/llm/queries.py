@@ -243,12 +243,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch corpus profile (HLL++ cardinalities, GK quantile
     sketch) — the 100 TB substitute for exact distinct/percentile
-    aggregates. Deterministic but intentionally approximate, so it is a
-    rows-only driver check; tolerance vs the exact aggregates is pinned
-    in tests/test_llm.py."""
+    aggregates. Registered in its SELF-VERIFYING form since round 6:
+    the query emits the exact-side values plus deterministic
+    within-tolerance booleans, so the driver hash-checks both the exact
+    columns and the sketch-accuracy contract (previously the one
+    rows-only-by-design entry). Production uses the raw
+    ``sketch_profile``; tolerance is additionally pinned in
+    tests/test_llm.py."""
     from . import sketches
 
-    return sketches.sketch_profile(read_table(spark, sf_dir, "documents"))
+    return sketches.sketch_profile_checked(read_table(spark, sf_dir, "documents"))
 
 
 def q_per_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text import _TOKENS
 
-__all__ = ["sketch_profile", "per_source_sketches"]
+__all__ = ["sketch_profile", "sketch_profile_checked", "per_source_sketches"]
 
 
 def sketch_profile(docs: DataFrame, rsd: float = 0.01) -> DataFrame:
@@ -53,6 +53,93 @@ def sketch_profile(docs: DataFrame, rsd: float = 0.01) -> DataFrame:
         F.col("_pcts")[2].alias("p99_chars"),
     )
     return doc_stats.crossJoin(F.broadcast(tok_card))
+
+
+def sketch_profile_checked(
+    docs: DataFrame, rsd: float = 0.01, rel_tol: float = 0.05
+) -> DataFrame:
+    """Self-verifying form of :func:`sketch_profile` — the hash-checkable
+    registration (VERDICT r5 ask #5).
+
+    A sketch can never hash-match an exact oracle, but its CONTRACT can:
+    this query computes both the sketch side and the exact side in one
+    plan and emits (a) the exact values and (b) deterministic
+    within-tolerance booleans ``|approx - exact| <= rel_tol * exact``.
+    The DuckDB mirror computes the same exact side and emits literal
+    TRUEs — so the hash matches iff the exact columns agree AND every
+    sketch actually landed inside its tolerance. Spark's HLL++ and GK
+    sketches are deterministic for fixed input, so the booleans are
+    stable across runs (pinned by test_sketch_profile_tolerances).
+
+    The exact side (token-explode distinct, full percentiles) is the
+    corpus-sized shuffle the sketches exist to avoid — this query is
+    the verification harness, not the production path; production calls
+    :func:`sketch_profile`.
+    """
+    approx = sketch_profile(docs, rsd)
+    toks = docs.select(F.explode(F.expr(_TOKENS)).alias("term"))
+    exact_tok = toks.agg(
+        F.countDistinct("term").alias("exact_distinct_tokens")
+    )
+    exact = docs.agg(
+        F.countDistinct(F.md5("text")).alias("exact_distinct_texts"),
+        F.round(F.expr("percentile(n_chars, 0.5D)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(n_chars, 0.9D)"), 6).alias("p90_exact"),
+        F.round(F.expr("percentile(n_chars, 0.99D)"), 6).alias("p99_exact"),
+    )
+
+    def ok(a: str, e: str):
+        return F.abs(F.col(a) - F.col(e)) <= F.lit(rel_tol) * F.col(e)
+
+    return (
+        approx.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(exact_tok))
+        .select(
+            "n_docs",
+            "exact_distinct_tokens",
+            "exact_distinct_texts",
+            "p50_exact",
+            "p90_exact",
+            "p99_exact",
+            ok("approx_distinct_tokens", "exact_distinct_tokens").alias(
+                "tokens_within_tol"
+            ),
+            ok("approx_distinct_texts", "exact_distinct_texts").alias(
+                "texts_within_tol"
+            ),
+            ok("p50_chars", "p50_exact").alias("p50_within_tol"),
+            ok("p90_chars", "p90_exact").alias("p90_within_tol"),
+            ok("p99_chars", "p99_exact").alias("p99_within_tol"),
+        )
+    )
+
+
+def sketch_profile_checked_sql() -> str:
+    """DuckDB mirror of :func:`sketch_profile_checked`: the exact side
+    plus literal TRUE booleans (DuckDB has no HLL++/GK twin — the
+    booleans ARE the sketch-side assertion). ``quantile_cont`` is the
+    same interpolated type-7 quantile Spark's exact ``percentile``
+    computes."""
+    return """
+    WITH tok AS (
+        SELECT COUNT(DISTINCT term)::BIGINT AS exact_distinct_tokens
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    ),
+    ex AS (
+        SELECT COUNT(*)::BIGINT AS n_docs,
+               COUNT(DISTINCT md5(text))::BIGINT AS exact_distinct_texts,
+               ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_exact,
+               ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_exact,
+               ROUND(quantile_cont(n_chars, 0.99), 6) AS p99_exact
+        FROM documents
+    )
+    SELECT n_docs, exact_distinct_tokens, exact_distinct_texts,
+           p50_exact, p90_exact, p99_exact,
+           TRUE AS tokens_within_tol, TRUE AS texts_within_tol,
+           TRUE AS p50_within_tol, TRUE AS p90_within_tol,
+           TRUE AS p99_within_tol
+    FROM ex CROSS JOIN tok
+    """
 
 
 def per_source_sketches(docs: DataFrame, rsd: float = 0.05) -> DataFrame:
