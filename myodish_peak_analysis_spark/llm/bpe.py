@@ -82,8 +82,21 @@ def _merge_apply_expr(toks: str, left: str, right: str) -> str:
     )
 
 
+#: Truncate the token-frame lineage every this many merge rounds. Each
+#: round stacks one fold-projection on the plan; by round ~32k (a
+#: production vocab) analysis cost alone would dominate. The eager
+#: localCheckpoint materializes the current frame as executor blocks
+#: and cuts every upstream round — the exact lesson dedup_clusters'
+#: iterative label-prop taught in round 5 (cluster deployments: point
+#: spark.checkpoint.dir at durable storage and use reliable
+#: .checkpoint() instead, see dedup.py).
+CHECKPOINT_EVERY = 8
+
+
 def _bpe_run(
-    docs: DataFrame, n_merges: int = BPE_MERGES
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    checkpoint_every: int = CHECKPOINT_EVERY,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Run ``n_merges`` rounds; returns (merge rules, final token frame).
     The final frame remains persisted (see module docstring)."""
@@ -91,7 +104,7 @@ def _bpe_run(
         StorageLevel.MEMORY_AND_DISK
     )
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    for rnd in range(1, n_merges + 1):
         pairs = cur.select(
             F.explode(F.expr(_pairs_expr("toks"))).alias("p")
         ).select("p.l", "p.r")
@@ -108,22 +121,44 @@ def _bpe_run(
         merges.append((l, r, n))
         nxt = cur.selectExpr(
             "doc_id", _merge_apply_expr("toks", l, r) + " AS toks"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        nxt.count()
+        )
+        if checkpoint_every and rnd % checkpoint_every == 0:
+            # lineage truncation round: the checkpoint materializes the
+            # frame as executor blocks itself, no extra persist needed.
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()
         cur.unpersist()
         cur = nxt
     return merges, cur
 
 
 def bpe_vocab(
-    docs: DataFrame, n_merges: int = BPE_MERGES
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    fit_sample_mod: int | None = None,
 ) -> DataFrame:
     """The learned merge table: (merge_rank, left_tok, right_tok,
     n_pairs) — n_pairs is the corpus-wide adjacent-pair count at the
     time the rule was selected. Tiny (n_merges rows), re-emitted as a
-    driver-literal frame like the k-means centroid tables."""
+    driver-literal frame like the k-means centroid tables.
+
+    ``fit_sample_mod=m`` trains on the deterministic 1/m corpus sample
+    ``doc_id % m == 0`` — the same sample-fit knob the IVF/PQ fits
+    carry. Pair frequencies are corpus-scale statistics, so the ranked
+    merge rules are stable under uniform sampling (pinned by
+    tests/test_r6_ops.py on the fixture corpus); at a production 32k
+    vocab this turns every per-round action into sample-sized work.
+    n_pairs then counts the SAMPLE's occurrences (scale by ~m for a
+    corpus estimate)."""
     spark = SparkSession.getActiveSession() or docs.sparkSession
-    merges, final = _bpe_run(docs, n_merges)
+    fit = (
+        docs.filter(F.col("doc_id") % fit_sample_mod == 0)
+        if fit_sample_mod
+        else docs
+    )
+    merges, final = _bpe_run(fit, n_merges)
     final.unpersist()
     return spark.createDataFrame(
         [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
@@ -131,10 +166,25 @@ def bpe_vocab(
     )
 
 
-def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    fit_sample_mod: int | None = None,
+) -> DataFrame:
     """The corpus re-tokenized under the learned merges: (doc_id,
     text_bpe, n_tokens). ``n_tokens`` shrinks by exactly the number of
-    merge hits — the compression the tokenizer buys."""
+    merge hits — the compression the tokenizer buys.
+
+    With ``fit_sample_mod``, the merge rules are learned on the 1/m
+    sample and applied to the FULL corpus through the zero-exchange
+    serving fold (:func:`bpe_apply`) — the production train/serve
+    split in one call."""
+    if fit_sample_mod:
+        merges, final = _bpe_run(
+            docs.filter(F.col("doc_id") % fit_sample_mod == 0), n_merges
+        )
+        final.unpersist()
+        return bpe_apply(docs, [(l, r) for l, r, _ in merges])
     _, final = _bpe_run(docs, n_merges)
     return final.select(
         "doc_id",
