@@ -114,6 +114,15 @@ def main() -> None:
             _attrs_cache["df"] = a
         return peak_averages(_attrs_cache["df"])
 
+    _ivf_pq_idx: dict[str, object] = {}
+
+    def _prefit_ivf_pq_search():
+        if "idx" not in _ivf_pq_idx:
+            _ivf_pq_idx["idx"] = similarity.fit_ivf_pq_index(
+                emb, n_clusters="auto"
+            )
+        return similarity.ivf_pq_topk(emb, index=_ivf_pq_idx["idx"])
+
     # bench times the REGISTERED builders (not re-derived copies, which
     # r5 review flagged as a drift hazard: a formulation change in the
     # verified query would leave the bench silently timing the old one)
@@ -200,6 +209,12 @@ def main() -> None:
         "pq_topk": lambda: similarity.pq_topk(emb),
         "pq_rerank_topk": lambda: similarity.pq_rerank_topk(emb),
         "ivf_pq_topk": lambda: similarity.ivf_pq_topk(emb, n_clusters="auto"),
+        # round-6: the amortized production path — the index is fit on
+        # the FIRST rep (inside the timed region, like the marginal-
+        # averages pattern above), so best-of-3 records what the second
+        # and every later query batch pays: probe → ADC → re-rank with
+        # both Lloyd fits skipped.
+        "ivf_pq_topk_prefit": _prefit_ivf_pq_search,
         "rp_ivf_topk": lambda: similarity.rp_ivf_topk(emb),
         "resample_interpolate": lambda: q_resample_interpolate(spark, SF_DIR),
         "resample_ohlc": lambda: q_resample_ohlc(spark, SF_DIR),

@@ -816,6 +816,10 @@ def ivf_pq_topk_sql(
 
 
 ORACLES["ivf_pq_topk"] = ivf_pq_topk_sql()
+# prefit search = same math, fits merely hoisted out of the call; the
+# identical mirror pins "prefit results == fit-inline results" as a
+# driver-checked contract, not just a pytest claim.
+ORACLES["ivf_pq_topk_prefit"] = ivf_pq_topk_sql()
 
 ORACLES["encode_token_ids"] = f"""
 WITH toks AS (

@@ -365,6 +365,21 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ivf_pq_topk"] = q_ivf_pq_topk
 
 
+def q_ivf_pq_topk_prefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production reuse shape of the composed search: fit the
+    IVF×PQ index once (:func:`similarity.fit_ivf_pq_index`), then
+    search with ``index=`` — identical results to the fit-inline
+    ``ivf_pq_topk`` (same oracle SQL), exercising the amortized path
+    the second and every later query batch takes."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = similarity.fit_ivf_pq_index(emb)
+    out = similarity.ivf_pq_topk(emb, index=idx)
+    return _long(out, "rank")
+
+
+QUERIES["ivf_pq_topk_prefit"] = q_ivf_pq_topk_prefit
+
+
 def q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-V token ids per document (distributed
     TakeOrdered vocab, broadcast encode join, bounded per-doc fold)."""

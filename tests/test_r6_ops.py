@@ -103,6 +103,35 @@ def test_bpe_checkpoint_rounds_preserve_results(spark):
     ck_final.unpersist()
 
 
+def test_ivf_pq_prefit_equals_fit_inline(spark):
+    """fit_ivf_pq_index + index= must return exactly what the
+    fit-inline search returns (same params), and the IVF half must
+    drive ivf_topk identically too."""
+    from myodish_peak_analysis_spark.llm import similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    inline = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_pq_topk(emb).collect()
+    )
+    idx = similarity.fit_ivf_pq_index(emb)
+    prefit = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_pq_topk(emb, index=idx).collect()
+    )
+    assert prefit == inline
+
+    ivf_inline = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_topk(emb).collect()
+    )
+    ivf_prefit = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_topk(emb, index=idx).collect()
+    )
+    assert ivf_prefit == ivf_inline
+
+
 def test_sketch_profile_checked_all_green(spark):
     docs = read_table(spark, SF_DIR, "documents")
     row = sketches.sketch_profile_checked(docs).collect()[0]
