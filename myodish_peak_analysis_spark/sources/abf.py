@@ -8,9 +8,12 @@ decode the instrument file once, write long-format parquet keyed by
 ``channel_id``, and let every query read the parquet — the scan then
 gets pruning/pushdown for free and the decode never sits in a hot path.
 
-``pyabf`` is not installed in this environment, so the decode step is
-import-gated; the long-format conversion and parquet layout (the parts
-the engine actually depends on) are pure pandas and fully tested.
+``pyabf`` is not installed in this environment; since round 6 the
+pure-stdlib ABF1 reader below covers BOTH payload formats (float32 and
+gain-chain int16), so only the ABF2 container still routes through the
+import-gated pyabf path. The long-format conversion and parquet layout
+(the parts the engine actually depends on) are pure pandas and fully
+tested.
 
 At 100 TB: one ABF file is one driver/task-side decode emitting a few
 channels — convert many files in parallel by mapping
@@ -97,10 +100,14 @@ def abf_to_parquet(
 # The ABF1 container (public "Axon Binary File Format" spec; field
 # offsets as documented in the pyabf project's format notes, itself
 # pure Python) is a fixed 2048-byte header + interleaved sample data.
-# The subset implemented here — single-sweep, float32 data
-# (nDataFormat=1), gap-free acquisition — covers the layout this
-# engine's converter emits and needs NO scaling math (int16 ABF data
-# requires the full gain/offset chain, which stays on the pyabf path).
+# The subset implemented here — single-sweep, gap-free acquisition —
+# covers BOTH payload formats since round 6: float32 (nDataFormat=1,
+# no scaling) and int16 (nDataFormat=0, full instrument gain/offset
+# chain: fADCRange/lADCResolution counts→volts plus the per-channel
+# fInstrumentScaleFactor × fSignalGain × fADCProgrammableGain
+# [× fTelegraphAdditGain] divisor and fInstrumentOffset−fSignalOffset
+# shift, with nADCSamplingSeq mapping data columns to physical ADC
+# channels). ABF2 (different container entirely) stays on pyabf.
 
 _ABF1_MAGIC = b"ABF "
 _ABF1_HEADER = 2048
@@ -109,15 +116,43 @@ _OFF_DATA_PTR = 40      # lDataSectionPtr   int32 — in 512-byte blocks
 _OFF_DATA_FORMAT = 100  # nDataFormat       int16 — 0=int16, 1=float32
 _OFF_N_CHANNELS = 120   # nADCNumChannels   int16
 _OFF_SAMPLE_INT = 122   # fADCSampleInterval float32 — µs per ADC conversion
+# int16 gain-chain fields (same public header map):
+_OFF_ADC_RANGE = 244          # fADCRange          float32 — ±volts full scale
+# (fDACRange float32 sits at 248 between these two)
+_OFF_ADC_RESOLUTION = 252     # lADCResolution     int32   — counts full scale
+_OFF_SAMPLING_SEQ = 410       # nADCSamplingSeq    16×int16 — column→ADC chan
+_OFF_PROG_GAIN = 730          # fADCProgrammableGain 16×float32
+_OFF_INST_SCALE = 922         # fInstrumentScaleFactor 16×float32
+_OFF_INST_OFFSET = 986        # fInstrumentOffset  16×float32
+_OFF_SIGNAL_GAIN = 1050       # fSignalGain        16×float32
+_OFF_SIGNAL_OFFSET = 1114     # fSignalOffset      16×float32
+# extended (ABF ≥1.8) telegraph block lives PAST the 2048-byte base
+# header; only read when the file is long enough to contain it:
+_OFF_TELEGRAPH_ENABLE = 4512  # nTelegraphEnable   16×int16
+_OFF_TELEGRAPH_GAIN = 4576    # fTelegraphAdditGain 16×float32
+_EXT_HEADER_MIN = 4640        # telegraph block end
 
 
-def read_abf1_float(path: str) -> tuple[list[pd.DataFrame], float]:
-    """Decode an ABF1 float32 recording with the stdlib only: returns
+def read_abf1(path: str) -> tuple[list[pd.DataFrame], float]:
+    """Decode an ABF1 recording with the stdlib only: returns
     (reference-shaped channel frames, sample_rate_hz). Channels are
     round-robin interleaved in the data section; the per-channel rate
     is 1e6 / (fADCSampleInterval × nADCNumChannels), exactly how the
-    public format notes derive dataRate. Raises on int16 payloads
-    (needs the full gain chain → use pyabf) and non-ABF1 magic."""
+    public format notes derive dataRate.
+
+    float32 payloads (nDataFormat=1) are raw engineering units; int16
+    payloads (nDataFormat=0) go through the full public gain chain —
+    for data column c with physical channel a = nADCSamplingSeq[c]::
+
+        value = counts × fADCRange / lADCResolution
+                / (fInstrumentScaleFactor[a] × fSignalGain[a]
+                   × fADCProgrammableGain[a] × telegraph_gain[a])
+                + fInstrumentOffset[a] − fSignalOffset[a]
+
+    where ``telegraph_gain`` is fTelegraphAdditGain when the extended
+    (≥ABF1.8) header is present AND nTelegraphEnable[a] is set, else 1
+    — the same arithmetic pyabf applies. Raises on non-ABF1 magic
+    (ABF2's container is a different layout → pyabf)."""
     import struct
 
     import numpy as np
@@ -133,11 +168,8 @@ def read_abf1_float(path: str) -> tuple[list[pd.DataFrame], float]:
     dformat = struct.unpack_from("<h", raw, _OFF_DATA_FORMAT)[0]
     nchan = struct.unpack_from("<h", raw, _OFF_N_CHANNELS)[0]
     interval_us = struct.unpack_from("<f", raw, _OFF_SAMPLE_INT)[0]
-    if dformat != 1:
-        raise NotImplementedError(
-            "ABF1 int16 data needs the instrument gain chain — install "
-            "pyabf; the stdlib path covers float32 recordings"
-        )
+    if dformat not in (0, 1):
+        raise ValueError(f"unknown ABF1 nDataFormat {dformat}")
     if nchan <= 0 or acq_len <= 0 or acq_len % nchan:
         raise ValueError("inconsistent ABF1 channel/sample counts")
     if data_ptr * 512 < _ABF1_HEADER:
@@ -150,18 +182,75 @@ def read_abf1_float(path: str) -> tuple[list[pd.DataFrame], float]:
             f"ABF1 sample interval {interval_us} µs is not positive — "
             "corrupt header"
         )
-    if data_ptr * 512 + acq_len * 4 > len(raw):
+    bytes_per = 4 if dformat == 1 else 2
+    if data_ptr * 512 + acq_len * bytes_per > len(raw):
         raise ValueError("ABF1 data section extends past end of file")
-    arr = np.frombuffer(
-        raw, dtype="<f4", count=acq_len, offset=data_ptr * 512
-    ).reshape(-1, nchan)
     rate = 1e6 / (interval_us * nchan)
+    if dformat == 1:
+        arr = np.frombuffer(
+            raw, dtype="<f4", count=acq_len, offset=data_ptr * 512
+        ).reshape(-1, nchan).astype(np.float64)
+    else:
+        counts = np.frombuffer(
+            raw, dtype="<i2", count=acq_len, offset=data_ptr * 512
+        ).reshape(-1, nchan).astype(np.float64)
+        adc_range = struct.unpack_from("<f", raw, _OFF_ADC_RANGE)[0]
+        adc_res = struct.unpack_from("<i", raw, _OFF_ADC_RESOLUTION)[0]
+        if not (adc_range > 0) or adc_res <= 0:
+            raise ValueError(
+                f"ABF1 gain chain corrupt: fADCRange={adc_range}, "
+                f"lADCResolution={adc_res}"
+            )
+        seq = struct.unpack_from("<16h", raw, _OFF_SAMPLING_SEQ)
+        prog_gain = struct.unpack_from("<16f", raw, _OFF_PROG_GAIN)
+        inst_scale = struct.unpack_from("<16f", raw, _OFF_INST_SCALE)
+        inst_off = struct.unpack_from("<16f", raw, _OFF_INST_OFFSET)
+        sig_gain = struct.unpack_from("<16f", raw, _OFF_SIGNAL_GAIN)
+        sig_off = struct.unpack_from("<16f", raw, _OFF_SIGNAL_OFFSET)
+        has_telegraph = len(raw) >= _EXT_HEADER_MIN and data_ptr * 512 >= _EXT_HEADER_MIN
+        tele_en = (
+            struct.unpack_from("<16h", raw, _OFF_TELEGRAPH_ENABLE)
+            if has_telegraph
+            else (0,) * 16
+        )
+        tele_gain = (
+            struct.unpack_from("<16f", raw, _OFF_TELEGRAPH_GAIN)
+            if has_telegraph
+            else (1.0,) * 16
+        )
+        arr = np.empty_like(counts)
+        for c in range(nchan):
+            a = seq[c]
+            if not (0 <= a < 16):
+                raise ValueError(
+                    f"ABF1 nADCSamplingSeq[{c}]={a} outside the 16 "
+                    "physical ADC channels — corrupt header"
+                )
+            divisor = inst_scale[a] * sig_gain[a] * prog_gain[a]
+            if tele_en[a]:
+                divisor *= tele_gain[a]
+            if divisor == 0:
+                raise ValueError(
+                    f"ABF1 gain chain divisor is 0 for ADC channel {a} "
+                    "(scale/gain field unset) — corrupt header"
+                )
+            arr[:, c] = (
+                counts[:, c] * (adc_range / adc_res) / divisor
+                + inst_off[a]
+                - sig_off[a]
+            )
     t = np.arange(arr.shape[0], dtype=np.float64) / rate
     frames = [
-        pd.DataFrame({"time_index": t, "signal_value": arr[:, c].astype(float)})
+        pd.DataFrame({"time_index": t, "signal_value": arr[:, c]})
         for c in range(nchan)
     ]
     return frames, rate
+
+
+#: Historical name from round 5, kept as an alias — since round 6 the
+#: stdlib reader covers int16 too, so the _float suffix no longer
+#: describes a restriction.
+read_abf1_float = read_abf1
 
 
 def write_abf1_float(path: str, channels, sample_rate_hz: float) -> None:
@@ -184,3 +273,79 @@ def write_abf1_float(path: str, channels, sample_rate_hz: float) -> None:
     with open(path, "wb") as f:
         f.write(bytes(header))
         f.write(arr.reshape(-1).tobytes())
+
+
+def write_abf1_int16(
+    path: str,
+    channels,
+    sample_rate_hz: float,
+    adc_range: float = 10.0,
+    adc_resolution: int = 32768,
+    instrument_scale: float = 0.5,
+    signal_gain: float = 2.0,
+    programmable_gain: float = 1.0,
+    instrument_offset: float = 0.25,
+    signal_offset: float = 0.1,
+    telegraph_gain: float | None = None,
+    sampling_seq: list[int] | None = None,
+) -> None:
+    """Emit the int16 gain-chain subset: quantize ``channels`` (an
+    (n_samples, n_channels) float array of engineering units) to ADC
+    counts by INVERTING the public chain, and write header fields the
+    reader's forward chain will consume. ``telegraph_gain`` not None →
+    writes the extended (≥ABF1.8) telegraph block and enables it, so
+    the data section starts after byte 4640. ``sampling_seq`` maps
+    data columns to physical ADC channels (default: identity); every
+    per-channel field is written at its mapped physical slot.
+
+    Round-trip contract (pinned by tests/test_sources.py): reading the
+    file back yields the input values to within half a count of
+    quantization error — |err| <= 0.5 × (adc_range/adc_resolution) /
+    total_gain."""
+    import struct
+
+    import numpy as np
+
+    vals = np.asarray(channels, dtype=np.float64)
+    n, c = vals.shape
+    seq = list(range(c)) if sampling_seq is None else list(sampling_seq)
+    if len(seq) < c or any(not 0 <= a < 16 for a in seq[:c]):
+        raise ValueError("sampling_seq must map each column to ADC 0..15")
+    header_len = _EXT_HEADER_MIN if telegraph_gain is not None else _ABF1_HEADER
+    data_block = (header_len + 511) // 512
+    header = bytearray(data_block * 512)
+    header[:4] = _ABF1_MAGIC
+    struct.pack_into("<i", header, _OFF_ACQ_LEN, n * c)
+    struct.pack_into("<i", header, _OFF_DATA_PTR, data_block)
+    struct.pack_into("<h", header, _OFF_DATA_FORMAT, 0)
+    struct.pack_into("<h", header, _OFF_N_CHANNELS, c)
+    struct.pack_into("<f", header, _OFF_SAMPLE_INT, 1e6 / (sample_rate_hz * c))
+    struct.pack_into("<f", header, _OFF_ADC_RANGE, adc_range)
+    struct.pack_into("<i", header, _OFF_ADC_RESOLUTION, adc_resolution)
+    for col in range(c):
+        a = seq[col]
+        struct.pack_into("<h", header, _OFF_SAMPLING_SEQ + 2 * col, a)
+        struct.pack_into("<f", header, _OFF_PROG_GAIN + 4 * a, programmable_gain)
+        struct.pack_into("<f", header, _OFF_INST_SCALE + 4 * a, instrument_scale)
+        struct.pack_into("<f", header, _OFF_INST_OFFSET + 4 * a, instrument_offset)
+        struct.pack_into("<f", header, _OFF_SIGNAL_GAIN + 4 * a, signal_gain)
+        struct.pack_into("<f", header, _OFF_SIGNAL_OFFSET + 4 * a, signal_offset)
+        if telegraph_gain is not None:
+            struct.pack_into("<h", header, _OFF_TELEGRAPH_ENABLE + 2 * a, 1)
+            struct.pack_into("<f", header, _OFF_TELEGRAPH_GAIN + 4 * a, telegraph_gain)
+    total_gain = instrument_scale * signal_gain * programmable_gain * (
+        telegraph_gain if telegraph_gain is not None else 1.0
+    )
+    counts = np.rint(
+        (vals - instrument_offset + signal_offset)
+        * total_gain
+        / (adc_range / adc_resolution)
+    )
+    if np.any(np.abs(counts) > 32767):
+        raise ValueError(
+            "input values exceed the int16 ADC range under this gain "
+            "chain — raise adc_range or lower the gains"
+        )
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(counts.astype("<i2").reshape(-1).tobytes())

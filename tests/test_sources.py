@@ -156,3 +156,87 @@ def test_abf1_corrupt_headers_fail_loudly(tmp_path):
     # short file: fewer channels than requested must raise, not truncate
     with pytest.raises(ValueError, match="channels"):
         abf_to_parquet(path, str(tmp_path / "o.parquet"), n_channels=9)
+
+
+def test_abf1_int16_gain_chain_roundtrip(tmp_path):
+    """Write engineering-unit floats through the INVERTED gain chain
+    (int16 counts + header gain fields), read back through the forward
+    chain; error bounded by half a quantized count."""
+    import numpy as np
+
+    from myodish_peak_analysis_spark.sources.abf import (
+        read_abf1,
+        write_abf1_int16,
+    )
+
+    rng = np.random.default_rng(7)
+    data = rng.uniform(-3.0, 3.0, size=(200, 3))
+    rate = 1000.0
+    path = str(tmp_path / "i16.abf")
+    kw = dict(
+        adc_range=10.0,
+        adc_resolution=32768,
+        instrument_scale=0.5,
+        signal_gain=2.0,
+        programmable_gain=2.0,
+        instrument_offset=0.25,
+        signal_offset=0.1,
+    )
+    write_abf1_int16(path, data, rate, **kw)
+    frames, got_rate = read_abf1(path)
+    assert got_rate == pytest.approx(rate, rel=1e-6)
+    assert len(frames) == 3
+    total_gain = 0.5 * 2.0 * 2.0
+    half_count = 0.5 * (10.0 / 32768) / total_gain
+    for c, f in enumerate(frames):
+        err = np.abs(f["signal_value"].to_numpy() - data[:, c])
+        assert err.max() <= half_count * 1.01  # float32 header slack
+
+
+def test_abf1_int16_telegraph_and_sampling_seq(tmp_path):
+    """Telegraph gain (extended header) must divide into the chain when
+    enabled, and nADCSamplingSeq must route data columns to their
+    mapped physical channels' gain slots."""
+    import numpy as np
+
+    from myodish_peak_analysis_spark.sources.abf import (
+        read_abf1,
+        write_abf1_int16,
+    )
+
+    data = np.linspace(-1.0, 1.0, 120).reshape(60, 2)
+    path = str(tmp_path / "tele.abf")
+    write_abf1_int16(
+        path,
+        data,
+        500.0,
+        telegraph_gain=5.0,
+        sampling_seq=[4, 9],  # non-identity physical mapping
+    )
+    frames, _ = read_abf1(path)
+    total_gain = 0.5 * 2.0 * 1.0 * 5.0  # defaults × telegraph
+    half_count = 0.5 * (10.0 / 32768) / total_gain
+    for c, f in enumerate(frames):
+        err = np.abs(f["signal_value"].to_numpy() - data[:, c])
+        assert err.max() <= half_count * 1.01
+
+
+def test_abf1_int16_corrupt_gain_chain_raises(tmp_path):
+    import struct
+
+    import numpy as np
+
+    from myodish_peak_analysis_spark.sources.abf import (
+        _OFF_INST_SCALE,
+        read_abf1,
+        write_abf1_int16,
+    )
+
+    path = str(tmp_path / "z.abf")
+    write_abf1_int16(path, np.zeros((10, 1)), 100.0)
+    raw = bytearray(open(path, "rb").read())
+    struct.pack_into("<f", raw, _OFF_INST_SCALE, 0.0)  # zero divisor
+    bad = tmp_path / "zz.abf"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="divisor is 0"):
+        read_abf1(str(bad))
