@@ -93,6 +93,10 @@ _ROTATE_FIRST = [
     # (a) new / code-or-oracle changed in round 6:
     "sketch_profile",
     "ivf_pq_topk_prefit",
+    "levenshtein_neardup",
+    "chunk_overlap",
+    "sq8_codes",
+    "sq8_topk",
     "hybrid_neardup",
     "bpe_vocab",
     "bpe_encode",
@@ -139,14 +143,14 @@ _ROTATE_FIRST = [
     "large_order_customers",
     "cheapest_supplier",
     "pii_scrub",
-    "doc_fingerprints",
-    "minhash_signatures",
-    "simhash",
-    "jaccard_pairs",
 ]
 _ROTATE_LAST = [
     # newest driver row is r4, displaced by the 50-cap; first rotation
     # candidates for round 7:
+    "doc_fingerprints",
+    "minhash_signatures",
+    "simhash",
+    "jaccard_pairs",
     "embedding_neardup",
     "training_order",
     "asof_tolerance",

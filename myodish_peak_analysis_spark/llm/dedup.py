@@ -194,6 +194,57 @@ def neardup_verified(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     )
 
 
+def levenshtein_neardup(
+    docs: DataFrame, max_rel_dist: float = 0.5
+) -> DataFrame:
+    """Edit-distance verification of the LSH candidates — the CHARACTER-
+    level near-dup check (catches token-preserving edits Jaccard is
+    blind to: reorderings score high on Jaccard but far on edit
+    distance, small in-word typos score the reverse). Same scale shape
+    as :func:`neardup_verified`: candidates only from band buckets, the
+    O(len_a·len_b) DP runs per candidate pair (JVM built-in
+    ``levenshtein``, identical unit-cost DP in DuckDB) — never
+    all-pairs, which matters 100× more here than for Jaccard since the
+    per-pair check is quadratic in document length.
+
+    Output: (doc_id_a, doc_id_b, lev_dist, rel_dist) for pairs with
+    ``rel_dist = lev / max(len_a, len_b) <= max_rel_dist``.
+
+    At 100 TB: cap document length into the DP (pre-truncate to a
+    prefix, or route long docs through the token-level check) — the
+    candidate count is bounded by the bands, but a single 1 MB×1 MB
+    pair is 10¹² DP cells.
+    """
+    cand = minhash_pairs(docs)
+    t = docs.select("doc_id", "text")
+    j = (
+        cand.join(
+            t.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            t.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b")
+            ),
+            "doc_id_b",
+        )
+        .withColumn("lev_dist", F.levenshtein("text_a", "text_b").cast("long"))
+        .withColumn(
+            "rel_dist",
+            F.round(
+                F.col("lev_dist")
+                / F.greatest(F.length("text_a"), F.length("text_b")),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("rel_dist") <= max_rel_dist).select(
+        "doc_id_a", "doc_id_b", "lev_dist", "rel_dist"
+    )
+
+
 def star_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 64) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and

@@ -1036,3 +1036,90 @@ ORACLES["prototype_outliers"] = _proto_sql()
 from .sampling import temperature_weights_sql as _tw_sql  # noqa: E402
 
 ORACLES["temperature_weights"] = _tw_sql()
+
+# --- round 6 additions -----------------------------------------------------
+
+ORACLES["levenshtein_neardup"] = f"""
+WITH {_minhash_sig_sql()},
+{_band_keys_sql()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM bandkeys a
+    JOIN bandkeys b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+v AS (
+    SELECT cand.doc_id_a, cand.doc_id_b,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev_dist,
+           ROUND(CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                 / GREATEST(length(ta.text), length(tb.text)), 6) AS rel_dist
+    FROM cand
+    JOIN documents ta ON ta.doc_id = cand.doc_id_a
+    JOIN documents tb ON tb.doc_id = cand.doc_id_b
+)
+SELECT * FROM v WHERE rel_dist <= 0.5
+"""
+
+from .packing import chunk_overlap_sql as _chunk_overlap_sql  # noqa: E402
+
+ORACLES["chunk_overlap"] = _chunk_overlap_sql()
+
+_SQ8_SCALES_CTE = """
+sqbase AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sqdims AS (
+    SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS dim
+    FROM sqbase
+),
+sqscale AS (SELECT dim, MAX(ABS(x)) AS s FROM sqdims GROUP BY dim),
+sqarr AS (SELECT list(s ORDER BY dim) AS ss FROM sqscale),
+sqcoded AS (
+    SELECT vec_id, e,
+           list_transform(range(1, len(e) + 1),
+               i -> CAST(GREATEST(-127, LEAST(127,
+                    CASE WHEN ss[i] = 0 THEN 0
+                         ELSE floor(e[i] * 127 / ss[i] + 0.5) END)) AS INT))
+               AS codes,
+           ss
+    FROM sqbase CROSS JOIN sqarr
+)
+"""
+
+ORACLES["sq8_codes"] = f"""
+WITH {_SQ8_SCALES_CTE}
+SELECT vec_id,
+       CAST(generate_subscripts(codes, 1) - 1 AS INT) AS dim,
+       unnest(codes) AS code
+FROM sqcoded
+"""
+
+ORACLES["sq8_topk"] = f"""
+WITH {_SQ8_SCALES_CTE},
+xh AS (
+    SELECT vec_id,
+           list_transform(range(1, len(codes) + 1),
+               i -> CAST(codes[i] AS DOUBLE) * ss[i] / 127) AS xhat
+    FROM sqcoded
+),
+cn AS (
+    SELECT vec_id, xhat,
+           sqrt(list_dot_product(xhat, xhat)) AS cnrm
+    FROM xh
+),
+q AS (
+    SELECT vec_id AS query_id, e AS qe,
+           sqrt(list_dot_product(e, e)) AS qn
+    FROM sqbase WHERE vec_id % {ANN_QUERY_MOD} = 0
+),
+pairs AS (
+    SELECT q.query_id, c.vec_id,
+           ROUND(list_dot_product(q.qe, c.xhat) / (q.qn * c.cnrm), 6) AS cosine
+    FROM cn c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM pairs
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {ANN_LSH_TOPK}
+"""

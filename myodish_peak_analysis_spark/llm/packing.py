@@ -153,3 +153,87 @@ def packing_stats_sql(capacity: int = PACK_CAPACITY) -> str:
                AS waste_tokens
     FROM spans GROUP BY shard
     """
+
+
+#: Default retrieval-chunking geometry: 32-token windows advancing 24
+#: tokens (25% overlap) — small enough that the synthetic ~50-token
+#: documents produce multiple overlapping chunks.
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_overlap(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding-window document chunking WITH overlap — the RAG/embedding
+    prep counterpart of :func:`pack_chunks` (which concatenates and
+    never overlaps). One chunk starts every ``stride`` tokens while a
+    full window fits, plus one final shorter chunk covering the tail if
+    tokens remain past the last full window — so every token lands in
+    at least one chunk and consecutive chunks share ``size - stride``
+    tokens of context.
+
+    Output: (doc_id, chunk_idx, text_chunk, n_tokens) — ``chunk_idx``
+    is the 0-based window index, ``n_tokens`` < ``size`` only on a
+    final tail chunk.
+
+    Scale: pure map-side ``sequence()`` + ``slice()`` + ``explode`` —
+    no shuffle, no UDF; output rows ≈ corpus tokens / stride. The
+    DuckDB mirror (:func:`chunk_overlap_sql`) is the same integer
+    arithmetic.
+    """
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride ({stride}) <= size ({size})")
+    toks = f"split(text, ' ')"
+    n = f"size({toks})"
+    # last full-window start: floor((n - size) / stride) * stride; the
+    # tail chunk starts one stride later when tokens remain past the
+    # last full window (or the doc is shorter than one window).
+    starts = (
+        f"CASE WHEN {n} <= {size} THEN array(0) "
+        f"WHEN (({n} - {size}) % {stride}) = 0 "
+        f"THEN sequence(0, {n} - {size}, {stride}) "
+        f"ELSE sequence(0, (({n} - {size}) div {stride} + 1) * {stride}, {stride}) "
+        f"END"
+    )
+    return (
+        docs.selectExpr("doc_id", f"{toks} AS _tk", f"{starts} AS _starts")
+        .selectExpr("doc_id", "_tk", "posexplode(_starts) AS (chunk_idx, _s)")
+        .selectExpr(
+            "doc_id",
+            "chunk_idx",
+            f"array_join(slice(_tk, _s + 1, {size}), ' ') AS text_chunk",
+            f"CAST(size(slice(_tk, _s + 1, {size})) AS BIGINT) AS n_tokens",
+        )
+    )
+
+
+def chunk_overlap_sql(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> str:
+    """DuckDB mirror: same starts, same slices, 1-based list_slice on
+    both engines."""
+    tk = "string_split(text, ' ')"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {tk} AS tk, len({tk}) AS n FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, tk,
+               unnest(CASE
+                   WHEN n <= {size} THEN [0]
+                   WHEN ((n - {size}) % {stride}) = 0
+                       THEN range(0, n - {size} + 1, {stride})
+                   ELSE range(0, ((n - {size}) // {stride} + 1) * {stride} + 1,
+                              {stride})
+               END) AS s
+        FROM base
+    ),
+    idx AS (
+        SELECT doc_id, tk, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx
+        FROM starts
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(list_slice(tk, s + 1, s + {size}), ' ') AS text_chunk,
+           len(list_slice(tk, s + 1, s + {size}))::BIGINT AS n_tokens
+    FROM idx
+    """

@@ -380,6 +380,44 @@ def q_ivf_pq_topk_prefit(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ivf_pq_topk_prefit"] = q_ivf_pq_topk_prefit
 
 
+def q_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level (edit-distance) verification of the MinHash-LSH
+    candidates — the near-dup check Jaccard is blind to; per-pair DP
+    only on band-bucket candidates, never all-pairs."""
+    return dedup.levenshtein_neardup(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["levenshtein_neardup"] = q_levenshtein_neardup
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunking with overlap: one chunk per stride
+    plus a covering tail, zero-shuffle sequence+slice+explode."""
+    return packing.chunk_overlap(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["chunk_overlap"] = q_chunk_overlap
+
+
+def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization codes (FAISS SQ8 pattern): one per-dim
+    max agg -> broadcast scale vector -> zero-shuffle code pass."""
+    return similarity.sq8_codes(read_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["sq8_codes"] = q_sq8_codes
+
+
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric SQ8 search: float queries vs reconstructed int8
+    candidates — int8-compressed brute twin of ann_cosine_topk."""
+    out = similarity.sq8_topk(read_table(spark, sf_dir, "embeddings"))
+    return _long(out, "rank")
+
+
+QUERIES["sq8_topk"] = q_sq8_topk
+
+
 def q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-V token ids per document (distributed
     TakeOrdered vocab, broadcast encode join, bounded per-doc fold)."""

@@ -1036,6 +1036,91 @@ def ivf_pq_topk(
     )
 
 
+def _sq8_coded(emb: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int>, _scales array<double>): per-dimension
+    symmetric int8 scalar quantization — code = clamp(floor(x·127/s +
+    0.5), ±127) with s = corpus max |x| of that dimension. floor(+0.5)
+    is the engine-portable half-up quantizer (`_floor_q` note); s = 0
+    (a constant-zero dimension) codes to 0."""
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+    scales = dims.groupBy("dim").agg(
+        F.max(F.abs(F.col("x").cast("double"))).alias("s")
+    )
+    s_arr = scales.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("_ss")
+    ).select(F.expr("transform(_ss, t -> t.s)").alias("_scales"))
+    return emb.crossJoin(F.broadcast(s_arr)).select(
+        "vec_id",
+        F.expr(
+            "zip_with(embedding, _scales, (x, s) -> CAST(GREATEST(-127D, "
+            "LEAST(127D, CASE WHEN s = 0D THEN 0D "
+            "ELSE floor(CAST(x AS DOUBLE) * 127D / s + 0.5D) END)) AS INT))"
+        ).alias("codes"),
+        "_scales",
+    )
+
+
+def sq8_codes(emb: DataFrame) -> DataFrame:
+    """Scalar int8 quantization codes, exploded to (vec_id, dim, code)
+    — the FAISS ``SQ8`` storage pattern (public): 1 byte/dim instead
+    of 4 (float32), with one broadcast D-double scale vector shared by
+    the whole corpus. The quantization is a zero-shuffle map pass after
+    ONE per-dim max aggregation (map-side combined, D rows out).
+
+    Complements PQ on the memory axis: SQ8 is 4× compression with
+    near-exact recall and no codebook fit (no Lloyd rounds, fully
+    deterministic); PQ is 16-64× with a fitted codebook and ADC
+    machinery. Production rule of thumb: SQ8 when memory budget allows
+    N bytes·D, PQ below that."""
+    return _sq8_coded(emb).select(
+        "vec_id", F.posexplode("codes").alias("dim", "code")
+    )
+
+
+def sq8_topk(
+    emb: DataFrame, k: int = ANN_LSH_TOPK, query_mod: int = ANN_QUERY_MOD
+) -> DataFrame:
+    """Asymmetric SQ8 search: float queries against RECONSTRUCTED
+    (code·s/127) candidates — the int8-compressed twin of
+    :func:`cosine_topk` (same broadcast-query brute scan, 4× less
+    candidate memory traffic, recall ≈ 1 at int8 granularity —
+    pinned by tests/test_r6_ops.py). Deterministic: integer codes +
+    fixed-order fold dot products, so the DuckDB mirror hash-matches."""
+    cand = (
+        _sq8_coded(emb)
+        .select(
+            "vec_id",
+            F.expr(
+                "zip_with(codes, _scales, (c, s) -> CAST(c AS DOUBLE) * s / 127D)"
+            ).alias("xhat"),
+        )
+        .withColumn("_cnorm", F.sqrt(_dot("xhat", "xhat")))
+    )
+    base = _with_norm(emb)
+    q = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    joined = cand.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot("q_emb", "xhat") / (F.col("q_norm") * F.col("_cnorm")), 6
+    )
+    ranked = joined.select(
+        "query_id", "vec_id", cos.alias("cosine")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)
+
+
 def _rp_coef_sql(i: str, j: str) -> str:
     """Deterministic Achlioptas sparse-projection coefficient in
     {+1, -1, 0} with weights {1/6, 1/6, 2/3} (Achlioptas 2003,

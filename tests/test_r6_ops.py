@@ -148,3 +148,87 @@ def test_sketch_profile_checked_all_green(spark):
     assert row.exact_distinct_texts == docs.selectExpr(
         "md5(text) h"
     ).distinct().count()
+
+
+def test_chunk_overlap_invariants(spark):
+    """Every token lands in >= 1 chunk; consecutive full chunks share
+    size - stride tokens; tail chunk covers the remainder; plan is
+    exchange-free (map-only)."""
+    from myodish_peak_analysis_spark.llm import packing
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(100))),  # 100 toks
+            (1, " ".join(f"t{i}" for i in range(32))),   # exactly one window
+            (2, " ".join(f"t{i}" for i in range(33))),   # window + 1 tail tok
+            (3, "only three tokens"),                     # shorter than window
+        ],
+        "doc_id long, text string",
+    )
+    out = packing.chunk_overlap(docs, size=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: full windows start at 0,24,48 ((100-32)=68 → last multiple
+    # of 24 that fits is 48); 48+32 < 100 leaves a tail at 72 covering
+    # the last 28 tokens
+    starts0 = sorted(r.chunk_idx for r in by_doc[0])
+    assert starts0 == [0, 1, 2, 3]
+    chunks0 = sorted(by_doc[0], key=lambda r: r.chunk_idx)
+    assert all(r.n_tokens == 32 for r in chunks0[:-1])
+    assert chunks0[-1].n_tokens == 100 - 72  # tail covers to the end
+    # coverage: union of [start, start+n) == [0, 100)
+    covered = set()
+    for r in chunks0:
+        s = r.chunk_idx * 24
+        covered.update(range(s, s + r.n_tokens))
+    assert covered == set(range(100))
+    # overlap between consecutive full windows is size - stride
+    c0 = chunks0[0].text_chunk.split(" ")
+    c1 = chunks0[1].text_chunk.split(" ")
+    assert c0[-8:] == c1[:8]
+    # doc 1: single exact window, no tail
+    assert [r.n_tokens for r in by_doc[1]] == [32]
+    # doc 2: full window + tail of stride-aligned remainder
+    assert sorted(r.n_tokens for r in by_doc[2]) == [9, 32]
+    # doc 3: one short chunk
+    assert [r.n_tokens for r in by_doc[3]] == [3]
+
+    plan = packing.chunk_overlap(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sq8_recall_near_exact(spark):
+    """int8 scalar quantization must be a near-lossless compression for
+    cosine ranking: recall@10 vs the float brute force >= 0.9."""
+    from myodish_peak_analysis_spark.llm import similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in similarity.sq8_topk(emb, k=10).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_levenshtein_neardup_flags_candidates(spark):
+    """Band-bucket candidates verified by relative edit distance; the
+    exact-dup pair must score 0 and every pair must be an LSH
+    candidate."""
+    from myodish_peak_analysis_spark.llm import dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    out = dedup.levenshtein_neardup(docs).collect()
+    assert out, "sf0.01 corpus contains near-dup families"
+    cand = {
+        (r.doc_id_a, r.doc_id_b) for r in dedup.minhash_pairs(docs).collect()
+    }
+    for r in out:
+        assert (r.doc_id_a, r.doc_id_b) in cand
+        assert 0 <= r.rel_dist <= 0.5
+        if r.lev_dist == 0:
+            assert r.rel_dist == 0.0
