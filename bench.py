@@ -257,6 +257,12 @@ def main() -> None:
         "mad_outliers": lambda: mad_outliers(
             read_table(spark, SF_DIR, "events")
         ),
+        # round-6 operator additions — three distinct cost shapes: the
+        # per-pair quadratic DP on bucket candidates, the map-only
+        # chunk explode, and the int8 reconstructed brute scan.
+        "levenshtein_neardup": lambda: dedup.levenshtein_neardup(docs),
+        "chunk_overlap": lambda: packing.chunk_overlap(docs),
+        "sq8_topk": lambda: similarity.sq8_topk(emb),
     }
 
     # round-6 additions (VERDICT r5 ask #8): the heavy §2 singles,

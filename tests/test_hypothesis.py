@@ -287,13 +287,19 @@ def test_wav_header_duration_formula(rate, channels, n_frames):
     wav = (
         b"RIFF" + struct.pack("<I", 36 + data) + b"WAVE"
         + b"fmt " + struct.pack("<I", 16) + fmt
-        + b"data" + struct.pack("<I", data)
+        + b"data" + struct.pack("<I", data) + b"\x00" * data
     )
     got = _parse_wav_header(wav)
     assert got is not None
     dur, r = got
     assert r == rate
     assert dur == data / byte_rate
+    # round 6 (ADVICE): a truncated body must clamp to the bytes that
+    # actually survived, not report the header's pre-truncation length
+    kept = data // 2
+    got_trunc = _parse_wav_header(wav[: 44 + kept])
+    assert got_trunc is not None
+    assert got_trunc[0] == kept / byte_rate
 
 
 @given(

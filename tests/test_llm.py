@@ -1042,13 +1042,19 @@ def test_real_audio_decode_wav(spark):
     byte_rate = rate * channels * width
     fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
                       channels * width, 8 * width)
-    wav = (
+    full = (
         b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
         + b"fmt " + struct.pack("<I", 16) + fmt
-        + b"data" + struct.pack("<I", n) + b"\x00" * 16  # truncated body OK
+        + b"data" + struct.pack("<I", n) + b"\x00" * n
     )
+    # round 6 (ADVICE): truncated body reports the SURVIVING duration
+    # (clamped to actual payload), not the header's declared length
+    truncated = full[: 44 + 16]
     media = spark.createDataFrame(
-        [(7, "audio", bytearray(wav), "s")], MEDIA_SCHEMA
+        [(7, "audio", bytearray(full), "s"),
+         (8, "audio", bytearray(truncated), "s")],
+        MEDIA_SCHEMA,
     )
-    row = audio_metadata(media, fake=False).collect()[0]
-    assert (row.duration_s, row.sample_rate) == (2.0, 16000)
+    rows = {r.media_id: r for r in audio_metadata(media, fake=False).collect()}
+    assert (rows[7].duration_s, rows[7].sample_rate) == (2.0, 16000)
+    assert (rows[8].duration_s, rows[8].sample_rate) == (16 / byte_rate, 16000)
