@@ -97,6 +97,8 @@ _ROTATE_FIRST = [
     "chunk_overlap",
     "sq8_codes",
     "sq8_topk",
+    "remove_dup_spans",
+    "containment_pairs",
     "hybrid_neardup",
     "bpe_vocab",
     "bpe_encode",
@@ -141,12 +143,12 @@ _ROTATE_FIRST = [
     "top_revenue_orders",
     "nation_revenue",
     "large_order_customers",
-    "cheapest_supplier",
-    "pii_scrub",
 ]
 _ROTATE_LAST = [
     # newest driver row is r4, displaced by the 50-cap; first rotation
     # candidates for round 7:
+    "cheapest_supplier",
+    "pii_scrub",
     "doc_fingerprints",
     "minhash_signatures",
     "simhash",

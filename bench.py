@@ -263,6 +263,8 @@ def main() -> None:
         "levenshtein_neardup": lambda: dedup.levenshtein_neardup(docs),
         "chunk_overlap": lambda: packing.chunk_overlap(docs),
         "sq8_topk": lambda: similarity.sq8_topk(emb),
+        "remove_dup_spans": lambda: text.remove_dup_spans(docs),
+        "containment_pairs": lambda: dedup.containment_pairs(docs),
     }
 
     # round-6 additions (VERDICT r5 ask #8): the heavy §2 singles,

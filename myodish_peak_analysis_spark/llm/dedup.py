@@ -245,6 +245,84 @@ def levenshtein_neardup(
     )
 
 
+def containment_pairs(
+    docs: DataFrame, min_containment: float = 0.5
+) -> DataFrame:
+    """Asymmetric CONTAINMENT verification of the LSH candidates:
+    ``|A∩B| / |A|`` and ``|A∩B| / |B|`` over distinct token sets
+    (Broder's containment measure, the resemblance companion — public).
+    Jaccard misses subset relations: a tweet quoted inside a long
+    article scores near-zero Jaccard but containment ≈ 1 on the short
+    side — exactly the quote-inclusion/boilerplate-embedding case a
+    training-corpus dedup wants to catch.
+
+    Candidate generation CANNOT be MinHash-LSH here: banded MinHash is
+    calibrated for resemblance, so a low-Jaccard subset pair almost
+    never collides in any band. Candidates instead come from shared
+    WINNOWED FINGERPRINTS (:func:`..text.doc_fingerprints` — local
+    substring hashes, which a contained quote shares with its host by
+    construction); the join is keyed on the fingerprint value (sparse
+    per doc), never all-pairs, with hot boilerplate fingerprints
+    handled by AQE skew splitting.
+
+    Output: pairs where max(containment_a, containment_b) >=
+    ``min_containment``, with both directed scores.
+    """
+    from pyspark import StorageLevel
+
+    from .text import doc_fingerprints
+
+    # persisted for the same reason minhash_pairs persists its band
+    # keys: AQE broadcasts one side of the self-join, so without the
+    # cache both sides execute the full winnowing subplan.
+    fps = doc_fingerprints(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    fa, fb = fps.alias("fa"), fps.alias("fb")
+    cand = (
+        fa.join(
+            fb,
+            (F.col("fa.fingerprint") == F.col("fb.fingerprint"))
+            & (F.col("fa.doc_id") < F.col("fb.doc_id")),
+        )
+        .select(
+            F.col("fa.doc_id").alias("doc_id_a"),
+            F.col("fb.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    t = docs.select("doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks"))
+    j = (
+        cand.join(
+            t.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("toks").alias("toks_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            t.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("toks").alias("toks_b")
+            ),
+            "doc_id_b",
+        )
+        .withColumn(
+            "_inter",
+            F.expr("size(array_intersect(toks_a, toks_b))").cast("double"),
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("_inter") / F.expr("size(toks_a)"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("_inter") / F.expr("size(toks_b)"), 6).alias(
+                "containment_b"
+            ),
+        )
+    )
+    return j.filter(
+        F.greatest("containment_a", "containment_b") >= min_containment
+    )
+
+
 def star_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 64) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and

@@ -1123,3 +1123,32 @@ ranked AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {ANN_LSH_TOPK}
 """
+
+from .text import remove_dup_spans_sql as _rds_sql  # noqa: E402
+
+ORACLES["remove_dup_spans"] = _rds_sql()
+
+# candidates come from shared winnowed fingerprints (NOT MinHash —
+# resemblance-banded LSH never surfaces low-Jaccard subset pairs); the
+# fp CTE is the doc_fingerprints oracle inlined as a subquery.
+ORACLES["containment_pairs"] = f"""
+WITH fp AS ({ORACLES["doc_fingerprints"]}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM fp a
+    JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+),
+t AS (SELECT doc_id, list_distinct({_TK}) AS toks FROM documents),
+v AS (
+    SELECT cand.doc_id_a, cand.doc_id_b,
+           ROUND(CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))
+                      AS DOUBLE) / len(ta.toks), 6) AS containment_a,
+           ROUND(CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))
+                      AS DOUBLE) / len(tb.toks), 6) AS containment_b
+    FROM cand
+    JOIN t ta ON ta.doc_id = cand.doc_id_a
+    JOIN t tb ON tb.doc_id = cand.doc_id_b
+)
+SELECT * FROM v WHERE GREATEST(containment_a, containment_b) >= 0.5
+"""

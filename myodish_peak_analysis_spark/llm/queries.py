@@ -418,6 +418,25 @@ def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sq8_topk"] = q_sq8_topk
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-CUT step (Lee et al.): corpus re-emitted with every
+    token covered by a corpus-duplicated 8-gram removed; map-only
+    nested-HOF cut after a sparse starts gather."""
+    return text.remove_dup_spans(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["remove_dup_spans"] = q_remove_dup_spans
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment (|A∩B|/|A|, /|B|) over LSH candidates —
+    catches subset/quote-inclusion near-dups Jaccard scores near 0."""
+    return dedup.containment_pairs(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["containment_pairs"] = q_containment_pairs
+
+
 def q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-V token ids per document (distributed
     TakeOrdered vocab, broadcast encode join, bounded per-doc fold)."""

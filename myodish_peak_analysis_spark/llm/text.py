@@ -1106,3 +1106,102 @@ def token_entropy_sql() -> str:
                AS entropy
     FROM per_doc
     """
+
+
+def remove_dup_spans(
+    docs: DataFrame, gram: int = 8, min_count: int = 2
+) -> DataFrame:
+    """The CUT step built on :func:`duplicated_spans`' signal: emit the
+    corpus with every token covered by a corpus-duplicated
+    ``gram``-window removed (the aggressive Dolma/RefinedWeb-style
+    trim; Lee et al. 2022 cut such spans from training text to measurable
+    quality gains).
+
+    Spark shape: the duplicated START positions per doc are gathered
+    into ONE small array (a groupBy over the sparse duplicated
+    positions — ≪ corpus tokens), key-joined back onto the doc spine,
+    and the cut itself is a map-only nested-HOF pass: keep token i iff
+    no start s has s <= i < s+gram. No token-level shuffle, no UDF;
+    the whole reconstruct stays in whole-stage codegen.
+
+    Output: (doc_id, clean_text, n_tokens_kept, n_tokens_removed);
+    clean_text is '' when everything was duplicated.
+    """
+    pos_grams = docs.filter(F.expr(f"size({_TOKENS}) >= {gram}")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size({_TOKENS}) - {gram - 1}), "
+                f"i -> struct(i AS pos, "
+                f"concat_ws(' ', slice({_TOKENS}, i, {gram})) AS gram))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    dup_grams = (
+        pos_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gram")
+    )
+    starts = (
+        pos_grams.join(dup_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("_starts"))
+    )
+    kept = (
+        f"filter(sequence(1, size({_TOKENS})), "
+        f"i -> NOT exists(_starts, s -> s <= i AND i < s + {gram}))"
+    )
+    return (
+        docs.join(starts, "doc_id", "left")
+        .withColumn(
+            "_starts",
+            F.coalesce("_starts", F.expr("CAST(array() AS ARRAY<INT>)")),
+        )
+        .selectExpr(
+            "doc_id",
+            f"concat_ws(' ', transform({kept}, i -> {_TOKENS}[i - 1])) AS clean_text",
+            f"CAST(size({kept}) AS BIGINT) AS n_tokens_kept",
+            f"CAST(size({_TOKENS}) - size({kept}) AS BIGINT) AS n_tokens_removed",
+        )
+    )
+
+
+def remove_dup_spans_sql(gram: int = 8, min_count: int = 2) -> str:
+    """DuckDB mirror: same duplicated starts, same keep-iff-uncovered
+    nested-lambda filter (1-based list indexing in both engines)."""
+    tk = "string_split(text, ' ')"
+    return f"""
+    WITH pos_grams AS (
+        SELECT doc_id, pos,
+               array_to_string(list_slice({tk}, pos, pos + {gram - 1}), ' ')
+                   AS gram
+        FROM (SELECT doc_id, text, unnest(range(1, len({tk}) - {gram - 2}))
+                         AS pos
+              FROM documents WHERE len({tk}) >= {gram}) t
+    ),
+    dup_grams AS (
+        SELECT gram FROM pos_grams GROUP BY gram
+        HAVING COUNT(*) >= {min_count}
+    ),
+    starts AS (
+        SELECT doc_id, list_sort(list(pos)) AS s
+        FROM pos_grams JOIN dup_grams USING (gram)
+        GROUP BY doc_id
+    ),
+    cut AS (
+        SELECT d.doc_id, {tk} AS tk,
+               list_filter(range(1, len({tk}) + 1),
+                   i -> len(list_filter(COALESCE(st.s, []),
+                            s -> s <= i AND i < s + {gram})) = 0) AS keep_idx
+        FROM documents d LEFT JOIN starts st ON d.doc_id = st.doc_id
+    )
+    SELECT doc_id,
+           -- COALESCE: DuckDB's array_to_string of an empty list is
+           -- NULL; Spark's concat_ws is '' — match Spark
+           COALESCE(array_to_string(list_transform(keep_idx, i -> tk[i]), ' '),
+                    '') AS clean_text,
+           len(keep_idx)::BIGINT AS n_tokens_kept,
+           (len(tk) - len(keep_idx))::BIGINT AS n_tokens_removed
+    FROM cut
+    """

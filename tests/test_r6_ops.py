@@ -232,3 +232,45 @@ def test_levenshtein_neardup_flags_candidates(spark):
         assert 0 <= r.rel_dist <= 0.5
         if r.lev_dist == 0:
             assert r.rel_dist == 0.0
+
+
+def test_remove_dup_spans_cuts_shared_spans(spark):
+    """Docs sharing an 8-token run lose exactly that run; untouched
+    docs pass through verbatim; kept+removed == total."""
+    from myodish_peak_analysis_spark.llm import text as t
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta {shared} gamma delta"),
+            (1, f"one two three {shared} four"),
+            (2, "totally unique words here nothing repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in t.remove_dup_spans(docs).collect()}
+    assert out[0].clean_text == "alpha beta gamma delta"
+    assert out[1].clean_text == "one two three four"
+    assert out[2].clean_text == "totally unique words here nothing repeats at all"
+    for r in out.values():
+        orig_n = {0: 12, 1: 12, 2: 8}[r.doc_id]
+        assert r.n_tokens_kept + r.n_tokens_removed == orig_n
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully contained in a long doc: containment on the
+    short side ~1 while Jaccard is low — the quote-inclusion case."""
+    from myodish_peak_analysis_spark.llm import dedup
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    filler = " ".join(f"f{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, quote), (1, f"{filler} {quote}")],
+        "doc_id long, text string",
+    )
+    out = dedup.containment_pairs(docs, min_containment=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id_a, r.doc_id_b) == (0, 1)
+    assert r.containment_a == 1.0  # the quote is fully inside doc 1
+    assert r.containment_b < 0.2  # while Jaccard-style symmetry is low
