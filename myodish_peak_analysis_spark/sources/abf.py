@@ -9,11 +9,12 @@ decode the instrument file once, write long-format parquet keyed by
 gets pruning/pushdown for free and the decode never sits in a hot path.
 
 ``pyabf`` is not installed in this environment; since round 6 the
-pure-stdlib ABF1 reader below covers BOTH payload formats (float32 and
-gain-chain int16), so only the ABF2 container still routes through the
-import-gated pyabf path. The long-format conversion and parquet layout
-(the parts the engine actually depends on) are pure pandas and fully
-tested.
+pure-stdlib readers below cover BOTH containers (ABF1 and ABF2) and
+BOTH payload formats (float32 and gain-chain int16) for the
+single-sweep gap-free subset this engine ingests — pyabf remains the
+path for episodic/multi-sweep protocol features outside that subset.
+The long-format conversion and parquet layout (the parts the engine
+actually depends on) are pure pandas and fully tested.
 
 At 100 TB: one ABF file is one driver/task-side decode emitting a few
 channels — convert many files in parallel by mapping
@@ -68,17 +69,18 @@ def abf_to_parquet(
 ) -> int:
     """Decode one ABF file and write long-format parquet; returns the
     row count. Uses ``pyabf`` when installed; otherwise the stdlib
-    ABF1 float32 reader (:func:`read_abf1_float`). BOTH paths enforce
-    the same contract: a file with fewer than ``n_channels`` channels
-    raises (pyabf via setSweep; the fallback explicitly) — the
-    reference hardcodes 9 channels and a silent short read would
-    corrupt downstream channel math."""
+    magic-dispatching reader (:func:`read_abf` — ABF1/ABF2, float32 or
+    gain-chain int16). BOTH paths enforce the same contract: a file
+    with fewer than ``n_channels`` channels raises (pyabf via
+    setSweep; the fallback explicitly) — the reference hardcodes 9
+    channels and a silent short read would corrupt downstream channel
+    math."""
     try:
         import pyabf
     except ImportError:
         pyabf = None
     if pyabf is None:
-        frames, _ = read_abf1_float(abf_path)
+        frames, _ = read_abf(abf_path)
         if len(frames) < n_channels:
             # outside any except block: a short file is a data error,
             # not a fallout of the missing import, and must not carry
@@ -107,7 +109,7 @@ def abf_to_parquet(
 # fInstrumentScaleFactor × fSignalGain × fADCProgrammableGain
 # [× fTelegraphAdditGain] divisor and fInstrumentOffset−fSignalOffset
 # shift, with nADCSamplingSeq mapping data columns to physical ADC
-# channels). ABF2 (different container entirely) stays on pyabf.
+# channels). The ABF2 container has its own reader further below.
 
 _ABF1_MAGIC = b"ABF "
 _ABF1_HEADER = 2048
@@ -349,3 +351,224 @@ def write_abf1_int16(
     with open(path, "wb") as f:
         f.write(bytes(header))
         f.write(counts.astype("<i2").reshape(-1).tobytes())
+
+
+# --- pure-stdlib ABF2 subset (no pyabf) ------------------------------------
+#
+# The ABF2 container (public layout, as documented in the pyabf
+# project's format notes): a 76-byte fixed header ('ABF2' magic,
+# nDataFormat at byte 30), then a section map at byte 76 — one 16-byte
+# entry per section (uint32 blockStart [512-byte blocks], uint32
+# byteCount, int64 itemCount) in a fixed order. This reader uses three
+# sections: ProtocolSection (index 0: fADCSequenceInterval at +2,
+# fADCRange at +110, lADCResolution at +118), ADCSection (index 1: one
+# per-channel gain-chain entry — nTelegraphEnable at +2,
+# fTelegraphAdditGain at +6, fADCProgrammableGain at +28,
+# fInstrumentScaleFactor at +40, fInstrumentOffset at +44, fSignalGain
+# at +48, fSignalOffset at +52; entry size = byteCount/itemCount), and
+# DataSection (index 10: interleaved samples, int16 or float32 per
+# nDataFormat). Subset: single-sweep gap-free acquisition, the same
+# contract as the ABF1 reader above; the int16 scaling arithmetic is
+# identical to ABF1's.
+
+_ABF2_MAGIC = b"ABF2"
+_ABF2_SECTION_MAP = 76
+_SECT_PROTOCOL = 0
+_SECT_ADC = 1
+_SECT_DATA = 10
+_OFF2_DATA_FORMAT = 30        # nDataFormat int16 in the fixed header
+_P_OFF_SEQ_INTERVAL = 2       # fADCSequenceInterval float32 (µs/channel-sample)
+_P_OFF_ADC_RANGE = 110        # fADCRange float32
+_P_OFF_ADC_RESOLUTION = 118   # lADCResolution int32
+_A_OFF_TELE_ENABLE = 2        # nTelegraphEnable int16
+_A_OFF_TELE_GAIN = 6          # fTelegraphAdditGain float32
+_A_OFF_PROG_GAIN = 28         # fADCProgrammableGain float32
+_A_OFF_INST_SCALE = 40        # fInstrumentScaleFactor float32
+_A_OFF_INST_OFFSET = 44       # fInstrumentOffset float32
+_A_OFF_SIGNAL_GAIN = 48       # fSignalGain float32
+_A_OFF_SIGNAL_OFFSET = 52     # fSignalOffset float32
+_ADC_ENTRY_SIZE = 128         # written entry size (reader derives its own)
+
+
+def _abf2_section(raw: bytes, index: int) -> tuple[int, int, int]:
+    """(byte_offset, byte_count, item_count) of section ``index``."""
+    import struct
+
+    base = _ABF2_SECTION_MAP + index * 16
+    block, nbytes, items = struct.unpack_from("<IIq", raw, base)
+    return block * 512, nbytes, items
+
+
+def read_abf2(path: str) -> tuple[list[pd.DataFrame], float]:
+    """Decode an ABF2 gap-free recording with the stdlib only — same
+    return shape as :func:`read_abf1`. float32 payloads are raw
+    engineering units; int16 payloads run the instrument gain chain
+    (the ABF1 formula, with the per-channel fields read from this
+    container's ADCSection entries)."""
+    import struct
+
+    import numpy as np
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != _ABF2_MAGIC:
+        raise ValueError("not an ABF2 file")
+    if len(raw) < _ABF2_SECTION_MAP + (_SECT_DATA + 1) * 16:
+        raise ValueError("ABF2 file truncated before its section map")
+    dformat = struct.unpack_from("<h", raw, _OFF2_DATA_FORMAT)[0]
+    if dformat not in (0, 1):
+        raise ValueError(f"unknown ABF2 nDataFormat {dformat}")
+    p_off, p_bytes, _ = _abf2_section(raw, _SECT_PROTOCOL)
+    a_off, a_bytes, nchan = _abf2_section(raw, _SECT_ADC)
+    d_off, _, n_samples = _abf2_section(raw, _SECT_DATA)
+    if nchan <= 0 or n_samples <= 0 or n_samples % nchan:
+        raise ValueError("inconsistent ABF2 channel/sample counts")
+    if p_bytes < _P_OFF_ADC_RESOLUTION + 4:
+        raise ValueError("ABF2 ProtocolSection too short")
+    interval_us = struct.unpack_from("<f", raw, p_off + _P_OFF_SEQ_INTERVAL)[0]
+    if not (interval_us > 0):
+        raise ValueError(
+            f"ABF2 sample interval {interval_us} µs is not positive"
+        )
+    bytes_per = 4 if dformat == 1 else 2
+    if d_off + n_samples * bytes_per > len(raw):
+        raise ValueError("ABF2 data section extends past end of file")
+    rate = 1e6 / interval_us
+    if dformat == 1:
+        arr = np.frombuffer(
+            raw, dtype="<f4", count=n_samples, offset=d_off
+        ).reshape(-1, nchan).astype(np.float64)
+    else:
+        counts = np.frombuffer(
+            raw, dtype="<i2", count=n_samples, offset=d_off
+        ).reshape(-1, nchan).astype(np.float64)
+        adc_range = struct.unpack_from("<f", raw, p_off + _P_OFF_ADC_RANGE)[0]
+        adc_res = struct.unpack_from("<i", raw, p_off + _P_OFF_ADC_RESOLUTION)[0]
+        if not (adc_range > 0) or adc_res <= 0:
+            raise ValueError(
+                f"ABF2 gain chain corrupt: fADCRange={adc_range}, "
+                f"lADCResolution={adc_res}"
+            )
+        entry = a_bytes // nchan
+        if entry < _A_OFF_SIGNAL_OFFSET + 4:
+            raise ValueError("ABF2 ADCSection entries too short")
+        arr = np.empty_like(counts)
+        for c in range(nchan):
+            base = a_off + c * entry
+            tele_en = struct.unpack_from("<h", raw, base + _A_OFF_TELE_ENABLE)[0]
+            tele_gain = struct.unpack_from("<f", raw, base + _A_OFF_TELE_GAIN)[0]
+            prog = struct.unpack_from("<f", raw, base + _A_OFF_PROG_GAIN)[0]
+            scale = struct.unpack_from("<f", raw, base + _A_OFF_INST_SCALE)[0]
+            inst_off = struct.unpack_from("<f", raw, base + _A_OFF_INST_OFFSET)[0]
+            sgain = struct.unpack_from("<f", raw, base + _A_OFF_SIGNAL_GAIN)[0]
+            soff = struct.unpack_from("<f", raw, base + _A_OFF_SIGNAL_OFFSET)[0]
+            divisor = scale * sgain * prog
+            if tele_en:
+                divisor *= tele_gain
+            if divisor == 0:
+                raise ValueError(
+                    f"ABF2 gain chain divisor is 0 for channel {c}"
+                )
+            arr[:, c] = (
+                counts[:, c] * (adc_range / adc_res) / divisor
+                + inst_off
+                - soff
+            )
+    t = np.arange(arr.shape[0], dtype=np.float64) / rate
+    frames = [
+        pd.DataFrame({"time_index": t, "signal_value": arr[:, c]})
+        for c in range(nchan)
+    ]
+    return frames, rate
+
+
+def write_abf2(
+    path: str,
+    channels,
+    sample_rate_hz: float,
+    int16: bool = False,
+    adc_range: float = 10.0,
+    adc_resolution: int = 32768,
+    instrument_scale: float = 0.5,
+    signal_gain: float = 2.0,
+    programmable_gain: float = 1.0,
+    instrument_offset: float = 0.25,
+    signal_offset: float = 0.1,
+    telegraph_gain: float | None = None,
+) -> None:
+    """Emit the ABF2 subset (round-trip writer): 76-byte header +
+    section map + Protocol/ADC/Data sections, float32 raw or int16
+    through the inverted gain chain."""
+    import struct
+
+    import numpy as np
+
+    vals = np.asarray(channels, dtype=np.float64)
+    n, c = vals.shape
+    # layout: header+map occupy block 0; protocol block 1; ADC block 2+;
+    # data after.
+    p_block = 1
+    p_size = 512
+    a_block = 2
+    a_size = c * _ADC_ENTRY_SIZE
+    a_blocks = (a_size + 511) // 512
+    d_block = a_block + a_blocks
+    header = bytearray(d_block * 512)
+    header[:4] = _ABF2_MAGIC
+    struct.pack_into("<h", header, _OFF2_DATA_FORMAT, 0 if int16 else 1)
+
+    def sect(index: int, block: int, nbytes: int, items: int) -> None:
+        struct.pack_into(
+            "<IIq", header, _ABF2_SECTION_MAP + index * 16, block, nbytes, items
+        )
+
+    sect(_SECT_PROTOCOL, p_block, p_size, 1)
+    sect(_SECT_ADC, a_block, a_size, c)
+    sect(_SECT_DATA, d_block, n * c * (2 if int16 else 4), n * c)
+    p_off = p_block * 512
+    struct.pack_into("<f", header, p_off + _P_OFF_SEQ_INTERVAL, 1e6 / sample_rate_hz)
+    struct.pack_into("<f", header, p_off + _P_OFF_ADC_RANGE, adc_range)
+    struct.pack_into("<i", header, p_off + _P_OFF_ADC_RESOLUTION, adc_resolution)
+    for ch in range(c):
+        base = a_block * 512 + ch * _ADC_ENTRY_SIZE
+        struct.pack_into("<h", header, base, ch)  # nADCNum
+        struct.pack_into("<f", header, base + _A_OFF_PROG_GAIN, programmable_gain)
+        struct.pack_into("<f", header, base + _A_OFF_INST_SCALE, instrument_scale)
+        struct.pack_into("<f", header, base + _A_OFF_INST_OFFSET, instrument_offset)
+        struct.pack_into("<f", header, base + _A_OFF_SIGNAL_GAIN, signal_gain)
+        struct.pack_into("<f", header, base + _A_OFF_SIGNAL_OFFSET, signal_offset)
+        if telegraph_gain is not None:
+            struct.pack_into("<h", header, base + _A_OFF_TELE_ENABLE, 1)
+            struct.pack_into("<f", header, base + _A_OFF_TELE_GAIN, telegraph_gain)
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        if int16:
+            total_gain = (
+                instrument_scale * signal_gain * programmable_gain
+                * (telegraph_gain if telegraph_gain is not None else 1.0)
+            )
+            counts = np.rint(
+                (vals - instrument_offset + signal_offset)
+                * total_gain
+                / (adc_range / adc_resolution)
+            )
+            if np.any(np.abs(counts) > 32767):
+                raise ValueError(
+                    "input values exceed the int16 ADC range under this "
+                    "gain chain"
+                )
+            f.write(counts.astype("<i2").reshape(-1).tobytes())
+        else:
+            f.write(vals.astype("<f4").reshape(-1).tobytes())
+
+
+def read_abf(path: str) -> tuple[list[pd.DataFrame], float]:
+    """Magic-dispatching stdlib ABF reader: ABF1 or ABF2, float32 or
+    gain-chain int16 — the full no-pyabf ingestion surface."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == _ABF1_MAGIC:
+        return read_abf1(path)
+    if magic == _ABF2_MAGIC:
+        return read_abf2(path)
+    raise ValueError(f"not an ABF file (magic {magic!r})")

@@ -42,13 +42,19 @@ def test_channels_to_long_layout(spark):
     assert df.count() == 60 and set(df.columns) == set(long.columns)
 
 
-def test_abf_to_parquet_non_abf1_needs_pyabf(tmp_path):
-    # without pyabf, only the stdlib ABF1 float path is available:
-    # a non-ABF1 payload must fail loudly and point at pyabf
+def test_abf_to_parquet_unknown_or_corrupt_fails_loudly(tmp_path):
+    # round 6: the stdlib fallback dispatches on magic (ABF1 AND ABF2)
+    # — an unknown container must say so, and a truncated ABF2 must
+    # fail loudly rather than decode garbage
     bad = tmp_path / "bad.abf"
-    bad.write_bytes(b"ABF2" + b"\x00" * 100)
-    with pytest.raises(ValueError, match="pyabf"):
+    bad.write_bytes(b"NOPE" + b"\x00" * 100)
+    with pytest.raises(ValueError, match="not an ABF file"):
         abf_to_parquet(str(bad), str(tmp_path / "o.parquet"))
+
+    trunc = tmp_path / "trunc.abf"
+    trunc.write_bytes(b"ABF2" + b"\x00" * 100)  # no section map
+    with pytest.raises((ValueError, Exception)):
+        abf_to_parquet(str(trunc), str(tmp_path / "o2.parquet"))
 
 
 def test_read_documents_three_formats_identical(spark, tmp_path):
@@ -240,3 +246,61 @@ def test_abf1_int16_corrupt_gain_chain_raises(tmp_path):
     bad.write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="divisor is 0"):
         read_abf1(str(bad))
+
+
+def test_abf2_roundtrip_float_and_int16(tmp_path):
+    """ABF2 container round-trip: float32 exact (up to f4 precision),
+    int16 within half a quantized count through the gain chain, and
+    the magic dispatcher routes both containers."""
+    import numpy as np
+
+    from myodish_peak_analysis_spark.sources.abf import (
+        read_abf,
+        read_abf2,
+        write_abf2,
+    )
+
+    rng = np.random.default_rng(11)
+    data = rng.uniform(-2.0, 2.0, size=(150, 4))
+    rate = 2000.0
+
+    fpath = str(tmp_path / "f.abf2")
+    write_abf2(fpath, data, rate)
+    frames, got_rate = read_abf2(fpath)
+    assert got_rate == pytest.approx(rate, rel=1e-6)
+    assert len(frames) == 4
+    for c, f in enumerate(frames):
+        np.testing.assert_allclose(
+            f["signal_value"].to_numpy(), data[:, c], atol=1e-6
+        )
+
+    ipath = str(tmp_path / "i.abf2")
+    write_abf2(ipath, data, rate, int16=True, telegraph_gain=2.5)
+    frames_i, _ = read_abf(ipath)  # via the magic dispatcher
+    total_gain = 0.5 * 2.0 * 1.0 * 2.5
+    half_count = 0.5 * (10.0 / 32768) / total_gain
+    for c, f in enumerate(frames_i):
+        err = np.abs(f["signal_value"].to_numpy() - data[:, c])
+        assert err.max() <= half_count * 1.01
+
+
+def test_abf2_corrupt_sections_raise(tmp_path):
+    import struct
+
+    import numpy as np
+
+    from myodish_peak_analysis_spark.sources.abf import read_abf2, write_abf2
+
+    path = str(tmp_path / "c.abf2")
+    write_abf2(path, np.zeros((10, 2)), 100.0)
+    raw = bytearray(open(path, "rb").read())
+
+    bad = bytearray(raw)
+    # zero the protocol's fADCSequenceInterval
+    struct.pack_into("<f", bad, 512 + 2, 0.0)
+    (tmp_path / "z.abf2").write_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="not positive"):
+        read_abf2(str(tmp_path / "z.abf2"))
+
+    with pytest.raises(ValueError, match="not an ABF2"):
+        read_abf2(__file__)
