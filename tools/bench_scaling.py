@@ -172,7 +172,27 @@ def _docs_ops():
             lambda d, _n: _timed_build(lambda: dedup.canonical_corpus(d)),
         ),
         ("incremental_neardup", lambda d, _n: _timed_build(lambda: incr(d))),
+        # round-6 operators: the gram-heavy span cut, the per-pair DP
+        # verify, and the fingerprint-keyed containment join.
+        (
+            "remove_dup_spans",
+            lambda d, _n: _timed_build(lambda: _text_mod().remove_dup_spans(d)),
+        ),
+        (
+            "levenshtein_neardup",
+            lambda d, _n: _timed_build(lambda: dedup.levenshtein_neardup(d)),
+        ),
+        (
+            "containment_pairs",
+            lambda d, _n: _timed_build(lambda: dedup.containment_pairs(d)),
+        ),
     )
+
+
+def _text_mod():
+    from myodish_peak_analysis_spark.llm import text
+
+    return text
 
 
 def main() -> None:
