@@ -1161,3 +1161,18 @@ def streaming_attribution(
         "purchase_us",
         "purchase_value",
     )
+
+
+def streaming_chunk_overlap(
+    doc_stream: DataFrame, size: int = 32, stride: int = 24
+) -> DataFrame:
+    """Streaming twin of :func:`..llm.packing.chunk_overlap` — the
+    operator is a STATELESS map (each document chunks independently;
+    nothing crosses documents, unlike the cumulative-offset packing
+    above), so the batch expression applies to an unbounded stream
+    verbatim: no state store, no watermark, append-mode per micro-batch.
+    Parity with the batch operator is pinned by
+    tests/test_streaming.py."""
+    from ..llm.packing import chunk_overlap
+
+    return chunk_overlap(doc_stream, size=size, stride=stride)

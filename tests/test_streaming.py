@@ -1155,3 +1155,46 @@ def test_streaming_attribution_matches_batch_join(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_streaming_chunk_overlap_matches_batch(spark, tmp_path):
+    """chunk_overlap is stateless map-side work, so the streaming twin
+    must produce exactly the batch rows in append mode with no state
+    store."""
+    import os
+
+    from myodish_peak_analysis_spark.llm.packing import chunk_overlap
+    from myodish_peak_analysis_spark.streaming.peaks import (
+        streaming_chunk_overlap,
+    )
+
+    schema = "doc_id long, text string"
+    rows = [
+        (d, " ".join(f"w{d}_{i}" for i in range(5 + 13 * d))) for d in range(8)
+    ]
+    src = os.path.join(str(tmp_path), "docs")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_chunk_overlap(stream, size=8, stride=6)
+        .writeStream.format("memory")
+        .queryName("chunk_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.chunk_idx): (r.text_chunk, r.n_tokens)
+            for r in spark.sql("select * from chunk_sink").collect()
+        }
+    finally:
+        q.stop()
+    expect = {
+        (r.doc_id, r.chunk_idx): (r.text_chunk, r.n_tokens)
+        for r in chunk_overlap(
+            spark.createDataFrame(rows, schema), size=8, stride=6
+        ).collect()
+    }
+    assert got == expect
