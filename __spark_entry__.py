@@ -99,6 +99,7 @@ _ROTATE_FIRST = [
     "sq8_topk",
     "remove_dup_spans",
     "containment_pairs",
+    "leakage_safe_split",
     "hybrid_neardup",
     "bpe_vocab",
     "bpe_encode",
@@ -142,11 +143,11 @@ _ROTATE_FIRST = [
     "pricing_summary",
     "top_revenue_orders",
     "nation_revenue",
-    "large_order_customers",
 ]
 _ROTATE_LAST = [
     # newest driver row is r4, displaced by the 50-cap; first rotation
     # candidates for round 7:
+    "large_order_customers",
     "cheapest_supplier",
     "pii_scrub",
     "doc_fingerprints",

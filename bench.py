@@ -265,6 +265,7 @@ def main() -> None:
         "sq8_topk": lambda: similarity.sq8_topk(emb),
         "remove_dup_spans": lambda: text.remove_dup_spans(docs),
         "containment_pairs": lambda: dedup.containment_pairs(docs),
+        "leakage_safe_split": lambda: sampling.leakage_safe_split(docs),
     }
 
     # round-6 additions (VERDICT r5 ask #8): the heavy §2 singles,

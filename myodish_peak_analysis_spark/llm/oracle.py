@@ -1152,3 +1152,7 @@ v AS (
 )
 SELECT * FROM v WHERE GREATEST(containment_a, containment_b) >= 0.5
 """
+
+from .sampling import leakage_safe_split_sql as _lss_sql  # noqa: E402
+
+ORACLES["leakage_safe_split"] = _lss_sql(ORACLES["dedup_clusters"])

@@ -428,6 +428,15 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["remove_dup_spans"] = q_remove_dup_spans
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-keyed train/val/test assignment: near-dup families never
+    straddle a split boundary (the Lee-et-al. contamination guard)."""
+    return sampling.leakage_safe_split(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["leakage_safe_split"] = q_leakage_safe_split
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed containment (|A∩B|/|A|, /|B|) over LSH candidates —
     catches subset/quote-inclusion near-dups Jaccard scores near 0."""

@@ -272,3 +272,72 @@ def temperature_weights_sql(group_col: str = "source") -> str:
            (CAST(_r AS DOUBLE) / _rsum) / p AS boost
     FROM scored, denom
     """
+
+
+def leakage_safe_split(
+    docs: "DataFrame",
+    test_permille: int = 100,
+    val_permille: int = 100,
+) -> "DataFrame":
+    """Train/val/test assignment keyed by the NEAR-DUP CLUSTER, not
+    the document: every member of a connected near-dup family hashes
+    to the same split, so a training document can never leak a
+    near-duplicate of a held-out document across the boundary (Lee et
+    al. 2022 measured exactly this train→test contamination from
+    per-document splits on un-deduplicated corpora).
+
+    The split hash is the package's Knuth-multiplier permille bucket
+    (``cluster_id % 1000 * 2654435761 % 1000`` — deterministic,
+    engine-portable) applied to :func:`..dedup.dedup_clusters`' min-id
+    cluster label: buckets below ``test_permille`` → 'test', next
+    ``val_permille`` → 'val', rest → 'train'. Singleton documents are
+    their own cluster, so corpus-level split fractions approach the
+    requested permilles as dup rate falls.
+
+    Scale: dedup_clusters' banded machinery (measured decades in
+    PLANS.md) plus one map-side hash+CASE — the split itself adds no
+    shuffle beyond the cluster join.
+    """
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(docs)
+    bucket = (
+        F.col("cluster_id") % F.lit(1000) * F.lit(HASH_MULTIPLIER)
+    ) % F.lit(1000)
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id")
+        .withColumn("permille", bucket.cast("long"))
+        .withColumn(
+            "split",
+            F.when(F.col("permille") < test_permille, F.lit("test"))
+            .when(
+                F.col("permille") < test_permille + val_permille, F.lit("val")
+            )
+            .otherwise(F.lit("train")),
+        )
+        .select("doc_id", "cluster_id", "permille", "split")
+    )
+
+
+def leakage_safe_split_sql(
+    dedup_clusters_sql: str,
+    test_permille: int = 100,
+    val_permille: int = 100,
+) -> str:
+    """DuckDB mirror: the dedup_clusters recursive-CTE oracle as a
+    subquery plus the same hash+CASE arithmetic."""
+    return f"""
+    WITH cl AS ({dedup_clusters_sql})
+    SELECT doc_id, cluster_id,
+           CAST((cluster_id % 1000 * {HASH_MULTIPLIER}) % 1000 AS BIGINT)
+               AS permille,
+           CASE
+               WHEN (cluster_id % 1000 * {HASH_MULTIPLIER}) % 1000
+                    < {test_permille} THEN 'test'
+               WHEN (cluster_id % 1000 * {HASH_MULTIPLIER}) % 1000
+                    < {test_permille + val_permille} THEN 'val'
+               ELSE 'train'
+           END AS split
+    FROM cl
+    """

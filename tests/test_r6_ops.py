@@ -274,3 +274,29 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert (r.doc_id_a, r.doc_id_b) == (0, 1)
     assert r.containment_a == 1.0  # the quote is fully inside doc 1
     assert r.containment_b < 0.2  # while Jaccard-style symmetry is low
+
+
+def test_leakage_safe_split_families_never_straddle(spark):
+    """Every near-dup family lands wholly in one split, and the split
+    fractions are roughly the requested permilles on the (mostly
+    singleton) harness corpus."""
+    from myodish_peak_analysis_spark.llm import dedup, sampling
+
+    docs = read_table(spark, SF_DIR, "documents")
+    out = sampling.leakage_safe_split(docs).collect()
+    assert len(out) == docs.count()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values()), (
+        "a near-dup family straddles a split boundary"
+    )
+    # non-singleton families exist on this corpus and stay together
+    sizes = {}
+    for r in out:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+    assert max(sizes.values()) > 1
+    # fractions in the right ballpark (hash is uniform-ish)
+    n = len(out)
+    frac_train = sum(1 for r in out if r.split == "train") / n
+    assert 0.7 < frac_train <= 0.95
