@@ -100,6 +100,8 @@ _ROTATE_FIRST = [
     "remove_dup_spans",
     "containment_pairs",
     "leakage_safe_split",
+    "quality_prune",
+    "ivf_sq8_topk",
     "hybrid_neardup",
     "bpe_vocab",
     "bpe_encode",
@@ -141,12 +143,12 @@ _ROTATE_FIRST = [
     "user_event_pivot",
     "user_value_zscores",
     "pricing_summary",
-    "top_revenue_orders",
-    "nation_revenue",
 ]
 _ROTATE_LAST = [
     # newest driver row is r4, displaced by the 50-cap; first rotation
     # candidates for round 7:
+    "top_revenue_orders",
+    "nation_revenue",
     "large_order_customers",
     "cheapest_supplier",
     "pii_scrub",

@@ -266,6 +266,8 @@ def main() -> None:
         "remove_dup_spans": lambda: text.remove_dup_spans(docs),
         "containment_pairs": lambda: dedup.containment_pairs(docs),
         "leakage_safe_split": lambda: sampling.leakage_safe_split(docs),
+        "quality_prune": lambda: text.quality_prune(docs),
+        "ivf_sq8_topk": lambda: similarity.ivf_sq8_topk(emb, n_clusters="auto"),
     }
 
     # round-6 additions (VERDICT r5 ask #8): the heavy §2 singles,

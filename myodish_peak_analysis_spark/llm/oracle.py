@@ -1156,3 +1156,70 @@ SELECT * FROM v WHERE GREATEST(containment_a, containment_b) >= 0.5
 from .sampling import leakage_safe_split_sql as _lss_sql  # noqa: E402
 
 ORACLES["leakage_safe_split"] = _lss_sql(ORACLES["dedup_clusters"])
+
+from .text import quality_prune_sql as _qp_sql  # noqa: E402
+
+ORACLES["quality_prune"] = _qp_sql(ORACLES["quality_score"])
+
+
+def ivf_sq8_topk_sql(
+    k: int = ANN_LSH_TOPK,
+    query_mod: int = ANN_QUERY_MOD,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    iters: int = 3,
+) -> str:
+    """IVF posting-list restriction + SQ8-reconstructed in-list scoring:
+    the unrolled-Lloyd quantizer CTEs chained with the scalar-quantizer
+    CTEs — mirrors ``similarity.ivf_sq8_topk`` stage for stage."""
+    chain = _kmeans_member_ctes(n_clusters, iters)
+    code = (
+        "CAST(GREATEST(-127, LEAST(127, CASE WHEN ss[i] = 0 THEN 0 "
+        "ELSE floor(e[i] * 127 / ss[i] + 0.5) END)) AS INT)"
+    )
+    return f"""
+    WITH {_BASE_CTE},
+    {chain},
+    sqdims AS (
+        SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS dim
+        FROM base
+    ),
+    sqscale AS (SELECT dim, MAX(ABS(x)) AS s FROM sqdims GROUP BY dim),
+    sqarr AS (SELECT list(s ORDER BY dim) AS ss FROM sqscale),
+    xh AS (
+        SELECT vec_id,
+               list_transform(range(1, len(e) + 1),
+                   i -> CAST({code} AS DOUBLE) * ss[i] / 127) AS xhat
+        FROM base CROSS JOIN sqarr
+    ),
+    cn AS (
+        SELECT vec_id, xhat, sqrt(list_dot_product(xhat, xhat)) AS cnrm
+        FROM xh
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM members
+          WHERE vec_id % {query_mod} = 0),
+    qprobe AS (
+        SELECT query_id, qe, qn, centroid_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       ROUND(list_dot_product(q.qe, c.c) / (q.qn * c.cn), 9) DESC,
+                       c.centroid_id) AS rk
+            FROM q CROSS JOIN c{iters} c) t WHERE rk <= {nprobe}),
+    cand AS (
+        SELECT p.query_id, m.vec_id, p.qe, p.qn
+        FROM qprobe p JOIN members m USING (centroid_id)
+        WHERE m.vec_id <> p.query_id),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               ROUND(list_dot_product(c.qe, x.xhat) / (c.qn * x.cnrm), 6)
+                   AS cosine
+        FROM cand c JOIN cn x USING (vec_id)),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+ORACLES["ivf_sq8_topk"] = ivf_sq8_topk_sql()

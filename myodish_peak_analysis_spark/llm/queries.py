@@ -428,6 +428,27 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["remove_dup_spans"] = q_remove_dup_spans
 
 
+def q_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF×SQ8 search (the FAISS IVFx,SQ8 pattern): nprobe
+    posting lists scored against int8-reconstructed candidates — the
+    fit-free compressed search."""
+    out = similarity.ivf_sq8_topk(read_table(spark, sf_dir, "embeddings"))
+    return _long(out, "rank")
+
+
+QUERIES["ivf_sq8_topk"] = q_ivf_sq8_topk
+
+
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile curation: keep each source's top 70% by
+    the composite quality score (rank window per source, deterministic
+    tie-break) — the RefinedWeb/FineWeb-style keep-the-best-X% step."""
+    return text.quality_prune(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["quality_prune"] = q_quality_prune
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-keyed train/val/test assignment: near-dup families never
     straddle a split boundary (the Lee-et-al. contamination guard)."""

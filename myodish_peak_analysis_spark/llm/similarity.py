@@ -1121,6 +1121,86 @@ def sq8_topk(
     return ranked.filter(F.col("rank") <= k)
 
 
+def ivf_sq8_topk(
+    emb: DataFrame,
+    k: int = ANN_LSH_TOPK,
+    query_mod: int = ANN_QUERY_MOD,
+    n_clusters: int | str | None = None,
+    nprobe: int = 2,
+    index: "IvfPqIndex | None" = None,
+) -> DataFrame:
+    """The OTHER composed FAISS production pattern — ``IVFx,SQ8``:
+    posting-list restriction by the coarse quantizer, then in-list
+    scoring against int8-reconstructed candidates. Versus
+    :func:`ivf_pq_topk` this trades compression (4× vs 16-64×) for a
+    fit-free code path (no PQ Lloyd rounds, no ADC table) and
+    near-exact in-list ranking (SQ8 recall ≈ 1), so no exact re-rank
+    stage is needed. ``index=`` reuses a prefit :class:`IvfPqIndex`'s
+    IVF half.
+
+    Scale shape: the broadcast-centroid probe and centroid-keyed
+    posting-list join of :func:`ivf_topk`, with candidates touched as
+    int8 codes + the broadcast D-double scale vector instead of D
+    floats."""
+    if index is not None:
+        members, cents = index.members, index.cents
+    else:
+        members, cents = _ivf_fit(
+            emb, k=_resolve_clusters(emb, n_clusters), iters=3
+        )
+    cand8 = (
+        _sq8_coded(emb)
+        .select(
+            "vec_id",
+            F.expr(
+                "zip_with(codes, _scales, (c, s) -> CAST(c AS DOUBLE) * s / 127D)"
+            ).alias("xhat"),
+        )
+        .withColumn("_cnorm", F.sqrt(_dot("xhat", "xhat")))
+    )
+    q = members.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_cos",
+            F.round(_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 9),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_cos").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "centroid_id")
+    )
+    cand = qprobe.join(
+        members.select("centroid_id", "vec_id"), "centroid_id"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.join(cand8, "vec_id")
+    cos = F.round(
+        _dot("q_emb", "xhat") / (F.col("q_norm") * F.col("_cnorm")), 6
+    )
+    return (
+        scored.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _rp_coef_sql(i: str, j: str) -> str:
     """Deterministic Achlioptas sparse-projection coefficient in
     {+1, -1, 0} with weights {1/6, 1/6, 2/3} (Achlioptas 2003,

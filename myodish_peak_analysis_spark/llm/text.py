@@ -1205,3 +1205,65 @@ def remove_dup_spans_sql(gram: int = 8, min_count: int = 2) -> str:
            (len(tk) - len(keep_idx))::BIGINT AS n_tokens_removed
     FROM cut
     """
+
+
+def quality_prune(docs: DataFrame, keep_permille: int = 700) -> DataFrame:
+    """Per-source quality pruning: keep each source's top
+    ``keep_permille``/1000 documents by :func:`with_quality_score`
+    (ties broken by doc_id asc — fully deterministic), the standard
+    "keep the best X% of every source" curation step (RefinedWeb /
+    FineWeb-style percentile filtering, applied per source so one
+    high-quality source can't crowd out the others' survivors).
+
+    Output: (doc_id, source, quality_score, src_rank, src_n) for the
+    surviving docs — the rank/population columns make the cut
+    auditable downstream.
+
+    Scale: one window rank per source partition (source cardinality
+    bounds the partition count; each partition sorts its own docs) —
+    the same shape as `topk_per_source`. ``ceil`` keeps at least one
+    doc per non-empty source.
+    """
+    from pyspark.sql import Window
+
+    scored = with_quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.row_number().over(w).cast("long").alias("src_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("src_n"),
+    )
+    return ranked.filter(
+        F.col("src_rank")
+        <= F.ceil(F.col("src_n") * F.lit(keep_permille) / F.lit(1000.0))
+    )
+
+
+def quality_prune_sql(quality_score_sql: str, keep_permille: int = 700) -> str:
+    """DuckDB mirror: same per-source rank over the same quality
+    score, same ceil cut."""
+    return f"""
+    WITH q AS ({quality_score_sql}),
+    ranked AS (
+        SELECT d.doc_id, d.source, q.quality_score,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY q.quality_score DESC,
+                                           d.doc_id ASC) AS src_rank,
+               COUNT(*) OVER (PARTITION BY d.source) AS src_n
+        FROM documents d JOIN q USING (doc_id)
+    )
+    SELECT doc_id, source, quality_score,
+           CAST(src_rank AS BIGINT) AS src_rank,
+           CAST(src_n AS BIGINT) AS src_n
+    FROM ranked
+    WHERE src_rank <= CEIL(src_n * {keep_permille} / 1000.0)
+    """

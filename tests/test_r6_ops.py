@@ -300,3 +300,25 @@ def test_leakage_safe_split_families_never_straddle(spark):
     n = len(out)
     frac_train = sum(1 for r in out if r.split == "train") / n
     assert 0.7 < frac_train <= 0.95
+
+
+def test_ivf_sq8_matches_float_ivf(spark):
+    """SQ8 in-list scoring is near-lossless: the composed IVF×SQ8
+    result overlaps the float IVF result >= 0.9, and a prefit index
+    drives it identically to fit-inline."""
+    from myodish_peak_analysis_spark.llm import similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    fl = {
+        (r.query_id, r.vec_id) for r in similarity.ivf_topk(emb).collect()
+    }
+    q8 = {
+        (r.query_id, r.vec_id) for r in similarity.ivf_sq8_topk(emb).collect()
+    }
+    assert len(q8 & fl) / len(fl) >= 0.9
+    idx = similarity.fit_ivf_pq_index(emb)
+    pre = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_sq8_topk(emb, index=idx).collect()
+    }
+    assert pre == q8
