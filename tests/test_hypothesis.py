@@ -328,3 +328,84 @@ def test_abf1_roundtrip_property(n, c, rate):
         assert np.array_equal(
             frames[ch]["signal_value"].to_numpy(dtype="<f4"), data[:, ch]
         )
+
+
+# --- round-6 operator properties (pure-Python models of the SQL
+# expressions, no Spark session needed) --------------------------------
+
+
+def _chunk_starts_model(n: int, size: int, stride: int) -> list[int]:
+    """Reference model of chunk_overlap's starts expression."""
+    if n <= size:
+        return [0]
+    if (n - size) % stride == 0:
+        return list(range(0, n - size + 1, stride))
+    return list(range(0, ((n - size) // stride + 1) * stride + 1, stride))
+
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=500, deadline=None)
+def test_chunk_overlap_starts_cover_every_token(n, size, stride):
+    """For ANY (n, size, stride) with stride <= size: the start set
+    covers [0, n) completely, consecutive chunks overlap by exactly
+    size - stride (except a shorter tail), and no start is >= n."""
+    if stride > size:
+        return  # operator rejects this; covered by the ValueError test
+    starts = _chunk_starts_model(n, size, stride)
+    covered = set()
+    for s in starts:
+        assert 0 <= s < n
+        covered.update(range(s, min(s + size, n)))
+    assert covered == set(range(n))
+    # starts strictly increase by stride
+    assert starts == sorted(set(starts))
+    assert all(b - a == stride for a, b in zip(starts, starts[1:]))
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=32,
+    )
+)
+@settings(max_examples=500, deadline=None)
+def test_sq8_code_model_bounds_and_error(xs):
+    """The SQ8 quantizer model: codes always land in [-127, 127] and
+    reconstruction error is bounded by half a count of the dimension's
+    scale (the contract the Spark/DuckDB expressions implement)."""
+    import math
+
+    s = max(abs(x) for x in xs)
+    for x in xs:
+        code = 0 if s == 0 else max(-127, min(127, math.floor(x * 127 / s + 0.5)))
+        assert -127 <= code <= 127
+        xhat = 0.0 if s == 0 else code * s / 127
+        assert abs(xhat - x) <= (s / 127) * 0.5 + 1e-12
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=60), min_size=0, max_size=20),
+    st.integers(min_value=2, max_value=10),
+)
+@settings(max_examples=300, deadline=None)
+def test_remove_dup_spans_keep_filter_model(starts, gram):
+    """The keep-iff-uncovered filter model: kept indices are exactly
+    the complement of the union of [s, s+gram) intervals, and
+    kept + removed partitions the token range."""
+    n = 80
+    starts = sorted(set(starts))
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + gram, n + 1)))
+    kept = [
+        i
+        for i in range(1, n + 1)
+        if not any(s <= i < s + gram for s in starts)
+    ]
+    assert set(kept).isdisjoint(covered & set(range(1, n + 1)))
+    assert set(kept) | (covered & set(range(1, n + 1))) == set(range(1, n + 1))
