@@ -102,6 +102,7 @@ _ROTATE_FIRST = [
     "leakage_safe_split",
     "quality_prune",
     "ivf_sq8_topk",
+    "training_corpus_manifest",
     "hybrid_neardup",
     "bpe_vocab",
     "bpe_encode",
@@ -142,11 +143,11 @@ _ROTATE_FIRST = [
     "latency_percentiles",
     "user_event_pivot",
     "user_value_zscores",
-    "pricing_summary",
 ]
 _ROTATE_LAST = [
     # newest driver row is r4, displaced by the 50-cap; first rotation
     # candidates for round 7:
+    "pricing_summary",
     "top_revenue_orders",
     "nation_revenue",
     "large_order_customers",

@@ -268,6 +268,10 @@ def main() -> None:
         "leakage_safe_split": lambda: sampling.leakage_safe_split(docs),
         "quality_prune": lambda: text.quality_prune(docs),
         "ivf_sq8_topk": lambda: similarity.ivf_sq8_topk(emb, n_clusters="auto"),
+        # the composed nightly build — the flagship LLM-pipeline plan
+        "training_corpus_manifest": lambda: curate.training_corpus_manifest(
+            docs
+        ),
     }
 
     # round-6 additions (VERDICT r5 ask #8): the heavy §2 singles,

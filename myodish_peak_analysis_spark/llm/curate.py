@@ -75,3 +75,122 @@ def curated_corpus_sql(min_quality: float = MIN_QUALITY) -> str:
     JOIN gopher g USING (doc_id)
     WHERE q.quality_score >= {min_quality} AND g.keep
     """
+
+
+def training_corpus_manifest(
+    docs: DataFrame,
+    keep_permille: int = 700,
+    test_permille: int = 100,
+    val_permille: int = 100,
+    capacity: int = 128,
+) -> DataFrame:
+    """THE END-TO-END PIPELINE as one lazy Catalyst plan — what a
+    nightly training-data build actually materializes:
+
+    1. near-dup canonicalization (:func:`.dedup.canonical_corpus`:
+       banded MinHash-LSH → verified edges → connected components →
+       longest-member representative per family);
+    2. per-source quality pruning (keep the top ``keep_permille``/1000
+       canonical docs by the integer-exact quality score);
+    3. leakage-safe TRAIN selection (the :func:`.sampling.
+       leakage_safe_split` hash on the family's cluster_id — held-out
+       families never contribute a training chunk);
+    4. sequence packing (:func:`.packing.pack_chunks`: concat-and-
+       chunk span manifest at ``capacity`` tokens per chunk).
+
+    Output: (shard, chunk_id, doc_id, begin_tok, end_tok) — the span
+    manifest a tokenizer/writer consumes to emit packed training
+    sequences. Every stage reuses an individually-oracle-checked
+    operator, and the composition itself is hash-checked end-to-end
+    against the chained DuckDB mirror.
+
+    Scale: the dedup machinery dominates (measured decades in
+    docs/PLANS.md); pruning adds one per-source rank window over the
+    canonical survivors, the split is a map-side hash, and packing is
+    one cumsum window per source shard (pass ``shard_mod`` through
+    :func:`.packing.pack_chunks` directly at production shard counts).
+    """
+    from .dedup import canonical_corpus
+    from .packing import pack_chunks
+    from .sampling import HASH_MULTIPLIER
+
+    canon = canonical_corpus(docs).select("doc_id", "cluster_id", "source")
+    q = with_quality_score(docs)
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        canon.join(q, "doc_id")
+        .withColumn("src_rank", F.row_number().over(w))
+        .withColumn(
+            "src_n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+        )
+    )
+    kept = ranked.filter(
+        F.col("src_rank")
+        <= F.ceil(F.col("src_n") * F.lit(keep_permille) / F.lit(1000.0))
+    )
+    bucket = (
+        F.col("cluster_id") % F.lit(1000) * F.lit(HASH_MULTIPLIER)
+    ) % F.lit(1000)
+    train = kept.filter(bucket >= test_permille + val_permille).select("doc_id")
+    train_docs = docs.join(train, "doc_id")
+    return pack_chunks(train_docs, capacity=capacity)
+
+
+def training_corpus_manifest_sql(
+    canonical_corpus_sql: str,
+    quality_score_sql: str,
+    hash_multiplier: int,
+    keep_permille: int = 700,
+    test_permille: int = 100,
+    val_permille: int = 100,
+    capacity: int = 128,
+) -> str:
+    """DuckDB mirror: the canonical-corpus and quality-score oracles as
+    CTEs, the same rank/hash arithmetic, and pack_chunks' span
+    formula over the surviving train docs."""
+    cut = test_permille + val_permille
+    return f"""
+    WITH canon AS ({canonical_corpus_sql}),
+    q AS ({quality_score_sql}),
+    ranked AS (
+        SELECT canon.doc_id, canon.cluster_id, canon.source,
+               q.quality_score,
+               ROW_NUMBER() OVER (PARTITION BY canon.source
+                                  ORDER BY q.quality_score DESC,
+                                           canon.doc_id ASC) AS src_rank,
+               COUNT(*) OVER (PARTITION BY canon.source) AS src_n
+        FROM canon JOIN q USING (doc_id)
+    ),
+    kept AS (
+        SELECT * FROM ranked
+        WHERE src_rank <= CEIL(src_n * {keep_permille} / 1000.0)
+    ),
+    train AS (
+        SELECT doc_id FROM kept
+        WHERE (cluster_id % 1000 * {hash_multiplier}) % 1000 >= {cut}
+    ),
+    td AS (
+        SELECT d.source AS shard, d.doc_id,
+               len(string_split(d.text, ' '))::BIGINT AS n_tok
+        FROM documents d JOIN train USING (doc_id)
+    ),
+    offs AS (
+        SELECT shard, doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_off
+        FROM td
+    )
+    SELECT shard, t.chunk_id, doc_id,
+           GREATEST(t.chunk_id * {capacity}, start_off) - start_off
+               AS begin_tok,
+           LEAST((t.chunk_id + 1) * {capacity}, start_off + n_tok)
+               - start_off AS end_tok
+    FROM offs
+    CROSS JOIN UNNEST(generate_series(
+        CAST(start_off // {capacity} AS BIGINT),
+        CAST((start_off + n_tok - 1) // {capacity} AS BIGINT))) AS t(chunk_id)
+    """

@@ -1223,3 +1223,10 @@ def ivf_sq8_topk_sql(
 
 
 ORACLES["ivf_sq8_topk"] = ivf_sq8_topk_sql()
+
+from .curate import training_corpus_manifest_sql as _tcm_sql  # noqa: E402
+from .sampling import HASH_MULTIPLIER as _HM  # noqa: E402
+
+ORACLES["training_corpus_manifest"] = _tcm_sql(
+    ORACLES["canonical_corpus"], ORACLES["quality_score"], _HM
+)

@@ -184,7 +184,7 @@ def chunk_overlap(
     """
     if not (0 < stride <= size):
         raise ValueError(f"need 0 < stride ({stride}) <= size ({size})")
-    toks = f"split(text, ' ')"
+    toks = "split(text, ' ')"
     n = f"size({toks})"
     # last full-window start: floor((n - size) / stride) * stride; the
     # tail chunk starts one stride later when tokens remain past the

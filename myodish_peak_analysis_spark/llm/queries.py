@@ -428,6 +428,17 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["remove_dup_spans"] = q_remove_dup_spans
 
 
+def q_training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END nightly build in one lazy plan: canonical near-dup
+    corpus -> per-source quality prune -> leakage-safe train selection
+    -> packed-sequence span manifest; hash-checked against the chained
+    oracle of its four individually-verified stages."""
+    return curate.training_corpus_manifest(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["training_corpus_manifest"] = q_training_corpus_manifest
+
+
 def q_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF×SQ8 search (the FAISS IVFx,SQ8 pattern): nprobe
     posting lists scored against int8-reconstructed candidates — the

@@ -322,3 +322,35 @@ def test_ivf_sq8_matches_float_ivf(spark):
         for r in similarity.ivf_sq8_topk(emb, index=idx).collect()
     }
     assert pre == q8
+
+
+def test_training_corpus_manifest_end_to_end(spark):
+    """The composed nightly build: every doc in the manifest is a
+    canonical, quality-kept, TRAIN-split family member, and each doc's
+    spans tile [0, n_tok) exactly (the pack_chunks contract)."""
+    from myodish_peak_analysis_spark.llm import curate, dedup, sampling
+
+    docs = read_table(spark, SF_DIR, "documents")
+    manifest = curate.training_corpus_manifest(docs).collect()
+    assert manifest
+
+    split = {
+        r.doc_id: r.split
+        for r in sampling.leakage_safe_split(docs).collect()
+    }
+    canon = {r.doc_id for r in dedup.canonical_corpus(docs).collect()}
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.selectExpr(
+            "doc_id", "size(split(text, ' ')) AS n"
+        ).collect()
+    }
+    spans: dict = {}
+    for r in manifest:
+        assert r.doc_id in canon, "non-canonical doc packed"
+        assert split[r.doc_id] == "train", "held-out family leaked into training"
+        spans.setdefault(r.doc_id, []).append((r.begin_tok, r.end_tok))
+    for d, ss in spans.items():
+        ss.sort()
+        assert ss[0][0] == 0 and ss[-1][1] == n_tok[d]
+        assert all(a[1] == b[0] for a, b in zip(ss, ss[1:])), "span gap/overlap"
