@@ -249,6 +249,11 @@ def main() -> None:
         "bpe_vocab16_sampled": lambda: bpe.bpe_vocab(
             docs, n_merges=16, fit_sample_mod=5
         ),
+        # batch=4 cuts driver rounds 16 -> ~4: the production knob for
+        # the trainer's round-trip cost (classic semantics at batch=1)
+        "bpe_vocab16_batched": lambda: bpe.bpe_vocab(
+            docs, n_merges=16, batch_merges=4
+        ),
         "incremental_neardup": lambda: dedup.incremental_neardup(
             docs.filter(F.col("doc_id") % 10 == 0),
             docs.filter(F.col("doc_id") % 10 != 0),

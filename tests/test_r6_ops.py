@@ -354,3 +354,62 @@ def test_training_corpus_manifest_end_to_end(spark):
         ss.sort()
         assert ss[0][0] == 0 and ss[-1][1] == n_tok[d]
         assert all(a[1] == b[0] for a, b in zip(ss, ss[1:])), "span gap/overlap"
+
+
+def _disjoint_head_corpus(spark, n_docs: int = 200):
+    """Head bigrams (a0,b0)..(a3,b3) with per-doc UNIQUE separator
+    tokens between them, so a merged token can never form a
+    high-count pair with its neighbor — the case where batching is
+    provably equivalent to classic BPE."""
+    rows = []
+    for i in range(n_docs):
+        parts = [f"a0 b0 u{i}p"]
+        if i % 2 == 0:
+            parts.append(f"a1 b1 u{i}q")
+        if i % 4 == 0:
+            parts.append(f"a2 b2 u{i}r")
+        if i % 8 == 0:
+            parts.append(f"a3 b3 u{i}s")
+        rows.append((i, " ".join(parts)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_batch_merges_match_classic_on_disjoint_heads(spark):
+    """With pairwise-disjoint head pairs separated by unique noise
+    tokens, batch selection must learn exactly the classic rule list
+    — in 1 driver round instead of 4 — and produce the identical
+    token frame. (On corpora where a merged token immediately forms a
+    dominant new pair, classic and batch legitimately diverge — the
+    documented batching semantics; see _select_noninterfering.)"""
+    docs = _disjoint_head_corpus(spark)
+    m1, f1 = bpe._bpe_run(docs, n_merges=4, batch_merges=1)
+    m4, f4 = bpe._bpe_run(docs, n_merges=4, batch_merges=4)
+    assert [(l, r) for l, r, _ in m4] == [(l, r) for l, r, _ in m1]
+    assert [(l, r) for l, r, _ in m1] == [
+        ("a0", "b0"), ("a1", "b1"), ("a2", "b2"), ("a3", "b3")
+    ]
+    a = sorted((r.doc_id, tuple(r.toks)) for r in f1.collect())
+    b = sorted((r.doc_id, tuple(r.toks)) for r in f4.collect())
+    assert a == b
+    f1.unpersist()
+    f4.unpersist()
+
+
+def test_bpe_batch_defers_interfering_pairs(spark):
+    """When the top-2 pairs share a token, the batch applies only the
+    best and defers the other to the next recount — two interfering
+    rules are never applied from one count snapshot."""
+    # (b,c) has count 50 (> (a,b)=40) and shares token b with (a,b)
+    rows = [(i, "a b c x" + str(i)) for i in range(40)] + [
+        (100 + i, "b c y" + str(i)) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.left_tok, r.right_tok)
+        for r in bpe.bpe_vocab(docs, n_merges=2, batch_merges=2).collect()
+    ]
+    assert got[0] == ("b", "c")
+    # (a,b) must NOT have been applied from the same snapshot: after
+    # the (b,c) merge there are no "a b" adjacencies left, so the
+    # recount picks (a, b+c) — the deferred-and-recounted answer.
+    assert got[1] == ("a", "b+c")
