@@ -73,13 +73,55 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _parse_jpeg_dims(payload: bytes):
+    """Walk JFIF marker segments to the SOF frame header — JPEG
+    dimensions live BEFORE any entropy-coded data (public ITU T.81
+    layout), so no decoder is needed: segments are [0xFF marker
+    len_be16 data], length includes its own 2 bytes; SOF0..SOF15 are
+    0xC0..0xCF except DHT(C4)/JPG(C8)/DAC(CC), payload = precision u8,
+    height u16be, width u16be. Returns (w, h) or None."""
+    n = len(payload)
+    i = 2  # past SOI
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None  # desynchronized — not a valid marker stream
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8,) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9 or marker == 0xDA:
+            return None  # EOI / start-of-scan reached without a SOF
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 7:
+                return None
+            h = int.from_bytes(payload[i + 5 : i + 7], "big")
+            w = int.from_bytes(payload[i + 7 : i + 9], "big")
+            return (w, h) if w > 0 and h > 0 else None
+        i += 2 + seg_len
+    return None
+
+
 def _parse_image_header(payload: bytes):
     """Pure-stdlib REAL header decode for the formats whose dimensions
     live in a fixed/parseable header — PNG (IHDR), BMP (BITMAPINFO),
-    and binary PPM/PGM (P6/P5 ASCII header). No third-party codec
-    needed, so this path works in every environment; container formats
-    needing full decoders (JPEG entropy-coded, WebP VP8) fall through
-    to Pillow. Returns (width, height) or None if unrecognized."""
+    binary PPM/PGM (P6/P5 ASCII header), JPEG (SOF frame header — the
+    dimensions precede all entropy-coded data) and GIF (logical screen
+    descriptor). No third-party codec needed, so this path works in
+    every environment; the remaining containers (WebP VP8 bitstream
+    dims, AVIF boxes) fall through to Pillow. Returns (width, height)
+    or None if unrecognized."""
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        return _parse_jpeg_dims(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return (w, h) if w > 0 and h > 0 else None
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
         return (
             int.from_bytes(payload[16:20], "big"),

@@ -413,3 +413,54 @@ def test_bpe_batch_defers_interfering_pairs(spark):
     # the (b,c) merge there are no "a b" adjacencies left, so the
     # recount picks (a, b+c) — the deferred-and-recounted answer.
     assert got[1] == ("a", "b+c")
+
+
+def _minimal_jpeg(w: int, h: int, progressive: bool = False) -> bytes:
+    """Hand-assembled JFIF header stream: SOI, APP0, DQT stub, SOFn
+    with the given dims, then SOS (no entropy data needed — dims
+    precede it)."""
+    import struct
+
+    sof_marker = 0xC2 if progressive else 0xC0
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+    sof = (
+        bytes([0xFF, sof_marker])
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x11\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
+    return b"\xff\xd8" + app0 + dqt + sof + sos
+
+
+def test_jpeg_gif_header_dims(spark):
+    """JPEG dims parse from the SOF marker (baseline AND progressive)
+    with zero entropy decoding; GIF from the logical screen
+    descriptor; both run through the real distributed decode path."""
+    import struct
+
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_image_header,
+        image_metadata,
+    )
+
+    assert _parse_image_header(_minimal_jpeg(640, 480)) == (640, 480)
+    assert _parse_image_header(_minimal_jpeg(31, 7, progressive=True)) == (31, 7)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert _parse_image_header(gif) == (320, 200)
+    # truncated JPEG (cut before the SOF) must return None, not garbage
+    assert _parse_image_header(_minimal_jpeg(640, 480)[:8]) is None
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_minimal_jpeg(800, 600)), "s"),
+            (2, "image", bytearray(gif), "s"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in image_metadata(media, fake=False).collect()}
+    assert (rows[1].width, rows[1].height) == (800, 600)
+    assert (rows[2].width, rows[2].height) == (320, 200)
