@@ -122,6 +122,28 @@ def _parse_image_header(payload: bytes):
         w = int.from_bytes(payload[6:8], "little")
         h = int.from_bytes(payload[8:10], "little")
         return (w, h) if w > 0 and h > 0 else None
+    if (
+        payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+        and len(payload) >= 30
+    ):
+        # All three WebP variants put dimensions in fixed header bits
+        # (public container spec) — no VP8 decode needed:
+        fmt = payload[12:16]
+        if fmt == b"VP8X":  # extended: 24-bit LE canvas minus-one dims
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return (w, h)
+        if fmt == b"VP8 " and payload[23:26] == b"\x9d\x01\x2a":
+            # lossy: 3-byte frame tag then start code, 14-bit LE dims
+            w = int.from_bytes(payload[26:28], "little") & 0x3FFF
+            h = int.from_bytes(payload[28:30], "little") & 0x3FFF
+            return (w, h) if w > 0 and h > 0 else None
+        if fmt == b"VP8L" and payload[20] == 0x2F:
+            # lossless: packed 14+14-bit minus-one dims after signature
+            bits = int.from_bytes(payload[21:25], "little")
+            return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        return None  # unknown WebP variant → Pillow
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
         return (
             int.from_bytes(payload[16:20], "big"),
@@ -189,9 +211,11 @@ def _parse_wav_header(payload: bytes):
 def _decode_image_impl(payload: bytes, fake: bool):
     """Codec hook. ``fake=True`` → deterministic md5-derived dims
     (reproducible tests, SQL-mirrorable oracle). ``fake=False`` →
-    REAL decode: the pure-stdlib header parser covers PNG/BMP/PPM in
-    any environment; Pillow (requirements-extra.txt) extends coverage
-    to entropy-coded formats; anything else raises loudly."""
+    REAL decode: the pure-stdlib header parser covers
+    PNG/BMP/PPM/JPEG/GIF/WebP (dims never require entropy decoding in
+    any of them) in any environment; Pillow (requirements-extra.txt)
+    extends coverage to the rest (AVIF/TIFF/...); anything else raises
+    loudly."""
     if not fake:
         dims = _parse_image_header(payload)
         if dims is not None:
@@ -203,7 +227,7 @@ def _decode_image_impl(payload: bytes, fake: bool):
         except ImportError as exc:
             raise NotImplementedError(
                 "unrecognized image format and Pillow not installed; "
-                "PNG/BMP/PPM decode needs no library — for other "
+                "PNG/BMP/PPM/JPEG/GIF/WebP need no library — for other "
                 "formats install Pillow (requirements-extra.txt) or "
                 "pass fake=True"
             ) from exc

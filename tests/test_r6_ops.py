@@ -464,3 +464,30 @@ def test_jpeg_gif_header_dims(spark):
     rows = {r.media_id: r for r in image_metadata(media, fake=False).collect()}
     assert (rows[1].width, rows[1].height) == (800, 600)
     assert (rows[2].width, rows[2].height) == (320, 200)
+
+
+def test_webp_header_dims():
+    """All three WebP variants: VP8X (24-bit canvas), VP8 lossy
+    (start-code + 14-bit dims), VP8L lossless (packed bits)."""
+    import struct
+
+    from myodish_peak_analysis_spark.llm.multimodal import _parse_image_header
+
+    def riff(fmt: bytes, chunk: bytes) -> bytes:
+        body = b"WEBP" + fmt + struct.pack("<I", len(chunk)) + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    vp8x = bytes([0x02, 0, 0, 0]) + (639).to_bytes(3, "little") + (
+        479
+    ).to_bytes(3, "little")
+    assert _parse_image_header(riff(b"VP8X", vp8x)) == (640, 480)
+
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
+    assert _parse_image_header(riff(b"VP8 ", vp8 + b"\x00" * 8)) == (320, 240)
+
+    bits = (99 - 1) | ((77 - 1) << 14)
+    vp8l = b"\x2f" + bits.to_bytes(4, "little")
+    assert _parse_image_header(riff(b"VP8L", vp8l + b"\x00" * 8)) == (99, 77)
+
+    # unknown variant falls through (None → Pillow/raise path)
+    assert _parse_image_header(riff(b"ANMF", b"\x00" * 16)) is None
