@@ -237,12 +237,38 @@ def _decode_image_impl(payload: bytes, fake: bool):
     return (int(h[:4], 16) % 1920 + 1, int(h[4:8], 16) % 1080 + 1)
 
 
+def _parse_flac_header(payload: bytes):
+    """Pure-stdlib FLAC parse: the mandatory first STREAMINFO metadata
+    block (public format spec) carries everything duration needs — no
+    audio-frame decode. Layout after the 'fLaC' magic: 1-byte block
+    header (last-flag + type, type 0 = STREAMINFO), 3-byte BE length,
+    then 34 bytes of which bytes 10..17 pack sample_rate (20 bits),
+    channels-1 (3), bits_per_sample-1 (5), total_samples (36).
+    Returns (duration_s, sample_rate) or None."""
+    if payload[:4] != b"fLaC" or len(payload) < 4 + 4 + 18:
+        return None
+    if payload[4] & 0x7F != 0:  # first block must be STREAMINFO
+        return None
+    block_len = int.from_bytes(payload[5:8], "big")
+    if block_len < 34 or len(payload) < 8 + block_len:
+        return None
+    packed = int.from_bytes(payload[8 + 10 : 8 + 18], "big")
+    rate = packed >> 44
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        return None  # spec: 0 is invalid
+    return (total / rate, rate)
+
+
 def _decode_audio_impl(payload: bytes, fake: bool):
-    """Codec hook; real path = the pure-stdlib RIFF/WAVE parser (any
-    environment), soundfile (requirements-extra.txt) for compressed
-    formats, else NotImplementedError."""
+    """Codec hook; real path = the pure-stdlib RIFF/WAVE and FLAC
+    STREAMINFO parsers (any environment), soundfile
+    (requirements-extra.txt) for the remaining compressed formats
+    (MP3/OGG), else NotImplementedError."""
     if not fake:
         meta = _parse_wav_header(payload)
+        if meta is None:
+            meta = _parse_flac_header(payload)
         if meta is not None:
             return meta
         try:

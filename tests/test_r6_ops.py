@@ -491,3 +491,29 @@ def test_webp_header_dims():
 
     # unknown variant falls through (None → Pillow/raise path)
     assert _parse_image_header(riff(b"ANMF", b"\x00" * 16)) is None
+
+
+def test_flac_streaminfo_duration(spark):
+    """FLAC duration from the mandatory STREAMINFO block — no frame
+    decode; runs through the distributed audio path."""
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_flac_header,
+        audio_metadata,
+    )
+
+    def flac(rate: int, total: int) -> bytes:
+        packed = (rate << 44) | (1 << 41) | (15 << 36) | total
+        info = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+        return b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+    dur, sr = _parse_flac_header(flac(44100, 44100 * 3))
+    assert (dur, sr) == (3.0, 44100)
+    assert _parse_flac_header(b"fLaC" + b"\x00" * 4) is None  # truncated
+    assert _parse_flac_header(flac(0, 100)) is None  # invalid rate
+
+    media = spark.createDataFrame(
+        [(9, "audio", bytearray(flac(16000, 8000)), "s")], MEDIA_SCHEMA
+    )
+    row = audio_metadata(media, fake=False).collect()[0]
+    assert (row.duration_s, row.sample_rate) == (0.5, 16000)
