@@ -103,6 +103,7 @@ _ROTATE_FIRST = [
     "quality_prune",
     "ivf_sq8_topk",
     "training_corpus_manifest",
+    "priority_ship_latency",
     "hybrid_neardup",
     "bpe_vocab",
     "bpe_encode",
@@ -142,11 +143,11 @@ _ROTATE_FIRST = [
     "user_value_median",
     "latency_percentiles",
     "user_event_pivot",
-    "user_value_zscores",
 ]
 _ROTATE_LAST = [
     # newest driver row is r4, displaced by the 50-cap; first rotation
     # candidates for round 7:
+    "user_value_zscores",
     "pricing_summary",
     "top_revenue_orders",
     "nation_revenue",
@@ -268,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_pivot": _q.q_user_event_pivot,
         "user_value_zscores": _q.q_user_value_zscores,
         "pricing_summary": _q.q_pricing_summary,
+        "priority_ship_latency": _q.q_priority_ship_latency,
         "top_revenue_orders": _q.q_top_revenue_orders,
         "nation_revenue": _q.q_nation_revenue,
         "large_order_customers": _q.q_large_order_customers,
@@ -331,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_pivot": _analytics.user_event_pivot_sql(),
         "user_value_zscores": _analytics.user_value_zscores_sql(),
         "pricing_summary": _relational.pricing_summary_sql(),
+        "priority_ship_latency": _relational.priority_ship_latency_sql(),
         "top_revenue_orders": _relational.segment_revenue_topk_sql(),
         "nation_revenue": _relational.nation_revenue_sql(),
         "large_order_customers": _relational.large_order_customers_sql(),

@@ -1122,3 +1122,61 @@ def small_quantity_revenue_sql(brand: str = "Brand#23", frac: float = 0.2) -> st
     FROM lines s JOIN avg_qty a ON a.l_partkey = s.l_partkey
     WHERE CAST(s._qty_c AS DOUBLE) < {frac} * a._avg_c
     """
+
+
+def priority_ship_latency(
+    orders: DataFrame, lineitem: DataFrame, on_time_days: int = 30
+) -> DataFrame:
+    """TPC-H Q12-flavored shipping-SLA rollup on the harness schema
+    (which carries no shipmode/commitdate — priority plays Q12's
+    grouping role): per order priority, lines shipped within
+    ``on_time_days`` of the order date vs later, plus the mean latency.
+
+    Scale: the fact⋈fact join keys on orderkey (both sides huge, AQE
+    hash join); the aggregate is map-side combinable down to
+    #priorities rows. All-integer epoch-day arithmetic; the single
+    AVG division is the only double (identical IEEE in both engines).
+    """
+    o = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        _epoch_day("o_orderdate").alias("_od"),
+    )
+    li = lineitem.select(
+        "l_orderkey", _epoch_day("l_shipdate").alias("_sd")
+    )
+    lat = F.col("_sd") - F.col("_od")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(lat <= on_time_days, 1).otherwise(0))
+            .cast("long")
+            .alias("on_time_lines"),
+            F.sum(F.when(lat > on_time_days, 1).otherwise(0))
+            .cast("long")
+            .alias("late_lines"),
+            F.round(F.avg(lat), 6).alias("avg_latency_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def priority_ship_latency_sql(on_time_days: int = 30) -> str:
+    return f"""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN lat <= {on_time_days} THEN 1 ELSE 0 END)::BIGINT
+               AS on_time_lines,
+           SUM(CASE WHEN lat > {on_time_days} THEN 1 ELSE 0 END)::BIGINT
+               AS late_lines,
+           ROUND(AVG(lat), 6) AS avg_latency_days
+    FROM (
+        SELECT o.o_orderpriority,
+               datediff('day', DATE '1970-01-01', l.l_shipdate::DATE)
+               - datediff('day', DATE '1970-01-01', o.o_orderdate::DATE)
+                   AS lat
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) t
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """

@@ -387,6 +387,17 @@ def q_user_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_median(read_table(spark, sf_dir, "events"))
 
 
+def q_priority_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-flavored shipping-SLA rollup: on-time vs late lines per
+    order priority (fact⋈fact orderkey join, map-side-combined agg)."""
+    from .operators.relational import priority_ship_latency
+
+    return priority_ship_latency(
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped wide aggregate over lineitem, integer-cent exact."""
     from .operators.relational import pricing_summary

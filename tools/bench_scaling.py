@@ -186,7 +186,21 @@ def _docs_ops():
             "containment_pairs",
             lambda d, _n: _timed_build(lambda: dedup.containment_pairs(d)),
         ),
+        # the composed nightly build end-to-end: canonical dedup →
+        # quality prune → leakage-safe train selection → pack spans
+        (
+            "training_corpus_manifest",
+            lambda d, _n: _timed_build(
+                lambda: _curate_mod().training_corpus_manifest(d)
+            ),
+        ),
     )
+
+
+def _curate_mod():
+    from myodish_peak_analysis_spark.llm import curate
+
+    return curate
 
 
 def _text_mod():
