@@ -623,8 +623,29 @@ def blocklist_filter_bloom(
     return clean.unionByName(verified).drop("_bl_hash", "_bkt")
 
 
+def corpus_band_index(corpus: DataFrame) -> DataFrame:
+    """Materialize the corpus's MinHash band keys as a persisted index
+    frame — the cross-batch asset :func:`incremental_neardup`'s
+    docstring promises: maintain this once per ingest (at 100 TB, as a
+    bucketed table on (band, band_key)) and probe it with every new
+    batch instead of recomputing corpus signatures per call. Returns
+    (corpus_doc_id, band, band_key), persisted and materialized."""
+    from pyspark import StorageLevel
+
+    idx = (
+        minhash_band_keys(minhash_signatures(corpus))
+        .select(F.col("doc_id").alias("corpus_doc_id"), "band", "band_key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    idx.count()
+    return idx
+
+
 def incremental_neardup(
-    new_docs: DataFrame, corpus: DataFrame, min_jaccard: float = 0.5
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    min_jaccard: float = 0.5,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup: screen an incoming batch against the
     EXISTING corpus without re-running global dedup — the daily-crawl
@@ -637,12 +658,21 @@ def incremental_neardup(
     batches; the new batch's keys are computed fresh and are the small
     probing side). The exact Jaccard verify touches candidate pairs
     only. Output: (new_doc_id, corpus_doc_id, jaccard ≥ min_jaccard).
+
+    ``corpus_index``: a prematerialized :func:`corpus_band_index` —
+    the fit-once/probe-many overload (same pattern as the prefit ANN
+    index): successive daily batches skip the corpus-side MinHash
+    recompute entirely, paying only their own keys + the band join.
     """
     new_keys = minhash_band_keys(minhash_signatures(new_docs)).select(
         F.col("doc_id").alias("new_doc_id"), "band", "band_key"
     )
-    corpus_keys = minhash_band_keys(minhash_signatures(corpus)).select(
-        F.col("doc_id").alias("corpus_doc_id"), "band", "band_key"
+    corpus_keys = (
+        corpus_index
+        if corpus_index is not None
+        else minhash_band_keys(minhash_signatures(corpus)).select(
+            F.col("doc_id").alias("corpus_doc_id"), "band", "band_key"
+        )
     )
     cand = (
         new_keys.join(corpus_keys, ["band", "band_key"])

@@ -517,3 +517,26 @@ def test_flac_streaminfo_duration(spark):
     )
     row = audio_metadata(media, fake=False).collect()[0]
     assert (row.duration_s, row.sample_rate) == (0.5, 16000)
+
+
+def test_incremental_neardup_corpus_index_parity(spark):
+    """The prematerialized corpus band index must produce exactly the
+    ad-hoc result — the daily-batch amortization contract."""
+    from myodish_peak_analysis_spark.llm import dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corp = docs.filter(F.col("doc_id") % 10 != 0)
+    adhoc = sorted(
+        (r.new_doc_id, r.corpus_doc_id, r.jaccard)
+        for r in dedup.incremental_neardup(new, corp).collect()
+    )
+    idx = dedup.corpus_band_index(corp)
+    indexed = sorted(
+        (r.new_doc_id, r.corpus_doc_id, r.jaccard)
+        for r in dedup.incremental_neardup(
+            new, corp, corpus_index=idx
+        ).collect()
+    )
+    assert indexed == adhoc and adhoc
+    idx.unpersist()
