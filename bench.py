@@ -114,6 +114,19 @@ def main() -> None:
             _attrs_cache["df"] = a
         return peak_averages(_attrs_cache["df"])
 
+    _corpus_idx: dict[str, object] = {}
+
+    def _indexed_incremental():
+        if "idx" not in _corpus_idx:
+            _corpus_idx["idx"] = dedup.corpus_band_index(
+                docs.filter(F.col("doc_id") % 10 != 0)
+            )
+        return dedup.incremental_neardup(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+            corpus_index=_corpus_idx["idx"],
+        )
+
     _ivf_pq_idx: dict[str, object] = {}
 
     def _prefit_ivf_pq_search():
@@ -258,6 +271,11 @@ def main() -> None:
             docs.filter(F.col("doc_id") % 10 == 0),
             docs.filter(F.col("doc_id") % 10 != 0),
         ),
+        # the amortized daily-batch path: the corpus band index is
+        # built on the first rep (inside the timed region, like the
+        # prefit ANN pattern); best-of-3 records what every later
+        # batch pays — its own keys + the band join.
+        "incremental_neardup_indexed": _indexed_incremental,
         "token_entropy": lambda: text.token_entropy(docs),
         "mad_outliers": lambda: mad_outliers(
             read_table(spark, SF_DIR, "events")
