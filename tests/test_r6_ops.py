@@ -540,3 +540,46 @@ def test_incremental_neardup_corpus_index_parity(spark):
     )
     assert indexed == adhoc and adhoc
     idx.unpersist()
+
+
+def test_abf2_section_map_roundtrip_property():
+    """Property: for random (n_samples, n_channels, rate) the ABF2
+    writer/reader round-trip preserves shape and rate (float32 path;
+    the int16 path's error bound is covered by its own test)."""
+    import numpy as np
+
+    from myodish_peak_analysis_spark.sources.abf import read_abf2, write_abf2
+
+    rng = np.random.default_rng(3)
+    import tempfile
+
+    for _ in range(10):
+        n = int(rng.integers(4, 200))
+        c = int(rng.integers(1, 9))
+        rate = float(rng.integers(50, 50000))
+        data = rng.normal(size=(n, c))
+        with tempfile.NamedTemporaryFile(suffix=".abf2") as f:
+            write_abf2(f.name, data, rate)
+            frames, got = read_abf2(f.name)
+        assert len(frames) == c and len(frames[0]) == n
+        assert abs(got - rate) / rate < 1e-5
+        np.testing.assert_allclose(
+            frames[0]["signal_value"].to_numpy(), data[:, 0], atol=1e-6
+        )
+
+
+def test_webp_vp8l_dim_bit_packing_property():
+    """Property: VP8L's packed 14+14-bit minus-one dims decode
+    correctly for arbitrary dims in range."""
+    import struct
+
+    from myodish_peak_analysis_spark.llm.multimodal import _parse_image_header
+
+    def riff(chunk: bytes) -> bytes:
+        body = b"WEBP" + b"VP8L" + struct.pack("<I", len(chunk)) + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for w, h in ((1, 1), (16383, 16383), (1920, 1080), (7, 16000)):
+        bits = (w - 1) | ((h - 1) << 14)
+        payload = riff(b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 8)
+        assert _parse_image_header(payload) == (w, h)
