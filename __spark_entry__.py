@@ -104,6 +104,8 @@ _ROTATE_FIRST = [
     "ivf_sq8_topk",
     "training_corpus_manifest",
     "priority_ship_latency",
+    "dedup_report",
+    "vocab_coverage",
     "hybrid_neardup",
     "bpe_vocab",
     "bpe_encode",
@@ -141,12 +143,12 @@ _ROTATE_FIRST = [
     "range_pairs",
     "json_props",
     "user_value_median",
-    "latency_percentiles",
-    "user_event_pivot",
 ]
 _ROTATE_LAST = [
     # newest driver row is r4, displaced by the 50-cap; first rotation
     # candidates for round 7:
+    "latency_percentiles",
+    "user_event_pivot",
     "user_value_zscores",
     "pricing_summary",
     "top_revenue_orders",

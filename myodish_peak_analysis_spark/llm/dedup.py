@@ -813,3 +813,63 @@ def canonical_corpus(docs: DataFrame) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .select("doc_id", "cluster_id", "lang", "source", "n_chars")
     )
+
+
+def dedup_report(docs: DataFrame) -> DataFrame:
+    """One-row corpus dedup PROFILE — the executive summary a curation
+    run logs before and after: document count, exact-distinct texts,
+    exact-dup surplus, near-dup family stats (count of multi-member
+    families, docs inside them, largest family) from
+    :func:`dedup_clusters`' connected components.
+
+    Scale: one md5-keyed aggregate + the banded cluster machinery
+    (measured decades in docs/PLANS.md) + two tiny rollups broadcast
+    into a single row; nothing here adds a new heavy stage.
+    """
+    exact = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+    ).withColumn(
+        "exact_dup_docs", F.col("n_docs") - F.col("n_distinct_texts")
+    )
+    sizes = (
+        dedup_clusters(docs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+    )
+    fam = sizes.agg(
+        F.sum(F.when(F.col("_sz") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("neardup_families"),
+        F.sum(F.when(F.col("_sz") > 1, F.col("_sz")).otherwise(0))
+        .cast("long")
+        .alias("neardup_family_docs"),
+        F.max("_sz").cast("long").alias("largest_family"),
+    )
+    return exact.crossJoin(F.broadcast(fam))
+
+
+def dedup_report_sql(dedup_clusters_sql: str) -> str:
+    """DuckDB mirror: the clusters recursive CTE as a subquery plus the
+    same two rollups."""
+    return f"""
+    WITH cl AS ({dedup_clusters_sql}),
+    sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY cluster_id),
+    fam AS (
+        SELECT CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS neardup_families,
+               CAST(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+                   AS neardup_family_docs,
+               CAST(MAX(sz) AS BIGINT) AS largest_family
+        FROM sizes
+    ),
+    ex AS (
+        SELECT COUNT(*)::BIGINT AS n_docs,
+               COUNT(DISTINCT md5(text))::BIGINT AS n_distinct_texts
+        FROM documents
+    )
+    SELECT n_docs, n_distinct_texts,
+           n_docs - n_distinct_texts AS exact_dup_docs,
+           neardup_families, neardup_family_docs, largest_family
+    FROM ex CROSS JOIN fam
+    """

@@ -1230,3 +1230,11 @@ from .sampling import HASH_MULTIPLIER as _HM  # noqa: E402
 ORACLES["training_corpus_manifest"] = _tcm_sql(
     ORACLES["canonical_corpus"], ORACLES["quality_score"], _HM
 )
+
+from .dedup import dedup_report_sql as _dr_sql  # noqa: E402
+
+ORACLES["dedup_report"] = _dr_sql(ORACLES["dedup_clusters"])
+
+from .text import vocab_coverage_sql as _vc_sql  # noqa: E402
+
+ORACLES["vocab_coverage"] = _vc_sql()

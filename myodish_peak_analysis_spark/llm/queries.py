@@ -428,6 +428,24 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["remove_dup_spans"] = q_remove_dup_spans
 
 
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dedup profile: doc/distinct counts, exact-dup
+    surplus, near-dup family stats from the connected components."""
+    return dedup.dedup_report(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["dedup_report"] = q_dedup_report
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rate against the corpus top-100 vocabulary —
+    the tokenizer-fit-by-domain report."""
+    return text.vocab_coverage(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["vocab_coverage"] = q_vocab_coverage
+
+
 def q_training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END nightly build in one lazy plan: canonical near-dup
     corpus -> per-source quality prune -> leakage-safe train selection

@@ -1267,3 +1267,60 @@ def quality_prune_sql(quality_score_sql: str, keep_permille: int = 700) -> str:
     FROM ranked
     WHERE src_rank <= CEIL(src_n * {keep_permille} / 1000.0)
     """
+
+
+def vocab_coverage(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
+    """Per-source tokenizer-fit report: what fraction of token
+    OCCURRENCES falls outside the corpus top-``vocab_size`` vocabulary
+    (the OOV rate a fixed vocab of that size would pay, by domain) —
+    the signal that decides whether a source needs its own vocabulary
+    or a bigger shared one.
+
+    Scale: one map-side-combinable corpus count, a distributed
+    TakeOrdered for the top-V, then a broadcast membership join and a
+    per-source aggregate — text never shuffles.
+    """
+    toks = docs.select("source", F.explode(F.expr(_TOKENS)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    top = (
+        counts.orderBy(F.col("_cnt").desc(), F.col("tok").asc())
+        .limit(int(vocab_size))
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(top), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+        .orderBy("source")
+    )
+
+
+def vocab_coverage_sql(vocab_size: int = 100) -> str:
+    tk = "string_split(text, ' ')"
+    return f"""
+    WITH toks AS (
+        SELECT source, unnest({tk}) AS tok
+        FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    top AS (
+        SELECT tok FROM counts
+        ORDER BY cnt DESC, tok ASC LIMIT {vocab_size}
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_tokens,
+           SUM(CASE WHEN top.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           ROUND(SUM(CASE WHEN top.tok IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks LEFT JOIN top ON toks.tok = top.tok
+    GROUP BY source
+    ORDER BY source
+    """
