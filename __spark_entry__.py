@@ -77,76 +77,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass records at most the FIRST 50 registered
-# queries (observed in rounds 1-5). With 116 registered entries,
-# ordering decides verification coverage. Round 6 front-loads (a) the
-# queries NEW or code/oracle-changed this round (the self-verifying
-# sketch_profile oracle, the prefit IVF×PQ search, the replanned
-# hybrid_neardup, the BPE trainer's reworked merge loop, the
-# new-parser-backed media_metadata) and (b) the 22 queries whose
-# newest driver row is r3 (VERDICT r5 "What's missing #5" — the core
-# peaks singles and early text family), then (c) fills the remaining
-# slots with the oldest r4 rows — 6 + 22 + 22 = 50, exactly the
-# driver's cap. Everything displaced was hash-green in the r5 driver
-# window or local sweep and is re-verified at HEAD by this round's
-# full local sweep (docs/CORRECTNESS_LOCAL_r6.md).
+# queries (observed in rounds 1-6). With 129 registered entries,
+# ordering decides verification coverage. Round 7 front-loads
+# (a) the 2 queries whose module code changed this round (the BPE
+# batch-selection merged-token fix; the TIFF/MP3 stdlib parsers in
+# multimodal) and (b) the 34 queries whose newest driver row is r4 —
+# the VERDICT r6 "Next round #1" list — then (c) fills the remaining
+# 14 slots with the oldest r5 rows: 2 + 34 + 14 = 50, exactly the
+# driver's cap. After this round the staleness distribution is
+# r5:31 / r6:48 / r7:50 — every registered query's newest driver row
+# is >= r5. Everything displaced was hash-green in the r5/r6 driver
+# windows and is re-verified at HEAD by this round's full local sweep
+# (docs/CORRECTNESS_LOCAL_r7.md).
 _ROTATE_FIRST = [
-    # (a) new / code-or-oracle changed in round 6:
-    "sketch_profile",
-    "ivf_pq_topk_prefit",
-    "levenshtein_neardup",
-    "chunk_overlap",
-    "sq8_codes",
-    "sq8_topk",
-    "remove_dup_spans",
-    "containment_pairs",
-    "leakage_safe_split",
-    "quality_prune",
-    "ivf_sq8_topk",
-    "training_corpus_manifest",
-    "priority_ship_latency",
-    "dedup_report",
-    "vocab_coverage",
-    "hybrid_neardup",
+    # (a) module code changed in round 7:
     "bpe_vocab",
-    "bpe_encode",
     "media_metadata",
-    # (b) newest driver row is r3 — re-record (the r6 headline ask):
-    "crossing_points",
-    "curated_corpus",
-    "dedup_exact",
-    "diastolic",
-    "envelopes",
-    "extrema_flags",
-    "global_max",
-    "gopher_quality",
-    "lang_id",
-    "naive_peaks",
-    "peak_attributes",
-    "peak_averages",
-    "quality_score",
-    "raw_envelopes",
-    "signal_frame",
-    "smooth",
-    "stim_normalize",
-    "stim_peak_mean",
-    "text_stats",
-    "threshold_peaks",
-    "token_counts",
-    "vocab_top100",
-    # (c) newest driver row is r4 — next-oldest fill:
-    "session_stats",
-    "funnel_counts",
-    "cohort_retention",
-    "asof_view_before_purchase",
-    "value_histogram",
-    "corpus_rollup",
-    "range_pairs",
-    "json_props",
-    "user_value_median",
-]
-_ROTATE_LAST = [
-    # newest driver row is r4, displaced by the 50-cap; first rotation
-    # candidates for round 7:
+    # (b) newest driver row is r4 — the r6 headline rotation ask:
     "latency_percentiles",
     "user_event_pivot",
     "user_value_zscores",
@@ -181,8 +128,7 @@ _ROTATE_LAST = [
     "resample_ohlc",
     "fidelity_peaks",
     "fidelity_signal",
-    # verified in the r5 driver window (hash-green there, code
-    # unchanged since):
+    # (c) oldest r5 rows — next-oldest fill:
     "dup_span_fraction",
     "rp_project",
     "top_loss_customers",
@@ -197,6 +143,10 @@ _ROTATE_LAST = [
     "funnel_within",
     "canonical_corpus",
     "prototype_outliers",
+]
+_ROTATE_LAST = [
+    # newest driver row is r5, displaced by the 50-cap; first rotation
+    # candidates for round 8 (31 entries):
     "top_supplier_revenue",
     "small_quantity_revenue",
     "temperature_weights",
@@ -228,8 +178,56 @@ _ROTATE_LAST = [
     "returned_orders_by_priority",
     "per_source_profile",
     "constrained_peak_attributes",
+    # verified hash-green in the r6 driver window (freshest rows):
+    "sketch_profile",
+    "ivf_pq_topk_prefit",
+    "levenshtein_neardup",
+    "chunk_overlap",
+    "sq8_codes",
+    "sq8_topk",
+    "remove_dup_spans",
+    "containment_pairs",
+    "leakage_safe_split",
+    "quality_prune",
+    "ivf_sq8_topk",
+    "training_corpus_manifest",
+    "priority_ship_latency",
+    "dedup_report",
+    "vocab_coverage",
+    "hybrid_neardup",
+    "bpe_encode",
+    "crossing_points",
+    "curated_corpus",
+    "dedup_exact",
+    "diastolic",
+    "envelopes",
+    "extrema_flags",
+    "global_max",
+    "gopher_quality",
+    "lang_id",
+    "naive_peaks",
+    "peak_attributes",
+    "peak_averages",
+    "quality_score",
+    "raw_envelopes",
+    "signal_frame",
+    "smooth",
+    "stim_normalize",
+    "stim_peak_mean",
+    "text_stats",
+    "threshold_peaks",
+    "token_counts",
+    "vocab_top100",
+    "session_stats",
+    "funnel_counts",
+    "cohort_retention",
+    "asof_view_before_purchase",
+    "value_histogram",
+    "corpus_rollup",
+    "range_pairs",
+    "json_props",
+    "user_value_median",
 ]
-
 
 def _rotate(full: dict) -> dict:
     head = {k: full[k] for k in _ROTATE_FIRST if k in full}

@@ -100,21 +100,27 @@ def _select_noninterfering(rows, budget: int) -> list[tuple[str, str, int]]:
     disjoint merge cannot change another batch member's pair count —
     so applying the whole batch as chained folds in one projection
     equals applying those same rules in separate classic rounds.
-    Interfering pairs are deferred to the next recount. The one
-    remaining divergence from classic BPE is deliberate and inherent
-    to batching: a pair CREATED by an earlier batch member (involving
-    its merged token) cannot be picked until the next recount, whereas
-    classic BPE could pick it immediately — rule SETS can therefore
-    differ when fresh merged-token pairs would outrank pre-merge
-    pairs; the batch=1 default has no such divergence."""
+    Interfering pairs are deferred to the next recount. The MERGED
+    output token of each selected pair (``l+'+'+r``) is also marked
+    used: if that token string already exists in the corpus (from an
+    earlier round's merge), applying (l, r) mints new copies of it, so
+    any candidate touching it has a stale count and must wait for the
+    recount. The one remaining divergence from classic BPE is
+    deliberate and inherent to batching: a pair CREATED by an earlier
+    batch member (involving its merged token) cannot be picked until
+    the next recount, whereas classic BPE could pick it immediately —
+    rule SETS can therefore differ when fresh merged-token pairs would
+    outrank pre-merge pairs; the batch=1 default has no such
+    divergence."""
     out: list[tuple[str, str, int]] = []
     used: set[str] = set()
     for row in rows:
         l, r = row["l"], row["r"]
-        if l in used or r in used:
+        merged = l + "+" + r
+        if l in used or r in used or merged in used:
             continue
         out.append((l, r, int(row["n"])))
-        used.update((l, r))
+        used.update((l, r, merged))
         if len(out) >= budget:
             break
     return out

@@ -113,6 +113,7 @@ def abf_to_parquet(
 
 _ABF1_MAGIC = b"ABF "
 _ABF1_HEADER = 2048
+_OFF_FILE_VERSION = 4   # fFileVersionNumber float32 — gates ≥1.8 blocks
 _OFF_ACQ_LEN = 10       # lActualAcqLength  int32 — total samples (all chans)
 _OFF_DATA_PTR = 40      # lDataSectionPtr   int32 — in 512-byte blocks
 _OFF_DATA_FORMAT = 100  # nDataFormat       int16 — 0=int16, 1=float32
@@ -209,7 +210,20 @@ def read_abf1(path: str) -> tuple[list[pd.DataFrame], float]:
         inst_off = struct.unpack_from("<16f", raw, _OFF_INST_OFFSET)
         sig_gain = struct.unpack_from("<16f", raw, _OFF_SIGNAL_GAIN)
         sig_off = struct.unpack_from("<16f", raw, _OFF_SIGNAL_OFFSET)
-        has_telegraph = len(raw) >= _EXT_HEADER_MIN and data_ptr * 512 >= _EXT_HEADER_MIN
+        # The telegraph block only EXISTS in ABF >= 1.8 headers
+        # (pyabf gates on fFileVersionNumber the same way); a pre-1.8
+        # file whose data section merely starts past byte 4640 (synch/
+        # tag sections in between) would otherwise have arbitrary bytes
+        # read as nTelegraphEnable/fTelegraphAdditGain. The length
+        # checks stay as a secondary truncation guard.
+        version = struct.unpack_from("<f", raw, _OFF_FILE_VERSION)[0]
+        has_telegraph = (
+            # 1.7999 not 1.8: float32(1.8) rounds to 1.79999995…,
+            # which a Python-float >= 1.8 would wrongly reject.
+            version >= 1.7999
+            and len(raw) >= _EXT_HEADER_MIN
+            and data_ptr * 512 >= _EXT_HEADER_MIN
+        )
         tele_en = (
             struct.unpack_from("<16h", raw, _OFF_TELEGRAPH_ENABLE)
             if has_telegraph
@@ -317,6 +331,13 @@ def write_abf1_int16(
     data_block = (header_len + 511) // 512
     header = bytearray(data_block * 512)
     header[:4] = _ABF1_MAGIC
+    # version 1.83 when the >=1.8 telegraph block is written, 1.30 for
+    # the base 2048-byte header — the reader gates telegraph parsing on
+    # this field (see read_abf1).
+    struct.pack_into(
+        "<f", header, _OFF_FILE_VERSION,
+        1.83 if telegraph_gain is not None else 1.30,
+    )
     struct.pack_into("<i", header, _OFF_ACQ_LEN, n * c)
     struct.pack_into("<i", header, _OFF_DATA_PTR, data_block)
     struct.pack_into("<h", header, _OFF_DATA_FORMAT, 0)

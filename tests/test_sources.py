@@ -53,7 +53,10 @@ def test_abf_to_parquet_unknown_or_corrupt_fails_loudly(tmp_path):
 
     trunc = tmp_path / "trunc.abf"
     trunc.write_bytes(b"ABF2" + b"\x00" * 100)  # no section map
-    with pytest.raises((ValueError, Exception)):
+    # the specific contract, not just "some exception": an unintended
+    # struct.error/IndexError from reading past the buffer must FAIL
+    # this test, not pass it
+    with pytest.raises(ValueError, match="truncated"):
         abf_to_parquet(str(trunc), str(tmp_path / "o2.parquet"))
 
 
@@ -304,3 +307,72 @@ def test_abf2_corrupt_sections_raise(tmp_path):
 
     with pytest.raises(ValueError, match="not an ABF2"):
         read_abf2(__file__)
+
+
+def test_abf1_pre18_file_ignores_telegraph_region(tmp_path):
+    """ADVICE r6: a pre-1.8 ABF1 int16 file whose data section starts
+    past byte 4640 (synch/tag sections between header and data) must
+    NOT have those bytes read as a telegraph block — the reader gates
+    on fFileVersionNumber, with the length check only as a truncation
+    guard."""
+    import struct
+
+    import numpy as np
+
+    from myodish_peak_analysis_spark.sources.abf import (
+        read_abf1,
+        write_abf1_int16,
+    )
+
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=(64, 2))
+    base = str(tmp_path / "base.abf")
+    write_abf1_int16(base, data, 100.0)  # version 1.30, 2048-B header
+    raw = bytearray(open(base, "rb").read())
+    want, _ = read_abf1(base)
+
+    # move the data section to block 10 (byte 5120 > 4640) and fill
+    # the gap — including the would-be telegraph offsets — with bytes
+    # that decode as "telegraph enabled, additional gain 7.5"
+    moved = bytearray(raw[:2048]) + bytearray(5120 - 2048) + raw[2048:]
+    struct.pack_into("<i", moved, 40, 10)  # lDataSectionPtr → byte 5120
+    for a in range(16):
+        struct.pack_into("<h", moved, 4512 + 2 * a, 1)
+        struct.pack_into("<f", moved, 4576 + 4 * a, 7.5)
+    p = str(tmp_path / "pre18.abf")
+    open(p, "wb").write(bytes(moved))
+
+    got, _ = read_abf1(p)
+    for c in range(2):
+        assert np.array_equal(
+            got[c]["signal_value"].to_numpy(),
+            want[c]["signal_value"].to_numpy(),
+        ), "pre-1.8 reader applied garbage telegraph gain"
+
+    # flipping the version field to 1.83 on the SAME bytes must now
+    # apply the 7.5x telegraph divisor — proving the gate is the
+    # version field, not the layout
+    struct.pack_into("<f", moved, 4, 1.83)
+    p2 = str(tmp_path / "v18.abf")
+    open(p2, "wb").write(bytes(moved))
+    got2, _ = read_abf1(p2)
+    a = got2[0]["signal_value"].to_numpy()
+    b = want[0]["signal_value"].to_numpy()
+    assert not np.allclose(a, b), "version 1.83 should change the gain chain"
+
+
+def test_bpe_batch_skips_candidates_touching_prior_merged_token():
+    """ADVICE r6: a candidate whose token EQUALS an earlier batch
+    member's merged output (e.g. {(a,b), (a+b,c)} when 'a+b' already
+    exists from a prior round) has a stale count once (a,b) applies —
+    it must be deferred to the next recount."""
+    from myodish_peak_analysis_spark.llm.bpe import _select_noninterfering
+
+    rows = [
+        {"l": "a", "r": "b", "n": 10},
+        {"l": "a+b", "r": "c", "n": 8},   # touches (a,b)'s merged output
+        {"l": "d", "r": "a+b", "n": 7},   # ditto, on the right side
+        {"l": "x", "r": "y", "n": 5},
+    ]
+    got = _select_noninterfering(rows, budget=3)
+    assert got == [("a", "b", 10), ("x", "y", 5)]
