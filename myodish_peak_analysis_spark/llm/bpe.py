@@ -131,10 +131,13 @@ def _bpe_run(
     n_merges: int = BPE_MERGES,
     checkpoint_every: int = CHECKPOINT_EVERY,
     batch_merges: int = 1,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Run merge rounds until ``n_merges`` rules are learned; returns
     (merge rules, final token frame). The final frame remains persisted
-    (see module docstring).
+    (see module docstring). ``stats``, if given, receives
+    ``{"rounds": <driver rounds taken>}`` — the cost-curve tooling
+    reads it to report effective rules/round.
 
     ``batch_merges=B`` learns up to B NON-INTERFERING rules per driver
     round (see :func:`_select_noninterfering`) — driver actions drop
@@ -179,6 +182,8 @@ def _bpe_run(
             nxt.count()
         cur.unpersist()
         cur = nxt
+    if stats is not None:
+        stats["rounds"] = rnd
     return merges, cur
 
 

@@ -111,11 +111,12 @@ def _parse_image_header(payload: bytes):
     """Pure-stdlib REAL header decode for the formats whose dimensions
     live in a fixed/parseable header — PNG (IHDR), BMP (BITMAPINFO),
     binary PPM/PGM (P6/P5 ASCII header), JPEG (SOF frame header — the
-    dimensions precede all entropy-coded data) and GIF (logical screen
-    descriptor). No third-party codec needed, so this path works in
-    every environment; the remaining containers (WebP VP8 bitstream
-    dims, AVIF boxes) fall through to Pillow. Returns (width, height)
-    or None if unrecognized."""
+    dimensions precede all entropy-coded data), GIF (logical screen
+    descriptor), WebP (VP8X/VP8/VP8L fixed header bits) and TIFF
+    (first-IFD tag walk). No third-party codec needed, so this path
+    works in every environment; the remaining container (AVIF boxes)
+    falls through to Pillow. Returns (width, height) or None if
+    unrecognized."""
     if payload[:2] == b"\xff\xd8":  # JPEG SOI
         return _parse_jpeg_dims(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
@@ -163,6 +164,8 @@ def _parse_image_header(payload: bytes):
             h = int.from_bytes(payload[20:22], "little")
             return (w, h) if w > 0 and h > 0 else None
         return None  # unknown DIB variant: fall through to Pillow
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _parse_tiff_dims(payload)
     if payload[:2] in (b"P6", b"P5"):
         toks, i, n = [], 2, len(payload)
         while len(toks) < 2 and i < n:
@@ -181,6 +184,126 @@ def _parse_image_header(payload: bytes):
         if len(toks) == 2 and toks[0].isdigit() and toks[1].isdigit():
             return (int(toks[0]), int(toks[1]))
     return None
+
+
+def _parse_tiff_dims(payload: bytes):
+    """Pure-stdlib TIFF parse (public TIFF 6.0 spec): dimensions live
+    in the first IFD's ImageWidth (tag 256) / ImageLength (tag 257)
+    entries — a pure ``int.from_bytes`` walk, no sample decode. Both
+    byte orders ('II' little, 'MM' big) are handled; SHORT (type 3)
+    values sit left-justified in the 4-byte value field, LONG (type 4)
+    fills it. Returns (w, h) or None."""
+    n = len(payload)
+    if n < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+    ifd = int.from_bytes(payload[4:8], bo)
+    if ifd + 2 > n:
+        return None
+    n_entries = int.from_bytes(payload[ifd : ifd + 2], bo)
+    w = h = None
+    for e in range(n_entries):
+        off = ifd + 2 + e * 12
+        if off + 12 > n:
+            return None
+        tag = int.from_bytes(payload[off : off + 2], bo)
+        typ = int.from_bytes(payload[off + 2 : off + 4], bo)
+        if tag not in (256, 257):
+            continue
+        if typ == 3:  # SHORT, left-justified in the value field
+            val = int.from_bytes(payload[off + 8 : off + 10], bo)
+        elif typ == 4:  # LONG
+            val = int.from_bytes(payload[off + 8 : off + 12], bo)
+        else:
+            return None  # RATIONAL dims etc. — not a baseline TIFF
+        if tag == 256:
+            w = val
+        else:
+            h = val
+        if w is not None and h is not None:
+            return (w, h) if w > 0 and h > 0 else None
+    return None
+
+
+# public MPEG-1/2/2.5 audio frame-header tables (Layer index 1..3 =
+# Layer III..I as encoded in the header's layer bits):
+_MP3_RATES = {
+    3: (44100, 48000, 32000),    # MPEG1
+    2: (22050, 24000, 16000),    # MPEG2
+    0: (11025, 12000, 8000),     # MPEG2.5
+}
+_MP3_BITRATES_V1 = {
+    # layer bits → kbit/s by bitrate index (0 = free, 15 = bad)
+    3: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),  # Layer I
+    2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),     # Layer II
+    1: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),      # Layer III
+}
+_MP3_BITRATES_V2 = {
+    3: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),     # Layer I
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),          # Layer II
+    1: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),          # Layer III
+}
+
+
+def _parse_mp3_header(payload: bytes):
+    """Pure-stdlib MP3 duration: walk every frame HEADER (public
+    MPEG-1/2 audio spec) — each header states its own bitrate/
+    samplerate, so the frame length is computable and the payload is
+    SKIPPED, never entropy-decoded. Summing per-frame sample counts is
+    exact for both CBR and VBR streams (a CBR filesize shortcut would
+    be wrong for VBR). A leading ID3v2 tag (synchsafe length) is
+    skipped. Returns (duration_s, sample_rate_of_first_frame) or
+    None if no valid frame sequence is found."""
+    n = len(payload)
+    i = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        size = 0
+        for b in payload[6:10]:  # synchsafe: 7 bits per byte
+            if b & 0x80:
+                return None
+            size = (size << 7) | b
+        i = 10 + size
+    n_frames = 0
+    total_s = 0.0  # seconds, summed per-frame (each at its own rate)
+    first_rate = None
+    while i + 4 <= n:
+        b1, b2, b3 = payload[i], payload[i + 1], payload[i + 2]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            break  # desync: stop at trailing garbage/ID3v1
+        version = (b2 >> 3) & 0x3   # 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+        layer = (b2 >> 1) & 0x3     # 1=III, 2=II, 3=I
+        if version == 1 or layer == 0:
+            break  # reserved
+        bit_idx = (b3 >> 4) & 0xF
+        rate_idx = (b3 >> 2) & 0x3
+        padding = (b3 >> 1) & 0x1
+        if bit_idx in (0, 15) or rate_idx == 3:
+            break  # free-format/bad bitrate or reserved samplerate
+        rate = _MP3_RATES[version][rate_idx]
+        kbps = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[
+            layer
+        ][bit_idx]
+        if layer == 3:  # Layer I: slot = 4 bytes
+            samples = 384
+            frame_len = (12000 * kbps // rate + padding) * 4
+        else:  # Layers II/III: slot = 1 byte
+            samples = 1152 if (layer == 2 or version == 3) else 576
+            frame_len = samples // 8 * 1000 * kbps // rate + padding
+        if frame_len <= 4:
+            break
+        if first_rate is None:
+            first_rate = rate
+        n_frames += 1
+        total_s += samples / rate  # VBR-safe: per-frame rate
+        i += frame_len
+    if n_frames == 0 or first_rate is None:
+        return None
+    return (total_s, first_rate)
 
 
 def _parse_wav_header(payload: bytes):
@@ -212,10 +335,10 @@ def _decode_image_impl(payload: bytes, fake: bool):
     """Codec hook. ``fake=True`` → deterministic md5-derived dims
     (reproducible tests, SQL-mirrorable oracle). ``fake=False`` →
     REAL decode: the pure-stdlib header parser covers
-    PNG/BMP/PPM/JPEG/GIF/WebP (dims never require entropy decoding in
-    any of them) in any environment; Pillow (requirements-extra.txt)
-    extends coverage to the rest (AVIF/TIFF/...); anything else raises
-    loudly."""
+    PNG/BMP/PPM/JPEG/GIF/WebP/TIFF (dims never require entropy
+    decoding in any of them) in any environment; Pillow
+    (requirements-extra.txt) extends coverage to the rest (AVIF/...);
+    anything else raises loudly."""
     if not fake:
         dims = _parse_image_header(payload)
         if dims is not None:
@@ -261,14 +384,16 @@ def _parse_flac_header(payload: bytes):
 
 
 def _decode_audio_impl(payload: bytes, fake: bool):
-    """Codec hook; real path = the pure-stdlib RIFF/WAVE and FLAC
-    STREAMINFO parsers (any environment), soundfile
-    (requirements-extra.txt) for the remaining compressed formats
-    (MP3/OGG), else NotImplementedError."""
+    """Codec hook; real path = the pure-stdlib RIFF/WAVE, FLAC
+    STREAMINFO and MP3 frame-header parsers (any environment),
+    soundfile (requirements-extra.txt) for the remaining compressed
+    formats (OGG), else NotImplementedError."""
     if not fake:
         meta = _parse_wav_header(payload)
         if meta is None:
             meta = _parse_flac_header(payload)
+        if meta is None:
+            meta = _parse_mp3_header(payload)
         if meta is not None:
             return meta
         try:
@@ -278,7 +403,7 @@ def _decode_audio_impl(payload: bytes, fake: bool):
         except ImportError as exc:
             raise NotImplementedError(
                 "unrecognized audio format and soundfile not installed; "
-                "WAV decode needs no library — for other formats "
+                "WAV/FLAC/MP3 need no library — for other formats (OGG) "
                 "install soundfile (requirements-extra.txt) or pass "
                 "fake=True"
             ) from exc

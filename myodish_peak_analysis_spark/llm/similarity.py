@@ -131,23 +131,91 @@ def lsh_buckets(emb: DataFrame, n_planes: int | str | None = None) -> DataFrame:
 
 def _centroid_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest centroid per vector by cosine — broadcast the (tiny)
-    centroid table, rank per vector. Quantized + id-tie-broken for
-    determinism."""
+    centroid table, reduce per vector. Quantized + id-tie-broken for
+    determinism (ties in the 9-dp cosine go to the LOWEST centroid_id,
+    the same order the former row_number formulation used).
+
+    Plan shape (the round-7 ann_ivf_topk decade fix): the broadcast
+    crossJoin fans each vector out to N×k rows INSIDE its task, and
+    ``max_by`` is an aggregate, so partial aggregation collapses them
+    back to one row per vec_id BEFORE the exchange — the shuffle moves
+    N rows, not N×k. The previous window-rank formulation shuffled the
+    whole N×k joined frame (both embedding arrays attached): with
+    auto-k = √N that is an O(N^1.5)-row exchange, measured 169 s for
+    200k×447 (~49 GB shuffled) vs ~0.5 s for the N-row reduce."""
     joined = vecs.crossJoin(F.broadcast(centroids))
     cos = F.round(
         _dot("embedding", "c_emb") / (F.col("_norm") * F.col("c_norm")), 9
     )
-    ranked = joined.withColumn("_cos", cos).withColumn(
-        "_rk",
-        F.row_number().over(
-            Window.partitionBy("vec_id").orderBy(
-                F.col("_cos").desc(), F.col("centroid_id")
+    return (
+        joined.withColumn("_cos", cos)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("embedding", "_norm", "centroid_id"),
+                F.struct(
+                    F.col("_cos").alias("c"),
+                    (-F.col("centroid_id")).alias("nid"),
+                ),
+            ).alias("_b")
+        )
+        .select("vec_id", "_b.embedding", "_b._norm", "_b.centroid_id")
+    )
+
+
+#: Above this centroid count the Lloyd assign dispatches to the
+#: Arrow-batched BLAS kernel; at or below it the broadcast-join HOF
+#: route keeps the whole plan JVM-side. The oracle defaults (k = 16)
+#: and every sf0.01/sf0.1 auto-k (≤ 44) sit under it — registered
+#: query plans stay Python-free (tools/audit_plans.py gates that) —
+#: while the decade-scale fits (auto-k = √N > 64 ⇔ N > 4096) take the
+#: vectorized kernel, where the N·k·D flops dominate everything else.
+VECTORIZED_ASSIGN_MIN_K = 64
+
+
+def _centroid_assign_vectorized(vecs: DataFrame, cent_rows) -> DataFrame:
+    """Large-k twin of :func:`_centroid_assign`: one N·k·D dense
+    matmul per Arrow batch (numpy/BLAS) instead of N·k higher-order
+    fold evaluations. HOF lambdas evaluate interpreted per element —
+    measured 37 s for a single 200k×447×64 assign — while the same
+    flops are <1 s in BLAS; this is the FAISS-shaped division of
+    labor (Spark distributes the batches, a vectorized kernel does
+    the dense arithmetic). Same contract as the JVM route: cosine
+    quantized to 9 dp, ties to the LOWEST centroid_id (``argmax``
+    returns the first maximum and centroids are sorted by id) —
+    parity on real data is pinned by tests/test_r7_ops.py."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cent_rows, key=lambda r: r["centroid_id"])
+    C = np.array([r["c_emb"] for r in rows], dtype=np.float64)
+    cn = np.array([r["c_norm"] for r in rows], dtype=np.float64)
+    ids = np.array([r["centroid_id"] for r in rows], dtype=np.int32)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            cos = np.round(
+                (X @ C.T) / (pdf["_norm"].to_numpy()[:, None] * cn[None, :]), 9
             )
-        ),
+            out = pdf[["vec_id", "embedding", "_norm"]].copy()
+            out["centroid_id"] = ids[cos.argmax(axis=1)]
+            yield out
+
+    return vecs.mapInPandas(
+        fn, "vec_id bigint, embedding array<float>, _norm double, centroid_id int"
     )
-    return ranked.filter(F.col("_rk") == 1).select(
-        "vec_id", "embedding", "_norm", "centroid_id"
-    )
+
+
+def _assign(vecs: DataFrame, cent_rows, centroids: DataFrame) -> DataFrame:
+    """Route one Lloyd assign: JVM broadcast-join fold for small k
+    (whole plan stays codegen), BLAS kernel past
+    :data:`VECTORIZED_ASSIGN_MIN_K`."""
+    if len(cent_rows) > VECTORIZED_ASSIGN_MIN_K:
+        return _centroid_assign_vectorized(vecs, cent_rows)
+    return _centroid_assign(vecs, centroids)
 
 
 def ivf_index(
@@ -211,8 +279,9 @@ def _ivf_fit(
     )
     schema = "centroid_id int, c_emb array<float>, c_norm double"
     for _ in range(iters):
-        centroids = spark.createDataFrame(centroids.collect(), schema)
-        assigned = _centroid_assign(fit_base, centroids)
+        cent_rows = centroids.collect()
+        centroids = spark.createDataFrame(cent_rows, schema)
+        assigned = _assign(fit_base, cent_rows, centroids)
         dims = assigned.select(
             "centroid_id", F.posexplode("embedding").alias("dim", "x")
         )
@@ -229,8 +298,9 @@ def _ivf_fit(
         centroids = means.withColumn(
             "c_norm", F.sqrt(_dot("c_emb", "c_emb"))
         )
-    centroids = spark.createDataFrame(centroids.collect(), schema)
-    out = _centroid_assign(base, centroids)
+    cent_rows = centroids.collect()
+    centroids = spark.createDataFrame(cent_rows, schema)
+    out = _assign(base, cent_rows, centroids)
     # NO base.unpersist(): `out` is lazy and its full-corpus assignment
     # scan (the expensive consumer pass) still reads the cache —
     # releasing it here would force that pass to re-read from source.

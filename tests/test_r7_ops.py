@@ -1,0 +1,218 @@
+"""Round-7 additions: stdlib TIFF and MP3 header parsers (the last
+import-gated formats reachable without entropy decoding), and the
+structure-preserving embeddings replication behind the ANN scaling
+decades."""
+
+import struct
+
+import numpy as np
+import pytest
+
+
+# --- TIFF ------------------------------------------------------------
+
+
+def _minimal_tiff(w: int, h: int, bo: str = "little", long_type: bool = False) -> bytes:
+    """First IFD with ImageWidth/ImageLength entries only."""
+    import struct as st
+
+    e = "<" if bo == "little" else ">"
+    magic = b"II*\x00" if bo == "little" else b"MM\x00*"
+    ifd_off = 8
+    entries = []
+    for tag, val in ((256, w), (257, h)):
+        if long_type:
+            entries.append(st.pack(e + "HHI I".replace(" ", ""), tag, 4, 1, val))
+        else:
+            # SHORT: left-justified in the 4-byte value field
+            entries.append(
+                st.pack(e + "HHI", tag, 3, 1) + st.pack(e + "H", val) + b"\x00\x00"
+            )
+    body = st.pack(e + "H", len(entries)) + b"".join(entries) + st.pack(e + "I", 0)
+    return magic + st.pack(e + "I", ifd_off) + body
+
+
+def test_tiff_dims_both_byte_orders(spark):
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_image_header,
+        image_metadata,
+    )
+
+    assert _parse_image_header(_minimal_tiff(640, 480)) == (640, 480)
+    assert _parse_image_header(_minimal_tiff(31, 7, bo="big")) == (31, 7)
+    assert _parse_image_header(_minimal_tiff(1920, 1080, long_type=True)) == (
+        1920,
+        1080,
+    )
+    assert _parse_image_header(
+        _minimal_tiff(99, 44, bo="big", long_type=True)
+    ) == (99, 44)
+    # truncated mid-IFD must return None, not garbage
+    assert _parse_image_header(_minimal_tiff(640, 480)[:14]) is None
+    # zero dims are corrupt
+    assert _parse_image_header(_minimal_tiff(0, 480)) is None
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_minimal_tiff(800, 600)), "s"),
+            (2, "image", bytearray(_minimal_tiff(12, 34, bo="big")), "s"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in image_metadata(media, fake=False).collect()}
+    assert (rows[1].width, rows[1].height) == (800, 600)
+    assert (rows[2].width, rows[2].height) == (12, 34)
+
+
+# --- MP3 -------------------------------------------------------------
+
+
+def _mp3_frame(kbps: int, rate: int = 44100, version: int = 3) -> bytes:
+    """One MPEG Layer III frame (header + zero payload). version 3 =
+    MPEG1 (1152 samples), 2 = MPEG2 (576 samples)."""
+    v1 = {32: 1, 40: 2, 48: 3, 56: 4, 64: 5, 80: 6, 96: 7, 112: 8,
+          128: 9, 160: 10, 192: 11, 224: 12, 256: 13, 320: 14}
+    v2 = {8: 1, 16: 2, 24: 3, 32: 4, 40: 5, 48: 6, 56: 7, 64: 8,
+          80: 9, 96: 10, 112: 11, 128: 12, 144: 13, 160: 14}
+    rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000)}
+    bit_idx = (v1 if version == 3 else v2)[kbps]
+    rate_idx = rates[version].index(rate)
+    b1 = 0xFF
+    b2 = 0xE0 | (version << 3) | (1 << 1) | 1  # layer bits 01 = III
+    b3 = (bit_idx << 4) | (rate_idx << 2)
+    samples = 1152 if version == 3 else 576
+    frame_len = samples // 8 * 1000 * kbps // rate
+    return bytes([b1, b2, b3, 0]) + b"\x00" * (frame_len - 4)
+
+
+def test_mp3_duration_cbr_vbr_id3(spark):
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_mp3_header,
+        audio_metadata,
+    )
+
+    # CBR: 38 MPEG1 frames at 44100 ≈ 0.9925 s
+    cbr = b"".join(_mp3_frame(128) for _ in range(38))
+    dur, sr = _parse_mp3_header(cbr)
+    assert sr == 44100
+    assert dur == pytest.approx(38 * 1152 / 44100)
+
+    # VBR: mixed bitrates — the frame walk must follow each frame's
+    # own declared length (a CBR filesize shortcut would be wrong)
+    vbr = _mp3_frame(128) + _mp3_frame(320) + _mp3_frame(64) + _mp3_frame(192)
+    dur, sr = _parse_mp3_header(vbr)
+    assert dur == pytest.approx(4 * 1152 / 44100)
+
+    # MPEG2 Layer III: 576 samples per frame
+    m2 = b"".join(_mp3_frame(64, rate=22050, version=2) for _ in range(10))
+    dur, sr = _parse_mp3_header(m2)
+    assert sr == 22050
+    assert dur == pytest.approx(10 * 576 / 22050)
+
+    # leading ID3v2 tag (synchsafe size) is skipped
+    tag_body = b"\x00" * 300
+    id3 = b"ID3\x04\x00\x00" + bytes(
+        [(300 >> 21) & 0x7F, (300 >> 14) & 0x7F, (300 >> 7) & 0x7F, 300 & 0x7F]
+    ) + tag_body
+    dur, sr = _parse_mp3_header(id3 + cbr)
+    assert dur == pytest.approx(38 * 1152 / 44100)
+
+    # trailing garbage (e.g. ID3v1 'TAG') stops the walk cleanly
+    dur, sr = _parse_mp3_header(cbr + b"TAG" + b"\x00" * 125)
+    assert dur == pytest.approx(38 * 1152 / 44100)
+
+    # non-MP3 payloads: None, not garbage
+    assert _parse_mp3_header(b"\x00" * 64) is None
+    assert _parse_mp3_header(b"") is None
+
+    # the distributed decode path
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(cbr), "s")], MEDIA_SCHEMA
+    )
+    row = audio_metadata(media, fake=False).collect()[0]
+    assert row.sample_rate == 44100
+    assert row.duration_s == pytest.approx(38 * 1152 / 44100)
+
+
+# --- embeddings replication (ANN scaling decades) --------------------
+
+
+def test_replicate_emb_preserves_within_copy_geometry(spark):
+    """The decade harness's signed-permutation replication: within a
+    copy every inner product and norm is preserved (orthogonal
+    transform), copy 0 is verbatim, and no cross-copy exact duplicates
+    appear — the embeddings analog of the docs family's bijective
+    token-prefix replication."""
+    from myodish_peak_analysis_spark.schema import read_table
+    from tools.bench_scaling import _replicate_emb
+
+    base = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = base.count()
+    rep = _replicate_emb(base, 3)
+    rows = rep.collect()
+    assert len(rows) == 3 * n
+    assert len({r.vec_id for r in rows}) == 3 * n
+
+    by_copy = {}
+    for r in rows:
+        c = r.vec_id // 1_000_000_000
+        by_copy.setdefault(c, {})[r.vec_id % 1_000_000_000] = np.array(
+            r.embedding, dtype=np.float64
+        )
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in base.collect()}
+
+    ids = sorted(orig)[:12]
+    for vid in ids:
+        assert np.array_equal(by_copy[0][vid], orig[vid])  # copy 0 verbatim
+    for c in (1, 2):
+        for i in range(0, 10, 2):
+            a, b = ids[i], ids[i + 1]
+            assert by_copy[c][a] @ by_copy[c][b] == pytest.approx(
+                orig[a] @ orig[b], rel=1e-5, abs=1e-5
+            )
+            assert by_copy[c][a] @ by_copy[c][a] == pytest.approx(
+                orig[a] @ orig[a], rel=1e-5
+            )
+    for vid in ids[:6]:  # rotated copies are never exact duplicates
+        assert not np.array_equal(by_copy[0][vid], by_copy[1][vid])
+        assert not np.array_equal(by_copy[1][vid], by_copy[2][vid])
+
+
+def test_vectorized_assign_matches_jvm_route(spark):
+    """The BLAS Lloyd-assign kernel (engaged past
+    VECTORIZED_ASSIGN_MIN_K centroids) must agree with the JVM
+    broadcast-join route vector-for-vector — same 9-dp quantization,
+    same lowest-id tie-break — on real embedding data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from myodish_peak_analysis_spark.llm import similarity as S
+    from myodish_peak_analysis_spark.schema import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    vecs = S._with_norm(emb).select("vec_id", "embedding", "_norm").cache()
+    k = 80  # > VECTORIZED_ASSIGN_MIN_K so the dispatch WOULD vectorize
+    cents = vecs.orderBy("vec_id").limit(k).select(
+        F.row_number().over(Window.orderBy("vec_id")).alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    schema = "centroid_id int, c_emb array<float>, c_norm double"
+    rows = cents.collect()
+    cents_df = spark.createDataFrame(rows, schema)
+
+    jvm = {
+        r.vec_id: r.centroid_id
+        for r in S._centroid_assign(vecs, cents_df).collect()
+    }
+    vec = {
+        r.vec_id: r.centroid_id
+        for r in S._centroid_assign_vectorized(vecs, rows).collect()
+    }
+    assert jvm == vec
+    assert len(jvm) == vecs.count()
+    # and the dispatcher picks the right route on each side of the gate
+    assert k > S.VECTORIZED_ASSIGN_MIN_K
+    assert 16 <= S.VECTORIZED_ASSIGN_MIN_K  # oracle default stays JVM

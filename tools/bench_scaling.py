@@ -20,6 +20,22 @@ Two operator families, selected with ``--family``:
   genuinely bigger crawl has. (Naive replication would make every doc
   an exact dup of its K−1 copies: K² candidate pairs, a workload no
   real corpus produces.)
+* ``emb`` (round 7 — the VERDICT r6 ask: the ANN/similarity family had
+  recall measurements but no measured decade): ``ann_ivf_topk``,
+  ``pq_topk``, ``sq8_topk``, ``rp_ivf_topk`` and the prefit search
+  twins over the embeddings table. Replication applies a per-copy
+  SIGNED-PERMUTATION rotation (circular dimension shift + hash-derived
+  sign flips — an orthogonal transform): within a copy every pairwise
+  inner product and norm is preserved EXACTLY, so the corpus's cluster
+  and neighbor structure replicates bijectively; across copies vectors
+  land in rotated orientations, so no distance-0 duplicates appear
+  (naive replication would give every vector K−1 exact-dup neighbors —
+  a degenerate top-k workload no real corpus produces). The QUERY
+  BATCH is held at the 1× size (``query_mod`` scales with K): serving
+  cost per fixed query batch against a K× corpus is the claim the
+  decade verifies — brute compressed scans (pq/sq8) are O(Q·N) and
+  should hold flat throughput; bucketed routes (IVF posting lists with
+  k ≈ √N) should rise.
 
 Prints one JSON line per (operator, factor) and exits 1 if any K×
 throughput (rows/s) falls below ``--min-ratio`` (default 0.8) of the
@@ -197,6 +213,96 @@ def _docs_ops():
     )
 
 
+def _replicate_emb(base: DataFrame, k: int) -> DataFrame:
+    """K corpus copies with disjoint vec_id ranges, each under its own
+    signed-permutation rotation (see module docstring). Copy 0 is the
+    original corpus verbatim. The circular shift alone would repeat
+    every 64 copies (dim = 64); the hash-derived sign flips make each
+    copy's transform effectively unique, so no cross-copy exact
+    duplicates arise at any K. vec_id strides by 1e9 (divisible by the
+    scaled query_mod 50·K for decade K, so the %-query set keeps its
+    per-copy positions)."""
+    rot = (
+        "CASE WHEN _c = 0 THEN embedding ELSE "
+        "transform(embedding, (x, i) -> CAST("
+        "  element_at(embedding, pmod(i + _c, size(embedding)) + 1)"
+        "  * (CASE WHEN pmod(hash(_c, pmod(i + _c, size(embedding))), 2) = 0"
+        "     THEN 1.0 ELSE -1.0 END)"
+        " AS FLOAT)) END"
+    )
+    return base.withColumn(
+        "_c", F.explode(F.expr(f"sequence(0, {k - 1})"))
+    ).select(
+        (
+            F.col("vec_id") + F.col("_c").cast("long") * F.lit(1_000_000_000)
+        ).alias("vec_id"),
+        F.expr(rot).alias("embedding"),
+        "label",
+    )
+
+
+def _emb_ops(n1_holder: dict):
+    """ANN ops, query batch pinned to the 1× size via query_mod = 50·K
+    (K derived from the measured row count). The prefit twins fit
+    their index OUTSIDE the timed region — the fit-once/search-many
+    serving path — while the fit-inline ops keep the fit inside, as
+    the registered queries do."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+    from myodish_peak_analysis_spark.llm.params import ANN_QUERY_MOD
+
+    def qmod(n: int) -> int:
+        return ANN_QUERY_MOD * max(1, round(n / n1_holder["n1"]))
+
+    def prefit_pq(d: DataFrame, n: int) -> float:
+        idx = S.fit_ivf_pq_index(d, n_clusters="auto")
+        try:
+            return _timed_build(
+                lambda: S.ivf_pq_topk(
+                    d, index=idx, n_clusters="auto", query_mod=qmod(n)
+                )
+            )
+        finally:
+            idx.members.unpersist()
+            idx.codes.unpersist()
+
+    def prefit_sq8(d: DataFrame, n: int) -> float:
+        idx = S.fit_ivf_pq_index(d, n_clusters="auto")
+        try:
+            return _timed_build(
+                lambda: S.ivf_sq8_topk(
+                    d, index=idx, n_clusters="auto", query_mod=qmod(n)
+                )
+            )
+        finally:
+            idx.members.unpersist()
+            idx.codes.unpersist()
+
+    return (
+        (
+            "ann_ivf_topk",
+            lambda d, n: _timed_build(
+                lambda: S.ivf_topk(d, n_clusters="auto", query_mod=qmod(n))
+            ),
+        ),
+        (
+            "pq_topk",
+            lambda d, n: _timed_build(lambda: S.pq_topk(d, query_mod=qmod(n))),
+        ),
+        (
+            "sq8_topk",
+            lambda d, n: _timed_build(lambda: S.sq8_topk(d, query_mod=qmod(n))),
+        ),
+        (
+            "rp_ivf_topk",
+            lambda d, n: _timed_build(
+                lambda: S.rp_ivf_topk(d, query_mod=qmod(n))
+            ),
+        ),
+        ("ivf_pq_topk_prefit", prefit_pq),
+        ("ivf_sq8_topk_prefit", prefit_sq8),
+    )
+
+
 def _curate_mod():
     from myodish_peak_analysis_spark.llm import curate
 
@@ -218,13 +324,22 @@ def main() -> None:
         help="comma-separated replication factors, each measured vs the previous",
     )
     ap.add_argument("--min-ratio", type=float, default=0.8)
-    ap.add_argument("--family", choices=("peaks", "docs"), default="peaks")
+    ap.add_argument(
+        "--family", choices=("peaks", "docs", "emb"), default="peaks"
+    )
+    ap.add_argument(
+        "--ops",
+        type=str,
+        default=None,
+        help="comma-separated op-name filter (default: the whole family)",
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
     spark = get_spark("bench-scaling")
     spark.sparkContext.setLogLevel("ERROR")
 
+    n1_holder: dict = {}
     if args.family == "docs":
         base = (
             read_table(spark, SF_DIR, "documents")
@@ -233,6 +348,14 @@ def main() -> None:
         )
         ops = _docs_ops()
         replicate = _replicate_docs
+    elif args.family == "emb":
+        base = (
+            read_table(spark, SF_DIR, "embeddings")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .cache()
+        )
+        ops = _emb_ops(n1_holder)
+        replicate = _replicate_emb
     else:
         base = read_table(spark, SF_DIR, "events").cache()
         ops = (
@@ -240,7 +363,13 @@ def main() -> None:
             ("native_find_peaks", _find_peaks_seconds),
         )
         replicate = _replicate
+    if args.ops:
+        keep = set(args.ops.split(","))
+        ops = tuple((n, f) for n, f in ops if n in keep)
+        if not ops:
+            sys.exit(f"--ops matched nothing in family {args.family}")
     n1 = base.count()
+    n1_holder["n1"] = n1
     failed = False
     # prev[(name)] = (factor, rows/s) of the previously measured scale
     prev = {name: (1, n1 / fn(base, n1)) for name, fn in ops}
