@@ -707,20 +707,24 @@ def _pq_fit(
     schema = "sub_id int, centroid_id int, c array<double>"
 
     def assign(cdf: DataFrame, source: DataFrame = subs) -> DataFrame:
+        # min_by, not a window rank: the broadcast join fans each
+        # (vec, sub) row to k centroid rows inside its task, and the
+        # partial aggregation collapses them back BEFORE the exchange —
+        # N·m rows shuffled, not N·m·k with both double arrays
+        # attached (the same fix as _centroid_assign; same tie-break:
+        # min _d, then LOWEST centroid_id).
         j = source.join(F.broadcast(cdf), "sub_id")
         d = _sub_l2sq("se", "c")
         return (
             j.withColumn("_d", d)
-            .withColumn(
-                "_rk",
-                F.row_number().over(
-                    Window.partitionBy("vec_id", "sub_id").orderBy(
-                        F.col("_d").asc(), F.col("centroid_id").asc()
-                    )
-                ),
+            .groupBy("vec_id", "sub_id")
+            .agg(
+                F.min_by(
+                    F.struct("se", "centroid_id", "_d"),
+                    F.struct(F.col("_d").alias("d"), F.col("centroid_id").alias("i")),
+                ).alias("_b")
             )
-            .filter(F.col("_rk") == 1)
-            .select("vec_id", "sub_id", "se", "centroid_id", "_d")
+            .select("vec_id", "sub_id", "_b.se", "_b.centroid_id", "_b._d")
         )
 
     for _ in range(iters):
