@@ -52,12 +52,16 @@ def channels_to_long(frames: list[pd.DataFrame]) -> pd.DataFrame:
     return out
 
 
-def extract_channels(abf, n_channels: int = DEFAULT_CHANNELS) -> list[pd.DataFrame]:
+def extract_channels(
+    abf, n_channels: int = DEFAULT_CHANNELS, sweep: int = 0
+) -> list[pd.DataFrame]:
     """Reference-parity channel extraction (utils.py:5-22): one
-    (time_index, signal_value) frame per channel of an open ABF."""
+    (time_index, signal_value) frame per channel of an open ABF.
+    ``sweep`` selects the episode on multi-sweep recordings (the
+    reference itself always reads sweep 0)."""
     frames = []
     for ch in range(n_channels):
-        abf.setSweep(0, channel=ch)
+        abf.setSweep(sweep, channel=ch)
         frames.append(
             pd.DataFrame({"time_index": abf.sweepX, "signal_value": abf.sweepY})
         )
@@ -65,13 +69,18 @@ def extract_channels(abf, n_channels: int = DEFAULT_CHANNELS) -> list[pd.DataFra
 
 
 def abf_to_parquet(
-    abf_path: str, out_path: str, n_channels: int = DEFAULT_CHANNELS
+    abf_path: str,
+    out_path: str,
+    n_channels: int = DEFAULT_CHANNELS,
+    sweep: int = 0,
 ) -> int:
     """Decode one ABF file and write long-format parquet; returns the
     row count. Uses ``pyabf`` when installed; otherwise the stdlib
-    magic-dispatching reader (:func:`read_abf` — ABF1/ABF2, float32 or
-    gain-chain int16). BOTH paths enforce the same contract: a file
-    with fewer than ``n_channels`` channels raises (pyabf via
+    magic-dispatching reader (:func:`read_abf_sweeps` — ABF1 gap-free
+    OR episodic, ABF2, float32 or gain-chain int16). ``sweep`` picks
+    the episode on multi-sweep recordings (reference semantics: it
+    always analyzes sweep 0). BOTH paths enforce the same contract: a
+    file with fewer than ``n_channels`` channels raises (pyabf via
     setSweep; the fallback explicitly) — the reference hardcodes 9
     channels and a silent short read would corrupt downstream channel
     math."""
@@ -80,7 +89,13 @@ def abf_to_parquet(
     except ImportError:
         pyabf = None
     if pyabf is None:
-        frames, _ = read_abf(abf_path)
+        sweeps, _ = read_abf_sweeps(abf_path)
+        if sweep >= len(sweeps):
+            raise ValueError(
+                f"sweep={sweep} requested but the file has "
+                f"{len(sweeps)} sweep(s)"
+            )
+        frames = sweeps[sweep]
         if len(frames) < n_channels:
             # outside any except block: a short file is a data error,
             # not a fallout of the missing import, and must not carry
@@ -92,7 +107,9 @@ def abf_to_parquet(
             )
         long = channels_to_long(frames[:n_channels])
     else:
-        long = channels_to_long(extract_channels(pyabf.ABF(abf_path), n_channels))
+        long = channels_to_long(
+            extract_channels(pyabf.ABF(abf_path), n_channels, sweep=sweep)
+        )
     long.to_parquet(out_path, index=False)
     return len(long)
 
@@ -114,11 +131,14 @@ def abf_to_parquet(
 _ABF1_MAGIC = b"ABF "
 _ABF1_HEADER = 2048
 _OFF_FILE_VERSION = 4   # fFileVersionNumber float32 — gates ≥1.8 blocks
+_OFF_OPERATION_MODE = 8  # nOperationMode int16 — 3=gap-free, 5=episodic
 _OFF_ACQ_LEN = 10       # lActualAcqLength  int32 — total samples (all chans)
+_OFF_ACTUAL_EPISODES = 16  # lActualEpisodes int32 — sweep count (episodic)
 _OFF_DATA_PTR = 40      # lDataSectionPtr   int32 — in 512-byte blocks
 _OFF_DATA_FORMAT = 100  # nDataFormat       int16 — 0=int16, 1=float32
 _OFF_N_CHANNELS = 120   # nADCNumChannels   int16
 _OFF_SAMPLE_INT = 122   # fADCSampleInterval float32 — µs per ADC conversion
+_OFF_SAMPLES_PER_EPISODE = 138  # lNumSamplesPerEpisode int32 (all chans)
 # int16 gain-chain fields (same public header map):
 _OFF_ADC_RANGE = 244          # fADCRange          float32 — ±volts full scale
 # (fDACRange float32 sits at 248 between these two)
@@ -136,11 +156,14 @@ _OFF_TELEGRAPH_GAIN = 4576    # fTelegraphAdditGain 16×float32
 _EXT_HEADER_MIN = 4640        # telegraph block end
 
 
-def read_abf1(path: str) -> tuple[list[pd.DataFrame], float]:
-    """Decode an ABF1 recording with the stdlib only: returns
-    (reference-shaped channel frames, sample_rate_hz). Channels are
-    round-robin interleaved in the data section; the per-channel rate
-    is 1e6 / (fADCSampleInterval × nADCNumChannels), exactly how the
+def _read_abf1_array(path: str):
+    """Shared ABF1 decode core: returns (samples×channels float64
+    array, sample_rate_hz, nOperationMode, lActualEpisodes,
+    lNumSamplesPerEpisode). The sweep-shaping wrappers
+    (:func:`read_abf1` for gap-free, :func:`read_abf1_sweeps` for
+    episodic) sit on top. Channels are round-robin interleaved in the
+    data section; the per-channel rate is
+    1e6 / (fADCSampleInterval × nADCNumChannels), exactly how the
     public format notes derive dataRate.
 
     float32 payloads (nDataFormat=1) are raw engineering units; int16
@@ -255,12 +278,71 @@ def read_abf1(path: str) -> tuple[list[pd.DataFrame], float]:
                 + inst_off[a]
                 - sig_off[a]
             )
+    mode = struct.unpack_from("<h", raw, _OFF_OPERATION_MODE)[0]
+    episodes = struct.unpack_from("<i", raw, _OFF_ACTUAL_EPISODES)[0]
+    spe = struct.unpack_from("<i", raw, _OFF_SAMPLES_PER_EPISODE)[0]
+    return arr, rate, mode, episodes, spe
+
+
+def _frames_from_array(arr, rate: float) -> list[pd.DataFrame]:
+    import numpy as np
+
     t = np.arange(arr.shape[0], dtype=np.float64) / rate
-    frames = [
+    return [
         pd.DataFrame({"time_index": t, "signal_value": arr[:, c]})
-        for c in range(nchan)
+        for c in range(arr.shape[1])
     ]
-    return frames, rate
+
+
+def read_abf1(path: str) -> tuple[list[pd.DataFrame], float]:
+    """Decode a single-sweep (gap-free) ABF1 recording: returns
+    (reference-shaped channel frames, sample_rate_hz) — see
+    :func:`_read_abf1_array` for the decode chain. A multi-episode
+    (nOperationMode=5) file raises loudly toward
+    :func:`read_abf1_sweeps` rather than silently concatenating sweeps
+    into one continuous trace with a fabricated time axis."""
+    arr, rate, mode, episodes, _ = _read_abf1_array(path)
+    if mode == 5 and episodes > 1:
+        raise ValueError(
+            f"episodic ABF1 with {episodes} sweeps — use "
+            "read_abf1_sweeps (or abf_to_parquet(sweep=...)); "
+            "flattening sweeps into one gap-free trace would "
+            "fabricate the time axis across sweep boundaries"
+        )
+    return _frames_from_array(arr, rate), rate
+
+
+def read_abf1_sweeps(path: str) -> tuple[list[list[pd.DataFrame]], float]:
+    """Decode an ABF1 recording into per-sweep channel frames:
+    returns ([sweep][channel] frames, sample_rate_hz). Episodic
+    (nOperationMode=5) files split on lNumSamplesPerEpisode —
+    episodes are stored back-to-back in the data section, each holding
+    lNumSamplesPerEpisode interleaved samples (the public format's
+    episodic layout; pyabf derives sweepPointCount the same way) —
+    and each sweep's time axis restarts at 0, matching pyabf's
+    ``sweepX``. Gap-free files return a single sweep, so this is a
+    strict superset of :func:`read_abf1`."""
+    arr, rate, mode, episodes, spe = _read_abf1_array(path)
+    if not (mode == 5 and episodes > 1):
+        return [_frames_from_array(arr, rate)], rate
+    nchan = arr.shape[1]
+    if spe <= 0 or spe % nchan != 0:
+        raise ValueError(
+            f"episodic ABF1: lNumSamplesPerEpisode={spe} not a "
+            f"positive multiple of {nchan} channels — corrupt header"
+        )
+    rows_per_sweep = spe // nchan
+    if rows_per_sweep * episodes > arr.shape[0]:
+        raise ValueError(
+            f"episodic ABF1: {episodes} episodes × {rows_per_sweep} "
+            f"rows exceed the {arr.shape[0]} rows in the data section"
+        )
+    return [
+        _frames_from_array(
+            arr[s * rows_per_sweep : (s + 1) * rows_per_sweep], rate
+        )
+        for s in range(episodes)
+    ], rate
 
 
 #: Historical name from round 5, kept as an alias — since round 6 the
@@ -304,6 +386,7 @@ def write_abf1_int16(
     signal_offset: float = 0.1,
     telegraph_gain: float | None = None,
     sampling_seq: list[int] | None = None,
+    episodes: int | None = None,
 ) -> None:
     """Emit the int16 gain-chain subset: quantize ``channels`` (an
     (n_samples, n_channels) float array of engineering units) to ADC
@@ -313,6 +396,11 @@ def write_abf1_int16(
     the data section starts after byte 4640. ``sampling_seq`` maps
     data columns to physical ADC channels (default: identity); every
     per-channel field is written at its mapped physical slot.
+    ``episodes=K`` writes an EPISODIC (nOperationMode=5) file: the
+    n_samples rows split into K equal back-to-back sweeps
+    (lActualEpisodes=K, lNumSamplesPerEpisode=n·c/K) — the layout
+    :func:`read_abf1_sweeps` decodes; default None writes gap-free
+    (nOperationMode=3).
 
     Round-trip contract (pinned by tests/test_sources.py): reading the
     file back yields the input values to within half a count of
@@ -327,6 +415,10 @@ def write_abf1_int16(
     seq = list(range(c)) if sampling_seq is None else list(sampling_seq)
     if len(seq) < c or any(not 0 <= a < 16 for a in seq[:c]):
         raise ValueError("sampling_seq must map each column to ADC 0..15")
+    if episodes is not None and (episodes <= 0 or n % episodes != 0):
+        raise ValueError(
+            f"episodes={episodes} must evenly divide the {n} sample rows"
+        )
     header_len = _EXT_HEADER_MIN if telegraph_gain is not None else _ABF1_HEADER
     data_block = (header_len + 511) // 512
     header = bytearray(data_block * 512)
@@ -338,6 +430,14 @@ def write_abf1_int16(
         "<f", header, _OFF_FILE_VERSION,
         1.83 if telegraph_gain is not None else 1.30,
     )
+    struct.pack_into(
+        "<h", header, _OFF_OPERATION_MODE, 5 if episodes else 3
+    )
+    if episodes:
+        struct.pack_into("<i", header, _OFF_ACTUAL_EPISODES, episodes)
+        struct.pack_into(
+            "<i", header, _OFF_SAMPLES_PER_EPISODE, n * c // episodes
+        )
     struct.pack_into("<i", header, _OFF_ACQ_LEN, n * c)
     struct.pack_into("<i", header, _OFF_DATA_PTR, data_block)
     struct.pack_into("<h", header, _OFF_DATA_FORMAT, 0)
@@ -585,11 +685,28 @@ def write_abf2(
 
 def read_abf(path: str) -> tuple[list[pd.DataFrame], float]:
     """Magic-dispatching stdlib ABF reader: ABF1 or ABF2, float32 or
-    gain-chain int16 — the full no-pyabf ingestion surface."""
+    gain-chain int16 — the full no-pyabf ingestion surface.
+    Single-sweep contract: episodic ABF1 raises loudly toward
+    :func:`read_abf_sweeps`."""
     with open(path, "rb") as f:
         magic = f.read(4)
     if magic == _ABF1_MAGIC:
         return read_abf1(path)
     if magic == _ABF2_MAGIC:
         return read_abf2(path)
+    raise ValueError(f"not an ABF file (magic {magic!r})")
+
+
+def read_abf_sweeps(path: str) -> tuple[list[list[pd.DataFrame]], float]:
+    """Sweep-aware twin of :func:`read_abf`: ([sweep][channel] frames,
+    rate). ABF1 splits episodic recordings on the header's episode
+    layout; gap-free ABF1 and the ABF2 subset (gap-free only) return a
+    single sweep."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == _ABF1_MAGIC:
+        return read_abf1_sweeps(path)
+    if magic == _ABF2_MAGIC:
+        frames, rate = read_abf2(path)
+        return [frames], rate
     raise ValueError(f"not an ABF file (magic {magic!r})")

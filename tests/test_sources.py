@@ -376,3 +376,76 @@ def test_bpe_batch_skips_candidates_touching_prior_merged_token():
     ]
     got = _select_noninterfering(rows, budget=3)
     assert got == [("a", "b", 10), ("x", "y", 5)]
+
+
+def test_abf1_episodic_sweeps_roundtrip(tmp_path):
+    """Round-7: episodic (nOperationMode=5) ABF1 decode — sweeps split
+    on lNumSamplesPerEpisode, per-sweep time restarts at 0 (pyabf
+    sweepX semantics), and the single-sweep readers refuse loudly
+    instead of flattening sweeps into a fabricated time axis."""
+    import struct
+
+    import numpy as np
+
+    from myodish_peak_analysis_spark.sources.abf import (
+        abf_to_parquet,
+        read_abf1,
+        read_abf1_sweeps,
+        read_abf_sweeps,
+        write_abf1_int16,
+    )
+
+    rng = np.random.default_rng(3)
+    n, c, k = 240, 2, 4  # 4 sweeps x 60 rows
+    data = rng.uniform(-2, 2, size=(n, c))
+    path = str(tmp_path / "epi.abf")
+    write_abf1_int16(path, data, 500.0, episodes=k)
+
+    with pytest.raises(ValueError, match="episodic"):
+        read_abf1(path)
+
+    sweeps, rate = read_abf1_sweeps(path)
+    assert rate == pytest.approx(500.0, rel=1e-6)
+    assert len(sweeps) == k and all(len(s) == c for s in sweeps)
+    half_count = 0.5 * (10.0 / 32768) / (0.5 * 2.0 * 1.0)
+    for s in range(k):
+        for ch in range(c):
+            f = sweeps[s][ch]
+            assert len(f) == n // k
+            # time restarts at 0 every sweep
+            assert f["time_index"].iloc[0] == 0.0
+            assert f["time_index"].iloc[1] == pytest.approx(1 / 500.0)
+            want = data[s * (n // k) : (s + 1) * (n // k), ch]
+            err = np.abs(f["signal_value"].to_numpy() - want)
+            assert err.max() <= half_count * 1.01
+
+    # dispatcher agrees, and a gap-free file is a 1-sweep superset
+    assert len(read_abf_sweeps(path)[0]) == k
+    gap = str(tmp_path / "gap.abf")
+    write_abf1_int16(gap, data, 500.0)
+    assert len(read_abf_sweeps(gap)[0]) == 1
+
+    # abf_to_parquet picks the requested sweep (reference: sweep 0)
+    out = str(tmp_path / "s2.parquet")
+    rows = abf_to_parquet(path, out, n_channels=c, sweep=2)
+    assert rows == (n // k) * c
+    import pandas as pd
+
+    got = pd.read_parquet(out)
+    want = data[2 * (n // k) : 3 * (n // k), 1]
+    ch1 = got[got.channel_id == 1].sort_values("sample_idx")
+    assert np.abs(ch1["signal_value"].to_numpy() - want).max() <= half_count * 1.01
+
+    with pytest.raises(ValueError, match="sweep=9"):
+        abf_to_parquet(path, out, n_channels=c, sweep=9)
+
+    # corrupt episode geometry fails loudly
+    raw = bytearray(open(path, "rb").read())
+    struct.pack_into("<i", raw, 138, 7)  # not a multiple of channels
+    bad = tmp_path / "badspe.abf"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="multiple"):
+        read_abf1_sweeps(str(bad))
+
+    with pytest.raises(ValueError, match="evenly divide"):
+        write_abf1_int16(str(tmp_path / "x.abf"), data, 500.0, episodes=7)
