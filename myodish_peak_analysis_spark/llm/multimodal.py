@@ -112,11 +112,11 @@ def _parse_image_header(payload: bytes):
     live in a fixed/parseable header — PNG (IHDR), BMP (BITMAPINFO),
     binary PPM/PGM (P6/P5 ASCII header), JPEG (SOF frame header — the
     dimensions precede all entropy-coded data), GIF (logical screen
-    descriptor), WebP (VP8X/VP8/VP8L fixed header bits) and TIFF
-    (first-IFD tag walk). No third-party codec needed, so this path
-    works in every environment; the remaining container (AVIF boxes)
-    falls through to Pillow. Returns (width, height) or None if
-    unrecognized."""
+    descriptor), WebP (VP8X/VP8/VP8L fixed header bits), TIFF
+    (first-IFD tag walk) and AVIF/HEIF (ISOBMFF ispe property box).
+    No third-party codec needed, so this path works in every
+    environment; an unrecognized format falls through to Pillow.
+    Returns (width, height) or None if unrecognized."""
     if payload[:2] == b"\xff\xd8":  # JPEG SOI
         return _parse_jpeg_dims(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
@@ -166,6 +166,8 @@ def _parse_image_header(payload: bytes):
         return None  # unknown DIB variant: fall through to Pillow
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return _parse_tiff_dims(payload)
+    if payload[4:8] == b"ftyp":  # ISOBMFF container (AVIF/HEIF)
+        return _parse_avif_dims(payload)
     if payload[:2] in (b"P6", b"P5"):
         toks, i, n = [], 2, len(payload)
         while len(toks) < 2 and i < n:
@@ -228,6 +230,124 @@ def _parse_tiff_dims(payload: bytes):
         if w is not None and h is not None:
             return (w, h) if w > 0 and h > 0 else None
     return None
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for each ISOBMFF box in
+    ``buf[start:end]`` (public ISO/IEC 14496-12 layout): u32be size +
+    4cc type, size==1 → u64 largesize follows, size==0 → extends to the
+    end of the enclosing box. Stops (rather than raising) on any
+    malformed/truncated header so callers degrade to None."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i : i + 4], "big")
+        typ = buf[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(buf[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield typ, i + hdr, i + size
+        i += size
+
+
+def _parse_avif_dims(payload: bytes):
+    """Pure-stdlib AVIF/HEIF dims (public ISO/IEC 23008-12 + AV1-ISOBMFF
+    binding): image dimensions live in the ``ispe`` (ImageSpatialExtents)
+    property box inside ``meta``→``iprp``→``ipco`` — metadata boxes that
+    precede all entropy-coded AV1/HEVC payload, so no decoder is needed.
+    The primary image's ispe is resolved properly: ``pitm`` names the
+    primary item, ``ipma`` maps items to 1-indexed ``ipco`` properties.
+    When that chain is absent/damaged, falls back to the largest-area
+    ispe (covers thumbnail-bearing files whose pitm is missing).
+    Returns (w, h) or None."""
+    boxes = list(_iter_boxes(payload, 0, len(payload)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        return None
+    _, fs, fe = boxes[0]
+    # ftyp body = major_brand, minor_version (skipped), compatible brands
+    brands = {payload[fs : fs + 4]} | {
+        payload[i : i + 4] for i in range(fs + 8, fe - 3, 4)
+    }
+    if not brands & {b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1"}:
+        return None
+    meta = next(((s, e) for t, s, e in boxes if t == b"meta"), None)
+    if meta is None:
+        return None
+    ms, me = meta[0] + 4, meta[1]  # meta is a FullBox: skip version/flags
+    primary = None
+    ipco_props: list = []
+    assoc: dict = {}
+    for t2, s2, e2 in _iter_boxes(payload, ms, me):
+        if t2 == b"pitm":
+            if payload[s2] == 0 and s2 + 6 <= e2:  # v0: u16 item id
+                primary = int.from_bytes(payload[s2 + 4 : s2 + 6], "big")
+            elif s2 + 8 <= e2:  # v1: u32
+                primary = int.from_bytes(payload[s2 + 4 : s2 + 8], "big")
+        elif t2 == b"iprp":
+            for t3, s3, e3 in _iter_boxes(payload, s2, e2):
+                if t3 == b"ipco":
+                    ipco_props = list(_iter_boxes(payload, s3, e3))
+                elif t3 == b"ipma" and s3 + 8 <= e3:
+                    version = payload[s3]
+                    flags = int.from_bytes(payload[s3 + 1 : s3 + 4], "big")
+                    i = s3 + 4
+                    cnt = int.from_bytes(payload[i : i + 4], "big")
+                    i += 4
+                    for _ in range(cnt):
+                        id_w = 2 if version < 1 else 4
+                        if i + id_w + 1 > e3:
+                            break
+                        iid = int.from_bytes(payload[i : i + id_w], "big")
+                        i += id_w
+                        ac = payload[i]
+                        i += 1
+                        idxs = []
+                        for _ in range(ac):
+                            if flags & 1:  # 15-bit property index
+                                if i + 2 > e3:
+                                    break
+                                idxs.append(
+                                    int.from_bytes(payload[i : i + 2], "big")
+                                    & 0x7FFF
+                                )
+                                i += 2
+                            else:  # 7-bit
+                                if i + 1 > e3:
+                                    break
+                                idxs.append(payload[i] & 0x7F)
+                                i += 1
+                        assoc[iid] = idxs
+
+    def ispe_dims(s4: int, e4: int):
+        # ispe FullBox: version/flags u32, then u32 width, u32 height
+        if e4 - s4 >= 12:
+            w = int.from_bytes(payload[s4 + 4 : s4 + 8], "big")
+            h = int.from_bytes(payload[s4 + 8 : s4 + 12], "big")
+            if w > 0 and h > 0:
+                return (w, h)
+        return None
+
+    if primary is not None:
+        for idx in assoc.get(primary, ()):
+            if 1 <= idx <= len(ipco_props):
+                t4, s4, e4 = ipco_props[idx - 1]
+                if t4 == b"ispe":
+                    d = ispe_dims(s4, e4)
+                    if d:
+                        return d
+    best = None
+    for t4, s4, e4 in ipco_props:
+        if t4 == b"ispe":
+            d = ispe_dims(s4, e4)
+            if d and (best is None or d[0] * d[1] > best[0] * best[1]):
+                best = d
+    return best
 
 
 # public MPEG-1/2/2.5 audio frame-header tables (Layer index 1..3 =
@@ -335,9 +455,9 @@ def _decode_image_impl(payload: bytes, fake: bool):
     """Codec hook. ``fake=True`` → deterministic md5-derived dims
     (reproducible tests, SQL-mirrorable oracle). ``fake=False`` →
     REAL decode: the pure-stdlib header parser covers
-    PNG/BMP/PPM/JPEG/GIF/WebP/TIFF (dims never require entropy
-    decoding in any of them) in any environment; Pillow
-    (requirements-extra.txt) extends coverage to the rest (AVIF/...);
+    PNG/BMP/PPM/JPEG/GIF/WebP/TIFF/AVIF/HEIF (dims never require
+    entropy decoding in any of them) in any environment; Pillow
+    (requirements-extra.txt) extends coverage to anything rarer;
     anything else raises loudly."""
     if not fake:
         dims = _parse_image_header(payload)
@@ -350,9 +470,9 @@ def _decode_image_impl(payload: bytes, fake: bool):
         except ImportError as exc:
             raise NotImplementedError(
                 "unrecognized image format and Pillow not installed; "
-                "PNG/BMP/PPM/JPEG/GIF/WebP need no library — for other "
-                "formats install Pillow (requirements-extra.txt) or "
-                "pass fake=True"
+                "PNG/BMP/PPM/JPEG/GIF/WebP/TIFF/AVIF need no library — "
+                "for rarer formats install Pillow "
+                "(requirements-extra.txt) or pass fake=True"
             ) from exc
         with Image.open(io.BytesIO(payload)) as img:
             return img.size
@@ -383,15 +503,69 @@ def _parse_flac_header(payload: bytes):
     return (total / rate, rate)
 
 
+def _parse_ogg_header(payload: bytes):
+    """Pure-stdlib OGG duration (public RFC 3533 container + Vorbis I /
+    RFC 7845 Opus specs): every page header carries an absolute
+    granule position, so the audio stream's LAST granulepos divided by
+    the codec clock is the duration — page bodies are SKIPPED via the
+    segment table, no audio packet is ever decoded. The clock comes
+    from the codec ID header in the stream's first page: Vorbis stores
+    its sample rate at byte 12 of the ``\\x01vorbis`` packet and counts
+    granules at that rate; Opus granules always tick at 48 kHz
+    regardless of the ``OpusHead`` input rate, and the pre-skip samples
+    are subtracted per RFC 7845 §4.1. Multiplexed files are handled by
+    tracking only the serial of the first recognized audio stream.
+    Returns (duration_s, sample_rate) or None."""
+    n = len(payload)
+    i = 0
+    serial = rate = last_granule = None
+    opus = False
+    preskip = 0
+    while i + 27 <= n:
+        if payload[i : i + 4] != b"OggS" or payload[i + 4] != 0:
+            break
+        granule = int.from_bytes(payload[i + 6 : i + 14], "little", signed=True)
+        ser = int.from_bytes(payload[i + 14 : i + 18], "little")
+        nsegs = payload[i + 26]
+        body_start = i + 27 + nsegs
+        if body_start > n:
+            break
+        body_len = sum(payload[i + 27 : body_start])
+        if body_start + body_len > n:
+            break
+        if serial is None:
+            body = payload[body_start : body_start + body_len]
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                serial = ser
+                rate = int.from_bytes(body[12:16], "little")
+            elif body[:8] == b"OpusHead" and len(body) >= 16:
+                serial = ser
+                opus = True
+                preskip = int.from_bytes(body[10:12], "little")
+                # informational input rate; granules still tick at 48k
+                rate = int.from_bytes(body[12:16], "little") or 48000
+        if ser == serial and granule >= 0:
+            last_granule = granule  # pages are in stream order
+        i = body_start + body_len
+    if serial is None or last_granule is None or not rate:
+        return None
+    if opus:
+        return (max(0, last_granule - preskip) / 48000.0, rate)
+    return (last_granule / rate, rate)
+
+
 def _decode_audio_impl(payload: bytes, fake: bool):
     """Codec hook; real path = the pure-stdlib RIFF/WAVE, FLAC
-    STREAMINFO and MP3 frame-header parsers (any environment),
-    soundfile (requirements-extra.txt) for the remaining compressed
-    formats (OGG), else NotImplementedError."""
+    STREAMINFO, OGG granule-position (Vorbis/Opus) and MP3
+    frame-header parsers (any environment), soundfile
+    (requirements-extra.txt) for anything rarer, else
+    NotImplementedError."""
     if not fake:
         meta = _parse_wav_header(payload)
         if meta is None:
             meta = _parse_flac_header(payload)
+        if meta is None:
+            meta = _parse_ogg_header(payload)
         if meta is None:
             meta = _parse_mp3_header(payload)
         if meta is not None:
@@ -403,7 +577,7 @@ def _decode_audio_impl(payload: bytes, fake: bool):
         except ImportError as exc:
             raise NotImplementedError(
                 "unrecognized audio format and soundfile not installed; "
-                "WAV/FLAC/MP3 need no library — for other formats (OGG) "
+                "WAV/FLAC/OGG/MP3 need no library — for rarer formats "
                 "install soundfile (requirements-extra.txt) or pass "
                 "fake=True"
             ) from exc
@@ -446,6 +620,96 @@ def audio_metadata(media: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return media.filter("kind = 'audio'").mapInPandas(fn, AUDIO_META_SCHEMA)
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", StringType()),
+    ]
+)
+
+
+def _parse_mp4_duration(payload: bytes):
+    """Pure-stdlib MP4/MOV movie metadata (public ISO/IEC 14496-12):
+    the ``moov``→``mvhd`` MovieHeaderBox states duration in its own
+    timescale units — duration/timescale = seconds, no sample decode.
+    v0 packs creation/modification/timescale/duration as u32s; v1
+    widens the times and duration to u64. Track count = ``trak``
+    children of moov. Returns (duration_s, n_tracks) or None."""
+    boxes = list(_iter_boxes(payload, 0, len(payload)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        return None
+    dur = None
+    tracks = 0
+    for t, s, e in boxes:
+        if t != b"moov":
+            continue
+        for t2, s2, e2 in _iter_boxes(payload, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 4:
+                if payload[s2] == 1 and e2 - s2 >= 32:  # v1: u64 times
+                    ts = int.from_bytes(payload[s2 + 20 : s2 + 24], "big")
+                    d = int.from_bytes(payload[s2 + 24 : s2 + 32], "big")
+                elif payload[s2] == 0 and e2 - s2 >= 20:
+                    ts = int.from_bytes(payload[s2 + 12 : s2 + 16], "big")
+                    d = int.from_bytes(payload[s2 + 16 : s2 + 20], "big")
+                else:
+                    continue
+                if ts:
+                    dur = d / ts
+            elif t2 == b"trak":
+                tracks += 1
+    if dur is None:
+        return None
+    return (dur, tracks)
+
+
+def _decode_video_impl(payload: bytes, fake: bool):
+    """Codec hook; real path = the pure-stdlib MP4/MOV ``mvhd`` walk
+    (any environment); other containers (MKV/EBML, AVI) would need
+    ffmpeg, so they raise loudly."""
+    if not fake:
+        meta = _parse_mp4_duration(payload)
+        if meta is not None:
+            return meta
+        raise NotImplementedError(
+            "unrecognized video container; MP4/MOV need no library — "
+            "for other containers plug ffmpeg into _decode_video_impl "
+            "or pass fake=True"
+        )
+    h = hashlib.md5(payload).hexdigest()
+    return (int(h[:4], 16) % 3600 / 10.0, int(h[4:6], 16) % 4 + 1)
+
+
+def video_metadata(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Container-level video metadata (duration, track count) streamed
+    through the same Arrow-batched ``mapInPandas`` shape as the image/
+    audio decodes — frame extraction stays in :func:`sample_frames`."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                dur, n_tracks = _decode_video_impl(b, fake)
+                rows.append(
+                    (int(mid), dur, n_tracks, len(b), hashlib.md5(b).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "duration_s",
+                    "n_tracks",
+                    "n_bytes",
+                    "content_hash",
+                ],
+            )
+
+    return media.filter("kind = 'video'").mapInPandas(fn, VIDEO_META_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:

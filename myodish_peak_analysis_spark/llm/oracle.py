@@ -1238,3 +1238,26 @@ ORACLES["dedup_report"] = _dr_sql(ORACLES["dedup_clusters"])
 from .text import vocab_coverage_sql as _vc_sql  # noqa: E402
 
 ORACLES["vocab_coverage"] = _vc_sql()
+
+
+# Audio/video twins of the media_metadata oracle: each reconstructs its
+# deterministic fake codec in pure SQL so the kind-specific mapInPandas
+# routes (distinct schemas and UDF signatures) are hash-verified
+# end-to-end, exactly like the image path.
+ORACLES["audio_metadata"] = """
+SELECT doc_id AS media_id,
+       octet_length(encode(coalesce(text, ''))) / 16000.0 AS duration_s,
+       16000 AS sample_rate,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       md5(coalesce(text, '')) AS content_hash
+FROM documents
+"""
+
+ORACLES["video_metadata"] = """
+SELECT doc_id AS media_id,
+       ('0x' || substr(md5(coalesce(text, '')), 1, 4))::BIGINT % 3600 / 10.0 AS duration_s,
+       ('0x' || substr(md5(coalesce(text, '')), 5, 2))::BIGINT % 4 + 1 AS n_tracks,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       md5(coalesce(text, '')) AS content_hash
+FROM documents
+"""

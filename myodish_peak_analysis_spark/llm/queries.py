@@ -649,3 +649,45 @@ def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["temperature_weights"] = q_temperature_weights
+
+
+def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of ``media_metadata``: the Arrow-batched
+    ``audio_metadata`` decode (deterministic length-derived fake codec,
+    reproduced exactly in SQL) over a payload column built from
+    document text — verifies the audio path's distinct schema/UDF
+    end-to-end. Swapping the fake for the real stdlib WAV/FLAC/OGG/MP3
+    parsers touches only the ``_decode_audio_impl`` hook."""
+    from . import multimodal
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        "source",
+    )
+    out = multimodal.audio_metadata(media, fake=True)
+    return _long(out, "sample_rate")
+
+
+def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video twin of ``media_metadata``: the ``video_metadata`` decode
+    (md5-derived fake duration/track-count, reproduced in SQL) —
+    verifies the video path end-to-end; the real MP4/MOV ``mvhd``
+    parser is pinned by ``test_r7_ops.py``."""
+    from . import multimodal
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        "source",
+    )
+    out = multimodal.video_metadata(media, fake=True)
+    return _long(out, "n_tracks")
+
+
+QUERIES["audio_metadata"] = q_audio_metadata
+QUERIES["video_metadata"] = q_video_metadata

@@ -216,3 +216,179 @@ def test_vectorized_assign_matches_jvm_route(spark):
     # and the dispatcher picks the right route on each side of the gate
     assert k > S.VECTORIZED_ASSIGN_MIN_K
     assert 16 <= S.VECTORIZED_ASSIGN_MIN_K  # oracle default stays JVM
+
+
+# --- ISOBMFF (AVIF/HEIF images, MP4 video) ---------------------------
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _ispe(w: int, h: int) -> bytes:
+    return _box(b"ispe", b"\x00" * 4 + struct.pack(">II", w, h))
+
+
+def _minimal_avif(with_pitm: bool = True) -> bytes:
+    """ftyp + meta(pitm, iprp(ipco(ispe×2), ipma)) + mdat. The primary
+    item deliberately maps to the SMALLER ispe (property 2) so the test
+    distinguishes pitm/ipma resolution from the largest-area fallback."""
+    ftyp = _box(b"ftyp", b"avif" + b"\x00" * 4 + b"avifmif1")
+    pitm = _box(b"pitm", b"\x00" * 4 + struct.pack(">H", 1))
+    ipco = _box(b"ipco", _ispe(1920, 1080) + _ispe(320, 240))
+    # ipma v0/flags0: 1 entry — item 1 → property index 2
+    ipma = _box(
+        b"ipma", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">H", 1) + bytes([1, 2])
+    )
+    inner = (pitm + _box(b"iprp", ipco + ipma)) if with_pitm else _box(
+        b"iprp", ipco
+    )
+    meta = _box(b"meta", b"\x00" * 4 + inner)
+    return ftyp + meta + _box(b"mdat", b"\xab" * 16)
+
+
+def test_avif_dims_ispe_resolution(spark):
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_image_header,
+        image_metadata,
+    )
+
+    # pitm→ipma chain picks the PRIMARY item's ispe, not the largest
+    assert _parse_image_header(_minimal_avif()) == (320, 240)
+    # without the association chain: largest-area ispe fallback
+    assert _parse_image_header(_minimal_avif(with_pitm=False)) == (1920, 1080)
+    # non-image ISOBMFF brands and truncated containers → None
+    mp4ish = _box(b"ftyp", b"isom" + b"\x00" * 4 + b"mp42")
+    assert _parse_image_header(mp4ish) is None
+    assert _parse_image_header(_minimal_avif()[:20]) is None
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_minimal_avif()), "s")], MEDIA_SCHEMA
+    )
+    row = image_metadata(media, fake=False).collect()[0]
+    assert (row.width, row.height) == (320, 240)
+
+
+def _minimal_mp4(v1: bool = False, timescale: int = 1000, dur: int = 5500) -> bytes:
+    if v1:
+        mvhd = _box(
+            b"mvhd",
+            b"\x01" + b"\x00" * 3 + b"\x00" * 16
+            + struct.pack(">I", timescale) + struct.pack(">Q", dur),
+        )
+    else:
+        mvhd = _box(
+            b"mvhd",
+            b"\x00" * 4 + b"\x00" * 8
+            + struct.pack(">II", timescale, dur),
+        )
+    trak = _box(b"trak", b"")
+    moov = _box(b"moov", mvhd + trak + trak)
+    return _box(b"ftyp", b"isom" + b"\x00" * 4 + b"isommp42") + moov + _box(
+        b"mdat", b"\x00" * 8
+    )
+
+
+def test_mp4_duration_and_video_metadata(spark):
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_mp4_duration,
+        video_metadata,
+    )
+
+    assert _parse_mp4_duration(_minimal_mp4()) == (5.5, 2)
+    assert _parse_mp4_duration(_minimal_mp4(v1=True, timescale=90000, dur=90000 * 7)) == (
+        7.0,
+        2,
+    )
+    assert _parse_mp4_duration(b"\x00" * 32) is None
+    assert _parse_mp4_duration(_minimal_mp4()[:24]) is None
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_minimal_mp4()), "s"),
+            (2, "image", bytearray(b"ignored"), "s"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = video_metadata(media, fake=False).collect()
+    assert len(rows) == 1 and rows[0].duration_s == 5.5 and rows[0].n_tracks == 2
+
+    with pytest.raises(Exception, match="unrecognized video container"):
+        bad = spark.createDataFrame(
+            [(3, "video", bytearray(b"not a container"), "s")], MEDIA_SCHEMA
+        )
+        video_metadata(bad, fake=False).collect()
+
+
+# --- OGG (Vorbis / Opus granule-position duration) -------------------
+
+
+def _ogg_page(serial: int, granule: int, body: bytes, seq: int = 0, htype: int = 0) -> bytes:
+    segs = []
+    rem = len(body)
+    while rem >= 255:
+        segs.append(255)
+        rem -= 255
+    segs.append(rem)
+    return (
+        b"OggS"
+        + bytes([0, htype])
+        + struct.pack("<q", granule)
+        + struct.pack("<III", serial, seq, 0)
+        + bytes([len(segs)])
+        + bytes(segs)
+        + body
+    )
+
+
+def test_ogg_duration_vorbis_opus(spark):
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_ogg_header,
+        audio_metadata,
+    )
+
+    vorbis_id = b"\x01vorbis" + struct.pack("<I", 0) + bytes([2]) + struct.pack(
+        "<I", 44100
+    ) + b"\x00" * 8
+    stream = (
+        _ogg_page(7, 0, vorbis_id, 0, 2)
+        + _ogg_page(7, 44100 * 2, b"\xaa" * 300, 1)
+        + _ogg_page(7, 44100 * 3, b"\xbb" * 50, 2, 4)
+    )
+    assert _parse_ogg_header(stream) == (3.0, 44100)
+
+    # Opus: granules tick at 48 kHz regardless of input rate; pre-skip
+    # subtracted per RFC 7845
+    opus_id = b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312) + struct.pack(
+        "<I", 16000
+    ) + b"\x00" * 3
+    ostream = _ogg_page(9, 0, opus_id, 0, 2) + _ogg_page(
+        9, 48000 + 312, b"\xcc" * 40, 1, 4
+    )
+    dur, sr = _parse_ogg_header(ostream)
+    assert dur == 1.0 and sr == 16000
+
+    # multiplexed: a non-audio logical stream first — its pages are
+    # ignored once the audio serial locks on
+    skel = _ogg_page(5, 0, b"fishead\x00" + b"\x00" * 20, 0, 2)
+    muxed = skel + stream + _ogg_page(5, 999999, b"\x00" * 4, 1, 4)
+    assert _parse_ogg_header(muxed) == (3.0, 44100)
+
+    assert _parse_ogg_header(b"") is None
+    assert _parse_ogg_header(b"OggS" + b"\x00" * 10) is None
+    # granule -1 (no complete packet ends on the page) never counts —
+    # only the ID page's granule 0 remains, so duration is honestly 0
+    nog = _ogg_page(7, 0, vorbis_id, 0, 2) + _ogg_page(7, -1, b"\xdd" * 10, 1)
+    assert _parse_ogg_header(nog) == (0.0, 44100)
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(stream), "s"), (2, "audio", bytearray(ostream), "s")],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: (r.duration_s, r.sample_rate) for r in audio_metadata(
+        media, fake=False
+    ).collect()}
+    assert got == {1: (3.0, 44100), 2: (1.0, 16000)}

@@ -28,7 +28,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # Every other query must be Python-free.
 PYTHON_ALLOWED = {"fidelity_peaks", "fidelity_signal", "native_find_peaks",
                   "native_find_peaks_nodist", "constrained_peak_attributes",
-                  "peak_interval_stats", "media_metadata"}
+                  "peak_interval_stats", "media_metadata",
+                  "audio_metadata", "video_metadata"}
 
 
 def main() -> None:
