@@ -77,22 +77,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass records at most the FIRST 50 registered
-# queries (observed in rounds 1-6). With 131 registered entries
-# (129 + the 2 late-r7 audio/video metadata twins, which land in
-# the unrecorded middle and are oracle-checked by the local sweep),
+# queries (observed in rounds 1-6). With 132 registered entries,
 # ordering decides verification coverage. Round 7 front-loads
-# (a) the 2 queries whose module code changed this round (the BPE
-# batch-selection merged-token fix; the TIFF/MP3 stdlib parsers in
-# multimodal) and (b) the 34 queries whose newest driver row is r4 —
-# the VERDICT r6 "Next round #1" list — then (c) fills the remaining
-# 14 slots with the oldest r5 rows: 2 + 34 + 14 = 50, exactly the
-# driver's cap. After this round the staleness distribution is
-# r5:31 / r6:48 / r7:50 — every registered query's newest driver row
-# is >= r5. Everything displaced was hash-green in the r5/r6 driver
+# (a) the 3 queries NEW this round (audio/video metadata twins;
+# ann_serve external-query IVF-PQ serving) plus the 2 whose module
+# code changed (the BPE batch-selection merged-token fix; the
+# TIFF/MP3 stdlib parsers in multimodal) and (b) the 34 queries whose
+# newest driver row is r4 — the VERDICT r6 "Next round #1" list —
+# then (c) fills the remaining 11 slots with the oldest r5 rows:
+# 5 + 34 + 11 = 50, exactly the driver's cap. After this round the
+# staleness distribution is r5:34 / r6:48 / r7:50 — every registered
+# query's newest driver row is >= r5, and every query has a driver
+# row. Everything displaced was hash-green in the r5/r6 driver
 # windows and is re-verified at HEAD by this round's full local sweep
 # (docs/CORRECTNESS_LOCAL_r7.md).
 _ROTATE_FIRST = [
-    # (a) module code changed in round 7:
+    # (a) new in round 7 (no driver row yet) or module code changed:
+    "audio_metadata",
+    "video_metadata",
+    "ann_serve",
     "bpe_vocab",
     "media_metadata",
     # (b) newest driver row is r4 — the r6 headline rotation ask:
@@ -142,13 +145,13 @@ _ROTATE_FIRST = [
     "mad_outliers",
     "token_entropy",
     "rp_ivf_topk",
-    "funnel_within",
-    "canonical_corpus",
-    "prototype_outliers",
 ]
 _ROTATE_LAST = [
     # newest driver row is r5, displaced by the 50-cap; first rotation
-    # candidates for round 8 (31 entries):
+    # candidates for round 8 (34 entries):
+    "funnel_within",
+    "canonical_corpus",
+    "prototype_outliers",
     "top_supplier_revenue",
     "small_quantity_revenue",
     "temperature_weights",

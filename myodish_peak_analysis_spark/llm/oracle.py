@@ -751,6 +751,7 @@ def ivf_pq_topk_sql(
     m: int = 4,
     n_centroids: int = 16,
     pq_iters: int = 2,
+    self_exclude: bool = True,
 ) -> str:
     """Composed IVF×PQ search: chains the unrolled k-means quantizer
     (:func:`_kmeans_member_ctes` — ``members``/``c{ivf_iters}``) and
@@ -777,7 +778,7 @@ def ivf_pq_topk_sql(
     cand AS (
         SELECT p.query_id, mm.vec_id
         FROM qprobe p JOIN members mm USING (centroid_id)
-        WHERE mm.vec_id <> p.query_id),
+        {"WHERE mm.vec_id <> p.query_id" if self_exclude else ""}),
     qsub AS (
         SELECT vec_id AS query_id, sub_id, se FROM sub
         WHERE vec_id % {query_mod} = 0),
@@ -820,6 +821,10 @@ ORACLES["ivf_pq_topk"] = ivf_pq_topk_sql()
 # identical mirror pins "prefit results == fit-inline results" as a
 # driver-checked contract, not just a pytest claim.
 ORACLES["ivf_pq_topk_prefit"] = ivf_pq_topk_sql()
+# external-query serving (ivf_pq_search): identical stages, no
+# self-match exclusion — an external query has no self row, and a
+# coincident corpus vector is a real exact-dup hit.
+ORACLES["ann_serve"] = ivf_pq_topk_sql(self_exclude=False)
 
 ORACLES["encode_token_ids"] = f"""
 WITH toks AS (

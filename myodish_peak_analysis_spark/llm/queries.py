@@ -691,3 +691,22 @@ def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["audio_metadata"] = q_audio_metadata
 QUERIES["video_metadata"] = q_video_metadata
+
+
+def q_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-query serving against the prefit IVF×PQ index
+    (:func:`similarity.ivf_pq_search`): the same query batch the
+    corpus-query routes use, but submitted as an INDEPENDENT
+    (query_id, embedding) frame — exercising the production request
+    path (probe → posting lists → broadcast ADC → exact re-rank, no
+    self-match exclusion)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = similarity.fit_ivf_pq_index(emb)
+    qs = emb.filter(
+        F.col("vec_id") % similarity.ANN_QUERY_MOD == 0
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_pq_search(qs, idx)
+    return _long(out, "rank")
+
+
+QUERIES["ann_serve"] = q_ann_serve

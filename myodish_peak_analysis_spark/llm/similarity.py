@@ -1110,6 +1110,121 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_search(
+    queries: DataFrame,
+    index: IvfPqIndex,
+    k: int = ANN_LSH_TOPK,
+    shortlist: int = 20,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve an ARBITRARY query batch against a prefit IVF×PQ index —
+    the missing half of the serving story: :func:`ivf_pq_topk` draws
+    its queries from the corpus itself (the all-pairs-style analysis
+    workload), while a production caller holds query vectors that are
+    NOT corpus members (user requests, fresh documents). ``queries``
+    is ``(query_id, embedding)``; the result is the same
+    ``(query_id, vec_id, cosine, rank)`` contract as the corpus-query
+    routes, WITHOUT the self-match exclusion (an external query has no
+    self row; when a query does coincide with a corpus vector, the
+    exact-duplicate hit at cosine 1.0 is real information).
+
+    Stage shape is identical to :func:`ivf_pq_topk` ``index=`` mode —
+    probe (broadcast centroids) → posting-list restriction (keyed join,
+    nprobe/k of the corpus) → broadcast-ADC over integer codes → exact
+    re-rank on the shortlist — so every 100 TB property documented
+    there carries over; the ADC table bound is enforced on the query
+    batch. With ``nprobe >= n_clusters`` and ``shortlist >= N`` the
+    probe covers the whole corpus and the result is EXACTLY brute-force
+    cosine top-k (pinned by test), which is the recall dial a caller
+    tunes down for scale.
+
+    Streaming serving: wrap per-micro-batch via
+    ``streaming.peaks.make_ann_serve_fn`` (foreachBatch — the
+    idiomatic Structured Streaming pattern for query serving, since
+    the probe rank + ADC aggregation + final rank are three stateful
+    steps no single append-mode streaming plan can express)."""
+    members, cents = index.members, index.cents
+    codes, pq_cents = index.codes, index.pq_cents
+    m, n_centroids = index.m, index.n_centroids
+    _check_dtable_bound(queries, m, n_centroids)
+    qbase = _with_norm(
+        queries.select(F.col("query_id").alias("vec_id"), "embedding")
+    )
+    q = qbase.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_cos",
+            F.round(_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 9),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_cos").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = qprobe.join(
+        members.select("centroid_id", "vec_id"), "centroid_id"
+    ).select("query_id", "vec_id")
+    qsub = _pq_subvectors(
+        queries.select(F.col("query_id").alias("vec_id"), "embedding"), m
+    ).select(F.col("vec_id").alias("query_id"), "sub_id", "se")
+    dtable = qsub.join(F.broadcast(pq_cents), "sub_id").select(
+        "query_id",
+        "sub_id",
+        F.col("centroid_id").alias("code_id"),
+        _sub_l2sq("se", "c").alias("_qd"),
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dtable), ["query_id", "sub_id", "code_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(_floor_q(F.sum("_qd"), 6).alias("adc_dist"))
+    )
+    sl = (
+        scored.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("adc_dist").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    cand_emb = members.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    joined = sl.join(cand_emb, "vec_id").join(q, "query_id")
+    cos = F.round(
+        _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _sq8_coded(emb: DataFrame) -> DataFrame:
     """(vec_id, codes array<int>, _scales array<double>): per-dimension
     symmetric int8 scalar quantization — code = clamp(floor(x·127/s +

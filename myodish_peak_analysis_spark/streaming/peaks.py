@@ -1176,3 +1176,34 @@ def streaming_chunk_overlap(
     from ..llm.packing import chunk_overlap
 
     return chunk_overlap(doc_stream, size=size, stride=stride)
+
+
+def make_ann_serve_fn(index, k: int = 10, nprobe: int = 2,
+                      shortlist: int = 20, sink=None):
+    """Streaming ANN serving: ``foreachBatch`` callable answering each
+    micro-batch of ``(query_id, embedding)`` rows against a prefit
+    :class:`..llm.similarity.IvfPqIndex` via
+    :func:`..llm.similarity.ivf_pq_search`.
+
+    foreachBatch — not a pure streaming DAG — is the deliberate design,
+    and the idiomatic Structured Streaming one for request serving: the
+    search needs three stateful steps (per-query probe rank, the ADC
+    sum aggregation, the final top-k rank), more than one append-mode
+    streaming plan may contain, and a micro-batch IS a query batch —
+    the exact unit the index's broadcast-ADC bound is written against.
+    Each batch runs the identical batch operator, so streaming results
+    equal batch results row-for-row (pinned by tests/test_streaming.py)
+    and every scale property of the batch search carries over
+    unchanged. ``sink(result_df, epoch_id)`` owns delivery (write to a
+    topic/table/parquet); the default collects nothing and exists for
+    plan-building tests."""
+    from ..llm.similarity import ivf_pq_search
+
+    def fn(batch_df, epoch_id):
+        out = ivf_pq_search(
+            batch_df, index, k=k, nprobe=nprobe, shortlist=shortlist
+        )
+        if sink is not None:
+            sink(out, epoch_id)
+
+    return fn

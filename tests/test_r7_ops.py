@@ -392,3 +392,58 @@ def test_ogg_duration_vorbis_opus(spark):
         media, fake=False
     ).collect()}
     assert got == {1: (3.0, 44100), 2: (1.0, 16000)}
+
+
+def test_ivf_pq_search_exact_under_full_coverage(spark):
+    """External-query serving collapses to EXACT brute-force cosine
+    top-k when the recall dials are wide open (nprobe = n_clusters,
+    shortlist >= N) — proving probe/posting-list/ADC/re-rank lose
+    nothing structurally; production tightens the dials for scale."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from myodish_peak_analysis_spark.llm import similarity as S
+    from myodish_peak_analysis_spark.schema import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = S.fit_ivf_pq_index(emb, n_clusters=4)
+    # external queries = corpus vectors under FRESH ids (not members)
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 100000).alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in S.ivf_pq_search(qs, idx, k=5, nprobe=4, shortlist=600).collect()
+    }
+
+    qn = S._with_norm(
+        qs.select(F.col("query_id").alias("vec_id"), "embedding")
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    cn = S._with_norm(emb).select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    brute = qn.crossJoin(cn).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            S._dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    expect = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in brute.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+        .collect()
+    }
+    assert got == expect
+    # the coincident corpus twin is a REAL hit: rank 1 at cosine 1.0
+    for (qid, rank), (vid, cos) in got.items():
+        if rank == 1:
+            assert vid == qid - 100000 and cos == 1.0

@@ -1198,3 +1198,55 @@ def test_streaming_chunk_overlap_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_streaming_ann_serve_matches_batch(spark, tmp_path):
+    """foreachBatch ANN serving: micro-batch results equal the batch
+    ivf_pq_search row-for-row (queries are independent, so splitting
+    the query set across micro-batches changes nothing)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm.similarity import (
+        fit_ivf_pq_index,
+        ivf_pq_search,
+    )
+    from myodish_peak_analysis_spark.schema import read_table
+    from myodish_peak_analysis_spark.streaming.peaks import make_ann_serve_fn
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = fit_ivf_pq_index(emb, n_clusters=4)
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 7000).alias("query_id"), "embedding"
+    )
+    src = os.path.join(str(tmp_path), "queries")
+    # two files -> maxFilesPerTrigger=1 forces two genuine micro-batches
+    qs.repartition(2).write.parquet(src)
+
+    collected = []
+    epochs = set()
+
+    def sink(df, epoch_id):
+        epochs.add(epoch_id)
+        collected.extend(df.collect())
+
+    stream = (
+        spark.readStream.schema("query_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(
+        make_ann_serve_fn(idx, k=3, sink=sink)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in collected}
+    expect = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in ivf_pq_search(qs, idx, k=3).collect()
+    }
+    assert got == expect and len(epochs) >= 2
