@@ -265,6 +265,25 @@ def _emb_ops(n1_holder: dict):
             idx.members.unpersist()
             idx.codes.unpersist()
 
+    def serve(d: DataFrame, n: int) -> float:
+        # External-query serving (ivf_pq_search): the index is prefit
+        # on the K× corpus OUTSIDE the timed region; the QUERY BATCH is
+        # a fixed-size external frame (the 1× batch size, fresh ids not
+        # in the corpus) — the purest serving claim: a production
+        # request batch against a K× index.
+        from pyspark.sql import functions as F
+
+        idx = S.fit_ivf_pq_index(d, n_clusters="auto")
+        qs = (
+            d.filter(F.col("vec_id") % qmod(n) == 0)
+            .select((F.col("vec_id") + n * 10).alias("query_id"), "embedding")
+        )
+        try:
+            return _timed_build(lambda: S.ivf_pq_search(qs, idx))
+        finally:
+            idx.members.unpersist()
+            idx.codes.unpersist()
+
     def prefit_sq8(d: DataFrame, n: int) -> float:
         idx = S.fit_ivf_pq_index(d, n_clusters="auto")
         try:
@@ -300,6 +319,7 @@ def _emb_ops(n1_holder: dict):
         ),
         ("ivf_pq_topk_prefit", prefit_pq),
         ("ivf_sq8_topk_prefit", prefit_sq8),
+        ("ann_serve", serve),
     )
 
 
