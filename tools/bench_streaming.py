@@ -1,0 +1,210 @@
+"""Sustained-throughput measurement for the Structured Streaming ops.
+
+The streaming operators' scale posture so far rested on design
+arguments (O(1)–O(window) state per channel, watermark-bounded stores)
+and row-for-row batch parity tests; this harness adds the missing
+MEASURED leg: rows/second through a real multi-micro-batch run of each
+stateful operator, with the file source as the feed (one parquet file
+per micro-batch via ``maxFilesPerTrigger=1``, written in arrival
+order, each file a TIME SLICE across all channels — the shape a
+real ingest produces).
+
+Inputs replicate the sf0.1 tables without changing per-key work:
+
+* signal — K channel-offset copies of the 50-channel signal frame
+  (every copy is the same per-channel series under fresh channel ids,
+  so state size per key is unchanged and parallelism grows with data,
+  exactly the 100 TB claim under test);
+* documents — K copies with K-1 exact duplicates per text (the
+  streaming dedup gate's realistic load: most arrivals are dups) and a
+  synthetic monotone event-time for the watermark.
+
+Each op reports total wall seconds from query start to
+``processAllAvailable`` (the sink is ``noop``), input rows/s, and the
+per-micro-batch ``batchDuration`` spread from ``recentProgress`` —
+so both sustained throughput AND steady-state latency are recorded.
+Usage: python tools/bench_streaming.py [--copies 10] [--batches 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from myodish_peak_analysis_spark.session import get_spark  # noqa: E402
+from myodish_peak_analysis_spark.schema import (  # noqa: E402
+    read_table,
+    signal_frame,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+SIG_SCHEMA = "channel_id long, sample_idx long, signal_value double"
+DOC_SCHEMA = "doc_id long, text string, source string, ts timestamp"
+
+
+def _write_slices(df: DataFrame, src: str, slice_col: str, n_batches: int,
+                  lo: int, hi: int) -> None:
+    """One parquet file per micro-batch, written in slice order (the
+    file source picks files up in modification-time order)."""
+    os.makedirs(src, exist_ok=True)
+    width = (hi - lo + n_batches) // n_batches
+    for b in range(n_batches):
+        part = df.filter(
+            (F.col(slice_col) >= lo + b * width)
+            & (F.col(slice_col) < lo + (b + 1) * width)
+        )
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)  # distinct mtimes => deterministic arrival order
+
+
+def _run(name: str, stream_df: DataFrame, n_rows: int, ckpt: str) -> dict:
+    q = (
+        stream_df.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    t0 = time.time()
+    try:
+        q.processAllAvailable()
+        sec = time.time() - t0
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        durs = sorted(p["batchDuration"] / 1000.0 for p in prog)
+    finally:
+        q.stop()
+    out = {
+        "metric": f"streaming_throughput:{name}",
+        "value": round(n_rows / sec),
+        "unit": "rows/s",
+        "rows": n_rows,
+        "sec": round(sec, 3),
+        "n_batches": len(durs),
+        "batch_sec_p50": round(durs[len(durs) // 2], 3) if durs else None,
+        "batch_sec_max": round(durs[-1], 3) if durs else None,
+        "sf_dir": SF_DIR,
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--ops", type=str, default=None)
+    args = ap.parse_args()
+
+    from myodish_peak_analysis_spark.streaming.peaks import (
+        streaming_exact_dedup,
+        streaming_find_peaks,
+        streaming_naive_peaks,
+        streaming_pack_chunks,
+    )
+
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="bench_streaming_")
+
+    # --- signal feed: K channel-offset copies, sliced by sample_idx ---
+    base = signal_frame(spark, SF_DIR, n_channels=50).select(
+        "channel_id", "sample_idx", "signal_value"
+    )
+    n_ch = 50
+    copies = spark.range(args.copies).select(F.col("id").alias("_k"))
+    sig = (
+        base.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("channel_id") + F.col("_k") * n_ch).alias("channel_id"),
+            "sample_idx",
+            "signal_value",
+        )
+    )
+    sig_rows = sig.count()
+    max_idx = sig.agg(F.max("sample_idx")).first()[0]
+    sig_src = os.path.join(root, "signal")
+    _write_slices(sig, sig_src, "sample_idx", args.batches, 0, max_idx + 1)
+
+    # --- documents feed: K copies (K-1 exact dups each), monotone ts ---
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    n_docs = docs.count()
+    ddf = (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("_k") * n_docs).alias("doc_id"),
+            "text",
+            "source",
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("doc_id") + F.col("_k") * n_docs
+            ).alias("ts"),
+        )
+    )
+    doc_rows = ddf.count()
+    doc_src = os.path.join(root, "docs")
+    _write_slices(ddf, doc_src, "doc_id", args.batches, 0, doc_rows)
+
+    def sig_stream():
+        return (
+            spark.readStream.schema(SIG_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sig_src)
+        )
+
+    def doc_stream():
+        return (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(doc_src)
+        )
+
+    ops = {
+        # the flagship stateful op: full constrained find_peaks
+        "streaming_find_peaks": lambda: _run(
+            "streaming_find_peaks",
+            streaming_find_peaks(sig_stream()),
+            sig_rows,
+            os.path.join(root, "ck_fp"),
+        ),
+        "streaming_naive_peaks": lambda: _run(
+            "streaming_naive_peaks",
+            streaming_naive_peaks(sig_stream()),
+            sig_rows,
+            os.path.join(root, "ck_np"),
+        ),
+        # built-in watermarked state store under a ~90%-duplicate load
+        "streaming_exact_dedup": lambda: _run(
+            "streaming_exact_dedup",
+            streaming_exact_dedup(doc_stream(), watermark="24 hours"),
+            doc_rows,
+            os.path.join(root, "ck_dd"),
+        ),
+        # O(1)-state packer (one BIGINT per shard)
+        "streaming_pack_chunks": lambda: _run(
+            "streaming_pack_chunks",
+            streaming_pack_chunks(doc_stream(), capacity=512),
+            doc_rows,
+            os.path.join(root, "ck_pk"),
+        ),
+    }
+    keep = set(args.ops.split(",")) if args.ops else set(ops)
+    try:
+        for name, fn in ops.items():
+            if name in keep:
+                fn()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
