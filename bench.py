@@ -136,6 +136,16 @@ def main() -> None:
             )
         return similarity.ivf_pq_topk(emb, index=_ivf_pq_idx["idx"])
 
+    def _ann_serve():
+        if "idx" not in _ivf_pq_idx:
+            _ivf_pq_idx["idx"] = similarity.fit_ivf_pq_index(
+                emb, n_clusters="auto"
+            )
+        qs = emb.filter(
+            F.col("vec_id") % similarity.ANN_QUERY_MOD == 0
+        ).select((F.col("vec_id") + 10_000_000).alias("query_id"), "embedding")
+        return similarity.ivf_pq_search(qs, _ivf_pq_idx["idx"])
+
     # bench times the REGISTERED builders (not re-derived copies, which
     # r5 review flagged as a drift hazard: a formulation change in the
     # verified query would leave the bench silently timing the old one)
@@ -295,6 +305,11 @@ def main() -> None:
         "training_corpus_manifest": lambda: curate.training_corpus_manifest(
             docs
         ),
+        # round-7: external-query serving against the (cached) prefit
+        # IVF-PQ index — the production request path; reuses the same
+        # index the ivf_pq_topk_prefit entry fits, so this times ONLY
+        # probe -> posting lists -> ADC -> re-rank on a fresh batch.
+        "ann_serve": _ann_serve,
     }
 
     # round-6 additions (VERDICT r5 ask #8): the heavy §2 singles,
