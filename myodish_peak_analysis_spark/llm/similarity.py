@@ -961,6 +961,47 @@ def fit_ivf_pq_index(
     return IvfPqIndex(members, cents, codes, pq_cents, m, n_centroids)
 
 
+def save_ivf_pq_index(index: IvfPqIndex, path: str) -> None:
+    """Persist a fitted index as four parquet tables + a 1-row meta
+    table — the cluster-native reuse shape the :class:`IvfPqIndex`
+    docstring promises ("written once as parquet and read per batch"):
+    a nightly fit job writes the index; any number of serving jobs
+    (or a restarted cluster) :func:`load_ivf_pq_index` it without
+    refitting. Everything goes through Spark writers, so ``path`` may
+    be any Hadoop-compatible URI (HDFS/S3/local). At real scale write
+    ``members`` with ``partitionBy("centroid_id")`` so a probe-
+    restricted read prunes posting-list partitions at the scan; kept
+    plain here because the harness corpora have sub-second scans."""
+    index.members.write.mode("overwrite").parquet(f"{path}/members")
+    index.cents.write.mode("overwrite").parquet(f"{path}/cents")
+    index.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    index.pq_cents.write.mode("overwrite").parquet(f"{path}/pq_cents")
+    spark = index.members.sparkSession
+    spark.createDataFrame(
+        [(index.m, index.n_centroids)], "m int, n_centroids int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
+    """Read an index written by :func:`save_ivf_pq_index`. The loaded
+    index is search-identical to the fitted one (pinned by test):
+    ``members``/``codes`` are cached+counted exactly as the fit leaves
+    them, and the two centroid tables stay small broadcast-side frames."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    members = spark.read.parquet(f"{path}/members").cache()
+    members.count()
+    codes = spark.read.parquet(f"{path}/codes").cache()
+    codes.count()
+    return IvfPqIndex(
+        members,
+        spark.read.parquet(f"{path}/cents"),
+        codes,
+        spark.read.parquet(f"{path}/pq_cents"),
+        int(meta.m),
+        int(meta.n_centroids),
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     k: int = ANN_LSH_TOPK,

@@ -447,3 +447,42 @@ def test_ivf_pq_search_exact_under_full_coverage(spark):
     for (qid, rank), (vid, cos) in got.items():
         if rank == 1:
             assert vid == qid - 100000 and cos == 1.0
+
+
+def test_ivf_pq_index_save_load_search_identical(spark, tmp_path):
+    """The persisted index answers searches identically to the fitted
+    one — the fit-once/serve-forever contract: a nightly fit job writes
+    parquet, serving jobs (or a restarted cluster) load it and skip
+    both Lloyd fits entirely."""
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm import similarity as S
+    from myodish_peak_analysis_spark.schema import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fitted = S.fit_ivf_pq_index(emb, n_clusters=4)
+    S.save_ivf_pq_index(fitted, str(tmp_path / "idx"))
+    loaded = S.load_ivf_pq_index(spark, str(tmp_path / "idx"))
+    assert (loaded.m, loaded.n_centroids) == (fitted.m, fitted.n_centroids)
+
+    qs = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 5000).alias("query_id"), "embedding"
+    )
+
+    def res(idx):
+        return {
+            (r.query_id, r.rank): (r.vec_id, r.cosine)
+            for r in S.ivf_pq_search(qs, idx, k=5).collect()
+        }
+
+    assert res(loaded) == res(fitted)
+    # the corpus-query route accepts the loaded index too
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in S.ivf_pq_topk(emb, index=loaded).collect()
+    }
+    expect = {
+        (r.query_id, r.rank): r.vec_id
+        for r in S.ivf_pq_topk(emb, index=fitted).collect()
+    }
+    assert got == expect

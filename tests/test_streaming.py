@@ -1250,3 +1250,77 @@ def test_streaming_ann_serve_matches_batch(spark, tmp_path):
         for r in ivf_pq_search(qs, idx, k=3).collect()
     }
     assert got == expect and len(epochs) >= 2
+
+
+def test_streaming_find_peaks_recovers_state_from_checkpoint(spark, tmp_path):
+    """Kill the flagship stateful op between micro-batches and restart
+    from the same checkpoint: the constrained-peaks state (open plateau
+    runs, undecided candidates, suppression component) must survive the
+    restart, so peaks straddling the crash point still come out
+    bit-identical to the batch native_find_peaks."""
+    import math
+    import os
+
+    from myodish_peak_analysis_spark.operators.native_peaks import (
+        native_find_peaks,
+    )
+    from myodish_peak_analysis_spark.streaming.peaks import streaming_find_peaks
+
+    def bump(i, c):
+        return 2.0 * math.exp(-((i - c) ** 2) / 8.0)
+
+    # the bump at 30 straddles the CRASH point (restart between files);
+    # 75 samples so even peak 50's wlen neighborhood closes (p + wlen//2
+    # = 60 must arrive — the decided-prefix contract)
+    vals = [round(bump(i, 10) + bump(i, 30) + bump(i, 50), 6) for i in range(75)]
+    rows = [(0, i, v) for i, v in enumerate(vals)]
+    src = os.path.join(str(tmp_path), "sig")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    sink = os.path.join(str(tmp_path), "sink")
+    os.makedirs(src, exist_ok=True)
+    kw = dict(distance=5, prominence=0.5, width=1.0, rel_height=0.3, wlen=20)
+
+    def start():
+        stream = spark.readStream.schema(SIG_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        return (
+            streaming_find_peaks(stream, **kw)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    spark.createDataFrame(rows[:32], SIG_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spark.createDataFrame(rows[32:], SIG_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.peak_idx: (r.peak_value, r.prominence, r.width)
+        for r in spark.read.parquet(sink).collect()
+    }
+    expect = {
+        r.peak_idx: (r.peak_value, r.prominence, r.width)
+        for r in native_find_peaks(
+            spark.createDataFrame(rows, SIG_SCHEMA),
+            value_col="signal_value",
+            **kw,
+        ).collect()
+    }
+    assert got == expect and 30 in got
