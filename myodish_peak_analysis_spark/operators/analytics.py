@@ -20,11 +20,13 @@ Scale notes per operator:
   to rows co-resident in a 2-window span.
 * :func:`json_props_stats` — ``get_json_object`` runs JVM-side
   (no Python); the aggregate is map-side combined to O(event_types).
-* :func:`topk_per_group` — two-phase: a salted partial top-k bounds
-  every window partition to O(rows/salt), then the merge window sees
-  only ``salt * k`` rows per group. A single hot group (skewed
-  ``source``) therefore cannot OOM one task, which a plain
-  ``row_number() OVER (PARTITION BY group)`` would at 100 TB.
+* :func:`topk_per_group` — skew-safe top-k per group. On Spark 3.5+
+  the plain ``row_number() OVER (PARTITION BY group) <= k`` compiles
+  with a Partial WindowGroupLimit BELOW the exchange (each map task
+  ships ≤ k rows per group), so a hot group cannot OOM one task and
+  the optimizer route beats the hand-salted two-phase (measured:
+  `tools/bench_skew.py`, 95%-hot 40M rows — 3.6 s vs 4.2 s); the
+  explicit salted form remains as an opt-in (``salt=N``).
 """
 
 from __future__ import annotations
@@ -156,16 +158,27 @@ def topk_per_group(
     tie_col: str,
     k: int = 5,
     descending: bool = True,
-    salt: int = TOPK_SALT,
+    salt: int | None = None,
 ) -> DataFrame:
-    """Deterministic top-k rows per group, two-phase for skew safety.
+    """Deterministic top-k rows per group, skew-safe.
 
-    Phase 1 ranks within ``(group, salt)`` — salt is derived from the
-    tie-break column, so it is deterministic but spreads a hot group
-    over ``salt`` tasks — and keeps k per sub-group. Phase 2 re-ranks
-    the surviving ``salt * k`` rows per group. The final ``rank`` is
-    identical to a single global window (the global top-k must survive
-    every sub-group top-k), which is what the oracle computes.
+    Default (``salt=None``): the single window
+    ``row_number() over (partition by group order by ...) <= k`` —
+    which on Spark 3.5+ is NOT the naive skew-vulnerable plan it looks
+    like: Catalyst inserts a **Partial WindowGroupLimit below the
+    exchange**, so every map task keeps only its local top-k per group
+    and a hot key ships ≤ k rows per task instead of its full volume.
+    Measured (`tools/bench_skew.py`, 40M rows, 95% in ONE group,
+    local[32]): single-window 3.6 s vs hand-salted two-phase 4.2 s —
+    the optimizer route wins because the salted form pays an extra
+    exchange + window pass for protection the engine already provides.
+
+    ``salt=N`` keeps the explicit two-phase form (phase 1 ranks within
+    ``(group, xxhash64(tie) % N)`` and keeps k per sub-group, phase 2
+    re-ranks the surviving ``N·k`` rows) for engines without the
+    WindowGroupLimit rewrite; both forms return identical rows (the
+    global top-k must survive every sub-group top-k; asserted in
+    `tools/bench_skew.py` before timing).
     """
     from pyspark.sql import Window
 
@@ -173,16 +186,18 @@ def topk_per_group(
         c = F.col(order_col).desc() if descending else F.col(order_col).asc()
         return [c, F.col(tie_col).asc()]
 
-    part = F.pmod(F.xxhash64(F.col(tie_col)), F.lit(salt))
-    w1 = Window.partitionBy(group_col, part).orderBy(*order_exprs())
-    partial = (
-        df.withColumn("_rk", F.row_number().over(w1))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
-    )
+    src = df
+    if salt is not None and salt > 1:
+        part = F.pmod(F.xxhash64(F.col(tie_col)), F.lit(salt))
+        w1 = Window.partitionBy(group_col, part).orderBy(*order_exprs())
+        src = (
+            df.withColumn("_rk", F.row_number().over(w1))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
     w2 = Window.partitionBy(group_col).orderBy(*order_exprs())
     return (
-        partial.withColumn("rank", F.row_number().over(w2).cast("long"))
+        src.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
