@@ -1,0 +1,134 @@
+"""Recall/latency curve for the external-query serving path
+(`llm.similarity.ivf_pq_search`) across its two production dials —
+``nprobe`` (posting lists visited) and ``shortlist`` (ADC survivors
+exactly re-ranked) — against brute-force cosine ground truth at
+$SPARK_GRAFT_SF_DIR. The numbers tell a caller what recall each dial
+setting buys and what it costs; docs/SCALE.md records the table.
+Self-matches count as hits in BOTH paths (external serving keeps
+coincident corpus twins — a real exact-dup signal)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+from myodish_peak_analysis_spark.llm import similarity as S  # noqa: E402
+from myodish_peak_analysis_spark.schema import read_table  # noqa: E402
+from myodish_peak_analysis_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = 10
+
+
+def main() -> None:
+    spark = get_spark("bench-serve-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_table(spark, SF_DIR, "embeddings").cache()
+    emb.count()
+    qs = emb.filter(F.col("vec_id") % S.ANN_QUERY_MOD == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("query_id"), "embedding"
+    ).cache()
+
+    qn = S._with_norm(
+        qs.select(F.col("query_id").alias("vec_id"), "embedding")
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    cn = S._with_norm(emb).select(
+        "vec_id", F.col("embedding").alias("c_emb"), F.col("_norm").alias("c_norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    truth = (
+        qn.crossJoin(cn)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                S._dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id")
+        .cache()
+    )
+    n_truth = truth.count()
+
+    idx = S.fit_ivf_pq_index(emb, n_clusters="auto")
+
+    def probe_ceiling(nprobe: int) -> float:
+        """Fraction of true top-K pairs inside the probed posting
+        lists — the recall CEILING the IVF probe imposes before PQ/
+        shortlist see anything. recall == ceiling means the ADC stage
+        is lossless at this dial; recall < ceiling blames the
+        shortlist."""
+        qprobe = (
+            qn.crossJoin(F.broadcast(idx.cents))
+            .withColumn(
+                "_cos",
+                F.round(
+                    S._dot("q_emb", "c_emb")
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    9,
+                ),
+            )
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("_cos").desc(), F.col("centroid_id")
+                    )
+                ),
+            )
+            .filter(F.col("_rk") <= nprobe)
+            .select("query_id", "centroid_id")
+        )
+        cand = qprobe.join(
+            idx.members.select("centroid_id", "vec_id"), "centroid_id"
+        ).select("query_id", "vec_id")
+        return cand.join(truth, ["query_id", "vec_id"]).count() / n_truth
+
+    for nprobe in (1, 2, 4, 8, 16, 24):
+        ceil = probe_ceiling(nprobe)
+        for shortlist in (50, 200, 600):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                S.ivf_pq_search(
+                    qs, idx, k=K, nprobe=nprobe, shortlist=shortlist
+                ).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            hits = (
+                S.ivf_pq_search(qs, idx, k=K, nprobe=nprobe, shortlist=shortlist)
+                .select("query_id", "vec_id")
+                .join(truth, ["query_id", "vec_id"])
+                .count()
+            )
+            print(
+                json.dumps(
+                    {
+                        "metric": f"serve_recall@{K}",
+                        "nprobe": nprobe,
+                        "shortlist": shortlist,
+                        "probe_ceiling": round(ceil, 3),
+                        "recall": round(hits / n_truth, 3),
+                        "sec": round(best, 3),
+                        "sf_dir": SF_DIR,
+                    }
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
