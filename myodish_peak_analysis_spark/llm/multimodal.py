@@ -667,18 +667,98 @@ def _parse_mp4_duration(payload: bytes):
     return (dur, tracks)
 
 
+def _ebml_vint(payload: bytes, pos: int, keep_marker: bool):
+    """Read one EBML variable-length integer at ``pos``: the leading
+    byte's highest set bit states the total width (1-8 bytes). Element
+    IDs keep the marker bit (they are compared with it, per the public
+    Matroska/EBML spec); sizes strip it. Returns (value, next_pos) or
+    None past the buffer."""
+    if pos >= len(payload):
+        return None
+    first = payload[pos]
+    if first == 0:
+        return None
+    width = 8 - first.bit_length() + 1
+    if pos + width > len(payload):
+        return None
+    raw = int.from_bytes(payload[pos : pos + width], "big")
+    if not keep_marker:
+        raw &= (1 << (7 * width)) - 1
+    return raw, pos + width
+
+
+_EBML_UNKNOWN = {(1 << (7 * w)) - 1 for w in range(1, 9)}
+
+
+def _iter_ebml(payload: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) for EBML children of
+    [pos, end) — the Matroska analog of :func:`_iter_boxes`. An
+    all-ones size means "unknown, extends to parent end" (streamed
+    Segments use it)."""
+    while pos < end:
+        head = _ebml_vint(payload, pos, keep_marker=True)
+        if head is None:
+            return
+        eid, pos = head
+        size = _ebml_vint(payload, pos, keep_marker=False)
+        if size is None:
+            return
+        n, pos = size
+        body_end = end if n in _EBML_UNKNOWN else min(end, pos + n)
+        yield eid, pos, body_end
+        pos = body_end
+
+
+def _parse_mkv_duration(payload: bytes):
+    """Pure-stdlib Matroska/WebM movie metadata (public EBML +
+    Matroska specs): ``Segment``→``Info`` states ``Duration`` (float,
+    element 0x4489) in ``TimecodeScale`` units (uint ns/tick, element
+    0x2AD7B1, default 1,000,000 = ms ticks) — duration_s = Duration ×
+    scale / 1e9, no cluster decode. Track count = ``TrackEntry``
+    children of ``Tracks``. Returns (duration_s, n_tracks) or None."""
+    import struct as _struct
+
+    top = list(_iter_ebml(payload, 0, len(payload)))
+    if not top or top[0][0] != 0x1A45DFA3:  # EBML header magic
+        return None
+    dur_ticks = None
+    scale = 1_000_000
+    tracks = 0
+    for eid, s, e in top:
+        if eid != 0x18538067:  # Segment
+            continue
+        for eid2, s2, e2 in _iter_ebml(payload, s, e):
+            if eid2 == 0x1549A966:  # Info
+                for eid3, s3, e3 in _iter_ebml(payload, s2, e2):
+                    if eid3 == 0x2AD7B1 and e3 > s3:  # TimecodeScale
+                        scale = int.from_bytes(payload[s3:e3], "big")
+                    elif eid3 == 0x4489 and e3 - s3 in (4, 8):  # Duration
+                        fmt = ">f" if e3 - s3 == 4 else ">d"
+                        dur_ticks = _struct.unpack(fmt, payload[s3:e3])[0]
+            elif eid2 == 0x1654AE6B:  # Tracks
+                tracks += sum(
+                    1 for eid3, _, _ in _iter_ebml(payload, s2, e2)
+                    if eid3 == 0xAE  # TrackEntry
+                )
+    if dur_ticks is None or not scale:
+        return None
+    return (dur_ticks * scale / 1e9, tracks)
+
+
 def _decode_video_impl(payload: bytes, fake: bool):
     """Codec hook; real path = the pure-stdlib MP4/MOV ``mvhd`` walk
-    (any environment); other containers (MKV/EBML, AVI) would need
-    ffmpeg, so they raise loudly."""
+    plus the Matroska/WebM EBML ``Info`` walk (any environment); other
+    containers (AVI) would need ffmpeg, so they raise loudly."""
     if not fake:
         meta = _parse_mp4_duration(payload)
+        if meta is None:
+            meta = _parse_mkv_duration(payload)
         if meta is not None:
             return meta
         raise NotImplementedError(
-            "unrecognized video container; MP4/MOV need no library — "
-            "for other containers plug ffmpeg into _decode_video_impl "
-            "or pass fake=True"
+            "unrecognized video container; MP4/MOV/MKV/WebM need no "
+            "library — for other containers plug ffmpeg into "
+            "_decode_video_impl or pass fake=True"
         )
     h = hashlib.md5(payload).hexdigest()
     return (int(h[:4], 16) % 3600 / 10.0, int(h[4:6], 16) % 4 + 1)

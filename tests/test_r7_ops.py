@@ -486,3 +486,60 @@ def test_ivf_pq_index_save_load_search_identical(spark, tmp_path):
         for r in S.ivf_pq_topk(emb, index=fitted).collect()
     }
     assert got == expect
+
+
+# --- Matroska / WebM (EBML Info walk) ---------------------------------
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    """Minimal EBML element: ID bytes verbatim + 1-byte size (marker
+    0x80 | len, enough for test bodies < 127 bytes) + body."""
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    assert len(body) < 127
+    return id_bytes + bytes([0x80 | len(body)]) + body
+
+
+def _minimal_mkv(
+    dur_ticks: float = 5500.0,
+    scale: int | None = None,
+    n_tracks: int = 2,
+    f64: bool = False,
+) -> bytes:
+    info = b""
+    if scale is not None:
+        info += _ebml_el(0x2AD7B1, scale.to_bytes(4, "big"))
+    info += _ebml_el(0x4489, struct.pack(">d" if f64 else ">f", dur_ticks))
+    tracks = b"".join(_ebml_el(0xAE, b"\x00") for _ in range(n_tracks))
+    segment = _ebml_el(0x1549A966, info) + _ebml_el(0x1654AE6B, tracks)
+    return _ebml_el(0x1A45DFA3, b"\x00") + _ebml_el(0x18538067, segment)
+
+
+def test_mkv_duration_and_video_metadata(spark):
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_mkv_duration,
+        video_metadata,
+    )
+
+    # default TimecodeScale = 1e6 ns => ticks are milliseconds
+    assert _parse_mkv_duration(_minimal_mkv(5500.0)) == (5.5, 2)
+    # explicit scale: 1e9 ns ticks = seconds; f64 Duration; 1 track
+    got = _parse_mkv_duration(
+        _minimal_mkv(7.0, scale=1_000_000_000, n_tracks=1, f64=True)
+    )
+    assert got == (7.0, 1)
+    assert _parse_mkv_duration(b"\x1aE\xdf\xa3") in (None,)  # truncated
+    assert _parse_mkv_duration(b"\x00" * 32) is None  # not EBML
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_minimal_mkv(2500.0, n_tracks=3)), "s"),
+            (2, "video", bytearray(_minimal_mp4()), "s"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: (r.duration_s, r.n_tracks) for r in video_metadata(
+        media, fake=False
+    ).collect()}
+    # MKV and MP4 decode through the SAME mapInPandas route
+    assert rows == {1: (2.5, 3), 2: (5.5, 2)}
