@@ -745,19 +745,44 @@ def _parse_mkv_duration(payload: bytes):
     return (dur_ticks * scale / 1e9, tracks)
 
 
+def _parse_avi_duration(payload: bytes):
+    """Pure-stdlib AVI metadata (public RIFF + OpenDML specs): the
+    mandatory ``avih`` MainAVIHeader is the first chunk of the
+    ``hdrl`` LIST and states dwMicroSecPerFrame, dwTotalFrames and
+    dwStreams at fixed little-endian offsets — duration_s = frames ×
+    µs-per-frame / 1e6, no stream decode. Returns
+    (duration_s, n_streams) or None."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"LIST" and payload[i + 8 : i + 12] == b"hdrl":
+            j = i + 12
+            if payload[j : j + 4] == b"avih" and j + 32 <= n:
+                us_per_frame = int.from_bytes(payload[j + 8 : j + 12], "little")
+                frames = int.from_bytes(payload[j + 24 : j + 28], "little")
+                streams = int.from_bytes(payload[j + 32 : j + 36], "little")
+                return (frames * us_per_frame / 1e6, streams)
+            return None
+        i += 8 + size + (size & 1)
+    return None
+
+
 def _decode_video_impl(payload: bytes, fake: bool):
-    """Codec hook; real path = the pure-stdlib MP4/MOV ``mvhd`` walk
-    plus the Matroska/WebM EBML ``Info`` walk (any environment); other
-    containers (AVI) would need ffmpeg, so they raise loudly."""
+    """Codec hook; real path = the pure-stdlib MP4/MOV ``mvhd`` walk,
+    the Matroska/WebM EBML ``Info`` walk, and the AVI ``avih`` header
+    (any environment); anything rarer raises loudly (plug ffmpeg in)."""
     if not fake:
-        meta = _parse_mp4_duration(payload)
-        if meta is None:
-            meta = _parse_mkv_duration(payload)
-        if meta is not None:
-            return meta
+        for parse in (_parse_mp4_duration, _parse_mkv_duration,
+                      _parse_avi_duration):
+            meta = parse(payload)
+            if meta is not None:
+                return meta
         raise NotImplementedError(
-            "unrecognized video container; MP4/MOV/MKV/WebM need no "
-            "library — for other containers plug ffmpeg into "
+            "unrecognized video container; MP4/MOV/MKV/WebM/AVI need "
+            "no library — for rarer containers plug ffmpeg into "
             "_decode_video_impl or pass fake=True"
         )
     h = hashlib.md5(payload).hexdigest()

@@ -543,3 +543,37 @@ def test_mkv_duration_and_video_metadata(spark):
     ).collect()}
     # MKV and MP4 decode through the SAME mapInPandas route
     assert rows == {1: (2.5, 3), 2: (5.5, 2)}
+
+
+def _minimal_avi(us_per_frame: int = 40000, frames: int = 250, streams: int = 2) -> bytes:
+    avih = (
+        b"avih" + struct.pack("<I", 56)
+        + struct.pack("<I", us_per_frame)       # dwMicroSecPerFrame
+        + b"\x00" * 12                           # MaxBytesPerSec/Padding/Flags
+        + struct.pack("<I", frames)              # dwTotalFrames
+        + b"\x00" * 4                            # dwInitialFrames
+        + struct.pack("<I", streams)             # dwStreams
+        + b"\x00" * 28
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
+def test_avi_duration_and_video_metadata(spark):
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_avi_duration,
+        video_metadata,
+    )
+
+    # 250 frames at 25 fps (40000 us/frame) = 10 s, 2 streams
+    assert _parse_avi_duration(_minimal_avi()) == (10.0, 2)
+    assert _parse_avi_duration(b"RIFF\x00\x00\x00\x00WAVE") is None  # WAV, not AVI
+    assert _parse_avi_duration(b"\x00" * 16) is None
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(_minimal_avi(frames=75, streams=1)), "s")],
+        MEDIA_SCHEMA,
+    )
+    rows = video_metadata(media, fake=False).collect()
+    assert rows[0].duration_s == 3.0 and rows[0].n_tracks == 1
