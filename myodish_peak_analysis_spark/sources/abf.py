@@ -8,11 +8,13 @@ decode the instrument file once, write long-format parquet keyed by
 ``channel_id``, and let every query read the parquet — the scan then
 gets pruning/pushdown for free and the decode never sits in a hot path.
 
-``pyabf`` is not installed in this environment; since round 6 the
-pure-stdlib readers below cover BOTH containers (ABF1 and ABF2) and
-BOTH payload formats (float32 and gain-chain int16) for the
-single-sweep gap-free subset this engine ingests — pyabf remains the
-path for episodic/multi-sweep protocol features outside that subset.
+``pyabf`` is not installed in this environment; the pure-stdlib
+readers below cover BOTH containers (ABF1 and ABF2), BOTH payload
+formats (float32 and gain-chain int16), and — since round 7 — BOTH
+acquisition modes (gap-free and episodic/multi-sweep, with pyabf's
+sweep-splitting derivations and per-sweep time axes). pyabf, when
+installed, is used for anything rarer (e.g. variable-length event
+modes, stimulus waveform reconstruction).
 The long-format conversion and parquet layout (the parts the engine
 actually depends on) are pure pandas and fully tested.
 
@@ -498,6 +500,8 @@ _SECT_PROTOCOL = 0
 _SECT_ADC = 1
 _SECT_DATA = 10
 _OFF2_DATA_FORMAT = 30        # nDataFormat int16 in the fixed header
+_OFF2_ACTUAL_EPISODES = 12    # lActualEpisodes uint32 in the fixed header
+_P2_OFF_OPERATION_MODE = 0    # nOperationMode int16, first Protocol field
 _P_OFF_SEQ_INTERVAL = 2       # fADCSequenceInterval float32 (µs/channel-sample)
 _P_OFF_ADC_RANGE = 110        # fADCRange float32
 _P_OFF_ADC_RESOLUTION = 118   # lADCResolution int32
@@ -520,9 +524,9 @@ def _abf2_section(raw: bytes, index: int) -> tuple[int, int, int]:
     return block * 512, nbytes, items
 
 
-def read_abf2(path: str) -> tuple[list[pd.DataFrame], float]:
-    """Decode an ABF2 gap-free recording with the stdlib only — same
-    return shape as :func:`read_abf1`. float32 payloads are raw
+def _read_abf2_array(path: str):
+    """Shared ABF2 decode core: returns (arr[n_rows, n_chan], rate,
+    nOperationMode, lActualEpisodes). float32 payloads are raw
     engineering units; int16 payloads run the instrument gain chain
     (the ABF1 formula, with the per-channel fields read from this
     container's ADCSection entries)."""
@@ -595,12 +599,59 @@ def read_abf2(path: str) -> tuple[list[pd.DataFrame], float]:
                 + inst_off
                 - soff
             )
+    mode = struct.unpack_from("<h", raw, p_off + _P2_OFF_OPERATION_MODE)[0]
+    episodes = struct.unpack_from("<I", raw, _OFF2_ACTUAL_EPISODES)[0]
+    return arr, rate, mode, episodes
+
+
+def _abf2_frames(arr, rate: float) -> list[pd.DataFrame]:
+    import numpy as np
+
     t = np.arange(arr.shape[0], dtype=np.float64) / rate
-    frames = [
+    return [
         pd.DataFrame({"time_index": t, "signal_value": arr[:, c]})
-        for c in range(nchan)
+        for c in range(arr.shape[1])
     ]
-    return frames, rate
+
+
+def read_abf2(path: str) -> tuple[list[pd.DataFrame], float]:
+    """Decode a single-sweep (gap-free) ABF2 recording — same return
+    shape as :func:`read_abf1`. An episodic (nOperationMode=5) file
+    raises loudly toward :func:`read_abf2_sweeps` rather than silently
+    concatenating sweeps into one continuous trace with a fabricated
+    time axis (the same contract as the ABF1 reader pair)."""
+    arr, rate, mode, episodes = _read_abf2_array(path)
+    if mode == 5 and episodes > 1:
+        raise ValueError(
+            f"episodic ABF2 with {episodes} sweeps — use "
+            "read_abf2_sweeps (or abf_to_parquet(sweep=...)); "
+            "flattening sweeps into one gap-free trace would "
+            "fabricate the time axis across sweep boundaries"
+        )
+    return _abf2_frames(arr, rate), rate
+
+
+def read_abf2_sweeps(path: str) -> tuple[list[list[pd.DataFrame]], float]:
+    """Decode an ABF2 recording into per-sweep channel frames:
+    ([sweep][channel] frames, rate). ABF2 stores no per-episode sample
+    count — episodes are equal-length and back-to-back in the data
+    section, so sweepPointCount = rows / lActualEpisodes (the same
+    derivation pyabf uses); each sweep's time axis restarts at 0.
+    Gap-free files return a single sweep, a strict superset of
+    :func:`read_abf2`."""
+    arr, rate, mode, episodes = _read_abf2_array(path)
+    if not (mode == 5 and episodes > 1):
+        return [_abf2_frames(arr, rate)], rate
+    if arr.shape[0] % episodes:
+        raise ValueError(
+            f"episodic ABF2: {arr.shape[0]} rows do not divide into "
+            f"{episodes} equal episodes — corrupt header"
+        )
+    rows = arr.shape[0] // episodes
+    return [
+        _abf2_frames(arr[s * rows : (s + 1) * rows], rate)
+        for s in range(episodes)
+    ], rate
 
 
 def write_abf2(
@@ -616,10 +667,13 @@ def write_abf2(
     instrument_offset: float = 0.25,
     signal_offset: float = 0.1,
     telegraph_gain: float | None = None,
+    episodes: int | None = None,
 ) -> None:
     """Emit the ABF2 subset (round-trip writer): 76-byte header +
     section map + Protocol/ADC/Data sections, float32 raw or int16
-    through the inverted gain chain."""
+    through the inverted gain chain. ``episodes=K`` writes an EPISODIC
+    (nOperationMode=5) file — K equal back-to-back sweeps
+    (lActualEpisodes=K), the layout :func:`read_abf2_sweeps` splits."""
     import struct
 
     import numpy as np
@@ -637,6 +691,12 @@ def write_abf2(
     header = bytearray(d_block * 512)
     header[:4] = _ABF2_MAGIC
     struct.pack_into("<h", header, _OFF2_DATA_FORMAT, 0 if int16 else 1)
+    if episodes is not None:
+        if episodes <= 0 or n % episodes:
+            raise ValueError(
+                f"{n} rows do not divide into {episodes} equal episodes"
+            )
+        struct.pack_into("<I", header, _OFF2_ACTUAL_EPISODES, episodes)
 
     def sect(index: int, block: int, nbytes: int, items: int) -> None:
         struct.pack_into(
@@ -647,6 +707,10 @@ def write_abf2(
     sect(_SECT_ADC, a_block, a_size, c)
     sect(_SECT_DATA, d_block, n * c * (2 if int16 else 4), n * c)
     p_off = p_block * 512
+    struct.pack_into(
+        "<h", header, p_off + _P2_OFF_OPERATION_MODE,
+        5 if episodes is not None else 3,
+    )
     struct.pack_into("<f", header, p_off + _P_OFF_SEQ_INTERVAL, 1e6 / sample_rate_hz)
     struct.pack_into("<f", header, p_off + _P_OFF_ADC_RANGE, adc_range)
     struct.pack_into("<i", header, p_off + _P_OFF_ADC_RESOLUTION, adc_resolution)
@@ -700,13 +764,12 @@ def read_abf(path: str) -> tuple[list[pd.DataFrame], float]:
 def read_abf_sweeps(path: str) -> tuple[list[list[pd.DataFrame]], float]:
     """Sweep-aware twin of :func:`read_abf`: ([sweep][channel] frames,
     rate). ABF1 splits episodic recordings on the header's episode
-    layout; gap-free ABF1 and the ABF2 subset (gap-free only) return a
-    single sweep."""
+    layout, ABF2 on lActualEpisodes; gap-free files of either
+    container return a single sweep."""
     with open(path, "rb") as f:
         magic = f.read(4)
     if magic == _ABF1_MAGIC:
         return read_abf1_sweeps(path)
     if magic == _ABF2_MAGIC:
-        frames, rate = read_abf2(path)
-        return [frames], rate
+        return read_abf2_sweeps(path)
     raise ValueError(f"not an ABF file (magic {magic!r})")

@@ -449,3 +449,66 @@ def test_abf1_episodic_sweeps_roundtrip(tmp_path):
 
     with pytest.raises(ValueError, match="evenly divide"):
         write_abf1_int16(str(tmp_path / "x.abf"), data, 500.0, episodes=7)
+
+
+def test_abf2_episodic_sweeps_roundtrip(tmp_path):
+    """Round-7: episodic (nOperationMode=5) ABF2 decode — ABF2 stores
+    no per-episode sample count, so sweeps split as rows /
+    lActualEpisodes (pyabf's derivation); per-sweep time restarts at 0
+    and the single-sweep reader refuses loudly."""
+    import numpy as np
+
+    from myodish_peak_analysis_spark.sources.abf import (
+        abf_to_parquet,
+        read_abf2,
+        read_abf2_sweeps,
+        read_abf_sweeps,
+        write_abf2,
+    )
+
+    rng = np.random.default_rng(9)
+    n, c, k = 180, 3, 3  # 3 sweeps x 60 rows
+    data = rng.uniform(-2, 2, size=(n, c))
+    path = str(tmp_path / "epi2.abf")
+    write_abf2(path, data, 1000.0, int16=True, episodes=k)
+
+    with pytest.raises(ValueError, match="episodic"):
+        read_abf2(path)
+
+    sweeps, rate = read_abf2_sweeps(path)
+    assert rate == pytest.approx(1000.0, rel=1e-6)
+    assert len(sweeps) == k and all(len(s) == c for s in sweeps)
+    half_count = 0.5 * (10.0 / 32768) / (0.5 * 2.0 * 1.0)
+    for s in range(k):
+        for ch in range(c):
+            f = sweeps[s][ch]
+            assert len(f) == n // k
+            assert f["time_index"].iloc[0] == 0.0
+            assert f["time_index"].iloc[1] == pytest.approx(1 / 1000.0)
+            want = data[s * (n // k) : (s + 1) * (n // k), ch]
+            err = np.abs(f["signal_value"].to_numpy() - want)
+            assert err.max() <= half_count * 1.01
+
+    # float32 episodic round-trips exactly; dispatcher agrees
+    fpath = str(tmp_path / "epi2f.abf")
+    write_abf2(fpath, data, 1000.0, episodes=k)
+    fsweeps, _ = read_abf_sweeps(fpath)
+    assert len(fsweeps) == k
+    np.testing.assert_allclose(
+        fsweeps[1][0]["signal_value"].to_numpy(),
+        data[60:120, 0],
+        rtol=0,
+        atol=1e-6,
+    )
+
+    # gap-free write stays a 1-sweep superset; bad episode count raises
+    gap = str(tmp_path / "gap2.abf")
+    write_abf2(gap, data, 1000.0)
+    assert len(read_abf_sweeps(gap)[0]) == 1
+    with pytest.raises(ValueError, match="divide"):
+        write_abf2(str(tmp_path / "bad.abf"), data, 1000.0, episodes=7)
+
+    # abf_to_parquet picks the requested sweep on ABF2 too
+    out = str(tmp_path / "s1.parquet")
+    rows = abf_to_parquet(path, out, n_channels=c, sweep=1)
+    assert rows == (n // k) * c
