@@ -554,22 +554,82 @@ def _parse_ogg_header(payload: bytes):
     return (last_granule / rate, rate)
 
 
+def _parse_aiff_header(payload: bytes):
+    """Pure-stdlib AIFF/AIFF-C parse (public EA IFF 85 spec): big-
+    endian chunks under ``FORM``/``AIFF``; the ``COMM`` chunk states
+    numSampleFrames (u32) and sampleRate as an IEEE 754 80-bit
+    extended float — duration = frames / rate. Returns
+    (duration_s, sample_rate) or None."""
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "big")
+        if cid == b"COMM" and i + 8 + 18 <= n:
+            frames = int.from_bytes(payload[i + 10 : i + 14], "big")
+            ext = payload[i + 16 : i + 26]  # 80-bit extended float
+            exp = int.from_bytes(ext[:2], "big") & 0x7FFF
+            mant = int.from_bytes(ext[2:10], "big")
+            if exp == 0 and mant == 0:
+                return None
+            rate = mant * 2.0 ** (exp - 16383 - 63)
+            if not (rate > 0):
+                return None
+            return (frames / rate, int(round(rate)))
+        i += 8 + size + (size & 1)
+    return None
+
+
+#: MPEG-4 AAC sampling-frequency index table (public ISO/IEC 14496-3).
+_AAC_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+              16000, 12000, 11025, 8000, 7350)
+
+
+def _parse_aac_adts(payload: bytes):
+    """Pure-stdlib ADTS-AAC parse: walk the self-framing ADTS headers
+    (12-bit 0xFFF syncword; 13-bit frame length spans header+payload;
+    4-bit sampling-frequency index) — each AAC frame decodes to 1024
+    PCM samples per channel, so duration = frames·1024/rate, VBR-exact
+    without entropy decode (the same walk as the MP3 parser). Returns
+    (duration_s, sample_rate) or None."""
+    i, n, frames, rate = 0, len(payload), 0, None
+    while i + 7 <= n:
+        if payload[i] != 0xFF or (payload[i + 1] & 0xF6) != 0xF0:
+            return None  # ADTS is contiguous: a bad sync means not ADTS
+        sfi = (payload[i + 2] >> 2) & 0x0F
+        if sfi >= len(_AAC_RATES):
+            return None
+        r = _AAC_RATES[sfi]
+        if rate is None:
+            rate = r
+        elif r != rate:
+            return None
+        flen = ((payload[i + 3] & 0x03) << 11) | (payload[i + 4] << 3) | (
+            payload[i + 5] >> 5
+        )
+        if flen < 7:
+            return None
+        frames += 1
+        i += flen
+    if not frames or rate is None or i != n:
+        return None
+    return (frames * 1024 / rate, rate)
+
+
 def _decode_audio_impl(payload: bytes, fake: bool):
-    """Codec hook; real path = the pure-stdlib RIFF/WAVE, FLAC
-    STREAMINFO, OGG granule-position (Vorbis/Opus) and MP3
+    """Codec hook; real path = the pure-stdlib RIFF/WAVE, AIFF, FLAC
+    STREAMINFO, OGG granule-position (Vorbis/Opus), MP3 and ADTS-AAC
     frame-header parsers (any environment), soundfile
     (requirements-extra.txt) for anything rarer, else
     NotImplementedError."""
     if not fake:
-        meta = _parse_wav_header(payload)
-        if meta is None:
-            meta = _parse_flac_header(payload)
-        if meta is None:
-            meta = _parse_ogg_header(payload)
-        if meta is None:
-            meta = _parse_mp3_header(payload)
-        if meta is not None:
-            return meta
+        for parse in (_parse_wav_header, _parse_aiff_header,
+                      _parse_flac_header, _parse_ogg_header,
+                      _parse_mp3_header, _parse_aac_adts):
+            meta = parse(payload)
+            if meta is not None:
+                return meta
         try:
             import io
 
@@ -577,9 +637,9 @@ def _decode_audio_impl(payload: bytes, fake: bool):
         except ImportError as exc:
             raise NotImplementedError(
                 "unrecognized audio format and soundfile not installed; "
-                "WAV/FLAC/OGG/MP3 need no library — for rarer formats "
-                "install soundfile (requirements-extra.txt) or pass "
-                "fake=True"
+                "WAV/AIFF/FLAC/OGG/MP3/ADTS-AAC need no library — for "
+                "rarer formats install soundfile "
+                "(requirements-extra.txt) or pass fake=True"
             ) from exc
         with soundfile.SoundFile(io.BytesIO(payload)) as snd:
             return (len(snd) / snd.samplerate, snd.samplerate)

@@ -577,3 +577,67 @@ def test_avi_duration_and_video_metadata(spark):
     )
     rows = video_metadata(media, fake=False).collect()
     assert rows[0].duration_s == 3.0 and rows[0].n_tracks == 1
+
+
+def _f80(rate: float) -> bytes:
+    """IEEE 754 80-bit extended float (AIFF sampleRate encoding)."""
+    import math
+
+    m, e = math.frexp(rate)  # rate = m * 2**e, m in [0.5, 1)
+    mant = int(m * (1 << 64))
+    return struct.pack(">H", 16383 + e - 1) + mant.to_bytes(8, "big")
+
+
+def _minimal_aiff(frames: int = 44100 * 2, rate: float = 44100.0) -> bytes:
+    comm = (
+        b"COMM" + struct.pack(">I", 18)
+        + struct.pack(">hIh", 1, frames, 16) + _f80(rate)
+    )
+    return b"FORM" + struct.pack(">I", 4 + len(comm)) + b"AIFF" + comm
+
+
+def _adts_frames(n: int = 3, sfi: int = 8, body: int = 13) -> bytes:
+    out = b""
+    flen = 7 + body
+    for _ in range(n):
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1  # MPEG-4, layer 00, no CRC
+        h[2] = (1 << 6) | (sfi << 2)  # AAC-LC profile, sampling index
+        h[3] = (flen >> 11) & 0x03
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 0x07) << 5) | 0x1F
+        h[6] = 0xFC
+        out += bytes(h) + b"\x00" * body
+    return out
+
+
+def test_aiff_aac_duration_and_audio_metadata(spark):
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_aac_adts,
+        _parse_aiff_header,
+        audio_metadata,
+    )
+
+    assert _parse_aiff_header(_minimal_aiff()) == (2.0, 44100)
+    assert _parse_aiff_header(_minimal_aiff(48000 * 3, 48000.0)) == (3.0, 48000)
+    assert _parse_aiff_header(b"FORM\x00\x00\x00\x04WAVE") is None
+    assert _parse_aiff_header(b"\x00" * 16) is None
+
+    # 3 AAC frames at sampling index 8 (16 kHz): 3*1024/16000 = 0.192 s
+    assert _parse_aac_adts(_adts_frames()) == (0.192, 16000)
+    assert _parse_aac_adts(_adts_frames()[:-1]) is None  # truncated tail
+    assert _parse_aac_adts(b"\xff\xfb" + b"\x00" * 30) is None  # MP3 sync
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(_minimal_aiff()), "s"),
+            (2, "audio", bytearray(_adts_frames(n=25)), "s"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: (r.duration_s, r.sample_rate) for r in audio_metadata(
+        media, fake=False
+    ).collect()}
+    assert got == {1: (2.0, 44100), 2: (1.6, 16000)}
