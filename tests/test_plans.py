@@ -126,3 +126,19 @@ def test_round5_plan_shapes(spark):
     # scan-agg: one partial agg, one final agg, one single-partition
     # exchange between them; no join operators at all
     assert "Join" not in plan
+
+
+def test_topk_per_group_plan_has_partial_window_group_limit(spark):
+    """The skew-safety contract of the default (optimizer-route)
+    topk_per_group: Spark must plant a PARTIAL WindowGroupLimit below
+    the exchange so each map task ships <= k rows per group. If an
+    engine change drops the rewrite, this fails and the salted
+    two-phase form (salt=N) becomes the default again — see
+    tools/bench_skew.py for the measurement that justified the switch."""
+    from myodish_peak_analysis_spark.operators.analytics import topk_per_group
+    from myodish_peak_analysis_spark.schema import read_table
+    from tests.conftest import SF001
+
+    docs = read_table(spark, SF001, "documents")
+    plan = _plan_of(topk_per_group(docs, "source", "n_chars", "doc_id", k=5))
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
