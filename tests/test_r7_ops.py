@@ -641,3 +641,76 @@ def test_aiff_aac_duration_and_audio_metadata(spark):
         media, fake=False
     ).collect()}
     assert got == {1: (2.0, 44100), 2: (1.6, 16000)}
+
+
+# --- property tests: the round-7 container parsers round-trip --------
+
+
+def test_container_parsers_roundtrip_property():
+    """Random parameters through the synthetic builders must come back
+    exactly (duration to float64 arithmetic, rates/track counts
+    integral) — pinning the offset arithmetic of all four round-7
+    parsers against the values that produced the bytes."""
+    from hypothesis import given, settings, strategies as st
+
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        _parse_aac_adts,
+        _parse_aiff_header,
+        _parse_avi_duration,
+        _parse_mkv_duration,
+    )
+
+    @given(
+        st.floats(min_value=1.0, max_value=1e7, allow_nan=False),
+        st.sampled_from([None, 1_000, 1_000_000, 1_000_000_000]),
+        st.integers(min_value=0, max_value=9),
+        st.booleans(),
+    )
+    @settings(max_examples=150, deadline=None)
+    def mkv(dur_ticks, scale, n_tracks, f64):
+        import struct as _s
+
+        stored = _s.unpack(">d" if f64 else ">f", _s.pack(">d" if f64 else ">f", dur_ticks))[0]
+        got = _parse_mkv_duration(
+            _minimal_mkv(dur_ticks, scale=scale, n_tracks=n_tracks, f64=f64)
+        )
+        eff = scale if scale is not None else 1_000_000
+        assert got == (stored * eff / 1e9, n_tracks)
+
+    @given(
+        st.integers(min_value=0, max_value=2**31 - 1),
+        st.sampled_from([8000.0, 11025.0, 22050.5, 44100.0, 48000.0, 96000.0]),
+    )
+    @settings(max_examples=150, deadline=None)
+    def aiff(frames, rate):
+        got = _parse_aiff_header(_minimal_aiff(frames, rate))
+        assert got == (frames / rate, int(round(rate)))
+
+    @given(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=50),
+    )
+    @settings(max_examples=150, deadline=None)
+    def adts(n, sfi, body):
+        from myodish_peak_analysis_spark.llm.multimodal import _AAC_RATES
+
+        got = _parse_aac_adts(_adts_frames(n=n, sfi=sfi, body=body))
+        assert got == (n * 1024 / _AAC_RATES[sfi], _AAC_RATES[sfi])
+
+    @given(
+        st.integers(min_value=1, max_value=10**6),
+        st.integers(min_value=1, max_value=10**6),
+        st.integers(min_value=0, max_value=64),
+    )
+    @settings(max_examples=150, deadline=None)
+    def avi(us, frames, streams):
+        got = _parse_avi_duration(
+            _minimal_avi(us_per_frame=us, frames=frames, streams=streams)
+        )
+        assert got == (frames * us / 1e6, streams)
+
+    mkv()
+    aiff()
+    adts()
+    avi()
