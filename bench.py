@@ -136,6 +136,15 @@ def main() -> None:
             )
         return similarity.ivf_pq_topk(emb, index=_ivf_pq_idx["idx"])
 
+    def _prefit_ivf_sq8():
+        if "idx" not in _ivf_pq_idx:
+            _ivf_pq_idx["idx"] = similarity.fit_ivf_pq_index(
+                emb, n_clusters="auto"
+            )
+        return similarity.ivf_sq8_topk(
+            emb, index=_ivf_pq_idx["idx"], n_clusters="auto"
+        )
+
     def _ann_serve():
         if "idx" not in _ivf_pq_idx:
             _ivf_pq_idx["idx"] = similarity.fit_ivf_pq_index(
@@ -301,6 +310,10 @@ def main() -> None:
         "leakage_safe_split": lambda: sampling.leakage_safe_split(docs),
         "quality_prune": lambda: text.quality_prune(docs),
         "ivf_sq8_topk": lambda: similarity.ivf_sq8_topk(emb, n_clusters="auto"),
+        # round-7: the SQ8 serving path (prefit index, int8 in-list
+        # scoring only) — the decade table's ivf_sq8_topk_prefit row,
+        # now driver-visible per round.
+        "ivf_sq8_topk_prefit": _prefit_ivf_sq8,
         # the composed nightly build — the flagship LLM-pipeline plan
         "training_corpus_manifest": lambda: curate.training_corpus_manifest(
             docs
