@@ -877,10 +877,37 @@ def video_metadata(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.filter("kind = 'video'").mapInPandas(fn, VIDEO_META_SCHEMA)
 
 
+def _iter_avi_frames(payload: bytes):
+    """Yield raw video-frame chunk bytes from an AVI ``movi`` LIST
+    (public RIFF spec): stream-0 chunks tagged ``00dc``/``00db``
+    (compressed/uncompressed video). For an MJPEG AVI each chunk IS a
+    complete JPEG image — frame extraction with no codec at all."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"LIST" and payload[i + 8 : i + 12] == b"movi":
+            j, end = i + 12, min(n, i + 8 + size)
+            while j + 8 <= end:
+                fid = payload[j : j + 4]
+                fsz = int.from_bytes(payload[j + 4 : j + 8], "little")
+                if fid in (b"00dc", b"00db") and j + 8 + fsz <= n:
+                    yield payload[j + 8 : j + 8 + fsz]
+                j += 8 + fsz + (fsz & 1)
+        i += 8 + size + (size & 1)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
-    """Frame sampling: one output row per sampled frame. The fake derives
-    a per-frame hash from (payload, frame_idx); a real implementation
-    would decode with ffmpeg and hash the frame tensor."""
+    """Frame sampling: one output row per sampled frame. REAL path
+    (stdlib, no codec): MJPEG-in-AVI — the ``movi`` chunks are
+    complete JPEG images, so frame extraction is a RIFF walk and the
+    per-frame hash is taken over the actual encoded frame bytes (a
+    training pipeline dedups/filters on exactly this). Entropy-coded
+    containers (MP4/MKV H.264 etc.) genuinely need ffmpeg and raise
+    loudly; the fake derives a per-frame hash from
+    (payload, frame_idx) for plumbing tests."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -888,9 +915,17 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> Da
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 if not fake:
-                    raise NotImplementedError(
-                        "video codec not available; pass fake=True or plug ffmpeg in"
-                    )
+                    frames = list(_iter_avi_frames(b))
+                    if not frames:
+                        raise NotImplementedError(
+                            "no stdlib-extractable frames (MJPEG-in-AVI "
+                            "is the codec-free path); plug ffmpeg in or "
+                            "pass fake=True"
+                        )
+                    for idx in range(0, len(frames), every_n):
+                        fh = hashlib.md5(frames[idx]).hexdigest()
+                        rows.append((int(mid), idx, fh))
+                    continue
                 n_frames = max(1, len(b) // 64)
                 for idx in range(0, n_frames, every_n):
                     fh = hashlib.md5(b + idx.to_bytes(4, "little")).hexdigest()

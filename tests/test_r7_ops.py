@@ -714,3 +714,47 @@ def test_container_parsers_roundtrip_property():
     aiff()
     adts()
     avi()
+
+
+def _mjpeg_avi(frames: list[bytes]) -> bytes:
+    """Minimal MJPEG AVI: the hdrl from _minimal_avi + a movi LIST of
+    00dc JPEG chunks (the codec-free frame-extraction layout)."""
+    movi_body = b"movi"
+    for f in frames:
+        movi_body += b"00dc" + struct.pack("<I", len(f)) + f + (b"\x00" if len(f) & 1 else b"")
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    base = _minimal_avi(us_per_frame=40000, frames=len(frames), streams=1)
+    return base + movi  # RIFF size field ignored by the walk past hdrl
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    """Codec-free REAL frame sampling: MJPEG-in-AVI movi chunks are
+    complete JPEGs; the frame hash is over the actual encoded frame
+    bytes, and every_n strides the frame sequence."""
+    import hashlib
+
+    from tests.test_r6_ops import _minimal_jpeg
+    from myodish_peak_analysis_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    jpegs = [_minimal_jpeg(16 + i, 9) for i in range(7)]
+    avi = _mjpeg_avi(jpegs)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi), "s")], MEDIA_SCHEMA
+    )
+    got = {(r.frame_idx): r.frame_hash for r in sample_frames(
+        media, every_n=3, fake=False
+    ).collect()}
+    expect = {i: hashlib.md5(jpegs[i]).hexdigest() for i in (0, 3, 6)}
+    assert got == expect
+
+    # entropy-coded containers still refuse loudly without ffmpeg
+    import pytest as _pt
+
+    mp4 = spark.createDataFrame(
+        [(2, "video", bytearray(_minimal_mp4()), "s")], MEDIA_SCHEMA
+    )
+    with _pt.raises(Exception, match="stdlib-extractable"):
+        sample_frames(mp4, fake=False).collect()
