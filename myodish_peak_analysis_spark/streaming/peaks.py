@@ -255,7 +255,21 @@ def streaming_raw_envelopes(signal_stream: DataFrame, window_size: int = 350) ->
     shadows lower real peaks); the one representational difference vs
     the batch operator is at the Arrow boundary, which surfaces a
     NaN-valued envelope as NULL (verified empirically) — the same
-    NULL-for-reference-NaN convention the fidelity route uses."""
+    NULL-for-reference-NaN convention the fidelity route uses.
+
+    Deliberate absence — the SMOOTHED envelope (the batch W1/W2
+    finishing step: pad the raw envelope with copies of its first/last
+    175 values, then the 301-tap SG FIR) has NO streaming twin, by
+    design rather than omission: the reference's trailing pad is built
+    from the envelope's LAST 175 values, i.e. the smoothed value at
+    every position within 150+175 samples of the end depends on data
+    that has not arrived yet, and revising already-emitted rows would
+    break append-mode semantics. The interior FIR itself is streamable
+    with an O(301) delay buffer, but reproducing the reference's edge
+    semantics (the thing the oracle hash-checks) is inherently a
+    batch/window-close operation — run the batch operator per closed
+    window (foreachBatch) when streaming smoothed envelopes are
+    genuinely needed."""
     return signal_stream.groupBy("channel_id").applyInPandasWithState(
         make_envelope_fn(window_size),
         _ENV_OUT_SCHEMA,
