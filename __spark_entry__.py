@@ -77,25 +77,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass records at most the FIRST 50 registered
-# queries (observed in rounds 1-6). With 132 registered entries,
+# queries (observed in rounds 1-6). With 133 registered entries,
 # ordering decides verification coverage. Round 7 front-loads
-# (a) the 3 queries NEW this round (audio/video metadata twins;
-# ann_serve external-query IVF-PQ serving) plus the 2 whose module
-# code changed (the BPE batch-selection merged-token fix; the
-# TIFF/MP3 stdlib parsers in multimodal) and (b) the 34 queries whose
-# newest driver row is r4 — the VERDICT r6 "Next round #1" list —
-# then (c) fills the remaining 11 slots with the oldest r5 rows:
-# 5 + 34 + 11 = 50, exactly the driver's cap. After this round the
-# staleness distribution is r5:34 / r6:48 / r7:50 — every registered
-# query's newest driver row is >= r5, and every query has a driver
-# row. Everything displaced was hash-green in the r5/r6 driver
-# windows and is re-verified at HEAD by this round's full local sweep
-# (docs/CORRECTNESS_LOCAL_r7.md).
+# (a) the 4 queries NEW this round (audio/video metadata twins;
+# ann_serve external-query IVF-PQ serving; tfidf_cosine_pairs) plus
+# the 2 whose module code changed (the BPE batch-selection
+# merged-token fix; the stdlib media parsers in multimodal) and
+# (b) the 34 queries whose newest driver row is r4 — the VERDICT r6
+# "Next round #1" list — then (c) fills the remaining 10 slots with
+# the oldest r5 rows: 6 + 34 + 10 = 50, exactly the driver's cap.
+# After this round the staleness distribution is r5:35 / r6:48 /
+# r7:50 — every registered query's newest driver row is >= r5, and
+# every query has a driver row. Everything displaced was hash-green
+# in the r5/r6 driver windows and is re-verified at HEAD by this
+# round's full local sweep (docs/CORRECTNESS_LOCAL_r7.md).
 _ROTATE_FIRST = [
     # (a) new in round 7 (no driver row yet) or module code changed:
     "audio_metadata",
     "video_metadata",
     "ann_serve",
+    "tfidf_cosine_pairs",
     "bpe_vocab",
     "media_metadata",
     # (b) newest driver row is r4 — the r6 headline rotation ask:
@@ -144,11 +145,11 @@ _ROTATE_FIRST = [
     "forecast_revenue_change",
     "mad_outliers",
     "token_entropy",
-    "rp_ivf_topk",
 ]
 _ROTATE_LAST = [
     # newest driver row is r5, displaced by the 50-cap; first rotation
-    # candidates for round 8 (34 entries):
+    # candidates for round 8 (35 entries):
+    "rp_ivf_topk",
     "funnel_within",
     "canonical_corpus",
     "prototype_outliers",

@@ -318,6 +318,9 @@ def main() -> None:
         "training_corpus_manifest": lambda: curate.training_corpus_manifest(
             docs
         ),
+        # round-7: df-pruned shingle tf-idf cosine — the lexical
+        # similarity search's bounded-fan-out join shape.
+        "tfidf_cosine_pairs": lambda: text.tfidf_cosine_pairs(docs),
         # round-7: external-query serving against the (cached) prefit
         # IVF-PQ index — the production request path; reuses the same
         # index the ivf_pq_topk_prefit entry fits, so this times ONLY

@@ -460,6 +460,50 @@ SELECT doc_id, source, n_chars, rank FROM (
 ) t WHERE rank <= 5
 """
 
+# df-pruned shingle tf-idf cosine (text.tfidf_cosine_pairs defaults:
+# gram=3, max_df=100, min_shared=2, min_cosine=0.35): BIGINT weights
+# w = tf * (N // df), exact integer dot/norms, one final rounded
+# double division — the same integer-exact convention as
+# tfidf_top_terms, so the hash compare has no float-accumulation
+# order dependence.
+ORACLES["tfidf_cosine_pairs"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),
+terms AS (
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS term
+    FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM terms WHERE term <> '' GROUP BY doc_id, term
+),
+dfc AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+rare AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * (n.n_docs // dfc.df_docs) AS w
+    FROM tf JOIN dfc USING (term), n
+    WHERE dfc.df_docs <= 100
+),
+norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM rare GROUP BY doc_id),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           SUM(a.w * b.w) AS dot, COUNT(*) AS shared_terms
+    FROM rare a JOIN rare b USING (term)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b, d.shared_terms,
+       ROUND(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE d.shared_terms >= 2
+  AND ROUND(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35
+"""
+
 ORACLES["tfidf_top_terms"] = """
 WITH t2 AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -137,6 +137,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _long(out, "tf", "df_docs")
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-pruned shingle tf-idf cosine pairs (lexical similarity
+    search without embeddings): BIGINT weights, exact integer
+    dot/norms, one rounded double division at the end."""
+    out = text.tfidf_cosine_pairs(read_table(spark, sf_dir, "documents"))
+    return _long(out, "shared_terms")
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-overlap decontamination report (8-gram exact overlap)."""
     # gram=4 on the short synthetic docs (~50 tokens) — real pipelines
@@ -297,6 +305,7 @@ QUERIES = {
     "mixture_weights": q_mixture_weights,
     "topk_per_source": q_topk_per_source,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "contamination": q_contamination,
     "media_metadata": q_media_metadata,
     "inverted_index": q_inverted_index,

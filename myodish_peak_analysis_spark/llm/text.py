@@ -282,6 +282,110 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    min_cosine: float = 0.35,
+    max_df: int = 100,
+    min_shared: int = 2,
+    gram: int = 3,
+) -> DataFrame:
+    """Lexical similarity search WITHOUT embeddings: tf-idf-weighted
+    cosine between documents over a df-pruned SHINGLE posting list —
+    the classic prefix-filtered all-pairs shape (Bayardo et al.,
+    WWW'07: frequent terms generate quadratically many junk candidates
+    and almost no cosine mass, so drop postings with ``df > max_df``
+    and compute the metric ENTIRELY in the pruned term space;
+    ``max_df`` is the recall/cost dial, and the metric is exactly
+    self-consistent — both the dot products and the norms use the
+    same pruned vocabulary). Terms are ``gram``-token shingles, not
+    unigrams: word-level df carries no rarity signal on small/repetitive
+    vocabularies (the harness corpus has 31 distinct tokens), while
+    shingles give the same large sparse term space the winnowing
+    fingerprints exploit — gram=1 recovers classic unigram tf-idf.
+
+    Integer-exact cross-engine (the repo's tf-idf convention): weight
+    ``w = tf * (N DIV df)`` is a BIGINT, the pair dot product and the
+    squared norms are exact BIGINT sums (order-independent — no
+    floating accumulation to drift between engines), and the single
+    ``ROUND(dot / (sqrt(na2)*sqrt(nb2)), 6)`` at the end is a
+    deterministic IEEE op on exact integers. At web scale (N ≥ ~1e9)
+    ``tf²·(N/df)²`` would overflow int64 — cap the idf factor or move
+    the final fold to sorted-list doubles; documented, not needed at
+    harness N.
+
+    Scale shape: two map-combinable aggregates (tf, df), one
+    term-keyed self-join restricted to rare terms — each term
+    contributes ≤ max_df²/2 candidate pairs, so the worst-case join
+    fan-out is BOUNDED PER KEY (the skew guarantee frequent-term
+    postings would destroy) — then one (doc_a, doc_b)-keyed
+    aggregation. Never all-pairs.
+
+    ``min_shared`` (default 2) drops pairs overlapping in fewer rare
+    terms — a single-rare-term overlap between two docs whose ONLY
+    pruned-space term is that one scores a degenerate cosine 1.0.
+
+    Output: (doc_a, doc_b, shared_terms, cosine ≥ min_cosine),
+    doc_a < doc_b."""
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                # guard: sequence(1, 0) DESCENDS in Spark, so short docs
+                # must hit the empty branch, not a degenerate sequence
+                f"CASE WHEN size({_TOKENS}) >= {gram} THEN "
+                f"transform(sequence(1, size({_TOKENS}) - {gram - 1}), "
+                f"i -> concat_ws(' ', slice({_TOKENS}, i, {gram}))) "
+                f"ELSE array() END"
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    totals = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    rare = (
+        tf.join(dfc, "term")
+        .filter(F.col("df_docs") <= max_df)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("tf * (_n_docs DIV df_docs)").alias("w"),
+        )
+    )
+    norms = rare.groupBy("doc_id").agg(F.sum(F.expr("w * w")).alias("n2"))
+    a = rare.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = rare.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.expr("wa * wb")).alias("dot"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("dot")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        6,
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.col("shared_terms") >= min_shared)
+        .select("doc_a", "doc_b", "shared_terms", cos.alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
 def contamination_pairs(
     docs: DataFrame, gram: int = 8, bench_mod: int = 25
 ) -> DataFrame:

@@ -758,3 +758,44 @@ def test_sample_frames_real_mjpeg_avi(spark):
     )
     with _pt.raises(Exception, match="stdlib-extractable"):
         sample_frames(mp4, fake=False).collect()
+
+
+def test_tfidf_cosine_pairs_fixture(spark):
+    """Shingle tf-idf cosine: near-identical docs pair with high
+    cosine; a single-shared-shingle pair is dropped by min_shared;
+    docs shorter than the gram contribute nothing (the descending-
+    sequence guard)."""
+    from myodish_peak_analysis_spark.llm.text import tfidf_cosine_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " iota", "en", "s", len(base) + 5),   # near-dup of 1
+        (3, "one two three four five six", "en", "s", 27),
+        (4, "zzz alpha beta gamma yyy xxx www", "en", "s", 31),  # 1 shared shingle w/ 1,2
+        (5, "xy zw", "en", "s", 5),                      # shorter than gram
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r.doc_a, r.doc_b): (r.shared_terms, r.cosine) for r in
+           tfidf_cosine_pairs(docs, min_cosine=0.1, max_df=3).collect()}
+    assert set(got) == {(1, 2)}
+    shared, cos = got[(1, 2)]
+    # doc1 has 6 shingles, doc2 has 7; 6 shared, all weights equal
+    # (every shingle df<=2 -> w = tf * (5 DIV df)) except the shared
+    # ones have df=2 (w=2) and iota-shingles df=1 (w=5)
+    assert shared == 6
+    import math
+
+    # N=5. Five shared shingles have df=2 (w = 5 DIV 2 = 2); "alpha
+    # beta gamma" also occurs in doc4 -> df=3 (w = 5 DIV 3 = 1);
+    # doc2's extra "eta theta iota" has df=1 (w=5). So
+    # dot = 5*4 + 1*1 = 21, n1^2 = 5*4+1 = 21, n2^2 = 21 + 25 = 46.
+    expect = round(21 / (math.sqrt(21) * math.sqrt(46)), 6)
+    assert cos == expect
+    # doc 5 (2 tokens < gram=3) must not crash or contribute terms
+    solo = tfidf_cosine_pairs(
+        docs.filter("doc_id >= 4"), min_cosine=0.0, min_shared=1
+    ).collect()
+    assert solo == []
