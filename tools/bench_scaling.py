@@ -172,6 +172,12 @@ def _docs_ops():
         )
 
     return (
+        (
+            "tfidf_cosine_pairs",
+            lambda d, _n: _timed_build(
+                lambda: _text_mod().tfidf_cosine_pairs(d)
+            ),
+        ),
         ("minhash_pairs", lambda d, _n: _timed_build(lambda: dedup.minhash_pairs(d))),
         (
             "dedup_clusters_label",
