@@ -344,6 +344,10 @@ def tfidf_cosine_pairs(
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     totals = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    # cached: referenced three times (norms + both self-join sides),
+    # and the executed plan shows NO exchange reuse across the
+    # references — uncached, the tokenize→tf→df chain runs three
+    # times (invisible at sf0.1; measured at the 500k-doc decade).
     rare = (
         tf.join(dfc, "term")
         .filter(F.col("df_docs") <= max_df)
@@ -353,6 +357,7 @@ def tfidf_cosine_pairs(
             "term",
             F.expr("tf * (_n_docs DIV df_docs)").alias("w"),
         )
+        .cache()
     )
     norms = rare.groupBy("doc_id").agg(F.sum(F.expr("w * w")).alias("n2"))
     a = rare.select(
