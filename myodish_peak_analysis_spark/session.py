@@ -33,7 +33,14 @@ def release_caches(spark: SparkSession) -> None:
     spark.catalog.clearCache()
 
 
-def get_spark(app_name: str = "myodish-peak-analysis-spark") -> SparkSession:
+def get_spark(
+    app_name: str = "myodish-peak-analysis-spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """``extra_conf`` entries are applied to the builder and therefore
+    only take effect when THIS call creates the session (configs like
+    ``spark.sql.warehouse.dir`` are fixed at session creation);
+    standalone tools that need one (bench_bucketing) call this first."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -65,4 +72,6 @@ def get_spark(app_name: str = "myodish-peak-analysis-spark") -> SparkSession:
         # this repo reads the bar, so disable it session-wide.
         .config("spark.ui.showConsoleProgress", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

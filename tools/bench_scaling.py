@@ -20,6 +20,18 @@ Two operator families, selected with ``--family``:
   genuinely bigger crawl has. (Naive replication would make every doc
   an exact dup of its K−1 copies: K² candidate pairs, a workload no
   real corpus produces.)
+* ``rel`` (round 7 continuation — the last family with measured-decade
+  coverage missing): the relational/behavioral-analytics operators
+  (TPC-H Q1/Q3/Q5 shapes, sessionization, ordered funnel, cohort
+  triangle, as-of join) over a star-schema WORLD replicated in
+  lockstep: every copy shifts its ``custkey``/``orderkey``/``suppkey``/
+  ``user_id`` ranges by a disjoint 1e9 stride so per-copy join fan-out
+  and window-partition sizes are IDENTICAL to 1× while total volume
+  grows K× — the shape a warehouse growing customers (not
+  orders-per-customer) has. ``nation``/``region`` stay fixed (real
+  warehouses don't grow nations; they stay broadcast dims at any
+  scale). Throughput is rows/s over lineitem+events (the two fact
+  tables the measured ops scan).
 * ``emb`` (round 7 — the VERDICT r6 ask: the ANN/similarity family had
   recall measurements but no measured decade): ``ann_ivf_topk``,
   ``pq_topk``, ``sq8_topk``, ``rp_ivf_topk`` and the prefit search
@@ -45,7 +57,7 @@ so healthy plans show throughput RISING; a ratio under 1 by more than
 the noise floor means some stage is super-linear (a single-partition
 sort, a growing window partition, a driver loop, a pair blow-up).
 
-Usage: python tools/bench_scaling.py [--family peaks|docs]
+Usage: python tools/bench_scaling.py [--family peaks|docs|emb|rel]
            [--factors 10,100] [--min-ratio 0.8]
 """
 
@@ -329,6 +341,147 @@ def _emb_ops(n1_holder: dict):
     )
 
 
+class _RelWorld:
+    """A lockstep-replicated star-schema world, quacking enough like a
+    DataFrame (count/cache/unpersist) to ride the shared decade loop.
+    ``count`` is the fact-table row total (lineitem + events) — the
+    unit the rel ops' rows/s throughput is measured in."""
+
+    FACTS = ("lineitem", "events")
+
+    def __init__(self, tables: dict):
+        self.t = tables
+
+    def cache(self):
+        for df in self.t.values():
+            df.cache()
+        return self
+
+    def count(self) -> int:
+        # count() also materializes every cached table so op timings
+        # exclude the replicate-explode cost, matching the other
+        # families' cached-input discipline.
+        for name, df in self.t.items():
+            if name not in self.FACTS:
+                df.count()
+        return sum(self.t[n].count() for n in self.FACTS)
+
+    def unpersist(self):
+        for df in self.t.values():
+            df.unpersist()
+
+
+def _read_rel_world(spark) -> "_RelWorld":
+    names = ("customer", "orders", "lineitem", "supplier", "nation",
+             "region", "events")
+    return _RelWorld({n: read_table(spark, SF_DIR, n) for n in names})
+
+
+def _replicate_rel(base: "_RelWorld", k: int) -> "_RelWorld":
+    """K copies of the whole star schema with disjoint key ranges
+    (stride 1e9 per copy on custkey/orderkey/suppkey/partkey/user_id/
+    event_id). Copy 0 is the original world verbatim; within a copy
+    every PK/FK relationship is preserved exactly, so a K× world has
+    K× the join output and K× the window partitions — never K× the
+    rows per partition. nation/region are shared across copies."""
+    stride = 1_000_000_000
+
+    def rep(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+        out = df.withColumn("_c", F.explode(F.expr(f"sequence(0, {k - 1})")))
+        shift = F.col("_c").cast("long") * F.lit(stride)
+        return out.select(
+            *[
+                (F.col(c) + shift).alias(c) if c in keys else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    t = base.t
+    return _RelWorld(
+        {
+            "customer": rep(t["customer"], ("c_custkey",)),
+            "orders": rep(t["orders"], ("o_orderkey", "o_custkey")),
+            "lineitem": rep(
+                t["lineitem"], ("l_orderkey", "l_partkey", "l_suppkey")
+            ),
+            "supplier": rep(t["supplier"], ("s_suppkey",)),
+            "nation": t["nation"],
+            "region": t["region"],
+            "events": rep(t["events"], ("user_id", "event_id")),
+        }
+    )
+
+
+def _rel_ops():
+    from myodish_peak_analysis_spark.operators import relational as R
+    from myodish_peak_analysis_spark.operators import sessions as SS
+    from myodish_peak_analysis_spark.operators.asof import asof_join
+    from myodish_peak_analysis_spark.schema import ts_micros
+
+    def asof(w: "_RelWorld"):
+        ev = w.t["events"].withColumn("ts_us", ts_micros(w.t["events"]))
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts_us", "value"
+        )
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts_us")
+            .agg(F.max_by("value", "event_id").alias("view_value"))
+        )
+        return asof_join(
+            purchases, views, on="ts_us", by="user_id",
+            right_cols=("view_value",),
+        )
+
+    return (
+        (
+            "pricing_summary",
+            lambda w, _n: _timed_build(
+                lambda: R.pricing_summary(w.t["lineitem"])
+            ),
+        ),
+        (
+            "top_revenue_orders",
+            lambda w, _n: _timed_build(
+                lambda: R.segment_revenue_topk(
+                    w.t["customer"], w.t["orders"], w.t["lineitem"]
+                )
+            ),
+        ),
+        (
+            "nation_revenue",
+            lambda w, _n: _timed_build(
+                lambda: R.nation_revenue(
+                    w.t["customer"], w.t["orders"], w.t["lineitem"],
+                    w.t["supplier"], w.t["nation"], w.t["region"],
+                )
+            ),
+        ),
+        (
+            "session_stats",
+            lambda w, _n: _timed_build(
+                lambda: SS.session_stats(w.t["events"])
+            ),
+        ),
+        (
+            "funnel_counts",
+            lambda w, _n: _timed_build(
+                lambda: SS.funnel_counts(w.t["events"])
+            ),
+        ),
+        (
+            "cohort_retention",
+            lambda w, _n: _timed_build(
+                lambda: SS.cohort_retention(w.t["events"])
+            ),
+        ),
+        (
+            "asof_join",
+            lambda w, _n: _timed_build(lambda: asof(w)),
+        ),
+    )
+
+
 def _curate_mod():
     from myodish_peak_analysis_spark.llm import curate
 
@@ -351,7 +504,7 @@ def main() -> None:
     )
     ap.add_argument("--min-ratio", type=float, default=0.8)
     ap.add_argument(
-        "--family", choices=("peaks", "docs", "emb"), default="peaks"
+        "--family", choices=("peaks", "docs", "emb", "rel"), default="peaks"
     )
     ap.add_argument(
         "--ops",
@@ -374,6 +527,10 @@ def main() -> None:
         )
         ops = _docs_ops()
         replicate = _replicate_docs
+    elif args.family == "rel":
+        base = _read_rel_world(spark).cache()
+        ops = _rel_ops()
+        replicate = _replicate_rel
     elif args.family == "emb":
         base = (
             read_table(spark, SF_DIR, "embeddings")
