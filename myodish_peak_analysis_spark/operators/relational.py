@@ -20,14 +20,18 @@ Scale notes (100 TB):
   sums fit BIGINT to ~1e18 cents³; at true 100 TB move the two
   triple-product columns to DECIMAL(38,0) (same code path in both
   engines).
-* ``segment_revenue_topk`` — the filtered customer dim is explicitly
-  ``broadcast()``; orders⋈lineitem is the big co-partitioned hash join
-  on ``orderkey`` (AQE handles skew). The top-k is Spark's distributed
-  TakeOrdered (per-partition heads, then a k-row merge on the driver) —
-  never a global sort materialization.
-* ``nation_revenue`` — dims (nation, region, supplier) are broadcast;
-  the fact-side joins shuffle on their keys once each. Deterministic
-  output: revenue is an exact integer before the final division.
+* ``segment_revenue_topk`` — the filtered customer dim carries NO
+  broadcast hint (customer ∝ SF; AQE broadcasts it while it fits);
+  orders⋈lineitem is the big co-partitioned hash join on ``orderkey``
+  (AQE handles skew). The top-k is Spark's distributed TakeOrdered
+  (per-partition heads, then a k-row merge on the driver) — never a
+  global sort materialization.
+* ``nation_revenue`` — only the BOUNDED dims (nation⋈region, 25 rows
+  at every SF) are hint-broadcast; supplier/customer projections grow
+  with the warehouse so AQE picks their join strategy from runtime
+  sizes; the fact-side joins shuffle on their keys once each.
+  Deterministic output: revenue is an exact integer before the final
+  division.
 
 Unlike ``events.ts`` (TIMESTAMP(NANOS) → int64), the relational tables'
 date columns read as TIMESTAMP_NTZ; cutoffs are timezone-free timestamp
@@ -116,12 +120,16 @@ def segment_revenue_topk(
     k: int = 10,
 ) -> DataFrame:
     """TPC-H Q3-shaped: top-k unshipped orders of one market segment by
-    revenue. The customer dim (one segment, ~1/5 of an already-small
-    table) is broadcast; orders⋈lineitem hash-joins on the shared
-    orderkey. Ties broken by orderkey, so the k rows are deterministic."""
-    cust = F.broadcast(
-        customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
-    )
+    revenue. The filtered customer projection carries NO broadcast
+    hint: customer GROWS with the warehouse (150k rows/SF — ~15 GB of
+    custkeys at 100 TB), so a hard ``broadcast()`` is a scale bug.
+    AQE broadcasts it from runtime sizes while it fits and falls back
+    to a shuffled hash join past the threshold (A/B at 100× sf0.1,
+    cached inputs: hint 14.82 s vs AQE 14.59 s — the hint buys
+    nothing even where it is safe). orders⋈lineitem hash-joins on the
+    shared orderkey. Ties broken by orderkey, so the k rows are
+    deterministic."""
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
     ords = orders.filter(F.col("o_orderdate") < _tslit(cutoff)).select(
         "o_orderkey", "o_custkey", _epoch_day("o_orderdate").alias("o_orderdate_day")
     )
@@ -160,9 +168,15 @@ def nation_revenue(
     """TPC-H Q5-shaped local-supplier volume: revenue per nation of one
     region over one order-date year, counting only lineitems whose
     supplier sits in the customer's nation. nation⋈region collapses to a
-    broadcast nationkey set; supplier is broadcast; the two fact joins
-    (orders⋈customer-pruned-orders, lineitem⋈orders) shuffle on their
-    keys and AQE re-plans the post-filter sizes."""
+    broadcast nationkey set (nation/region are BOUNDED — 25/5 rows at
+    every SF — the only dims a hard hint is correct for). supplier
+    carries NO broadcast hint: it grows with the warehouse (10k
+    rows/SF — ~100M rows at 100 TB), so the hint is a scale bug; AQE
+    broadcasts it from runtime sizes while it fits (A/B at 100× sf0.1,
+    cached inputs: hint 40.22 s vs AQE 36.28 s — AQE wins even where
+    the hint is safe). The two fact joins (orders⋈customer-pruned-
+    orders, lineitem⋈orders) shuffle on their keys and AQE re-plans
+    the post-filter sizes."""
     nations = F.broadcast(
         nation.join(
             region.filter(F.col("r_name") == region_name),
@@ -176,9 +190,7 @@ def nation_revenue(
         (F.col("o_orderdate") >= _tslit(date_from))
         & (F.col("o_orderdate") < _tslit(date_to))
     ).select("o_orderkey", "o_custkey")
-    supp = F.broadcast(
-        supplier.select("s_suppkey", F.col("s_nationkey").alias("supp_nk"))
-    )
+    supp = supplier.select("s_suppkey", F.col("s_nationkey").alias("supp_nk"))
     items = lineitem.select(
         "l_orderkey",
         "l_suppkey",
@@ -452,9 +464,13 @@ def cheapest_supplier_per_part(
         .filter(F.col("_rk") == 1)
     )
     return (
-        best.join(F.broadcast(part.select("p_partkey", "p_name")),
+        # no broadcast hints: part (200k rows/SF) and supplier (10k
+        # rows/SF) both GROW with the warehouse, and `best` is itself
+        # ~|part|-sized — AQE broadcasts the name projections while
+        # they fit and falls back to key-partitioned joins at scale
+        best.join(part.select("p_partkey", "p_name"),
                   best.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+        .join(supplier.select("s_suppkey", "s_name"),
               best.l_suppkey == F.col("s_suppkey"))
         .select(
             "p_partkey",
@@ -516,21 +532,20 @@ def nation_pair_volume(
     Scale: the only fact×fact operation is lineitem⋈orders on
     ``orderkey`` (co-partitioned hash join; AQE splits skewed keys).
     supplier⋈nation is pre-joined into a (suppkey → nation-name)
-    mini-dim and explicitly ``broadcast()`` — supplier stays small at
-    every SF. The customer mini-dim grows WITH the data (|customer| ∝
-    SF), so it carries no broadcast hint: AQE broadcasts it while it
-    fits and reverts to a co-partitioned hash join on ``custkey``
-    beyond that — a hard hint would OOM the executors at 100 TB. The
+    mini-dim, but like the customer mini-dim it grows WITH the data
+    (|supplier| ∝ SF — 10k rows/SF), so neither carries a broadcast
+    hint: AQE broadcasts each while it fits and reverts to a
+    co-partitioned hash join beyond that — a hard hint would OOM the
+    executors at 100 TB. Only ``nation`` (25 rows at every SF) keeps
+    an explicit hint. The
     ship-date range predicate reaches the lineitem parquet scan; the
     final aggregate is map-side combinable into (25×25×years) groups.
     Revenue is summed in exact integer 1e-4-dollar units and divided
     back once.
     """
-    supp_nat = F.broadcast(
-        supplier.join(
-            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
-        ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
-    )
+    supp_nat = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
     cust_nat = customer.join(
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
@@ -660,13 +675,16 @@ def brand_disjunction_revenue(
 
     Scale: the three-way disjunction is declared as one boolean
     expression so Catalyst splits it by side — the (brand, size) parts
-    reach the broadcast ``part`` scan as a pushed filter, the quantity
-    bounds ``l_quantity BETWEEN 1 AND 36`` (the hull of the three
-    branches) reach the lineitem scan, and the residual conjunction
-    runs post-join inside whole-stage codegen. No fact shuffle at all:
-    broadcast join + map-side-combined 3-group aggregate.
+    reach the ``part`` scan as a pushed filter, the quantity bounds
+    ``l_quantity BETWEEN 1 AND 36`` (the hull of the three branches)
+    reach the lineitem scan, and the residual conjunction runs
+    post-join inside whole-stage codegen. The filtered part side is
+    small relative to part but still ∝ SF, so it carries no hard
+    broadcast hint: AQE broadcasts it while it fits (no fact shuffle),
+    reverting to a partkey-partitioned join at warehouse scale; the
+    final aggregate stays map-side combinable into 3 groups.
     """
-    p = F.broadcast(
+    p = (
         part.filter(
             (
                 (F.col("p_brand") == "Brand#12")
@@ -1074,15 +1092,15 @@ def small_quantity_revenue(
     for one brand — the classic correlated scalar aggregate that
     decorrelates into a per-part aggregate + join.
 
-    Scale: the brand filter broadcasts a small part set; the per-part
+    Scale: the brand-filtered part set is ~|part|/25 — small, but
+    still ∝ SF, so no hard broadcast hint (AQE broadcasts it while it
+    fits, partkey-partitions it at warehouse scale); the per-part
     average is one combinable aggregate over the brand's lines (exact
     integer cent sums, one double division); the threshold join is
     part-keyed. The fact is scanned once into both branches with the
     filter pushed down; exchange reuse shares the scan.
     """
-    pbrand = F.broadcast(
-        part.filter(F.col("p_brand") == brand).select("p_partkey")
-    )
+    pbrand = part.filter(F.col("p_brand") == brand).select("p_partkey")
     lines = lineitem.join(
         pbrand, lineitem.l_partkey == pbrand.p_partkey
     ).select(
