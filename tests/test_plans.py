@@ -142,3 +142,49 @@ def test_topk_per_group_plan_has_partial_window_group_limit(spark):
     docs = read_table(spark, SF001, "documents")
     plan = _plan_of(topk_per_group(docs, "source", "n_chars", "doc_id", k=5))
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
+
+
+def test_relational_broadcast_hints_only_on_bounded_frames():
+    """Policy guard (round 7): explicit ``F.broadcast()`` hints in the
+    TPC-H-shaped operators are allowed ONLY on frames whose size is
+    SF-INDEPENDENT — nation/region (25/5 rows at every SF) and scalar/
+    per-group aggregates. Hints on customer/supplier/part-derived
+    frames (including filtered subsets: one segment, one brand) are
+    scale bugs: the rel scaling decade measured them as the only two
+    sub-0.8x ops in the family (nation_revenue 0.36x, top_revenue
+    0.56x at 100x), and a controlled 100x A/B showed AQE-chosen
+    strategies strictly beat the hard hint (40.2s vs 36.3s) while the
+    hint OOMs outright at warehouse scale. Adding a new hint requires
+    updating this allowlist with a boundedness argument."""
+    import ast
+
+    path = "myodish_peak_analysis_spark/operators/relational.py"
+    src = open(path).read()
+    allowed = {
+        # nation x region: 25 x 5 rows at every SF
+        'nation.join( region.filter(F.col("r_name") == region_name),'
+        " nation.n_regionkey == region.r_regionkey,"
+        ' ).select("n_nationkey", "n_name")',
+        # the 25-row nation dim, bare or projected
+        "nation",
+        'nation.select("n_nationkey", "n_name")',
+        # per-segment average balance: <= |segments| rows
+        'seg.filter(F.col("_bal_c") > 0) .groupBy("c_mktsegment")'
+        ' .agg(F.avg("_bal_c").alias("_avg_c"))',
+        # global-max scalar: 1 row (mx = rev.agg(max(_rev_c)))
+        "mx",
+    }
+    seen = []
+    for node in ast.walk(ast.parse(src)):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "broadcast"
+        ):
+            seen.append(" ".join(ast.get_source_segment(src, node.args[0]).split()))
+    assert seen, "expected bounded-dim broadcast hints to exist"
+    rogue = [s for s in seen if s not in allowed]
+    assert not rogue, (
+        "broadcast() hint on a frame not in the bounded allowlist "
+        f"(SF-growing side? justify + update the list): {rogue}"
+    )
