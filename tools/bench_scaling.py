@@ -504,6 +504,28 @@ def main() -> None:
     )
     ap.add_argument("--min-ratio", type=float, default=0.8)
     ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra SparkSession config (repeatable), applied at "
+        "session creation. Used by the uncached 1000x rel run to "
+        "disable static auto-broadcast: the explode-replicated side "
+        "carries the 1x parquet's size estimate, so the static planner "
+        "broadcasts a 15M-row frame (2.2 GiB driver collect) that "
+        "stats-aware planning over real warehouse files never would.",
+    )
+    ap.add_argument(
+        "--uncached",
+        action="store_true",
+        help="do NOT cache the replicated Kx input: the op's timed "
+        "region then includes regenerating it from the (cached) 1x "
+        "base, the analog of a cluster scanning storage. Required "
+        "when the Kx world exceeds one host's RAM (the rel family at "
+        "1000x is ~700M wide fact rows: the cached-input run OOM-"
+        "crawled past a 58-min timeout; uncached it measures).",
+    )
+    ap.add_argument(
         "--family", choices=("peaks", "docs", "emb", "rel"), default="peaks"
     )
     ap.add_argument(
@@ -515,7 +537,10 @@ def main() -> None:
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
-    spark = get_spark("bench-scaling")
+    spark = get_spark(
+        "bench-scaling",
+        extra_conf=dict(c.split("=", 1) for c in args.conf) or None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     n1_holder: dict = {}
@@ -558,7 +583,9 @@ def main() -> None:
     prev = {name: (1, n1 / fn(base, n1)) for name, fn in ops}
     base_tp = {name: tp for name, (_, tp) in prev.items()}
     for k in factors:
-        big = replicate(base, k).cache()
+        big = replicate(base, k)
+        if not args.uncached:
+            big = big.cache()
         nk = big.count()
         for name, fn in ops:
             sk = fn(big, nk)
@@ -580,13 +607,15 @@ def main() -> None:
                             if args.family == "peaks"
                             else {}
                         ),
+                        **({"uncached_input": True} if args.uncached else {}),
                         "sf_dir": SF_DIR,
                     }
                 )
             )
             failed = failed or ratio < args.min_ratio
             prev[name] = (k, tpk)
-        big.unpersist()
+        if not args.uncached:
+            big.unpersist()
         # native_find_peaks persists its slim input projection
         # internally (persist_input=True); each factor's replicated
         # plan is a distinct cache entry, so without this the 1x/10x
