@@ -1051,8 +1051,15 @@ def streaming_neardup_gate(
 
     At 100 TB the two static sides are the MATERIALIZED band-key index
     and token store (bucketed tables, re-read per micro-batch); here
-    they are derived from ``corpus_docs`` lazily. Requires a ``ts``
-    timestamp column on the stream. Output (append-safe):
+    they are derived from ``corpus_docs`` lazily. The explicit
+    ``broadcast()`` hints below belong to THIS derived-index path,
+    where the corpus fits one executor; the bucketed-table variant
+    drops them (the same bounded-frame-only hint policy as
+    ``operators/relational.py``) and lets the per-micro-batch planner
+    shuffle the bounded batch against the bucketed index instead —
+    stream-static joins are stateless per batch, so the stream side
+    CAN be exchanged. Requires a ``ts`` timestamp column on the
+    stream. Output (append-safe):
     (ts, new_doc_id, corpus_doc_id, jaccard ≥ min_jaccard).
     """
     from ..llm.dedup import (
