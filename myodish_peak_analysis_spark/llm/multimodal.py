@@ -285,8 +285,15 @@ def _parse_avif_dims(payload: bytes):
     assoc: dict = {}
     for t2, s2, e2 in _iter_boxes(payload, ms, me):
         if t2 == b"pitm":
-            if payload[s2] == 0 and s2 + 6 <= e2:  # v0: u16 item id
-                primary = int.from_bytes(payload[s2 + 4 : s2 + 6], "big")
+            # bounds BEFORE the version byte read: a zero-body pitm box
+            # ending at the buffer end makes s2 == e2 (== len(payload)),
+            # and the parsers' contract is degrade-to-None, not
+            # IndexError inside the mapInPandas worker.
+            if s2 >= e2:
+                continue
+            if payload[s2] == 0:  # v0: u16 item id
+                if s2 + 6 <= e2:
+                    primary = int.from_bytes(payload[s2 + 4 : s2 + 6], "big")
             elif s2 + 8 <= e2:  # v1: u32
                 primary = int.from_bytes(payload[s2 + 4 : s2 + 8], "big")
         elif t2 == b"iprp":
@@ -820,7 +827,10 @@ def _parse_avi_duration(payload: bytes):
         size = int.from_bytes(payload[i + 4 : i + 8], "little")
         if cid == b"LIST" and payload[i + 8 : i + 12] == b"hdrl":
             j = i + 12
-            if payload[j : j + 4] == b"avih" and j + 32 <= n:
+            # j + 36: the guard must cover the LAST field read
+            # (dwStreams at j+32:j+36) — j + 32 admits a truncation
+            # inside that field, yielding a short-slice stream count.
+            if payload[j : j + 4] == b"avih" and j + 36 <= n:
                 us_per_frame = int.from_bytes(payload[j + 8 : j + 12], "little")
                 frames = int.from_bytes(payload[j + 24 : j + 28], "little")
                 streams = int.from_bytes(payload[j + 32 : j + 36], "little")

@@ -183,7 +183,24 @@ def _centroid_assign_vectorized(vecs: DataFrame, cent_rows) -> DataFrame:
     the dense arithmetic). Same contract as the JVM route: cosine
     quantized to 9 dp, ties to the LOWEST centroid_id (``argmax``
     returns the first maximum and centroids are sorted by id) —
-    parity on real data is pinned by tests/test_r7_ops.py."""
+    parity on real data is pinned by tests/test_r7_ops.py.
+
+    Known divergence window (documented, judged acceptable): the 9-dp
+    quantization here is ``np.round`` (IEEE half-to-EVEN) while the JVM
+    route uses Spark ``ROUND`` (HALF_UP), and BLAS sums the dot product
+    in a different order than the JVM fold — so two cosines that are
+    exactly-representable ties at the 9th decimal, or that straddle a
+    rounding boundary by less than the ~1e-16-relative accumulation
+    difference, can assign to different centroids across routes. Both
+    assignments are valid Lloyd steps (k-means is robust to either),
+    the routes are never mixed within one fit (the dispatch at
+    :data:`VECTORIZED_ASSIGN_MIN_K` is a static k threshold, so a
+    given fit sees one route for all its iterations), and the
+    registered oracle queries all take the JVM route. Implementing
+    HALF_UP in numpy (floor(x*1e9+0.5) with sign handling) would close
+    the window but introduce its own double-rounding error at the
+    scaled-by-1e9 step; the tie probability on real-valued embeddings
+    is measure-zero, so the parity test on real data stands."""
     import numpy as np
     import pandas as pd
 

@@ -282,12 +282,23 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+#: Cap on the idf NUMERATOR (not the quotient): weights are
+#: ``tf * (LEAST(N, cap) DIV df)``. Cosine is invariant to scaling every
+#: weight by the same N, so capping N is metric-preserving up to integer
+#: quantization (relative error <= df/cap <= max_df/1e8 = 1e-6 at the
+#: default max_df, below the 6-decimal output rounding), while bounding
+#: ``w <= tf * 1e8`` so the DECIMAL accumulators below provably cannot
+#: overflow at any corpus size. A no-op whenever N < 1e8.
+TFIDF_N_CAP = 100_000_000
+
+
 def tfidf_cosine_pairs(
     docs: DataFrame,
     min_cosine: float = 0.35,
     max_df: int = 100,
     min_shared: int = 2,
     gram: int = 3,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Lexical similarity search WITHOUT embeddings: tf-idf-weighted
     cosine between documents over a df-pruned SHINGLE posting list —
@@ -304,14 +315,24 @@ def tfidf_cosine_pairs(
     fingerprints exploit — gram=1 recovers classic unigram tf-idf.
 
     Integer-exact cross-engine (the repo's tf-idf convention): weight
-    ``w = tf * (N DIV df)`` is a BIGINT, the pair dot product and the
-    squared norms are exact BIGINT sums (order-independent — no
-    floating accumulation to drift between engines), and the single
-    ``ROUND(dot / (sqrt(na2)*sqrt(nb2)), 6)`` at the end is a
-    deterministic IEEE op on exact integers. At web scale (N ≥ ~1e9)
-    ``tf²·(N/df)²`` would overflow int64 — cap the idf factor or move
-    the final fold to sorted-list doubles; documented, not needed at
-    harness N.
+    ``w = tf * (LEAST(N, TFIDF_N_CAP) DIV df)`` is a BIGINT, the pair
+    dot product and the squared norms are exact DECIMAL sums —
+    DECIMAL(18,0) operands so each product is an exact DECIMAL(37,0)
+    (no precision-loss clamping) accumulated in DECIMAL(38,0),
+    order-independent with no floating drift between engines — and the
+    single ``ROUND(dot / (sqrt(na2)*sqrt(nb2)), 6)`` at the end is a
+    deterministic IEEE op on exact integers. Web-scale overflow guard
+    (was docstring-only before round 8): capping the idf numerator at
+    :data:`TFIDF_N_CAP` bounds ``w <= tf * 1e8``, so with per-doc term
+    counts up to 1e6 the worst norm is 1e6 * (1e6*1e8)^2 = 1e34 <
+    10^38 — exact at ANY corpus size, N >= 1e9 included. The
+    DECIMAL(18,0) operand cast is itself exact while ``w < 1e18``,
+    i.e. up to 10-billion-token single documents. Property-tested at
+    adversarial N/df in tests/test_r8_guards.py.
+
+    ``n_docs`` overrides the corpus size used for idf (default: count
+    of ``docs``) — for scoring a partition/sample of a larger corpus
+    with the global N, and for testing the cap path.
 
     Scale shape: two map-combinable aggregates (tf, df), one
     term-keyed self-join restricted to rare terms — each term
@@ -343,7 +364,14 @@ def tfidf_cosine_pairs(
         F.count(F.lit(1)).alias("tf")
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
-    totals = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    if n_docs is None:
+        totals = docs.agg(
+            F.least(F.count(F.lit(1)), F.lit(TFIDF_N_CAP)).alias("_n_idf")
+        )
+    else:
+        totals = docs.sparkSession.range(1).select(
+            F.lit(min(int(n_docs), TFIDF_N_CAP)).cast("long").alias("_n_idf")
+        )
     # cached: referenced three times (norms + both self-join sides),
     # and the executed plan shows NO exchange reuse across the
     # references — uncached, the tokenize→tf→df chain runs three
@@ -355,11 +383,15 @@ def tfidf_cosine_pairs(
         .select(
             "doc_id",
             "term",
-            F.expr("tf * (_n_docs DIV df_docs)").alias("w"),
+            F.expr("tf * (_n_idf DIV df_docs)").alias("w"),
         )
         .cache()
     )
-    norms = rare.groupBy("doc_id").agg(F.sum(F.expr("w * w")).alias("n2"))
+    norms = rare.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CAST(w AS DECIMAL(18,0)) * CAST(w AS DECIMAL(18,0))")
+        ).alias("n2")
+    )
     a = rare.select(
         F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
     )
@@ -371,14 +403,16 @@ def tfidf_cosine_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(
-            F.sum(F.expr("wa * wb")).alias("dot"),
+            F.sum(
+                F.expr("CAST(wa AS DECIMAL(18,0)) * CAST(wb AS DECIMAL(18,0))")
+            ).alias("dot"),
             F.count(F.lit(1)).alias("shared_terms"),
         )
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
     cos = F.round(
-        F.col("dot")
+        F.col("dot").cast("double")
         / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
         6,
     )

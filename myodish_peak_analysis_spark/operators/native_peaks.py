@@ -77,7 +77,10 @@ _SUPPRESS_SCHEMA = StructType(
 
 
 def candidate_maxima(
-    signal: DataFrame, value_col: str = "smooth", idx_col: str = "sample_idx"
+    signal: DataFrame,
+    value_col: str = "smooth",
+    idx_col: str = "sample_idx",
+    check_dense: bool = True,
 ) -> DataFrame:
     """Strict local maxima with plateau-midpoint handling, window-only.
 
@@ -88,15 +91,51 @@ def candidate_maxima(
 
     Requires gap-free per-channel ``idx_col`` values (module docstring):
     the plateau right edge is derived as ``lead(run_start) - 1``.
+
+    ``check_dense`` (default on) enforces that precondition AT RUNTIME:
+    an extra ``lag(idx)`` over the window pass this stage already runs
+    (zero additional shuffle or scan) raises a loud
+    ``GAPPED_SIGNAL_INDEX`` error on the first non-consecutive or
+    duplicated per-channel index — e.g. a pre-FILTERED signal frame —
+    instead of silently diverging from SciPy's position-based plateau
+    midpoints and wlen bounds. Re-index with ``row_number`` before
+    calling, or pass ``check_dense=False`` if the input is known-dense
+    and the caller wants the check elided from the plan. The check is
+    embedded in the run-length-encode column (not a droppable side
+    effect), so column pruning cannot optimize it away.
     """
     sig = signal.select(
         "channel_id",
         F.col(idx_col).alias("_idx"),
         F.col(value_col).alias("_v"),
     )
-    prev = F.lag("_v").over(Window.partitionBy("channel_id").orderBy("_idx"))
+    w = Window.partitionBy("channel_id").orderBy("_idx")
+    prev = F.lag("_v").over(w)
+    is_new = prev.isNull() | (F.col("_v") != prev)
+    if check_dense:
+        prev_idx = F.lag("_idx").over(w)
+        gap_free = prev_idx.isNull() | (F.col("_idx") - prev_idx == 1)
+        is_new = F.when(gap_free, is_new).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "GAPPED_SIGNAL_INDEX: native_find_peaks requires "
+                        "gap-free per-channel indices; channel_id="
+                    ),
+                    F.col("channel_id").cast("string"),
+                    F.lit(" jumps "),
+                    prev_idx.cast("string"),
+                    F.lit(" -> "),
+                    F.col("_idx").cast("string"),
+                    F.lit(
+                        ". Re-index with row_number() after filtering, "
+                        "or pass check_dense=False."
+                    ),
+                )
+            ).cast("boolean")
+        )
     runs = (
-        sig.withColumn("_new", prev.isNull() | (F.col("_v") != prev))
+        sig.withColumn("_new", is_new)
         .filter(F.col("_new"))
         .drop("_new")
     )
@@ -154,6 +193,7 @@ def native_find_peaks(
     rel_height: float = 0.3,
     wlen: int | None = 250,
     persist_input: bool = True,
+    check_dense: bool = True,
 ) -> DataFrame:
     """SciPy-ordered constrained peak detection, JVM-side.
 
@@ -163,6 +203,13 @@ def native_find_peaks(
 
     Requires gap-free per-channel ``idx_col`` values (module docstring):
     both the plateau RLE and the wlen-bucket join are index-arithmetic.
+    Since round 8 the precondition is ENFORCED at runtime
+    (``check_dense``, default on): the candidate stage — which every
+    configuration runs, over the same frame both branches consume —
+    raises a loud ``GAPPED_SIGNAL_INDEX`` error on gapped or duplicated
+    indices instead of silently mis-computing plateau midpoints and
+    wlen bounds. The check rides the existing per-channel window pass
+    (one extra ``lag``), so it costs no shuffle, scan, or job.
 
     ``persist_input``: when prominence/width are requested the plan
     consumes ``signal`` TWICE (candidate RLE branch + neighborhood
@@ -188,7 +235,7 @@ def native_find_peaks(
             StorageLevel.MEMORY_AND_DISK
         )
 
-    cands = candidate_maxima(signal, value_col, idx_col)
+    cands = candidate_maxima(signal, value_col, idx_col, check_dense=check_dense)
     if distance is not None:
         # The UDF carries peak_value through so no join back onto the
         # candidate lineage (which would re-execute the upstream plan).

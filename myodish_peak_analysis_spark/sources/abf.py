@@ -334,10 +334,14 @@ def read_abf1_sweeps(path: str) -> tuple[list[list[pd.DataFrame]], float]:
             f"positive multiple of {nchan} channels — corrupt header"
         )
     rows_per_sweep = spe // nchan
-    if rows_per_sweep * episodes > arr.shape[0]:
+    if rows_per_sweep * episodes != arr.shape[0]:
+        # != not >: a SMALLER product means trailing samples the sweep
+        # split would silently discard — same loud-failure posture as
+        # the oversized case (the episodic readers never drop data).
         raise ValueError(
             f"episodic ABF1: {episodes} episodes × {rows_per_sweep} "
-            f"rows exceed the {arr.shape[0]} rows in the data section"
+            f"rows != the {arr.shape[0]} rows in the data section "
+            f"({'exceeds it' if rows_per_sweep * episodes > arr.shape[0] else 'leaves trailing samples'})"
         )
     return [
         _frames_from_array(
