@@ -77,162 +77,168 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass records at most the FIRST 50 registered
-# queries (observed in rounds 1-6). With 133 registered entries,
-# ordering decides verification coverage. Round 7 front-loads
-# (a) the 4 queries NEW this round (audio/video metadata twins;
-# ann_serve external-query IVF-PQ serving; tfidf_cosine_pairs) plus
-# the 2 whose module code changed (the BPE batch-selection
-# merged-token fix; the stdlib media parsers in multimodal) and
-# (b) the 34 queries whose newest driver row is r4 — the VERDICT r6
-# "Next round #1" list — then (c) fills the remaining 10 slots with
-# the oldest r5 rows: 6 + 34 + 10 = 50, exactly the driver's cap.
-# After this round the staleness distribution is r5:35 / r6:48 /
-# r7:50 — every registered query's newest driver row is >= r5, and
-# every query has a driver row. Everything displaced was hash-green
-# in the r5/r6 driver windows and is re-verified at HEAD by this
-# round's full local sweep (docs/CORRECTNESS_LOCAL_r7.md).
+# queries (observed in rounds 1-7). With 133 registered entries,
+# ordering decides verification coverage. Round 8 front-loads
+# (a) the 4 queries whose module code changed this round (the tfidf
+# overflow cap in llm/text.py -> tfidf_cosine_pairs; the AVIF/AVI
+# parser guards in llm/multimodal.py -> media_metadata/video_metadata;
+# the candidate_maxima dense-index guard in operators/native_peaks.py
+# -> native_find_peaks_nodist — its siblings native_find_peaks and
+# constrained_peak_attributes are already in set (b)),
+# (b) ALL 35 queries whose newest driver row is r5 — the VERDICT r7
+# "Next round #1" list verbatim — and
+# (c) 11 of the 14 r6 rows that have only ever had ONE driver row
+# (the round-6 additions), leaving out three whose families are
+# already represented in-window (chunk_overlap ~ pack_chunks/
+# packing_stats; dedup_report ~ dedup_clusters/canonical_corpus;
+# sq8_codes ~ sq8_topk/ivf_sq8_topk): 4 + 35 + 11 = 50, the cap.
+# After this round the staleness distribution is r6:37 / r7:46 /
+# r8:50 — NO registered query's newest driver row is older than r6,
+# meeting the VERDICT r7 ask #1 "Done" bar. Everything displaced was
+# hash-green in the r6/r7 windows and is re-verified at HEAD by this
+# round's full local sweep (docs/CORRECTNESS_LOCAL_r8.md).
 _ROTATE_FIRST = [
-    # (a) new in round 7 (no driver row yet) or module code changed:
-    "audio_metadata",
-    "video_metadata",
-    "ann_serve",
+    # (a) module code changed in round 8:
     "tfidf_cosine_pairs",
-    "bpe_vocab",
     "media_metadata",
-    # (b) newest driver row is r4 — the r6 headline rotation ask:
-    "latency_percentiles",
-    "user_event_pivot",
-    "user_value_zscores",
-    "pricing_summary",
-    "top_revenue_orders",
-    "nation_revenue",
-    "large_order_customers",
-    "cheapest_supplier",
-    "pii_scrub",
-    "doc_fingerprints",
-    "minhash_signatures",
-    "simhash",
-    "jaccard_pairs",
-    "embedding_neardup",
-    "training_order",
-    "asof_tolerance",
-    "resample_hourly",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "semantic_dedup",
+    "video_metadata",
     "native_find_peaks_nodist",
-    "nation_pair_volume",
-    "promo_revenue",
-    "brand_disjunction_revenue",
-    "parts_never_returned",
-    "repetition_profile",
-    "event_transitions",
-    "top_event_paths",
-    "peak_interval_stats",
-    "resample_interpolate",
-    "encode_token_ids",
-    "resample_ohlc",
-    "fidelity_peaks",
-    "fidelity_signal",
-    # (c) oldest r5 rows — next-oldest fill:
-    "dup_span_fraction",
-    "rp_project",
-    "top_loss_customers",
-    "idle_customer_balance",
-    "blocklist_filter_bloom",
-    "bpe_apply",
-    "incremental_neardup",
-    "forecast_revenue_change",
-    "mad_outliers",
-    "token_entropy",
-]
-_ROTATE_LAST = [
-    # newest driver row is r5, displaced by the 50-cap; first rotation
-    # candidates for round 8 (35 entries):
-    "rp_ivf_topk",
-    "funnel_within",
-    "canonical_corpus",
-    "prototype_outliers",
-    "top_supplier_revenue",
-    "small_quantity_revenue",
-    "temperature_weights",
-    "trailing_window_stats",
-    "ivf_pq_topk",
-    "native_find_peaks",
-    "pq_codes",
-    "pq_topk",
-    "pq_rerank_topk",
-    "minhash_pairs",
-    "neardup_verified",
-    "dedup_clusters",
-    "embedding_norms",
+    # (b) newest driver row is r5 — the r7 headline rotation ask:
     "ann_cosine_topk",
-    "stratified_sample",
-    "mixture_weights",
-    "topk_per_source",
-    "tfidf_top_terms",
-    "contamination",
-    "inverted_index",
-    "term_cooccurrence",
-    "lm_quality_buckets",
     "bigram_logprob",
     "blocklist_filter",
-    "unigram_logprob",
+    "canonical_corpus",
+    "constrained_peak_attributes",
+    "contamination",
+    "dedup_clusters",
+    "duplicated_spans",
+    "embedding_norms",
+    "funnel_within",
+    "inverted_index",
+    "ivf_pq_topk",
+    "lm_quality_buckets",
+    "minhash_pairs",
+    "mixture_weights",
+    "native_find_peaks",
+    "neardup_verified",
     "pack_chunks",
     "packing_stats",
-    "duplicated_spans",
-    "returned_orders_by_priority",
     "per_source_profile",
-    "constrained_peak_attributes",
-    # verified hash-green in the r6 driver window (freshest rows):
-    "sketch_profile",
-    "ivf_pq_topk_prefit",
-    "levenshtein_neardup",
-    "chunk_overlap",
-    "sq8_codes",
-    "sq8_topk",
-    "remove_dup_spans",
+    "pq_codes",
+    "pq_rerank_topk",
+    "pq_topk",
+    "prototype_outliers",
+    "returned_orders_by_priority",
+    "rp_ivf_topk",
+    "small_quantity_revenue",
+    "stratified_sample",
+    "temperature_weights",
+    "term_cooccurrence",
+    "tfidf_top_terms",
+    "top_supplier_revenue",
+    "topk_per_source",
+    "trailing_window_stats",
+    "unigram_logprob",
+    # (c) single-driver-row r6 additions:
     "containment_pairs",
-    "leakage_safe_split",
-    "quality_prune",
+    "ivf_pq_topk_prefit",
     "ivf_sq8_topk",
-    "training_corpus_manifest",
+    "leakage_safe_split",
+    "levenshtein_neardup",
     "priority_ship_latency",
-    "dedup_report",
+    "quality_prune",
+    "remove_dup_spans",
+    "sq8_topk",
+    "training_corpus_manifest",
     "vocab_coverage",
-    "hybrid_neardup",
+]
+_ROTATE_LAST = [
+    # newest driver row is r6 (multi-row: r2/r3-verified too, or
+    # families covered in-window; next rotation candidates):
+    "asof_view_before_purchase",
     "bpe_encode",
+    "chunk_overlap",
+    "cohort_retention",
+    "corpus_rollup",
     "crossing_points",
     "curated_corpus",
     "dedup_exact",
+    "dedup_report",
     "diastolic",
     "envelopes",
     "extrema_flags",
+    "funnel_counts",
     "global_max",
     "gopher_quality",
+    "hybrid_neardup",
+    "json_props",
     "lang_id",
     "naive_peaks",
     "peak_attributes",
     "peak_averages",
     "quality_score",
+    "range_pairs",
     "raw_envelopes",
+    "session_stats",
     "signal_frame",
+    "sketch_profile",
     "smooth",
+    "sq8_codes",
     "stim_normalize",
     "stim_peak_mean",
     "text_stats",
     "threshold_peaks",
     "token_counts",
-    "vocab_top100",
-    "session_stats",
-    "funnel_counts",
-    "cohort_retention",
-    "asof_view_before_purchase",
-    "value_histogram",
-    "corpus_rollup",
-    "range_pairs",
-    "json_props",
     "user_value_median",
+    "value_histogram",
+    "vocab_top100",
+    # hash-green in the r7 driver window (freshest rows):
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_serve",
+    "asof_tolerance",
+    "audio_metadata",
+    "blocklist_filter_bloom",
+    "bpe_apply",
+    "bpe_vocab",
+    "brand_disjunction_revenue",
+    "cheapest_supplier",
+    "doc_fingerprints",
+    "dup_span_fraction",
+    "embedding_neardup",
+    "encode_token_ids",
+    "event_transitions",
+    "fidelity_peaks",
+    "fidelity_signal",
+    "forecast_revenue_change",
+    "idle_customer_balance",
+    "incremental_neardup",
+    "jaccard_pairs",
+    "large_order_customers",
+    "latency_percentiles",
+    "mad_outliers",
+    "minhash_signatures",
+    "nation_pair_volume",
+    "nation_revenue",
+    "parts_never_returned",
+    "peak_interval_stats",
+    "pii_scrub",
+    "pricing_summary",
+    "promo_revenue",
+    "repetition_profile",
+    "resample_hourly",
+    "resample_interpolate",
+    "resample_ohlc",
+    "rp_project",
+    "semantic_dedup",
+    "simhash",
+    "token_entropy",
+    "top_event_paths",
+    "top_loss_customers",
+    "top_revenue_orders",
+    "training_order",
+    "user_event_pivot",
+    "user_value_zscores",
 ]
 
 def _rotate(full: dict) -> dict:
