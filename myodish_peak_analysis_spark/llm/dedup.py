@@ -323,6 +323,18 @@ def containment_pairs(
     )
 
 
+#: Observability for the iterative clustering routes (round 8): after
+#: each :func:`dedup_clusters` / :func:`star_components` call this maps
+#: "label" / "star" to the number of rounds the last run took to reach
+#: fixpoint. The 100 TB claim for these operators rests on the round
+#: count staying flat as the corpus grows (diameter-bound for label
+#: prop, O(log^2 n) for star) — the scaling harness
+#: (tools/bench_scaling.py --family docs) records it per decade so a
+#: convergence blow-up shows up in the measurement, not just in wall
+#: time. Driver-local, last-call-wins: purely diagnostic.
+CONVERGENCE_ROUNDS: dict[str, int] = {}
+
+
 def star_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 64) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -361,7 +373,7 @@ def star_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 64) -> 
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iters):
+    for _round in range(max_iters):
         # large-star: for each u, point every neighbor v > u at
         # m = min(neighbors(u) ∪ {u}). Symmetrize, group-min, join.
         sym = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
@@ -395,6 +407,7 @@ def star_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 64) -> 
         canon = small
         if same:
             converged = True
+            CONVERGENCE_ROUNDS["star"] = _round + 1
             break
     if not converged:
         raise RuntimeError(
@@ -473,7 +486,7 @@ def dedup_clusters(
     )
     converged = False
     prev_cached = labels
-    for _ in range(max_iters):
+    for _round in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy("dst")
@@ -499,6 +512,7 @@ def dedup_clusters(
         labels = stepped.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
+            CONVERGENCE_ROUNDS["label"] = _round + 1
             break
     if not converged:
         edges.unpersist()

@@ -172,6 +172,13 @@ def _replicate_docs(base: DataFrame, k: int) -> DataFrame:
     )
 
 
+#: Per-op extra JSON fields for the decade rows, filled by the op
+#: lambdas (e.g. label-prop rounds-to-converge) and popped by main()'s
+#: printer — the VERDICT r7 ask #2 wants the convergence-round count
+#: alongside the 1000x dedup timings, not just wall seconds.
+_EXTRA_FIELDS: dict[str, dict] = {}
+
+
 def _docs_ops():
     from pyspark.sql import functions as FF
 
@@ -183,6 +190,24 @@ def _docs_ops():
             d.filter(FF.col("doc_id") % 10 != 0),
         )
 
+    def clusters_with_rounds(name: str, **kw):
+        def run(d: DataFrame, _n: int) -> float:
+            s = _timed_build(lambda: dedup.dedup_clusters(d, **kw))
+            method = kw.get("method", "label")
+            _EXTRA_FIELDS[name] = {
+                "rounds_to_converge": dedup.CONVERGENCE_ROUNDS.get(method)
+            }
+            return s
+
+        return run
+
+    def leakage_split(d: DataFrame, _n: int) -> float:
+        s = _timed_build(lambda: _sampling_mod().leakage_safe_split(d))
+        _EXTRA_FIELDS["leakage_safe_split"] = {
+            "rounds_to_converge": dedup.CONVERGENCE_ROUNDS.get("label")
+        }
+        return s
+
     return (
         (
             "tfidf_cosine_pairs",
@@ -191,20 +216,16 @@ def _docs_ops():
             ),
         ),
         ("minhash_pairs", lambda d, _n: _timed_build(lambda: dedup.minhash_pairs(d))),
-        (
-            "dedup_clusters_label",
-            lambda d, _n: _timed_build(lambda: dedup.dedup_clusters(d)),
-        ),
+        ("dedup_clusters_label", clusters_with_rounds("dedup_clusters_label")),
         (
             "dedup_clusters_star",
-            lambda d, _n: _timed_build(
-                lambda: dedup.dedup_clusters(d, method="star")
-            ),
+            clusters_with_rounds("dedup_clusters_star", method="star"),
         ),
         (
             "canonical_corpus",
             lambda d, _n: _timed_build(lambda: dedup.canonical_corpus(d)),
         ),
+        ("leakage_safe_split", leakage_split),
         ("incremental_neardup", lambda d, _n: _timed_build(lambda: incr(d))),
         # round-6 operators: the gram-heavy span cut, the per-pair DP
         # verify, and the fingerprint-keyed containment join.
@@ -494,6 +515,12 @@ def _text_mod():
     return text
 
 
+def _sampling_mod():
+    from myodish_peak_analysis_spark.llm import sampling
+
+    return sampling
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -608,6 +635,7 @@ def main() -> None:
                             else {}
                         ),
                         **({"uncached_input": True} if args.uncached else {}),
+                        **_EXTRA_FIELDS.pop(name, {}),
                         "sf_dir": SF_DIR,
                     }
                 )
