@@ -252,6 +252,84 @@ def _docs_ops():
     )
 
 
+def _media_ops():
+    """Round 8 (VERDICT r7 ask #6): the multimodal ``mapInPandas``
+    decode is the one plan family with a DECLARED Python stage and no
+    scaling row. Payloads are REAL container headers (PNG IHDR /
+    RIFF-WAVE fmt+data / MP4 ftyp+moov+mvhd — the pure-stdlib parsers'
+    production path, fake=False) with the document text as a variable
+    binary tail, so each decade measures the full path: binary column
+    through Arrow batching, per-row stdlib header parse, typed metadata
+    out. Replication is :func:`_replicate_docs` — per-copy token
+    prefixes vary the tail bytes so copies aren't byte-identical
+    payloads."""
+    import struct
+
+    from myodish_peak_analysis_spark.llm import multimodal
+
+    def box(t: bytes, b: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(b)) + t + b
+
+    png_hdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 1920, 1080)
+        + b"\x08\x02\x00\x00\x00"
+    )
+    wav_hdr = (
+        b"RIFF"
+        + struct.pack("<I", 0)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+        + b"data"
+        + struct.pack("<I", 10_000_000)  # clamped to the actual tail
+    )
+    mp4_hdr = box(b"ftyp", b"isom" + b"\x00" * 4 + b"mp42") + box(
+        b"moov",
+        box(b"mvhd", b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", 1000, 90000))
+        + box(b"trak", b"")
+        + box(b"trak", b""),
+    )
+
+    def media_frame(d: DataFrame, kind: str, hdr: bytes) -> DataFrame:
+        return d.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit(kind).alias("kind"),
+            F.concat(F.lit(hdr), F.encode("text", "UTF-8")).alias("payload"),
+            "source",
+        )
+
+    return (
+        (
+            "image_metadata_real",
+            lambda d, _n: _timed_build(
+                lambda: multimodal.image_metadata(
+                    media_frame(d, "image", png_hdr), fake=False
+                )
+            ),
+        ),
+        (
+            "audio_metadata_real",
+            lambda d, _n: _timed_build(
+                lambda: multimodal.audio_metadata(
+                    media_frame(d, "audio", wav_hdr), fake=False
+                )
+            ),
+        ),
+        (
+            "video_metadata_real",
+            lambda d, _n: _timed_build(
+                lambda: multimodal.video_metadata(
+                    media_frame(d, "video", mp4_hdr), fake=False
+                )
+            ),
+        ),
+    )
+
+
 def _replicate_emb(base: DataFrame, k: int) -> DataFrame:
     """K corpus copies with disjoint vec_id ranges, each under its own
     signed-permutation rotation (see module docstring). Copy 0 is the
@@ -553,7 +631,9 @@ def main() -> None:
         "crawled past a 58-min timeout; uncached it measures).",
     )
     ap.add_argument(
-        "--family", choices=("peaks", "docs", "emb", "rel"), default="peaks"
+        "--family",
+        choices=("peaks", "docs", "emb", "rel", "media"),
+        default="peaks",
     )
     ap.add_argument(
         "--ops",
@@ -578,6 +658,14 @@ def main() -> None:
             .cache()
         )
         ops = _docs_ops()
+        replicate = _replicate_docs
+    elif args.family == "media":
+        base = (
+            read_table(spark, SF_DIR, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .cache()
+        )
+        ops = _media_ops()
         replicate = _replicate_docs
     elif args.family == "rel":
         base = _read_rel_world(spark).cache()
