@@ -358,26 +358,113 @@ def _replicate_emb(base: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _emb_ops(n1_holder: dict):
+def _emb_ops(n1_holder: dict, recall: bool = False):
     """ANN ops, query batch pinned to the 1× size via query_mod = 50·K
     (K derived from the measured row count). The prefit twins fit
     their index OUTSIDE the timed region — the fit-once/search-many
     serving path — while the fit-inline ops keep the fit inside, as
-    the registered queries do."""
+    the registered queries do.
+
+    ``recall`` (round 8, VERDICT r7 ask #5): after timing, re-run the
+    prefit/serve searches at k=10 (UNTIMED) and record recall@10
+    against brute-force cosine ground truth over the SAME query batch
+    and the SAME K× corpus — auto-k grows with N, so rising latency
+    alone can mask a silent recall collapse at 10×/100×. Ground truth
+    is one crossJoin window per factor (top-11 with self, cached),
+    from which both self-excluded (corpus-query routes) and
+    self-included (external serving) top-10 truths are derived."""
+    from pyspark.sql import Window
+
     from myodish_peak_analysis_spark.llm import similarity as S
     from myodish_peak_analysis_spark.llm.params import ANN_QUERY_MOD
+
+    RK = 10
+    _truth_cache: dict = {}
 
     def qmod(n: int) -> int:
         return ANN_QUERY_MOD * max(1, round(n / n1_holder["n1"]))
 
+    def _truth(d: DataFrame, n: int) -> DataFrame:
+        if n in _truth_cache:
+            return _truth_cache[n]
+        qn = S._with_norm(
+            d.filter(F.col("vec_id") % qmod(n) == 0)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
+        )
+        cn = S._with_norm(d).select(
+            "vec_id",
+            F.col("embedding").alias("c_emb"),
+            F.col("_norm").alias("c_norm"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        t = (
+            qn.crossJoin(cn)
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(
+                    S._dot("q_emb", "c_emb")
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    6,
+                ).alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= RK + 1)
+            .select("query_id", "vec_id", "rank")
+            .cache()
+        )
+        t.count()
+        _truth_cache[n] = t
+        return t
+
+    def _recall_at_10(
+        result: DataFrame, d: DataFrame, n: int, include_self: bool,
+        shift: int = 0,
+    ) -> float:
+        t = _truth(d, n)
+        if include_self:
+            truth = t.filter(F.col("rank") <= RK)
+        else:
+            w2 = Window.partitionBy("query_id").orderBy("rank")
+            truth = (
+                t.filter(F.col("query_id") != F.col("vec_id"))
+                .withColumn("_r2", F.row_number().over(w2))
+                .filter(F.col("_r2") <= RK)
+            )
+        truth = truth.select(
+            (F.col("query_id") + F.lit(shift)).alias("query_id"), "vec_id"
+        )
+        n_truth = truth.count()
+        hits = (
+            result.select("query_id", "vec_id")
+            .join(truth, ["query_id", "vec_id"])
+            .count()
+        )
+        return hits / n_truth
+
     def prefit_pq(d: DataFrame, n: int) -> float:
         idx = S.fit_ivf_pq_index(d, n_clusters="auto")
         try:
-            return _timed_build(
+            sec = _timed_build(
                 lambda: S.ivf_pq_topk(
                     d, index=idx, n_clusters="auto", query_mod=qmod(n)
                 )
             )
+            if recall:
+                r = _recall_at_10(
+                    S.ivf_pq_topk(
+                        d, index=idx, n_clusters="auto",
+                        query_mod=qmod(n), k=RK,
+                    ),
+                    d, n, include_self=False,
+                )
+                _EXTRA_FIELDS["ivf_pq_topk_prefit"] = {"recall_at_10": round(r, 3)}
+            return sec
         finally:
             idx.members.unpersist()
             idx.codes.unpersist()
@@ -396,7 +483,14 @@ def _emb_ops(n1_holder: dict):
             .select((F.col("vec_id") + n * 10).alias("query_id"), "embedding")
         )
         try:
-            return _timed_build(lambda: S.ivf_pq_search(qs, idx))
+            sec = _timed_build(lambda: S.ivf_pq_search(qs, idx))
+            if recall:
+                r = _recall_at_10(
+                    S.ivf_pq_search(qs, idx, k=RK),
+                    d, n, include_self=True, shift=n * 10,
+                )
+                _EXTRA_FIELDS["ann_serve"] = {"recall_at_10": round(r, 3)}
+            return sec
         finally:
             idx.members.unpersist()
             idx.codes.unpersist()
@@ -404,11 +498,21 @@ def _emb_ops(n1_holder: dict):
     def prefit_sq8(d: DataFrame, n: int) -> float:
         idx = S.fit_ivf_pq_index(d, n_clusters="auto")
         try:
-            return _timed_build(
+            sec = _timed_build(
                 lambda: S.ivf_sq8_topk(
                     d, index=idx, n_clusters="auto", query_mod=qmod(n)
                 )
             )
+            if recall:
+                r = _recall_at_10(
+                    S.ivf_sq8_topk(
+                        d, index=idx, n_clusters="auto",
+                        query_mod=qmod(n), k=RK,
+                    ),
+                    d, n, include_self=False,
+                )
+                _EXTRA_FIELDS["ivf_sq8_topk_prefit"] = {"recall_at_10": round(r, 3)}
+            return sec
         finally:
             idx.members.unpersist()
             idx.codes.unpersist()
@@ -641,6 +745,12 @@ def main() -> None:
         default=None,
         help="comma-separated op-name filter (default: the whole family)",
     )
+    ap.add_argument(
+        "--recall",
+        action="store_true",
+        help="emb family: also record recall@10 vs brute ground truth "
+        "for the prefit/serve ops (untimed re-run at k=10)",
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -677,7 +787,7 @@ def main() -> None:
             .repartition(spark.sparkContext.defaultParallelism)
             .cache()
         )
-        ops = _emb_ops(n1_holder)
+        ops = _emb_ops(n1_holder, recall=args.recall)
         replicate = _replicate_emb
     else:
         base = read_table(spark, SF_DIR, "events").cache()
@@ -695,7 +805,26 @@ def main() -> None:
     n1_holder["n1"] = n1
     failed = False
     # prev[(name)] = (factor, rows/s) of the previously measured scale
-    prev = {name: (1, n1 / fn(base, n1)) for name, fn in ops}
+    prev = {}
+    for name, fn in ops:
+        s1 = fn(base, n1)
+        prev[name] = (1, n1 / s1)
+        extra1 = _EXTRA_FIELDS.pop(name, {})
+        if extra1:
+            # baseline visibility for the per-op extras (convergence
+            # rounds, recall@10): the 1x value anchors the decade rows
+            print(
+                json.dumps(
+                    {
+                        "metric": f"scaling_baseline:{name}",
+                        "rows_1x": n1,
+                        "sec_1x": round(s1, 3),
+                        "rows_per_sec_1x": round(n1 / s1),
+                        **extra1,
+                        "sf_dir": SF_DIR,
+                    }
+                )
+            )
     base_tp = {name: tp for name, (_, tp) in prev.items()}
     for k in factors:
         big = replicate(base, k)
