@@ -27,12 +27,36 @@ K = 10
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--factor",
+        type=int,
+        default=1,
+        help="replicate the corpus K× (signed-permutation rotations, "
+        "the emb-decade scheme) before the sweep — recall dials must "
+        "be re-derived at the scale they serve",
+    )
+    ap.add_argument("--nprobes", type=str, default="1,2,4,8,16,24")
+    ap.add_argument("--shortlists", type=str, default="50,200,600")
+    args = ap.parse_args()
+    nprobes = [int(x) for x in args.nprobes.split(",")]
+    shortlists = [int(x) for x in args.shortlists.split(",")]
+
     spark = get_spark("bench-serve-recall")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = read_table(spark, SF_DIR, "embeddings").cache()
+    emb = read_table(spark, SF_DIR, "embeddings")
+    if args.factor > 1:
+        from tools.bench_scaling import _replicate_emb
+
+        emb = _replicate_emb(emb, args.factor)
+    emb = emb.cache()
     emb.count()
-    qs = emb.filter(F.col("vec_id") % S.ANN_QUERY_MOD == 0).select(
-        (F.col("vec_id") + 10_000_000).alias("query_id"), "embedding"
+    qs = emb.filter(
+        F.col("vec_id") % (S.ANN_QUERY_MOD * args.factor) == 0
+    ).select(
+        (F.col("vec_id") + 10_000_000_000).alias("query_id"), "embedding"
     ).cache()
 
     qn = S._with_norm(
@@ -98,9 +122,9 @@ def main() -> None:
         ).select("query_id", "vec_id")
         return cand.join(truth, ["query_id", "vec_id"]).count() / n_truth
 
-    for nprobe in (1, 2, 4, 8, 16, 24):
+    for nprobe in nprobes:
         ceil = probe_ceiling(nprobe)
-        for shortlist in (50, 200, 600):
+        for shortlist in shortlists:
             best = float("inf")
             for _ in range(3):
                 t0 = time.time()
@@ -123,6 +147,7 @@ def main() -> None:
                         "probe_ceiling": round(ceil, 3),
                         "recall": round(hits / n_truth, 3),
                         "sec": round(best, 3),
+                        "factor": args.factor,
                         "sf_dir": SF_DIR,
                     }
                 ),
