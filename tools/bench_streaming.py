@@ -116,11 +116,13 @@ def _run(name: str, stream_df: DataFrame, n_rows: int, ckpt: str) -> dict:
                 "state_mb_max": round(max(state_bytes) / 1e6, 2),
                 "state_rows_last": state_rows[-1],
                 "state_rows_max": peak,
-                # flat ⇔ the high-water mark is reached by mid-run (a
-                # watermark plateau / per-key window fill) and the
-                # second half never sets a new one
+                # flat ⇔ the second half of the run sets no new
+                # high-water mark beyond watermark jitter (the gate's
+                # plateau oscillates ±0.5% as pair-dedup entries expire
+                # on batch boundaries — a 2% band separates that from
+                # real monotone growth, which compounds per batch)
                 "state_flat_after_warmup": max(state_rows[half:] or [0])
-                <= max(state_rows[:half] or [0]),
+                <= 1.02 * max(state_rows[:half] or [0]),
             }
         )
     print(json.dumps(out), flush=True)
