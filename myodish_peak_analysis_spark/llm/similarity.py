@@ -960,7 +960,17 @@ def fit_ivf_pq_index(
     """Run both fits of :func:`ivf_pq_topk` and materialize the
     results; identical parameters produce an identical index, so a
     prefit search returns exactly what the fit-inline search returns
-    (pinned by tests/test_r6_ops.py)."""
+    (pinned by tests/test_r6_ops.py).
+
+    Budget ``m`` (PQ code width) for the TARGET corpus, not the pilot
+    corpus — measured round 8 (docs/PLANS.md "ANN recall across the
+    decades"): at 200k vectors the default m=4 is ADC-bound (recall@10
+    plateaus at 0.274 against a 0.463 probe ceiling no matter the
+    shortlist), m=16 reaches 97% of the ceiling at effectively
+    unchanged serving cost. The oracle default stays m=4 (hash-pinned);
+    production fits at 100k+ vectors should pass m=8..16. Pair with
+    nprobe scaled ∝ nlist at search time (constant scan fraction) —
+    fixed dials lose recall ×√10 per corpus decade."""
     members, cents = _ivf_fit(
         emb, k=_resolve_clusters(emb, n_clusters), iters=ivf_iters,
         fit_sample_mod=fit_sample_mod,

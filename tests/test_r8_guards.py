@@ -262,6 +262,29 @@ def test_avif_zero_body_pitm_at_buffer_end_degrades_to_fallback():
     assert _parse_image_header(ftyp + meta2) == (1920, 1080)
 
 
+def test_convergence_rounds_observability(spark):
+    """dedup_clusters/star_components publish the last run's
+    rounds-to-converge — the scaling harness's per-decade evidence that
+    the iterative routes stay round-bounded as the corpus grows."""
+    from myodish_peak_analysis_spark.llm import dedup
+
+    texts = [
+        (i, "alpha beta gamma delta eps zeta eta theta " + f"tail{i % 3}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    dedup.CONVERGENCE_ROUNDS.clear()
+    lab = dedup.dedup_clusters(docs)
+    lab.count()
+    assert dedup.CONVERGENCE_ROUNDS.get("label", 0) >= 1
+    star = dedup.dedup_clusters(docs, method="star")
+    assert dedup.CONVERGENCE_ROUNDS.get("star", 0) >= 1
+    # the two routes agree (existing contract, re-checked post-hook)
+    assert sorted(map(tuple, lab.collect())) == sorted(
+        map(tuple, star.collect())
+    )
+
+
 def test_abf1_episodic_trailing_samples_refused(tmp_path):
     from myodish_peak_analysis_spark.sources.abf import (
         read_abf1_sweeps,
