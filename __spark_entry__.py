@@ -98,11 +98,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # hash-green in the r6/r7 windows and is re-verified at HEAD by this
 # round's full local sweep (docs/CORRECTNESS_LOCAL_r8.md).
 _ROTATE_FIRST = [
-    # (a) module code changed in round 8:
+    # (a) module code changed in round 8 (incl. the nprobe="auto"
+    # resolver threaded through the five IVF search ops — their int
+    # default path re-verified hash-green locally before rotation):
     "tfidf_cosine_pairs",
     "media_metadata",
     "video_metadata",
     "native_find_peaks_nodist",
+    "ann_ivf_topk",
+    "ann_serve",
     # (b) newest driver row is r5 — the r7 headline rotation ask:
     "ann_cosine_topk",
     "bigram_logprob",
@@ -144,17 +148,20 @@ _ROTATE_FIRST = [
     "ivf_pq_topk_prefit",
     "ivf_sq8_topk",
     "leakage_safe_split",
-    "levenshtein_neardup",
     "priority_ship_latency",
     "quality_prune",
     "remove_dup_spans",
-    "sq8_topk",
     "training_corpus_manifest",
     "vocab_coverage",
 ]
 _ROTATE_LAST = [
     # newest driver row is r6 (multi-row: r2/r3-verified too, or
-    # families covered in-window; next rotation candidates):
+    # families covered in-window; next rotation candidates —
+    # levenshtein_neardup / sq8_topk displaced by the two nprobe-"auto"
+    # -affected r7 queries, their families still in-window via
+    # minhash_pairs+dedup_clusters / ivf_sq8_topk):
+    "levenshtein_neardup",
+    "sq8_topk",
     "asof_view_before_purchase",
     "bpe_encode",
     "chunk_overlap",

@@ -113,6 +113,26 @@ def _resolve_clusters(emb: DataFrame, n_clusters: int | str | None) -> int:
     return int(n_clusters)
 
 
+#: Scan fraction the ``nprobe="auto"`` dial holds: anchored at the
+#: oracle default's coverage (nprobe=2 of the sf0.1 auto-k=44 lists).
+#: The round-8 recall decades (docs/PLANS.md "ANN recall across the
+#: decades") measured WHY this must scale with nlist: at fixed
+#: nprobe=2 the scanned corpus fraction shrinks ×√10 per decade
+#: (auto-k grows √N) and recall@10 collapses 0.242→0.163→0.120, while
+#: constant coverage holds SQ8 recall flat-to-rising at flat cost.
+AUTO_NPROBE_FRACTION = 2 / 44
+
+
+def _resolve_nprobe(nprobe: "int | str", cents: DataFrame) -> int:
+    """``"auto"`` → hold :data:`AUTO_NPROBE_FRACTION` of the posting
+    lists (≥2); an int passes through. The centroid frame is a k-row
+    literal/cached table, so the count in auto mode is a cheap action;
+    int mode (every registered oracle query) stays action-free."""
+    if nprobe == "auto":
+        return max(2, round(cents.count() * AUTO_NPROBE_FRACTION))
+    return int(nprobe)
+
+
 def lsh_bucket_col(n_planes: int = LSH_PLANES) -> F.Column:
     """Bucket id = sign bits of the deterministic hyperplane
     projections. Plane p's weights depend only on p, so buckets for a
@@ -330,7 +350,7 @@ def ivf_topk(
     k: int = ANN_LSH_TOPK,
     query_mod: int = ANN_QUERY_MOD,
     n_clusters: int | str | None = None,
-    nprobe: int = 2,
+    nprobe: "int | str" = 2,
     fit_sample_mod: int | None = None,
     index: "IvfPqIndex | None" = None,
 ) -> DataFrame:
@@ -348,6 +368,7 @@ def ivf_topk(
             emb, k=_resolve_clusters(emb, n_clusters), iters=3,
             fit_sample_mod=fit_sample_mod,
         )
+    nprobe = _resolve_nprobe(nprobe, cents)
     members = members.cache()
     q = members.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -1035,7 +1056,7 @@ def ivf_pq_topk(
     shortlist: int = 20,
     query_mod: int = ANN_QUERY_MOD,
     n_clusters: int | str | None = None,
-    nprobe: int = 2,
+    nprobe: "int | str" = 2,
     ivf_iters: int = 3,
     m: int = 4,
     n_centroids: int = 16,
@@ -1091,6 +1112,7 @@ def ivf_pq_topk(
         codes = final.select(
             "vec_id", "sub_id", F.col("centroid_id").alias("code_id")
         )
+    nprobe = _resolve_nprobe(nprobe, cents)
     q = members.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1183,7 +1205,7 @@ def ivf_pq_search(
     index: IvfPqIndex,
     k: int = ANN_LSH_TOPK,
     shortlist: int = 20,
-    nprobe: int = 2,
+    nprobe: "int | str" = 2,
 ) -> DataFrame:
     """Serve an ARBITRARY query batch against a prefit IVF×PQ index —
     the missing half of the serving story: :func:`ivf_pq_topk` draws
@@ -1214,6 +1236,7 @@ def ivf_pq_search(
     members, cents = index.members, index.cents
     codes, pq_cents = index.codes, index.pq_cents
     m, n_centroids = index.m, index.n_centroids
+    nprobe = _resolve_nprobe(nprobe, cents)
     _check_dtable_bound(queries, m, n_centroids)
     qbase = _with_norm(
         queries.select(F.col("query_id").alias("vec_id"), "embedding")
@@ -1383,7 +1406,7 @@ def ivf_sq8_topk(
     k: int = ANN_LSH_TOPK,
     query_mod: int = ANN_QUERY_MOD,
     n_clusters: int | str | None = None,
-    nprobe: int = 2,
+    nprobe: "int | str" = 2,
     index: "IvfPqIndex | None" = None,
 ) -> DataFrame:
     """The OTHER composed FAISS production pattern — ``IVFx,SQ8``:
@@ -1405,6 +1428,7 @@ def ivf_sq8_topk(
         members, cents = _ivf_fit(
             emb, k=_resolve_clusters(emb, n_clusters), iters=3
         )
+    nprobe = _resolve_nprobe(nprobe, cents)
     cand8 = (
         _sq8_coded(emb)
         .select(
@@ -1585,7 +1609,7 @@ def rp_ivf_topk(
     k: int = ANN_LSH_TOPK,
     query_mod: int = ANN_QUERY_MOD,
     n_clusters: int = 8,
-    nprobe: int = 2,
+    nprobe: "int | str" = 2,
     d_out: int = 8,
     iters: int = 3,
 ) -> DataFrame:
@@ -1610,6 +1634,7 @@ def rp_ivf_topk(
     """
     proj = _rp_float_embedding(emb, d_out)
     members, cents = _ivf_fit(proj, k=n_clusters, iters=iters)
+    nprobe = _resolve_nprobe(nprobe, cents)
     q = members.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

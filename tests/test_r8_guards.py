@@ -219,6 +219,30 @@ def test_guard_matches_dense_results_exactly(spark):
     assert on == off and len(on) > 0
 
 
+# --- nprobe="auto" (constant-coverage dial, round 8) -------------------
+
+
+def test_nprobe_auto_resolution_and_parity(spark):
+    """"auto" holds AUTO_NPROBE_FRACTION of the posting lists (the
+    oracle anchor: 2 of 44), so it resolves to the oracle default at
+    oracle scale (results identical) and grows with nlist — codifying
+    the round-8 recall-decade finding that fixed nprobe loses recall
+    ×√10 per corpus decade."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+    from myodish_peak_analysis_spark.schema import read_table
+
+    assert S._resolve_nprobe(7, spark.range(3)) == 7  # int passthrough
+    assert S._resolve_nprobe("auto", spark.range(44)) == 2  # the anchor
+    assert S._resolve_nprobe("auto", spark.range(447)) == 20  # 100× emb
+    assert S._resolve_nprobe("auto", spark.range(4)) == 2  # floor
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    fixed = S.ivf_topk(emb, n_clusters=16, nprobe=2).collect()
+    auto = S.ivf_topk(emb, n_clusters=16, nprobe="auto").collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, fixed))
+    assert len(fixed) > 0
+
+
 # --- ADVICE r7 parser edge cases ---------------------------------------
 
 
