@@ -128,9 +128,42 @@ def _resolve_nprobe(nprobe: "int | str", cents: DataFrame) -> int:
     lists (≥2); an int passes through. The centroid frame is a k-row
     literal/cached table, so the count in auto mode is a cheap action;
     int mode (every registered oracle query) stays action-free."""
-    if nprobe == "auto":
+    if isinstance(nprobe, str):
+        # loud parameter error HERE, not int()'s bare ValueError five
+        # frames deep in plan construction (ADVICE r8)
+        if nprobe != "auto":
+            raise ValueError(
+                f"nprobe must be an int or 'auto', got {nprobe!r}"
+            )
         return max(2, round(cents.count() * AUTO_NPROBE_FRACTION))
     return int(nprobe)
+
+
+#: ``shortlist="auto"`` anchor: the oracle defaults' ratio of ADC
+#: shortlist to retrieved candidates (shortlist=20 over nprobe=2 ×
+#: k=5). The round-8 recall decades measured WHY the shortlist must
+#: scale with the probe budget: with nprobe="auto" widening coverage
+#: as the corpus grows, a FIXED shortlist=20 strands the recovered
+#: candidates before the exact re-rank (recall pinned at the ADC
+#: plateau); the dial-by-dial decomposition found shortlist≈600 at the
+#: 2M-vector point (nprobe=64, k≤10) recovers the probe ceiling —
+#: exactly this anchor's 2·nprobe·k.
+AUTO_SHORTLIST_PER_PROBE_K = 20 / (2 * ANN_LSH_TOPK)
+
+
+def _resolve_shortlist(shortlist: "int | str", nprobe: int, k: int) -> int:
+    """``"auto"`` → ``2·nprobe·k`` (floored at the oracle default 20);
+    an int passes through. ``nprobe`` must already be resolved (pass
+    :func:`_resolve_nprobe`'s result), so auto-shortlist composes with
+    auto-nprobe: constant scan coverage ⇒ proportionally wider exact
+    re-rank. Pure arithmetic — no action on either path."""
+    if isinstance(shortlist, str):
+        if shortlist != "auto":
+            raise ValueError(
+                f"shortlist must be an int or 'auto', got {shortlist!r}"
+            )
+        return max(20, round(AUTO_SHORTLIST_PER_PROBE_K * nprobe * k))
+    return int(shortlist)
 
 
 def lsh_bucket_col(n_planes: int = LSH_PLANES) -> F.Column:
@@ -868,7 +901,7 @@ def pq_topk(
 def pq_rerank_topk(
     emb: DataFrame,
     k: int = ANN_LSH_TOPK,
-    shortlist: int = 20,
+    shortlist: "int | str" = 20,
     query_mod: int = ANN_QUERY_MOD,
     m: int = 4,
     n_centroids: int = 16,
@@ -886,6 +919,10 @@ def pq_rerank_topk(
     broadcast by AQE. Determinism: cosine quantized to 6 dp, vec_id
     tie-break, as everywhere in this module.
     """
+    # no probe dial on the flat-PQ route (ADC scans every code), so
+    # "auto" anchors at the oracle-default probe budget: 2·2·k = 4k,
+    # floored at 20 — the same resolver, nprobe pinned to its default.
+    shortlist = _resolve_shortlist(shortlist, 2, k)
     sl = pq_topk(
         emb,
         k=shortlist,
@@ -969,11 +1006,55 @@ class IvfPqIndex(NamedTuple):
     n_centroids: int
 
 
+def _resolve_pq_m(
+    m: "int | str", n_centroids: int, n_vectors: int, dim: int | None
+) -> int:
+    """m-budget check for a PQ fit (VERDICT r8 ask #3, measured rule:
+    docs/PLANS.md "ANN recall across the decades"). A code space of
+    ``n_centroids**m`` distinct words smaller than the corpus forces
+    ADC rank collisions no shortlist can undo — at 200k vectors the
+    m=4 (16⁴ = 65 536) recall plateaued at 0.274 against a 0.463 probe
+    ceiling for EVERY shortlist, while m=16 reached 97% of the ceiling.
+
+    An int ``m`` passes through, warning loudly when it is ADC-bound
+    for ``n_vectors`` (pilot corpora fit silently; the production-size
+    corpus trips the warning before the index is built). ``"auto"``
+    picks the smallest divisor of ``dim`` whose code space covers the
+    corpus — the budget FLOOR, not the optimum (the measured recovery
+    point used m=16; callers chasing the last recall points should
+    still size m by measurement)."""
+    if isinstance(m, str):
+        if m != "auto":
+            raise ValueError(f"m must be an int or 'auto', got {m!r}")
+        if dim is None:
+            raise ValueError("m='auto' needs the embedding dim")
+        for cand in range(1, dim + 1):
+            if dim % cand == 0 and n_centroids**cand >= n_vectors:
+                return cand
+        return dim
+    m = int(m)
+    if n_centroids**m < n_vectors:
+        import warnings
+
+        warnings.warn(
+            f"PQ m={m} is ADC-bound for this corpus: {n_centroids}^{m} "
+            f"= {n_centroids ** m} code words < {n_vectors} vectors, so "
+            "ADC distances collide and recall plateaus below the probe "
+            "ceiling regardless of shortlist (measured: m=4 caps "
+            "recall@10 at 0.274 vs a 0.463 ceiling at 200k vectors; "
+            "m=16 reaches 97% of it). Pass m='auto' or a larger "
+            "divisor of the embedding dim.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return m
+
+
 def fit_ivf_pq_index(
     emb: DataFrame,
     n_clusters: int | str | None = None,
     ivf_iters: int = 3,
-    m: int = 4,
+    m: "int | str" = 4,
     n_centroids: int = 16,
     pq_iters: int = 2,
     fit_sample_mod: int | None = None,
@@ -991,13 +1072,22 @@ def fit_ivf_pq_index(
     unchanged serving cost. The oracle default stays m=4 (hash-pinned);
     production fits at 100k+ vectors should pass m=8..16. Pair with
     nprobe scaled ∝ nlist at search time (constant scan fraction) —
-    fixed dials lose recall ×√10 per corpus decade."""
+    fixed dials lose recall ×√10 per corpus decade.
+
+    Round 9: the budget rule is ENFORCED — an int ``m`` whose
+    ``n_centroids**m`` code space is smaller than the corpus warns
+    loudly at fit time, and ``m="auto"`` resolves the smallest
+    dim-divisor that covers it (:func:`_resolve_pq_m`)."""
     members, cents = _ivf_fit(
         emb, k=_resolve_clusters(emb, n_clusters), iters=ivf_iters,
         fit_sample_mod=fit_sample_mod,
     )
     members = members.cache()
-    members.count()
+    n_vectors = members.count()
+    dim = (
+        len(emb.select("embedding").first()[0]) if isinstance(m, str) else None
+    )
+    m = _resolve_pq_m(m, n_centroids, n_vectors, dim)
     final, pq_cents = _pq_fit(
         emb, m=m, k=n_centroids, iters=pq_iters,
         fit_sample_mod=fit_sample_mod,
@@ -1053,7 +1143,7 @@ def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
 def ivf_pq_topk(
     emb: DataFrame,
     k: int = ANN_LSH_TOPK,
-    shortlist: int = 20,
+    shortlist: "int | str" = 20,
     query_mod: int = ANN_QUERY_MOD,
     n_clusters: int | str | None = None,
     nprobe: "int | str" = 2,
@@ -1113,6 +1203,7 @@ def ivf_pq_topk(
             "vec_id", "sub_id", F.col("centroid_id").alias("code_id")
         )
     nprobe = _resolve_nprobe(nprobe, cents)
+    shortlist = _resolve_shortlist(shortlist, nprobe, k)
     q = members.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1204,7 +1295,7 @@ def ivf_pq_search(
     queries: DataFrame,
     index: IvfPqIndex,
     k: int = ANN_LSH_TOPK,
-    shortlist: int = 20,
+    shortlist: "int | str" = 20,
     nprobe: "int | str" = 2,
 ) -> DataFrame:
     """Serve an ARBITRARY query batch against a prefit IVF×PQ index —
@@ -1237,6 +1328,7 @@ def ivf_pq_search(
     codes, pq_cents = index.codes, index.pq_cents
     m, n_centroids = index.m, index.n_centroids
     nprobe = _resolve_nprobe(nprobe, cents)
+    shortlist = _resolve_shortlist(shortlist, nprobe, k)
     _check_dtable_bound(queries, m, n_centroids)
     qbase = _with_norm(
         queries.select(F.col("query_id").alias("vec_id"), "embedding")

@@ -314,7 +314,9 @@ def read_abf1(path: str) -> tuple[list[pd.DataFrame], float]:
     return _frames_from_array(arr, rate), rate
 
 
-def read_abf1_sweeps(path: str) -> tuple[list[list[pd.DataFrame]], float]:
+def read_abf1_sweeps(
+    path: str, allow_trailing: bool = False
+) -> tuple[list[list[pd.DataFrame]], float]:
     """Decode an ABF1 recording into per-sweep channel frames:
     returns ([sweep][channel] frames, sample_rate_hz). Episodic
     (nOperationMode=5) files split on lNumSamplesPerEpisode —
@@ -323,7 +325,17 @@ def read_abf1_sweeps(path: str) -> tuple[list[list[pd.DataFrame]], float]:
     episodic layout; pyabf derives sweepPointCount the same way) —
     and each sweep's time axis restarts at 0, matching pyabf's
     ``sweepX``. Gap-free files return a single sweep, so this is a
-    strict superset of :func:`read_abf1`."""
+    strict superset of :func:`read_abf1`.
+
+    ``allow_trailing`` (ADVICE r8): real-world episodic files from
+    aborted acquisitions (or writers that pad the data section) can
+    carry trailing samples past the last whole episode. The default
+    refuses them loudly (the never-drop-data posture); passing True
+    truncates to the whole episodes with a ``RuntimeWarning`` naming
+    the dropped row count — the caller has asserted the tail is
+    padding, matching what pyabf-based tooling reads. A data section
+    SMALLER than episodes × samples is corrupt either way and always
+    raises."""
     arr, rate, mode, episodes, spe = _read_abf1_array(path)
     if not (mode == 5 and episodes > 1):
         return [_frames_from_array(arr, rate)], rate
@@ -334,6 +346,20 @@ def read_abf1_sweeps(path: str) -> tuple[list[list[pd.DataFrame]], float]:
             f"positive multiple of {nchan} channels — corrupt header"
         )
     rows_per_sweep = spe // nchan
+    if (
+        allow_trailing
+        and 0 < rows_per_sweep * episodes < arr.shape[0]
+    ):
+        import warnings
+
+        warnings.warn(
+            f"episodic ABF1: truncating {arr.shape[0] - rows_per_sweep * episodes} "
+            f"trailing rows past the last of {episodes} whole episodes "
+            "(allow_trailing=True)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        arr = arr[: rows_per_sweep * episodes]
     if rows_per_sweep * episodes != arr.shape[0]:
         # != not >: a SMALLER product means trailing samples the sweep
         # split would silently discard — same loud-failure posture as
