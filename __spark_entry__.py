@@ -77,91 +77,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass records at most the FIRST 50 registered
-# queries (observed in rounds 1-7). With 133 registered entries,
-# ordering decides verification coverage. Round 8 front-loads
-# (a) the 4 queries whose module code changed this round (the tfidf
-# overflow cap in llm/text.py -> tfidf_cosine_pairs; the AVIF/AVI
-# parser guards in llm/multimodal.py -> media_metadata/video_metadata;
-# the candidate_maxima dense-index guard in operators/native_peaks.py
-# -> native_find_peaks_nodist — its siblings native_find_peaks and
-# constrained_peak_attributes are already in set (b)),
-# (b) ALL 35 queries whose newest driver row is r5 — the VERDICT r7
-# "Next round #1" list verbatim — and
-# (c) 11 of the 14 r6 rows that have only ever had ONE driver row
-# (the round-6 additions), leaving out three whose families are
-# already represented in-window (chunk_overlap ~ pack_chunks/
-# packing_stats; dedup_report ~ dedup_clusters/canonical_corpus;
-# sq8_codes ~ sq8_topk/ivf_sq8_topk): 4 + 35 + 11 = 50, the cap.
-# After this round the staleness distribution is r6:37 / r7:46 /
-# r8:50 — NO registered query's newest driver row is older than r6,
-# meeting the VERDICT r7 ask #1 "Done" bar. Everything displaced was
-# hash-green in the r6/r7 windows and is re-verified at HEAD by this
-# round's full local sweep (docs/CORRECTNESS_LOCAL_r8.md).
+# queries (observed in rounds 1-8). With 135 registered entries,
+# ordering decides verification coverage. ROTATION POLICY (round 9,
+# VERDICT r8 ask #6 — enforced by
+# tests/test_entry_contract.py::test_rotation_covers_stalest_rows):
+# every round the head is EXACTLY
+#   (a) queries whose module code changed this round (or are new), then
+#   (b) every query whose newest driver row is >= 2 rounds old, then
+#   (c) fresher filler up to the 50-slot cap,
+# and the two rotation lists must be disjoint and jointly cover the
+# registry. With ceil(135/50) = 3, this bounds any query's driver-row
+# staleness at 3 rounds structurally, ~2 in practice; the full local
+# HEAD sweep (docs/CORRECTNESS_LOCAL_r{N}.md) re-verifies all 135
+# every round regardless.
+#
+# Round 9 head: (a) is the 10 queries touched by this round's code —
+# the two NEW candidates-tier ops (tfidf_verify, dup_spans_scoped),
+# tfidf_cosine_pairs (its rare-postings builder was extracted into the
+# shared _tfidf_rare_weights with the raise_error overflow guard), and
+# the 7 ANN ops whose search path now threads _resolve_shortlist /
+# the stricter _resolve_nprobe (+ the m-budget check in the two
+# prefit-index entries). (b) is ALL 39 queries whose newest driver row
+# is r6 — the VERDICT r8 "Next round #1" list verbatim. (c) is one
+# filler: minhash_signatures (r7; it feeds the new tfidf_verify's
+# candidate generator). 10 + 39 + 1 = 50, the cap. After this round
+# the staleness distribution is r7:43 / r8:42 / r9:50 — no registered
+# query's newest driver row older than two rounds, meeting the
+# VERDICT r8 ask #1 "Done" bar.
 _ROTATE_FIRST = [
-    # (a) module code changed in round 8 (incl. the nprobe="auto"
-    # resolver threaded through the five IVF search ops — their int
-    # default path re-verified hash-green locally before rotation):
+    # (a) module code changed in round 9 (new ops first):
+    "tfidf_verify",
+    "dup_spans_scoped",
     "tfidf_cosine_pairs",
-    "media_metadata",
-    "video_metadata",
-    "native_find_peaks_nodist",
     "ann_ivf_topk",
-    "ann_serve",
-    # (b) newest driver row is r5 — the r7 headline rotation ask:
-    "ann_cosine_topk",
-    "bigram_logprob",
-    "blocklist_filter",
-    "canonical_corpus",
-    "constrained_peak_attributes",
-    "contamination",
-    "dedup_clusters",
-    "duplicated_spans",
-    "embedding_norms",
-    "funnel_within",
-    "inverted_index",
-    "ivf_pq_topk",
-    "lm_quality_buckets",
-    "minhash_pairs",
-    "mixture_weights",
-    "native_find_peaks",
-    "neardup_verified",
-    "pack_chunks",
-    "packing_stats",
-    "per_source_profile",
-    "pq_codes",
     "pq_rerank_topk",
-    "pq_topk",
-    "prototype_outliers",
-    "returned_orders_by_priority",
-    "rp_ivf_topk",
-    "small_quantity_revenue",
-    "stratified_sample",
-    "temperature_weights",
-    "term_cooccurrence",
-    "tfidf_top_terms",
-    "top_supplier_revenue",
-    "topk_per_source",
-    "trailing_window_stats",
-    "unigram_logprob",
-    # (c) single-driver-row r6 additions:
-    "containment_pairs",
+    "ivf_pq_topk",
     "ivf_pq_topk_prefit",
+    "ann_serve",
     "ivf_sq8_topk",
-    "leakage_safe_split",
-    "priority_ship_latency",
-    "quality_prune",
-    "remove_dup_spans",
-    "training_corpus_manifest",
-    "vocab_coverage",
-]
-_ROTATE_LAST = [
-    # newest driver row is r6 (multi-row: r2/r3-verified too, or
-    # families covered in-window; next rotation candidates —
-    # levenshtein_neardup / sq8_topk displaced by the two nprobe-"auto"
-    # -affected r7 queries, their families still in-window via
-    # minhash_pairs+dedup_clusters / ivf_sq8_topk):
-    "levenshtein_neardup",
-    "sq8_topk",
+    "rp_ivf_topk",
+    # (b) newest driver row is r6 — the r8 headline rotation ask:
     "asof_view_before_purchase",
     "bpe_encode",
     "chunk_overlap",
@@ -180,6 +135,7 @@ _ROTATE_LAST = [
     "hybrid_neardup",
     "json_props",
     "lang_id",
+    "levenshtein_neardup",
     "naive_peaks",
     "peak_attributes",
     "peak_averages",
@@ -191,6 +147,7 @@ _ROTATE_LAST = [
     "sketch_profile",
     "smooth",
     "sq8_codes",
+    "sq8_topk",
     "stim_normalize",
     "stim_peak_mean",
     "text_stats",
@@ -199,10 +156,13 @@ _ROTATE_LAST = [
     "user_value_median",
     "value_histogram",
     "vocab_top100",
-    # hash-green in the r7 driver window (freshest rows):
-    "ann_ivf_topk",
+    # (c) filler: the tfidf_verify candidate generator (r7 row):
+    "minhash_signatures",
+]
+_ROTATE_LAST = [
+    # newest driver row is r7 (displaced by the r6 backlog; next
+    # round's section-(b) candidates):
     "ann_lsh_topk",
-    "ann_serve",
     "asof_tolerance",
     "audio_metadata",
     "blocklist_filter_bloom",
@@ -224,7 +184,6 @@ _ROTATE_LAST = [
     "large_order_customers",
     "latency_percentiles",
     "mad_outliers",
-    "minhash_signatures",
     "nation_pair_volume",
     "nation_revenue",
     "parts_never_returned",
@@ -246,9 +205,54 @@ _ROTATE_LAST = [
     "training_order",
     "user_event_pivot",
     "user_value_zscores",
+    # hash-green in the r8 driver window (freshest rows):
+    "ann_cosine_topk",
+    "bigram_logprob",
+    "blocklist_filter",
+    "canonical_corpus",
+    "constrained_peak_attributes",
+    "containment_pairs",
+    "contamination",
+    "dedup_clusters",
+    "duplicated_spans",
+    "embedding_norms",
+    "funnel_within",
+    "inverted_index",
+    "leakage_safe_split",
+    "lm_quality_buckets",
+    "media_metadata",
+    "minhash_pairs",
+    "mixture_weights",
+    "native_find_peaks",
+    "native_find_peaks_nodist",
+    "neardup_verified",
+    "pack_chunks",
+    "packing_stats",
+    "per_source_profile",
+    "pq_codes",
+    "pq_topk",
+    "priority_ship_latency",
+    "prototype_outliers",
+    "quality_prune",
+    "remove_dup_spans",
+    "returned_orders_by_priority",
+    "small_quantity_revenue",
+    "stratified_sample",
+    "temperature_weights",
+    "term_cooccurrence",
+    "tfidf_top_terms",
+    "top_supplier_revenue",
+    "topk_per_source",
+    "trailing_window_stats",
+    "training_corpus_manifest",
+    "unigram_logprob",
+    "video_metadata",
+    "vocab_coverage",
 ]
 
 def _rotate(full: dict) -> dict:
+    overlap = set(_ROTATE_FIRST) & set(_ROTATE_LAST)
+    assert not overlap, f"rotation lists overlap: {sorted(overlap)}"
     head = {k: full[k] for k in _ROTATE_FIRST if k in full}
     tail = {k: full[k] for k in _ROTATE_LAST if k in full}
     mid = {k: v for k, v in full.items() if k not in head and k not in tail}

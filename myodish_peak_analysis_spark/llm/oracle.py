@@ -1310,3 +1310,62 @@ SELECT doc_id AS media_id,
        md5(coalesce(text, '')) AS content_hash
 FROM documents
 """
+
+# candidates-tier tf-idf (text.tfidf_verify on dedup.minhash_pairs
+# candidates): the minhash band-bucket CTEs feed a pair-restricted
+# version of the tfidf_cosine_pairs dot stage — weights/df/N still
+# computed over the FULL corpus, so every surviving score equals the
+# full op's row for that pair.
+ORACLES["tfidf_verify"] = f"""
+WITH {_minhash_sig_sql()},
+{_band_keys_sql()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bandkeys a
+    JOIN bandkeys b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),
+vterms AS (
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS term
+    FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+),
+vtf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM vterms WHERE term <> '' GROUP BY doc_id, term
+),
+vdfc AS (SELECT term, COUNT(*) AS df_docs FROM vtf GROUP BY term),
+vn AS (SELECT COUNT(*) AS n_docs FROM documents),
+vrare AS (
+    SELECT vtf.doc_id, vtf.term,
+           vtf.tf * (vn.n_docs // vdfc.df_docs) AS w
+    FROM vtf JOIN vdfc USING (term), vn
+    WHERE vdfc.df_docs <= 100
+),
+vnorms AS (SELECT doc_id, SUM(w * w) AS n2 FROM vrare GROUP BY doc_id),
+vdots AS (
+    SELECT c.doc_a, c.doc_b,
+           SUM(a.w * b.w) AS dot, COUNT(*) AS shared_terms
+    FROM cand c
+    JOIN vrare a ON a.doc_id = c.doc_a
+    JOIN vrare b ON b.doc_id = c.doc_b AND b.term = a.term
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT d.doc_a, d.doc_b, d.shared_terms,
+       ROUND(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+FROM vdots d
+JOIN vnorms na ON na.doc_id = d.doc_a
+JOIN vnorms nb ON nb.doc_id = d.doc_b
+WHERE d.shared_terms >= 2
+  AND ROUND(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35
+"""
+
+# scoped span-cut: the full remove_dup_spans oracle restricted to the
+# query's deterministic scope — dup-gram stats stay corpus-global in
+# both engines, so the wrapper filter IS the scoped semantics.
+ORACLES["dup_spans_scoped"] = (
+    f"SELECT * FROM ({_rds_sql()}) WHERE doc_id % 4 = 0"
+)

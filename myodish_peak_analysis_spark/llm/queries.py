@@ -719,3 +719,31 @@ def q_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_serve"] = q_ann_serve
+
+
+def q_tfidf_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates-tier tf-idf verification (VERDICT r8 ask #5): score
+    MinHash-LSH candidate pairs with the full-corpus tf-idf cosine —
+    the documented production composition for ``tfidf_cosine_pairs``
+    ("run the verifier tier on MinHash candidates"). Equals the full
+    op restricted to the candidate set (pinned by test); the chained
+    DuckDB oracle runs the same two stages in one statement."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = text.tfidf_verify(docs, dedup.minhash_pairs(docs))
+    return _long(out, "shared_terms")
+
+
+QUERIES["tfidf_verify"] = q_tfidf_verify
+
+
+def q_dup_spans_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped span-cut (VERDICT r8 ask #5): rewrite only a doc subset
+    (deterministic doc_id % 4 slice here; production passes dedup
+    clusters / flagged docs) with corpus-global duplicated-gram stats
+    — equals the full remove_dup_spans filtered to the scope."""
+    docs = read_table(spark, sf_dir, "documents")
+    scope = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    return text.remove_dup_spans_scoped(docs, scope)
+
+
+QUERIES["dup_spans_scoped"] = q_dup_spans_scoped

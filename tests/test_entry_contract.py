@@ -63,3 +63,60 @@ def test_rotation_lists_reference_registered_queries():
     ordered = list(mod.queries())
     head = ordered[: len(mod._ROTATE_FIRST)]
     assert head == [n for n in mod._ROTATE_FIRST if n in qs]
+    # ADVICE r8: a query in both lists keeps its head slot through
+    # dict-merge semantics, but the tail entry is dead and the window
+    # description lies — the lists must be disjoint and jointly cover
+    # the registry exactly.
+    overlap = set(mod._ROTATE_FIRST) & set(mod._ROTATE_LAST)
+    assert not overlap, f"rotation lists overlap: {sorted(overlap)}"
+    assert set(mod._ROTATE_FIRST) | set(mod._ROTATE_LAST) == qs
+
+
+def _newest_driver_rows() -> tuple[dict, int]:
+    """(query -> newest CORRECTNESS_r{N} round containing it, latest N).
+    Reads the recorded driver artifacts — the validator's ground truth
+    for staleness, the same computation the round planning uses."""
+    import glob
+    import json
+    import re
+
+    newest: dict = {}
+    latest = 0
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        latest = max(latest, rnd)
+        for name in json.load(open(path)):
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest, latest
+
+
+def test_rotation_covers_stalest_rows():
+    """The ROTATION POLICY validator (VERDICT r8 ask #6, now enforced
+    in pytest, not prose): before each driver round, every registered
+    query that is either never-driver-verified or whose newest driver
+    row is >= 2 rounds behind the latest artifact MUST sit in the
+    50-slot head — so no query's staleness can structurally exceed
+    ceil(registry/50) rounds. When the backlog alone exceeds 50 the
+    policy is unsatisfiable and the head must at least be FULL of
+    backlog entries."""
+    mod = _entry()
+    qs = set(mod.queries())
+    newest, latest = _newest_driver_rows()
+    if latest == 0:  # no artifacts (fresh clone) — nothing to enforce
+        return
+    backlog = {q for q in qs if newest.get(q, 0) <= latest - 2}
+    head = set(mod._ROTATE_FIRST)
+    if len(backlog) <= 50:
+        missing = backlog - head
+        assert not missing, (
+            f"stale queries (newest row <= r{latest - 2}) left out of "
+            f"the verification head: {sorted(missing)}"
+        )
+    else:
+        assert len(head & backlog) == 50, (
+            "backlog exceeds the cap; the head must be entirely backlog"
+        )
+    assert len(mod._ROTATE_FIRST) == min(50, len(qs)), (
+        "head must fill every verification slot the driver offers"
+    )
