@@ -40,9 +40,28 @@ def main() -> None:
     )
     ap.add_argument("--nprobes", type=str, default="1,2,4,8,16,24")
     ap.add_argument("--shortlists", type=str, default="50,200,600")
+    ap.add_argument(
+        "--m",
+        type=str,
+        default="4",
+        help="PQ code width for the fit — an int or 'auto' (the "
+        "round-9 budget floor); the r8 recovery point used 16",
+    )
+    ap.add_argument(
+        "--sq8",
+        action="store_true",
+        help="also measure the IVF×SQ8 serving route (prefit IVF "
+        "half, int8-reconstructed in-list scoring, no shortlist "
+        "dial) at each nprobe",
+    )
     args = ap.parse_args()
-    nprobes = [int(x) for x in args.nprobes.split(",")]
-    shortlists = [int(x) for x in args.shortlists.split(",")]
+
+    def dial(x: str):
+        return x if x == "auto" else int(x)
+
+    nprobes = [dial(x) for x in args.nprobes.split(",")]
+    shortlists = [dial(x) for x in args.shortlists.split(",")]
+    fit_m = dial(args.m)
 
     spark = get_spark("bench-serve-recall")
     spark.sparkContext.setLogLevel("ERROR")
@@ -88,7 +107,21 @@ def main() -> None:
     )
     n_truth = truth.count()
 
-    idx = S.fit_ivf_pq_index(emb, n_clusters="auto")
+    t0 = time.time()
+    idx = S.fit_ivf_pq_index(emb, n_clusters="auto", m=fit_m)
+    print(
+        json.dumps(
+            {
+                "metric": "ivf_pq_fit",
+                "m": idx.m,
+                "n_lists": idx.cents.count(),
+                "n_vectors": emb.count(),
+                "sec": round(time.time() - t0, 3),
+                "factor": args.factor,
+            }
+        ),
+        flush=True,
+    )
 
     def probe_ceiling(nprobe: int) -> float:
         """Fraction of true top-K pairs inside the probed posting
@@ -122,18 +155,79 @@ def main() -> None:
         ).select("query_id", "vec_id")
         return cand.join(truth, ["query_id", "vec_id"]).count() / n_truth
 
+    n_lists = idx.cents.count()
+
+    def sq8_serve(np_res: int):
+        """External-query IVF×SQ8 serving plan (the ivf_sq8_topk
+        stage shape with the tool's external query frame: prefit IVF
+        half, probe, posting-list restriction, int8-reconstructed
+        in-list cosine, no self-exclusion — mirroring ivf_pq_search's
+        serving contract)."""
+        cand8 = (
+            S._sq8_coded(emb)
+            .select(
+                "vec_id",
+                F.expr(
+                    "zip_with(codes, _scales, "
+                    "(c, s) -> CAST(c AS DOUBLE) * s / 127D)"
+                ).alias("xhat"),
+            )
+            .withColumn("_cnorm", F.sqrt(S._dot("xhat", "xhat")))
+        )
+        qprobe = (
+            qn.crossJoin(F.broadcast(idx.cents))
+            .withColumn(
+                "_cos",
+                F.round(
+                    S._dot("q_emb", "c_emb")
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    9,
+                ),
+            )
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("_cos").desc(), F.col("centroid_id")
+                    )
+                ),
+            )
+            .filter(F.col("_rk") <= np_res)
+            .select("query_id", "q_emb", "q_norm", "centroid_id")
+        )
+        scored = qprobe.join(
+            idx.members.select("centroid_id", "vec_id"), "centroid_id"
+        ).join(cand8, "vec_id")
+        cos = F.round(
+            S._dot("q_emb", "xhat") / (F.col("q_norm") * F.col("_cnorm")), 6
+        )
+        return (
+            scored.select("query_id", "vec_id", cos.alias("cosine"))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("cosine").desc(), F.col("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("rank") <= K)
+        )
+
     for nprobe in nprobes:
-        ceil = probe_ceiling(nprobe)
+        np_res = S._resolve_nprobe(nprobe, idx.cents)
+        ceil = probe_ceiling(np_res)
         for shortlist in shortlists:
+            sl_res = S._resolve_shortlist(shortlist, np_res, K)
             best = float("inf")
             for _ in range(3):
                 t0 = time.time()
                 S.ivf_pq_search(
-                    qs, idx, k=K, nprobe=nprobe, shortlist=shortlist
+                    qs, idx, k=K, nprobe=np_res, shortlist=sl_res
                 ).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             hits = (
-                S.ivf_pq_search(qs, idx, k=K, nprobe=nprobe, shortlist=shortlist)
+                S.ivf_pq_search(qs, idx, k=K, nprobe=np_res, shortlist=sl_res)
                 .select("query_id", "vec_id")
                 .join(truth, ["query_id", "vec_id"])
                 .count()
@@ -143,7 +237,41 @@ def main() -> None:
                     {
                         "metric": f"serve_recall@{K}",
                         "nprobe": nprobe,
+                        "nprobe_resolved": np_res,
+                        "scan_fraction": round(np_res / n_lists, 4),
                         "shortlist": shortlist,
+                        "shortlist_resolved": sl_res,
+                        "m": idx.m,
+                        "probe_ceiling": round(ceil, 3),
+                        "recall": round(hits / n_truth, 3),
+                        "sec": round(best, 3),
+                        "factor": args.factor,
+                        "sf_dir": SF_DIR,
+                    }
+                ),
+                flush=True,
+            )
+        if args.sq8:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                sq8_serve(np_res).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            hits = (
+                sq8_serve(np_res)
+                .select("query_id", "vec_id")
+                .join(truth, ["query_id", "vec_id"])
+                .count()
+            )
+            print(
+                json.dumps(
+                    {
+                        "metric": f"sq8_serve_recall@{K}",
+                        "nprobe": nprobe,
+                        "nprobe_resolved": np_res,
+                        "scan_fraction": round(np_res / n_lists, 4),
                         "probe_ceiling": round(ceil, 3),
                         "recall": round(hits / n_truth, 3),
                         "sec": round(best, 3),
