@@ -1,0 +1,112 @@
+"""Controlled same-session A/B of the peaks-family bench movers across
+git trees (VERDICT r8 ask #4): the r8 driver artifact recorded
+native_peak_pipeline +57% and peak_attributes +24% vs r7 while the
+in-round runs said flat — this tool attributes the delta to host vs
+code by running the SAME three builders at each tree in interleaved
+cycles (A B C, A B C, ...) inside one wall-clock window, one fresh
+subprocess per measurement so no JVM/Python state leaks between trees.
+
+Usage:
+    python tools/ab_trees.py --trees r7=/tmp/r7tree r8=/tmp/r8tree \
+        r9=/root/repo --cycles 3
+
+Each subprocess pays its own Spark startup + signal-frame cache warm-up
+OUTSIDE the timed region (the same structure bench.py uses), then
+times min-of-3 noop-sink runs of native_peak_pipeline /
+native_find_peaks / peak_attributes — the exact bench formulations.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import subprocess
+import sys
+
+CHILD = r'''
+import json, os, sys, time
+tree = sys.argv[1]
+sys.path.insert(0, tree)
+from myodish_peak_analysis_spark.session import get_spark
+from myodish_peak_analysis_spark.api import PeakPipeline
+from myodish_peak_analysis_spark.operators.native_peaks import native_find_peaks
+from myodish_peak_analysis_spark.operators.smooth import with_fir_smooth
+from myodish_peak_analysis_spark.schema import auto_channels, signal_frame
+from myodish_peak_analysis_spark.queries import q_peak_attributes
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark("ab-peaks")
+spark.sparkContext.setLogLevel("ERROR")
+n = auto_channels(spark, SF)
+sig = signal_frame(spark, SF, n_channels=n).cache()
+sig.count()
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+builders = {
+    "native_peak_pipeline": lambda: PeakPipeline(sig).smooth()
+        .envelopes().diastolic().detect_peaks().attributes(),
+    "native_find_peaks": lambda: native_find_peaks(with_fir_smooth(sig)),
+    "peak_attributes": lambda: q_peak_attributes(spark, SF),
+}
+out = {}
+for name, b in builders.items():
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        force(b())
+        reps.append(time.time() - t0)
+    out[name] = [round(min(reps), 3), round(max(reps), 3)]
+print("ABRESULT " + json.dumps(out), flush=True)
+'''
+
+
+def run_tree(tree: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-c", CHILD, tree],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("ABRESULT "):
+            return json.loads(line[len("ABRESULT "):])
+    raise RuntimeError(
+        f"no ABRESULT from {tree}:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trees", nargs="+", required=True,
+                    help="label=path pairs, measured in the given order")
+    ap.add_argument("--cycles", type=int, default=3,
+                    help="interleaved A/B/... cycles (drift cancels "
+                    "across cycles, not within one)")
+    args = ap.parse_args()
+    trees = [t.split("=", 1) for t in args.trees]
+    results: dict = {label: {} for label, _ in trees}
+    for cyc in range(args.cycles):
+        for label, path in trees:
+            got = run_tree(path)
+            for q, (lo, hi) in got.items():
+                results[label].setdefault(q, []).append(lo)
+            print(json.dumps({"cycle": cyc, "tree": label, "mins": got}),
+                  flush=True)
+    summary = {}
+    for label in results:
+        summary[label] = {
+            q: {
+                "best": round(min(v), 3),
+                "median": round(statistics.median(v), 3),
+                "cycles": [round(x, 3) for x in v],
+            }
+            for q, v in results[label].items()
+        }
+    print("ABSUMMARY " + json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
