@@ -69,7 +69,14 @@ def main() -> None:
     if args.factor > 1:
         from tools.bench_scaling import _replicate_emb
 
-        emb = _replicate_emb(emb, args.factor)
+        # repartition exactly as bench_scaling's call sites do: the
+        # sf0.1 parquet is ONE row group, so the exploded K× corpus
+        # inherits a single partition and every downstream stage —
+        # including the brute-force truth join — runs on one core
+        # (observed: a 28-minute single-task stage at factor=1000).
+        emb = _replicate_emb(emb, args.factor).repartition(
+            spark.sparkContext.defaultParallelism
+        )
     emb = emb.cache()
     emb.count()
     qs = emb.filter(
