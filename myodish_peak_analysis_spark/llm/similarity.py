@@ -720,6 +720,71 @@ def _pq_subvectors(emb: DataFrame, m: int, expect_dim: int | None = None) -> Dat
     ).select("vec_id", "_s.sub_id", "_s.se")
 
 
+#: Above this many HOF element-ops per assign pass (subvector rows ×
+#: centroids × subdim) the PQ Lloyd assign dispatches to the
+#: Arrow-batched numpy kernel — the PQ twin of
+#: :data:`VECTORIZED_ASSIGN_MIN_K`, which keys on k alone and so never
+#: fires for PQ codebooks (k=16 always). Measured round 9: the m=16
+#: fit at 2M vectors (2e9 element-ops/pass across ~50 passes) ran
+#: 1311 s with all 32 cores inside interpreted ``ZipWith``/
+#: ``ArrayAggregate`` evaluation; the same flops are BLAS-trivial.
+#: Every registered oracle corpus (≤ 20k vectors → ≤ 5e6 ops) stays
+#: orders of magnitude under the threshold, so their plans remain
+#: JVM-only (audited); one fit sees one route for all its passes.
+PQ_VECTORIZED_MIN_WORK = 1_000_000_000
+
+
+def _pq_assign_vectorized(source: DataFrame, cent_rows) -> DataFrame:
+    """numpy twin of ``_pq_fit``'s broadcast-join assign: per Arrow
+    batch, group by sub_id and take one (n, k, subdim) squared-L2
+    reduction per group. Contract-identical to the JVM route: the
+    distance is quantized to 9 dp with the same floor(x·1e9+0.5)
+    half-up BEFORE the argmin, and centroids are sorted by id so
+    numpy's first-minimum argmin equals min_by's (d, centroid_id)
+    tie-break. Residual divergence window (same as
+    :func:`_centroid_assign_vectorized`, documented there): the
+    pre-quantization sum order differs for subdims above numpy's
+    unrolled-8 boundary, so a raw distance straddling a 1e-9 rounding
+    boundary by the ~1e-16 accumulation difference can flip — ties on
+    real-valued embeddings are measure-zero, the routes are never
+    mixed within a fit, and small-corpus parity is pinned by test."""
+    import numpy as np
+    import pandas as pd
+
+    by_sub: dict = {}
+    for r in sorted(cent_rows, key=lambda r: (r["sub_id"], r["centroid_id"])):
+        ids, cs = by_sub.setdefault(r["sub_id"], ([], []))
+        ids.append(r["centroid_id"])
+        cs.append(np.asarray(r["c"], dtype=np.float64))
+    mats = {
+        s: (np.asarray(ids, dtype=np.int32), np.stack(cs))
+        for s, (ids, cs) in by_sub.items()
+    }
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for s, g in pdf.groupby("sub_id", sort=False):
+                ids, C = mats[int(s)]
+                X = np.array(g["se"].tolist(), dtype=np.float64)
+                d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+                dq = np.floor(d * 1e9 + 0.5) / 1e9
+                j = dq.argmin(axis=1)
+                out = g[["vec_id", "sub_id", "se"]].copy()
+                out["centroid_id"] = ids[j]
+                out["_d"] = dq[np.arange(len(j)), j]
+                outs.append(out)
+            yield pd.concat(outs)
+
+    return source.mapInPandas(
+        fn,
+        "vec_id bigint, sub_id int, se array<double>, "
+        "centroid_id int, _d double",
+    )
+
+
 def _pq_fit(
     emb: DataFrame, m: int, k: int, iters: int,
     fit_sample_mod: int | None = None,
@@ -760,6 +825,12 @@ def _pq_fit(
         if fit_sample_mod
         else subs
     )
+    # one route per fit, chosen by assign-pass work (the count also
+    # materializes the subvector cache the first assign would build):
+    vectorized = (
+        dim0 is not None
+        and subs.count() * k * max(dim0 // m, 1) > PQ_VECTORIZED_MIN_WORK
+    )
     low_ids = (
         emb.filter(F.col("vec_id") % fit_sample_mod == 0)
         if fit_sample_mod
@@ -777,13 +848,17 @@ def _pq_fit(
     )
     schema = "sub_id int, centroid_id int, c array<double>"
 
-    def assign(cdf: DataFrame, source: DataFrame = subs) -> DataFrame:
+    def assign(
+        cdf: DataFrame, source: DataFrame = subs, cent_rows=None
+    ) -> DataFrame:
         # min_by, not a window rank: the broadcast join fans each
         # (vec, sub) row to k centroid rows inside its task, and the
         # partial aggregation collapses them back BEFORE the exchange —
         # N·m rows shuffled, not N·m·k with both double arrays
         # attached (the same fix as _centroid_assign; same tie-break:
         # min _d, then LOWEST centroid_id).
+        if vectorized and cent_rows is not None:
+            return _pq_assign_vectorized(source, cent_rows)
         j = source.join(F.broadcast(cdf), "sub_id")
         d = _sub_l2sq("se", "c")
         return (
@@ -799,8 +874,9 @@ def _pq_fit(
         )
 
     for _ in range(iters):
-        cents = spark.createDataFrame(cents.collect(), schema)
-        a = assign(cents, fit_subs)
+        cent_rows = cents.collect()
+        cents = spark.createDataFrame(cent_rows, schema)
+        a = assign(cents, fit_subs, cent_rows)
         cents = (
             a.select("sub_id", "centroid_id", F.posexplode("se").alias("dim", "x"))
             .groupBy("sub_id", "centroid_id", "dim")
@@ -815,8 +891,9 @@ def _pq_fit(
                 ).alias("c"),
             )
         )
-    cents = spark.createDataFrame(cents.collect(), schema)
-    final = assign(cents)
+    cent_rows = cents.collect()
+    cents = spark.createDataFrame(cent_rows, schema)
+    final = assign(cents, subs, cent_rows)
     # deliberately NO subs.unpersist() here — see docstring
     return final, cents
 
