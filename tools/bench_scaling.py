@@ -233,6 +233,24 @@ def _docs_ops():
             "remove_dup_spans",
             lambda d, _n: _timed_build(lambda: _text_mod().remove_dup_spans(d)),
         ),
+        # round-9 candidates-tier twins (VERDICT r8 ask #5): each row
+        # pays candidate generation + the scoped verifier — the honest
+        # end-to-end production posture whose decade curve the
+        # full-corpus rows above bound from above.
+        (
+            "tfidf_verify",
+            lambda d, _n: _timed_build(
+                lambda: _text_mod().tfidf_verify(d, dedup.minhash_pairs(d))
+            ),
+        ),
+        (
+            "dup_spans_scoped",
+            lambda d, _n: _timed_build(
+                lambda: _text_mod().remove_dup_spans_scoped(
+                    d, d.filter(FF.col("doc_id") % 4 == 0).select("doc_id")
+                )
+            ),
+        ),
         (
             "levenshtein_neardup",
             lambda d, _n: _timed_build(lambda: dedup.levenshtein_neardup(d)),
