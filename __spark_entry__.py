@@ -77,191 +77,111 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass records at most the FIRST 50 registered
-# queries (observed in rounds 1-8). With 135 registered entries,
+# queries (observed in rounds 1-9). With 135 registered entries,
 # ordering decides verification coverage. ROTATION POLICY (round 9,
-# VERDICT r8 ask #6 — enforced by
-# tests/test_entry_contract.py::test_rotation_covers_stalest_rows):
-# every round the head is EXACTLY
-#   (a) queries whose module code changed this round (or are new), then
-#   (b) every query whose newest driver row is >= 2 rounds old, then
-#   (c) fresher filler up to the 50-slot cap,
-# and the two rotation lists must be disjoint and jointly cover the
-# registry. With ceil(135/50) = 3, this bounds any query's driver-row
-# staleness at 3 rounds structurally, ~2 in practice; the full local
-# HEAD sweep (docs/CORRECTNESS_LOCAL_r{N}.md) re-verifies all 135
-# every round regardless.
-#
-# Round 9 head: (a) is the 10 queries touched by this round's code —
-# the two NEW candidates-tier ops (tfidf_verify, dup_spans_scoped),
-# tfidf_cosine_pairs (its rare-postings builder was extracted into the
-# shared _tfidf_rare_weights with the raise_error overflow guard), and
-# the 7 ANN ops whose search path now threads _resolve_shortlist /
-# the stricter _resolve_nprobe (+ the m-budget check in the two
-# prefit-index entries). (b) is ALL 39 queries whose newest driver row
-# is r6 — the VERDICT r8 "Next round #1" list verbatim. (c) is one
-# filler: minhash_signatures (r7; it feeds the new tfidf_verify's
-# candidate generator). 10 + 39 + 1 = 50, the cap. After this round
-# the staleness distribution is r7:43 / r8:42 / r9:50 — no registered
-# query's newest driver row older than two rounds, meeting the
-# VERDICT r8 ask #1 "Done" bar.
-_ROTATE_FIRST = [
-    # (a) module code changed in round 9 (new ops first):
-    "tfidf_verify",
-    "dup_spans_scoped",
-    "tfidf_cosine_pairs",
-    "ann_ivf_topk",
+# VERDICT r8 ask #6; DERIVED FROM THE ARTIFACTS since round 10 —
+# VERDICT r9 ask #1: the hand-maintained head went structurally red the
+# moment a new CORRECTNESS_r{N}.json landed, because the artifact
+# itself aged every not-yet-rotated row): every round the 50-slot head
+# is EXACTLY
+#   (a) queries whose module code changed this round (or are new) —
+#       the hand-maintained _CHANGED_THIS_ROUND list below, then
+#   (b) every query whose newest driver row is >= 2 rounds behind the
+#       newest CORRECTNESS_r{N}.json artifact (never-verified counts
+#       as infinitely stale), oldest row first, then
+#   (c) freshness filler — remaining queries oldest-row-first — up to
+#       the cap.
+# Sections (b) and (c) are COMPUTED from the committed artifacts at
+# import time, so a landed driver round re-rotates the head by itself
+# and `pytest tests/` can never go red between rounds. Backlog has
+# hard slot priority over (a): with ceil(135/50) = 3 this bounds any
+# query's driver-row staleness at 3 rounds structurally, ~2 in
+# practice; the full local HEAD sweep
+# (docs/CORRECTNESS_LOCAL_r{N}.md) re-verifies all 135 every round
+# regardless. tests/test_entry_contract.py validates the GENERATOR
+# (coverage of the stale backlog, cap fill, disjointness) rather than
+# a frozen list — the checked property can't go stale.
+
+#: Queries whose implementation changed in the CURRENT round (rotation
+#: section (a)). Updated by hand each round alongside the code; if it
+#: goes stale the head degrades to pure backlog+filler coverage, which
+#: is still policy-valid (the generator, not this list, guarantees the
+#: staleness bound). Round 10: the five PQ-family entries whose fit
+#: route gate moved off the exploded-cache count (_pq_fit n_vectors /
+#: dim threading), and tfidf_verify (shared candidate-pair CTE).
+_CHANGED_THIS_ROUND = [
+    "pq_topk",
     "pq_rerank_topk",
+    "pq_codes",
     "ivf_pq_topk",
     "ivf_pq_topk_prefit",
-    "ann_serve",
-    "ivf_sq8_topk",
-    "rp_ivf_topk",
-    # (b) newest driver row is r6 — the r8 headline rotation ask:
-    "asof_view_before_purchase",
-    "bpe_encode",
-    "chunk_overlap",
-    "cohort_retention",
-    "corpus_rollup",
-    "crossing_points",
-    "curated_corpus",
-    "dedup_exact",
-    "dedup_report",
-    "diastolic",
-    "envelopes",
-    "extrema_flags",
-    "funnel_counts",
-    "global_max",
-    "gopher_quality",
-    "hybrid_neardup",
-    "json_props",
-    "lang_id",
-    "levenshtein_neardup",
-    "naive_peaks",
-    "peak_attributes",
-    "peak_averages",
-    "quality_score",
-    "range_pairs",
-    "raw_envelopes",
-    "session_stats",
-    "signal_frame",
-    "sketch_profile",
-    "smooth",
-    "sq8_codes",
-    "sq8_topk",
-    "stim_normalize",
-    "stim_peak_mean",
-    "text_stats",
-    "threshold_peaks",
-    "token_counts",
-    "user_value_median",
-    "value_histogram",
-    "vocab_top100",
-    # (c) filler: the tfidf_verify candidate generator (r7 row):
-    "minhash_signatures",
+    "tfidf_verify",
 ]
-_ROTATE_LAST = [
-    # newest driver row is r7 (displaced by the r6 backlog; next
-    # round's section-(b) candidates):
-    "ann_lsh_topk",
-    "asof_tolerance",
-    "audio_metadata",
-    "blocklist_filter_bloom",
-    "bpe_apply",
-    "bpe_vocab",
-    "brand_disjunction_revenue",
-    "cheapest_supplier",
-    "doc_fingerprints",
-    "dup_span_fraction",
-    "embedding_neardup",
-    "encode_token_ids",
-    "event_transitions",
-    "fidelity_peaks",
-    "fidelity_signal",
-    "forecast_revenue_change",
-    "idle_customer_balance",
-    "incremental_neardup",
-    "jaccard_pairs",
-    "large_order_customers",
-    "latency_percentiles",
-    "mad_outliers",
-    "nation_pair_volume",
-    "nation_revenue",
-    "parts_never_returned",
-    "peak_interval_stats",
-    "pii_scrub",
-    "pricing_summary",
-    "promo_revenue",
-    "repetition_profile",
-    "resample_hourly",
-    "resample_interpolate",
-    "resample_ohlc",
-    "rp_project",
-    "semantic_dedup",
-    "simhash",
-    "token_entropy",
-    "top_event_paths",
-    "top_loss_customers",
-    "top_revenue_orders",
-    "training_order",
-    "user_event_pivot",
-    "user_value_zscores",
-    # hash-green in the r8 driver window (freshest rows):
-    "ann_cosine_topk",
-    "bigram_logprob",
-    "blocklist_filter",
-    "canonical_corpus",
-    "constrained_peak_attributes",
-    "containment_pairs",
-    "contamination",
-    "dedup_clusters",
-    "duplicated_spans",
-    "embedding_norms",
-    "funnel_within",
-    "inverted_index",
-    "leakage_safe_split",
-    "lm_quality_buckets",
-    "media_metadata",
-    "minhash_pairs",
-    "mixture_weights",
-    "native_find_peaks",
-    "native_find_peaks_nodist",
-    "neardup_verified",
-    "pack_chunks",
-    "packing_stats",
-    "per_source_profile",
-    "pq_codes",
-    "pq_topk",
-    "priority_ship_latency",
-    "prototype_outliers",
-    "quality_prune",
-    "remove_dup_spans",
-    "returned_orders_by_priority",
-    "small_quantity_revenue",
-    "stratified_sample",
-    "temperature_weights",
-    "term_cooccurrence",
-    "tfidf_top_terms",
-    "top_supplier_revenue",
-    "topk_per_source",
-    "trailing_window_stats",
-    "training_corpus_manifest",
-    "unigram_logprob",
-    "video_metadata",
-    "vocab_coverage",
-]
+
+#: The driver records only this many correctness rows per round.
+_DRIVER_CAP = 50
+
+
+def _newest_driver_rows() -> tuple[dict, int]:
+    """(query -> newest CORRECTNESS_r{N}.json round containing it,
+    latest round N found). Reads the committed driver artifacts next to
+    this file — the rotation's ground truth for staleness."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    newest: dict = {}
+    latest = 0
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        latest = max(latest, rnd)
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):  # truncated artifact: skip, don't crash
+            continue
+        for name in rows:
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest, latest
+
+
+def _compute_rotation(names: list[str]) -> tuple[list[str], list[str]]:
+    """Derive (head, tail) for the registry order per the policy above.
+
+    Deterministic given the committed artifacts: backlog and filler are
+    ordered (newest-round, name) ascending, section (a) keeps its
+    declared order. If the backlog alone exceeds the cap, the head is
+    entirely backlog (oldest first) — the policy's degraded-but-maximal
+    mode."""
+    newest, latest = _newest_driver_rows()
+    cap = min(_DRIVER_CAP, len(names))
+    if latest == 0:  # fresh clone, no artifacts: registry order
+        return names[:cap], names[cap:]
+    by_age = sorted(names, key=lambda q: (newest.get(q, 0), q))
+    backlog = [q for q in by_age if newest.get(q, 0) <= latest - 2]
+    if len(backlog) >= cap:
+        head = backlog[:cap]
+    else:
+        changed = [
+            q for q in _CHANGED_THIS_ROUND if q in set(names)
+            and q not in set(backlog)
+        ][: cap - len(backlog)]
+        head = changed + backlog
+        filler = [q for q in by_age if q not in set(head)]
+        head += filler[: cap - len(head)]
+    head_set = set(head)
+    tail = [q for q in names if q not in head_set]
+    return head, tail
+
 
 def _rotate(full: dict) -> dict:
-    overlap = set(_ROTATE_FIRST) & set(_ROTATE_LAST)
-    assert not overlap, f"rotation lists overlap: {sorted(overlap)}"
-    head = {k: full[k] for k in _ROTATE_FIRST if k in full}
-    tail = {k: full[k] for k in _ROTATE_LAST if k in full}
-    mid = {k: v for k, v in full.items() if k not in head and k not in tail}
-    return {**head, **mid, **tail}
+    head, tail = _compute_rotation(list(full))
+    return {k: full[k] for k in head + tail}
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ the
-    LLM-data-pipeline extensions over documents/embeddings)."""
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The full unrotated registry, in declaration order."""
     out = {
         "signal_frame": _q.q_signal_frame,
         "extrema_flags": _q.q_extrema_flags,
@@ -322,7 +242,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_within": _q.q_funnel_within,
     }
     out.update(_llm_q.QUERIES)
-    return _rotate(out)
+    return out
+
+
+#: Rotation lists, derived from the committed artifacts at import time
+#: (see ROTATION POLICY above). Plain lists so tests and tools can
+#: introspect the round's verification window.
+_ROTATE_FIRST, _ROTATE_LAST = _compute_rotation(list(_registry()))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    LLM-data-pipeline extensions over documents/embeddings), ordered
+    so the driver's 50-row correctness window lands on this round's
+    verification head."""
+    return _rotate(_registry())
 
 
 def oracle_sql() -> dict[str, str]:

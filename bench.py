@@ -378,8 +378,13 @@ def main() -> None:
         # 2 dp in the tail-preserved final line: the r8 artifact's
         # final line ran 1848 bytes of a ~2000-byte tail budget at 61
         # queries; 2 dp buys the round-9 additions their slots (full
-        # 3-dp spreads still ride the earlier rows line).
-        times[name] = round(min(reptimes), 2)
+        # 3-dp spreads still ride the earlier rows line). ADVICE r9:
+        # sub-0.1s rows keep 3 dp — at that magnitude the third digit
+        # costs one byte on the fastest rows only and stops 8 ms
+        # queries from recording 0.0 (meaningless round-over-round
+        # ratios); slow rows keep the 2 dp budget.
+        best = min(reptimes)
+        times[name] = round(best, 3 if best < 0.1 else 2)
         # spread over the POST-WARM-UP reps only: rep 1 pays one-time
         # costs by design for the amortized patterns (the marginal-
         # averages cache, the prefit index fits) plus JIT — that is

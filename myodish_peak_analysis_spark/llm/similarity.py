@@ -788,6 +788,8 @@ def _pq_assign_vectorized(source: DataFrame, cent_rows) -> DataFrame:
 def _pq_fit(
     emb: DataFrame, m: int, k: int, iters: int,
     fit_sample_mod: int | None = None,
+    n_vectors: int | None = None,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd rounds for :func:`pq_codes`; returns (final assignment —
     (vec_id, sub_id, se, centroid_id, _d) —, codebook-as-literal-table)
@@ -798,6 +800,11 @@ def _pq_fit(
     ``vec_id % s == 0`` sample (the same 100 TB sample-fit contract as
     ``_ivf_fit``); the final code assignment always covers the full
     corpus. Default None keeps the full-data fit the oracles mirror.
+
+    ``n_vectors``/``dim``: callers that already know the corpus count
+    (``fit_ivf_pq_index`` counts its cached members) or the embedding
+    dim thread them here so the route gate and the divisibility check
+    cost zero extra actions.
 
     The subvector cache stays persisted when this returns: the returned
     assignment is LAZY and its full-corpus scan (the most expensive
@@ -811,8 +818,11 @@ def _pq_fit(
     # _pq_subvectors) — ragged corpora fail loudly during the normal
     # pass, with no extra full-table scan (the r4 min/max agg cost an
     # entire corpus read per PQ entry point at scale).
-    row = emb.select(F.size("embedding").alias("d")).first()
-    dim0 = None if row is None or row["d"] is None else int(row["d"])
+    if dim is not None:
+        dim0: int | None = dim
+    else:
+        row = emb.select(F.size("embedding").alias("d")).first()
+        dim0 = None if row is None or row["d"] is None else int(row["d"])
     if dim0 is not None and dim0 % m != 0:
         raise ValueError(
             f"embedding dim {dim0} not divisible by m={m}: the "
@@ -825,11 +835,20 @@ def _pq_fit(
         if fit_sample_mod
         else subs
     )
-    # one route per fit, chosen by assign-pass work (the count also
-    # materializes the subvector cache the first assign would build):
+    # One route per fit, chosen by the work of the LARGEST assign pass —
+    # the final full-corpus assignment (N·m subvector rows × k centroids
+    # × dim/m subdim = N·k·dim element-ops; the per-iteration fit passes
+    # are that divided by fit_sample_mod, so the full pass is the max
+    # and dominates the fit's total assign cost). The count scans the
+    # NARROW source table, never the exploded subvector cache: forcing
+    # that cache here coincided with pq_topk/pq_rerank_topk going
+    # +149%/+142% in the r9 driver bench (BENCH_r09.json) — the
+    # exploded rows materialize lazily on the first assign instead.
+    if n_vectors is None and dim0 is not None:
+        n_vectors = emb.count()
     vectorized = (
         dim0 is not None
-        and subs.count() * k * max(dim0 // m, 1) > PQ_VECTORIZED_MIN_WORK
+        and n_vectors * k * dim0 > PQ_VECTORIZED_MIN_WORK
     )
     low_ids = (
         emb.filter(F.col("vec_id") % fit_sample_mod == 0)
@@ -1161,13 +1180,20 @@ def fit_ivf_pq_index(
     )
     members = members.cache()
     n_vectors = members.count()
-    dim = (
-        len(emb.select("embedding").first()[0]) if isinstance(m, str) else None
-    )
+    # one O(1) dim probe, shared by the m-budget resolver AND _pq_fit's
+    # divisibility check (ADVICE r9: m='auto' used to run its own
+    # first() and died with a bare TypeError on an empty corpus):
+    row = emb.select(F.size("embedding").alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(
+            "fit_ivf_pq_index: empty embedding corpus — nothing to fit"
+        )
+    dim = int(row["d"])
     m = _resolve_pq_m(m, n_centroids, n_vectors, dim)
     final, pq_cents = _pq_fit(
         emb, m=m, k=n_centroids, iters=pq_iters,
         fit_sample_mod=fit_sample_mod,
+        n_vectors=n_vectors, dim=dim,
     )
     codes = final.select(
         "vec_id", "sub_id", F.col("centroid_id").alias("code_id")

@@ -8,7 +8,10 @@ checks catch that class of wiring bug at pytest time.
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: queries() keys that intentionally have no oracle_sql() entry
 #: (non-SQL-expressible; the driver records a rows-only check).
@@ -25,7 +28,7 @@ def _entry():
     if "__spark_entry__" in sys.modules:
         return sys.modules["__spark_entry__"]
     spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", "/root/repo/__spark_entry__.py"
+        "__spark_entry__", os.path.join(REPO_ROOT, "__spark_entry__.py")
     )
     mod = importlib.util.module_from_spec(spec)
     sys.modules["__spark_entry__"] = mod
@@ -74,15 +77,16 @@ def test_rotation_lists_reference_registered_queries():
 
 def _newest_driver_rows() -> tuple[dict, int]:
     """(query -> newest CORRECTNESS_r{N} round containing it, latest N).
-    Reads the recorded driver artifacts — the validator's ground truth
-    for staleness, the same computation the round planning uses."""
+    An INDEPENDENT read of the recorded driver artifacts (deliberately
+    not the entry module's own `_newest_driver_rows`) — the validator's
+    ground truth for staleness."""
     import glob
     import json
     import re
 
     newest: dict = {}
     latest = 0
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
         rnd = int(m.group(1))
         latest = max(latest, rnd)
@@ -92,14 +96,21 @@ def _newest_driver_rows() -> tuple[dict, int]:
 
 
 def test_rotation_covers_stalest_rows():
-    """The ROTATION POLICY validator (VERDICT r8 ask #6, now enforced
-    in pytest, not prose): before each driver round, every registered
-    query that is either never-driver-verified or whose newest driver
-    row is >= 2 rounds behind the latest artifact MUST sit in the
-    50-slot head — so no query's staleness can structurally exceed
-    ceil(registry/50) rounds. When the backlog alone exceeds 50 the
-    policy is unsatisfiable and the head must at least be FULL of
-    backlog entries."""
+    """The ROTATION POLICY validator (VERDICT r8 ask #6; r9 ask #1):
+    every registered query that is either never-driver-verified or
+    whose newest driver row is >= 2 rounds behind the latest artifact
+    MUST sit in the 50-slot head — so no query's staleness can
+    structurally exceed ceil(registry/50) rounds. When the backlog
+    alone exceeds 50 the policy is unsatisfiable and the head must at
+    least be FULL of backlog entries.
+
+    Since round 10 the head is DERIVED from the artifacts by
+    `_compute_rotation` (the r9 VERDICT's preferred fix: the old
+    hand-maintained list went red the moment a new artifact landed
+    and stayed red until the next builder commit). This test checks
+    the generator's output against an independent artifact read — it
+    validates the policy computation itself, which cannot go stale
+    between rounds."""
     mod = _entry()
     qs = set(mod.queries())
     newest, latest = _newest_driver_rows()
@@ -120,3 +131,11 @@ def test_rotation_covers_stalest_rows():
     assert len(mod._ROTATE_FIRST) == min(50, len(qs)), (
         "head must fill every verification slot the driver offers"
     )
+    # section (a) sanity: every changed-this-round entry is either in
+    # the head or displaced by backlog overflow (never silently lost)
+    if len(backlog) + len(mod._CHANGED_THIS_ROUND) <= 50:
+        changed = {q for q in mod._CHANGED_THIS_ROUND if q in qs}
+        assert changed <= head, (
+            f"changed-this-round entries missing from head: "
+            f"{sorted(changed - head)}"
+        )
