@@ -1146,6 +1146,87 @@ def _resolve_pq_m(
     return m
 
 
+def recommend_quantizer(
+    n_vectors: int,
+    dim: int,
+    memory_budget_bytes: "int | None" = None,
+    n_centroids: int = 16,
+) -> dict:
+    """Pick the candidate-storage route for an IVF-composed ANN serve —
+    the shipped-as-code form of the round-9 measurement (docs/SCALE.md
+    "Recall at the 1000× serving point"): **wherever 1 byte/dim fits
+    the memory budget, IVF×SQ8 dominates IVF×PQ on BOTH recall and
+    serving cost** (ceiling-lossless 0.583 vs 0.538 recall@10, 46 s vs
+    140 s per 40-query batch at 2M vectors), because SQ8 needs no
+    codebook fit and its in-list ranking is near-exact, so the whole
+    shortlist/re-rank recovery machinery PQ needs never runs. PQ keeps
+    the regime it was built for: corpora whose ``N·dim`` bytes exceed
+    the budget and need 16-64× compression.
+
+    Pure arithmetic (no Spark action): callers size production routes
+    from counts they already track, the same pattern as the
+    :func:`_resolve_pq_m` budget check. Returns a dict with
+
+    - ``route``: ``"sq8"`` or ``"pq"``;
+    - ``bytes``: estimated candidate-storage bytes for that route
+      (SQ8: N·dim codes + the 8·dim broadcast scale vector; PQ: N·m
+      code bytes + the 8·dim·n_centroids codebook);
+    - ``m``: the recommended PQ code width (None for sq8) — the
+      :func:`_resolve_pq_m` "auto" floor, bumped until the code bytes
+      fit the budget is impossible to satisfy below, in which case the
+      smallest corpus-covering width is returned with ``fits=False``;
+    - ``fits``: whether ``bytes`` <= the budget (always True when no
+      budget is given — the caller asked only for the dominance rule);
+    - ``reason``: one sentence for logs/ops review.
+
+    ``memory_budget_bytes=None`` means "unconstrained": SQ8 wins by
+    the dominance rule above.
+    """
+    if n_vectors < 0 or dim <= 0:
+        raise ValueError(
+            f"recommend_quantizer: need n_vectors >= 0 and dim > 0, "
+            f"got n_vectors={n_vectors}, dim={dim}"
+        )
+    sq8_bytes = n_vectors * dim + 8 * dim
+    if memory_budget_bytes is None or sq8_bytes <= memory_budget_bytes:
+        return {
+            "route": "sq8",
+            "bytes": sq8_bytes,
+            "m": None,
+            "fits": True,
+            "reason": (
+                f"SQ8 candidate storage ({sq8_bytes} B = N*dim + scale "
+                "vector) fits the budget; measured at 2M vectors "
+                "(docs/SCALE.md): IVF*SQ8 is ceiling-lossless at ~3x "
+                "lower serving cost than IVF*PQ, so PQ's extra "
+                "compression buys nothing here"
+            ),
+        }
+    # PQ regime: start from the recall floor (code space covers the
+    # corpus) and verify the code bytes fit; wider m only costs MORE
+    # memory, so if the floor doesn't fit nothing above it does —
+    # report the floor honestly with fits=False instead of silently
+    # under-sizing m below the ADC bound.
+    m = _resolve_pq_m("auto", n_centroids, n_vectors, dim)
+    pq_bytes = n_vectors * m + 8 * dim * n_centroids
+    fits = pq_bytes <= memory_budget_bytes
+    return {
+        "route": "pq",
+        "bytes": pq_bytes,
+        "m": m,
+        "fits": fits,
+        "reason": (
+            f"N*dim = {n_vectors * dim} B exceeds the budget "
+            f"{memory_budget_bytes} B — the memory-bound regime PQ was "
+            f"built for; m={m} is the smallest dim-divisor whose "
+            f"{n_centroids}^m code space covers {n_vectors} vectors"
+            + ("" if fits else
+               f" — but even its {pq_bytes} B code storage exceeds the "
+               "budget: shard the corpus or raise the budget")
+        ),
+    }
+
+
 def fit_ivf_pq_index(
     emb: DataFrame,
     n_clusters: int | str | None = None,
@@ -1154,6 +1235,7 @@ def fit_ivf_pq_index(
     n_centroids: int = 16,
     pq_iters: int = 2,
     fit_sample_mod: int | None = None,
+    memory_budget_bytes: "int | None" = None,
 ) -> IvfPqIndex:
     """Run both fits of :func:`ivf_pq_topk` and materialize the
     results; identical parameters produce an identical index, so a
@@ -1173,7 +1255,14 @@ def fit_ivf_pq_index(
     Round 9: the budget rule is ENFORCED — an int ``m`` whose
     ``n_centroids**m`` code space is smaller than the corpus warns
     loudly at fit time, and ``m="auto"`` resolves the smallest
-    dim-divisor that covers it (:func:`_resolve_pq_m`)."""
+    dim-divisor that covers it (:func:`_resolve_pq_m`).
+
+    Round 10: pass ``memory_budget_bytes`` to get the SQ8-dominance
+    check (:func:`recommend_quantizer`) — when 1 byte/dim fits the
+    budget, a loud RuntimeWarning says IVF×SQ8 beats the index being
+    fitted on BOTH recall and serving cost (the round-9 2M-vector
+    measurement) before the Lloyd rounds spend anything. Default None
+    keeps the fit warning-free (the oracle-pinned path)."""
     members, cents = _ivf_fit(
         emb, k=_resolve_clusters(emb, n_clusters), iters=ivf_iters,
         fit_sample_mod=fit_sample_mod,
@@ -1189,6 +1278,20 @@ def fit_ivf_pq_index(
             "fit_ivf_pq_index: empty embedding corpus — nothing to fit"
         )
     dim = int(row["d"])
+    if memory_budget_bytes is not None:
+        rec = recommend_quantizer(
+            n_vectors, dim, memory_budget_bytes, n_centroids
+        )
+        if rec["route"] == "sq8":
+            import warnings
+
+            warnings.warn(
+                "fit_ivf_pq_index: " + rec["reason"] + " — consider "
+                "ivf_sq8_topk over this IVF*PQ index (the IVF half of "
+                "the returned index drives it via index=).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     m = _resolve_pq_m(m, n_centroids, n_vectors, dim)
     final, pq_cents = _pq_fit(
         emb, m=m, k=n_centroids, iters=pq_iters,

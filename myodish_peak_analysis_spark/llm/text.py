@@ -487,6 +487,15 @@ def tfidf_verify(
     decade row next to it in docs/SCALE.md."""
     rare = _tfidf_rare_weights(docs, gram, max_df, n_docs)
     a_col, b_col = pairs.columns[0], pairs.columns[1]
+    # The normalized candidate frame is referenced THREE times below
+    # (the dots join + both arms of the cand_docs union), and the
+    # caller's ``pairs`` is typically the full MinHash-LSH DAG
+    # (shingle → signatures → band self-join) — without a cache Spark
+    # re-derives that DAG per reference (VERDICT r9 ask #7: the first
+    # driver row paid candidate generation ~3×). cache() is lazy (no
+    # action here); the CacheManager dedups across calls on the same
+    # input and clearCache()/eviction bounds residency, the same
+    # posture as _pq_fit's subvector cache.
     cand = (
         pairs.select(
             F.least(F.col(a_col), F.col(b_col)).alias("doc_a"),
@@ -494,6 +503,7 @@ def tfidf_verify(
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
+        .cache()
     )
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))

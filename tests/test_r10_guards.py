@@ -1,0 +1,213 @@
+"""Round-10 consolidation: SQ8-vs-PQ route recommendation as code and
+the artifact-derived rotation generator.
+
+- VERDICT r9 ask #5: ``recommend_quantizer`` ships the round-9
+  measurement (IVF×SQ8 dominates IVF×PQ on recall AND serving cost
+  wherever 1 byte/dim fits memory — docs/SCALE.md "Recall at the 1000×
+  serving point") as a pure-arithmetic route helper, plus the
+  ``fit_ivf_pq_index(memory_budget_bytes=...)`` warning twin.
+- VERDICT r9 ask #1: the driver-verification head is now DERIVED from
+  the committed CORRECTNESS artifacts (``_compute_rotation``), so a
+  landed driver round re-rotates the head instead of reddening pytest;
+  these tests pin the generator's edge cases against synthetic
+  artifact states (the live-artifact check stays in
+  test_entry_contract.py).
+- VERDICT r9 ask #2 support: ``_pq_fit`` accepts a threaded
+  n_vectors/dim so the route gate costs zero actions for callers that
+  already know them; threaded and discovered fits are code-identical.
+"""
+
+import warnings
+
+import pytest
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# --- recommend_quantizer -------------------------------------------------
+
+
+def test_recommend_quantizer_sq8_when_budget_fits():
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    rec = S.recommend_quantizer(2_000_000, 64, 200_000_000)
+    assert rec["route"] == "sq8"
+    assert rec["fits"] is True
+    assert rec["m"] is None
+    # N*dim + the 8*dim scale vector
+    assert rec["bytes"] == 2_000_000 * 64 + 8 * 64
+
+
+def test_recommend_quantizer_sq8_when_unconstrained():
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    rec = S.recommend_quantizer(10**9, 1024, None)
+    assert rec["route"] == "sq8" and rec["fits"] is True
+
+
+def test_recommend_quantizer_pq_when_memory_bound():
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    # 2M x 64 = 128 MB of SQ8 codes; a 32 MB budget forces PQ. The
+    # recall floor for 2M vectors at k=16 is 16^m >= 2e6 -> m=6, but 6
+    # does not divide 64, so the smallest covering divisor is m=8.
+    rec = S.recommend_quantizer(2_000_000, 64, 32_000_000)
+    assert rec["route"] == "pq"
+    assert rec["m"] == 8
+    assert rec["bytes"] == 2_000_000 * 8 + 8 * 64 * 16
+    assert rec["fits"] is True
+
+
+def test_recommend_quantizer_reports_unfittable_floor():
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    # budget below even the m-floor code bytes: report the floor with
+    # fits=False instead of silently under-sizing m below the ADC bound
+    rec = S.recommend_quantizer(2_000_000, 64, 1_000_000)
+    assert rec["route"] == "pq" and rec["fits"] is False
+    assert rec["m"] == 8
+    assert "shard" in rec["reason"]
+
+
+def test_recommend_quantizer_validates_inputs():
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    with pytest.raises(ValueError, match="dim > 0"):
+        S.recommend_quantizer(100, 0, None)
+    with pytest.raises(ValueError, match="n_vectors >= 0"):
+        S.recommend_quantizer(-1, 64, None)
+
+
+def test_fit_ivf_pq_index_warns_when_sq8_dominates(spark):
+    """The warning twin: a budget that fits 1 byte/dim makes the PQ fit
+    announce the measured-better route before spending Lloyd rounds."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+    from myodish_peak_analysis_spark.schema import read_table
+
+    emb = read_table(spark, SF001, "embeddings")
+    with pytest.warns(RuntimeWarning, match="ivf_sq8_topk"):
+        S.fit_ivf_pq_index(
+            emb, n_clusters=4, memory_budget_bytes=10**9
+        )
+
+
+def test_fit_ivf_pq_index_budget_default_is_silent(spark):
+    """Default memory_budget_bytes=None: no route warning — the
+    oracle-pinned fits stay byte-identical and warning-free."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+    from myodish_peak_analysis_spark.schema import read_table
+
+    emb = read_table(spark, SF001, "embeddings")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        S.fit_ivf_pq_index(emb, n_clusters=4)
+
+
+def test_fit_ivf_pq_index_raises_loudly_on_empty_corpus(spark):
+    """ADVICE r9: m='auto' on an empty corpus used to die with a bare
+    TypeError (None[0]); now a named ValueError for every m."""
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm import similarity as S
+    from myodish_peak_analysis_spark.schema import read_table
+
+    empty = read_table(spark, SF001, "embeddings").filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty embedding corpus"):
+        S.fit_ivf_pq_index(empty, n_clusters=4, m="auto")
+
+
+# --- _pq_fit count/dim threading -----------------------------------------
+
+
+def test_pq_fit_threaded_count_and_dim_matches_discovered(spark):
+    """fit_ivf_pq_index threads (n_vectors, dim) into _pq_fit so the
+    route gate runs zero extra actions; the threaded fit must be
+    code-identical to the self-discovering one."""
+    from myodish_peak_analysis_spark.llm.similarity import _pq_fit
+    from myodish_peak_analysis_spark.schema import read_table
+
+    emb = read_table(spark, SF001, "embeddings")
+    n, d = emb.count(), len(emb.select("embedding").first()[0])
+    base, _ = _pq_fit(emb, m=4, k=8, iters=1)
+    threaded, _ = _pq_fit(emb, m=4, k=8, iters=1, n_vectors=n, dim=d)
+    cols = ["vec_id", "sub_id", "centroid_id"]
+    assert sorted(map(tuple, base.select(*cols).collect())) == sorted(
+        map(tuple, threaded.select(*cols).collect())
+    )
+
+
+def test_pq_fit_rejects_indivisible_threaded_dim(spark):
+    from myodish_peak_analysis_spark.llm.similarity import _pq_fit
+    from myodish_peak_analysis_spark.schema import read_table
+
+    emb = read_table(spark, SF001, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        _pq_fit(emb, m=5, k=8, iters=1, dim=64)
+
+
+# --- the rotation generator ----------------------------------------------
+
+
+def _entry():
+    import importlib.util
+    import os
+    import sys
+
+    if "__spark_entry__" in sys.modules:
+        return sys.modules["__spark_entry__"]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(root, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__spark_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_compute_rotation_fresh_clone_uses_registry_order(monkeypatch):
+    mod = _entry()
+    monkeypatch.setattr(mod, "_newest_driver_rows", lambda: ({}, 0))
+    names = [f"q{i:03d}" for i in range(60)]
+    head, tail = mod._compute_rotation(names)
+    assert head == names[:50] and tail == names[50:]
+
+
+def test_compute_rotation_backlog_has_slot_priority(monkeypatch):
+    """45 stale + 10 changed-fresh: all 45 backlog make the head, only
+    5 changed entries fit, filler fills nothing (cap already hit)."""
+    mod = _entry()
+    names = [f"s{i:02d}" for i in range(45)] + [f"c{i:02d}" for i in range(10)]
+    newest = {n: (1 if n.startswith("s") else 3) for n in names}
+    monkeypatch.setattr(mod, "_newest_driver_rows", lambda: (newest, 3))
+    monkeypatch.setattr(
+        mod, "_CHANGED_THIS_ROUND", [f"c{i:02d}" for i in range(10)]
+    )
+    head, tail = mod._compute_rotation(names)
+    assert len(head) == 50
+    assert {n for n in head if n.startswith("s")} == set(names[:45])
+    assert sum(n.startswith("c") for n in head) == 5
+    # changed entries keep their declared order in the head prefix
+    assert head[:5] == ["c00", "c01", "c02", "c03", "c04"]
+
+
+def test_compute_rotation_overflowing_backlog_fills_head_entirely(monkeypatch):
+    mod = _entry()
+    names = [f"s{i:02d}" for i in range(70)]
+    monkeypatch.setattr(mod, "_newest_driver_rows", lambda: ({}, 5))
+    monkeypatch.setattr(mod, "_CHANGED_THIS_ROUND", ["s69"])
+    head, tail = mod._compute_rotation(names)
+    assert len(head) == 50 and len(tail) == 20
+    # never-verified rows sort oldest-first by (round=0, name)
+    assert head == sorted(names)[:50]
+
+
+def test_compute_rotation_changed_in_backlog_not_duplicated(monkeypatch):
+    mod = _entry()
+    names = ["a", "b", "c", "d"]
+    newest = {"a": 1, "b": 5, "c": 5, "d": 5}
+    monkeypatch.setattr(mod, "_newest_driver_rows", lambda: (newest, 5))
+    monkeypatch.setattr(mod, "_CHANGED_THIS_ROUND", ["a", "b"])
+    head, tail = mod._compute_rotation(names)
+    assert head == ["b", "a", "c", "d"][: len(head)]
+    assert len(head) == len(set(head)) == 4 and tail == []

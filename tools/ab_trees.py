@@ -62,10 +62,51 @@ for name, b in builders.items():
 print("ABRESULT " + json.dumps(out), flush=True)
 '''
 
+# Round 10 (VERDICT r9 ask #2): the flat-PQ movers — pq_topk +149% /
+# pq_rerank_topk +142% in the r9 driver artifact, far above the
+# emb-family rep spread, with exactly one new action on the path (the
+# subs.count() route gate). Same bench formulation as bench.py: the
+# repartition(par)+cache+count warm-up OUTSIDE the timed region,
+# min-of-3 noop-sink reps per query.
+CHILD_PQ = r'''
+import json, os, sys, time
+tree = sys.argv[1]
+sys.path.insert(0, tree)
+from myodish_peak_analysis_spark.session import get_spark
+from myodish_peak_analysis_spark.schema import read_table
+from myodish_peak_analysis_spark.llm import similarity
 
-def run_tree(tree: str) -> dict:
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark("ab-pq")
+spark.sparkContext.setLogLevel("ERROR")
+par = spark.sparkContext.defaultParallelism
+emb = read_table(spark, SF, "embeddings").repartition(par).cache()
+emb.count()
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+builders = {
+    "pq_topk": lambda: similarity.pq_topk(emb),
+    "pq_rerank_topk": lambda: similarity.pq_rerank_topk(emb),
+}
+out = {}
+for name, b in builders.items():
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        force(b())
+        reps.append(time.time() - t0)
+    out[name] = [round(min(reps), 3), round(max(reps), 3)]
+print("ABRESULT " + json.dumps(out), flush=True)
+'''
+
+CHILDREN = {"peaks": CHILD, "pq": CHILD_PQ}
+
+
+def run_tree(tree: str, child: str = CHILD) -> dict:
     proc = subprocess.run(
-        [sys.executable, "-c", CHILD, tree],
+        [sys.executable, "-c", child, tree],
         capture_output=True,
         text=True,
         timeout=1800,
@@ -85,12 +126,15 @@ def main() -> None:
     ap.add_argument("--cycles", type=int, default=3,
                     help="interleaved A/B/... cycles (drift cancels "
                     "across cycles, not within one)")
+    ap.add_argument("--family", choices=sorted(CHILDREN), default="peaks",
+                    help="which bench-formulation child to run")
     args = ap.parse_args()
+    child = CHILDREN[args.family]
     trees = [t.split("=", 1) for t in args.trees]
     results: dict = {label: {} for label, _ in trees}
     for cyc in range(args.cycles):
         for label, path in trees:
-            got = run_tree(path)
+            got = run_tree(path, child)
             for q, (lo, hi) in got.items():
                 results[label].setdefault(q, []).append(lo)
             print(json.dumps({"cycle": cyc, "tree": label, "mins": got}),
