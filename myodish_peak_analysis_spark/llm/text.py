@@ -482,9 +482,11 @@ def tfidf_verify(
     self-join whose fan-out is bounded only by max_df² per term —
     collapses to |pairs| keyed lookups: postings are semi-joined down
     to candidate docs, each pair fans out by ONE doc's pruned terms,
-    and the (doc_b, term) join is a plain equi-join. At the 5M-doc
-    decade the full op measured 327 s; candidates-tier cost is the
-    decade row next to it in docs/SCALE.md."""
+    and the (doc_b, term) join is a plain equi-join. MEASURED at the
+    5M-doc decade (round 10, docs/PLANS.md "Round 10 measures that
+    posture end-to-end" + docs/SCALE.md): the full op ran 327 s, this
+    composition 13.9 s amortized (~30 s cold including MinHash
+    candidate generation) — ≥ 23× cheaper."""
     rare = _tfidf_rare_weights(docs, gram, max_df, n_docs)
     a_col, b_col = pairs.columns[0], pairs.columns[1]
     # The normalized candidate frame is referenced THREE times below
@@ -1451,9 +1453,13 @@ def remove_dup_spans_scoped(
     downstream stage collapses to the scope: the positions join is
     semi-joined to scoped docs BEFORE the dup-gram join (the big
     fan-in side shrinks first), the per-doc starts aggregation and the
-    reconstruct HOF pass touch scoped docs only. At the 5M-doc decade
-    the full rewrite measured 318 s; the scoped-tier decade row sits
-    next to it in docs/SCALE.md."""
+    reconstruct HOF pass touch scoped docs only. MEASURED at the
+    5M-doc decade (round 10, docs/PLANS.md "Round 10 measures that
+    posture end-to-end"): full rewrite 318 s, scoped (25% of docs)
+    305 s — at this corpus shape the corpus-global stats pass is ~95%
+    of the cost, so the scoped tier buys a cheaper single pass ONLY
+    when long documents make the rewrite tier dominant; its other
+    production value is amortizing one stats pass across many scopes."""
     scope_ids = scope.select(F.col(scope.columns[0]).alias("doc_id")).distinct()
     pos_grams = docs.filter(F.expr(f"size({_TOKENS}) >= {gram}")).select(
         "doc_id",

@@ -61,6 +61,11 @@ def test_rotation_lists_reference_registered_queries():
     qs = set(mod.queries())
     for name in mod._ROTATE_FIRST + mod._ROTATE_LAST:
         assert name in qs, f"rotation names unregistered query {name}"
+    # the generator silently filters unknown names from the changed
+    # list, so a typo there would drop a section-(a) slot without any
+    # other symptom — catch it here instead
+    unknown = set(mod._CHANGED_THIS_ROUND) - qs
+    assert not unknown, f"_CHANGED_THIS_ROUND names unregistered: {unknown}"
     # the rotation head must fit the driver's 50-entry verification cap
     assert len(mod._ROTATE_FIRST) <= 50
     ordered = list(mod.queries())
