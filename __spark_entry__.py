@@ -108,13 +108,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: is still policy-valid (the generator, not this list, guarantees the
 #: staleness bound). Round 10: the five PQ-family entries whose fit
 #: route gate moved off the exploded-cache count (_pq_fit n_vectors /
-#: dim threading), and tfidf_verify (shared candidate-pair CTE).
+#: dim threading), ann_serve (its prefit index rides the same fit),
+#: and tfidf_verify (candidate-frame cache).
 _CHANGED_THIS_ROUND = [
     "pq_topk",
     "pq_rerank_topk",
     "pq_codes",
     "ivf_pq_topk",
     "ivf_pq_topk_prefit",
+    "ann_serve",
     "tfidf_verify",
 ]
 
