@@ -116,8 +116,11 @@ _CHANGED_THIS_ROUND = [
     "pq_codes",
     "ivf_pq_topk",
     "ivf_pq_topk_prefit",
-    "ann_serve",
     "tfidf_verify",
+    # last: ann_serve's change is the most incidental (the shared dim
+    # probe inside fit_ivf_pq_index) — it is the entry displaced first
+    # when the backlog grows (e.g. a new never-verified op enters)
+    "ann_serve",
 ]
 
 #: The driver records only this many correctness rows per round.

@@ -145,6 +145,21 @@ def main() -> None:
             emb, index=_ivf_pq_idx["idx"], n_clusters="auto"
         )
 
+    _dup_stats: dict[str, object] = {}
+
+    def _prefit_dup_spans():
+        # the fit-once/rewrite-per-scope path (round 10): the first rep
+        # pays fit_dup_gram_stats, later reps time ONLY the scoped
+        # rewrite — the same amortized convention as the prefit-index
+        # entries above.
+        if "s" not in _dup_stats:
+            _dup_stats["s"] = text.fit_dup_gram_stats(docs)
+        return text.remove_dup_spans_scoped(
+            docs,
+            docs.filter(F.col("doc_id") % 4 == 0).select("doc_id"),
+            dup_grams=_dup_stats["s"],
+        )
+
     def _ann_serve():
         if "idx" not in _ivf_pq_idx:
             _ivf_pq_idx["idx"] = similarity.fit_ivf_pq_index(
@@ -331,6 +346,7 @@ def main() -> None:
         "dup_spans_scoped": lambda: text.remove_dup_spans_scoped(
             docs, docs.filter(F.col("doc_id") % 4 == 0).select("doc_id")
         ),
+        "dup_spans_scoped_prefit": _prefit_dup_spans,
         # round-7: external-query serving against the (cached) prefit
         # IVF-PQ index — the production request path; reuses the same
         # index the ivf_pq_topk_prefit entry fits, so this times ONLY

@@ -1369,3 +1369,7 @@ WHERE d.shared_terms >= 2
 ORACLES["dup_spans_scoped"] = (
     f"SELECT * FROM ({_rds_sql()}) WHERE doc_id % 4 = 0"
 )
+
+# prefit stats change WHERE the dup-gram frame comes from, never a
+# value — the amortized entry shares the scoped oracle verbatim.
+ORACLES["dup_spans_scoped_prefit"] = ORACLES["dup_spans_scoped"]

@@ -1436,8 +1436,55 @@ def remove_dup_spans(
     )
 
 
+def fit_dup_gram_stats(
+    docs: DataFrame, gram: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Materialize the corpus-global duplicated-gram statistic ONCE —
+    the fit-once/reuse-many pattern (`fit_ivf_pq_index`'s shape)
+    applied to the span cutter, motivated by the round-10 5M-doc
+    measurement (docs/PLANS.md "Round 10 measures that posture
+    end-to-end"): the stats pass is ~95% of a scoped rewrite's cost,
+    so per-scope cost only drops when the stats are fitted once and
+    reused across scopes (dedup clusters, flagged-quality slices,
+    per-source batches of one corpus snapshot).
+
+    Returns the cached+counted (gram) frame; pass it to
+    :func:`remove_dup_spans_scoped` via ``dup_grams=``. The caller
+    must reuse the SAME ``gram``/``min_count`` they fit with — the
+    frame carries grams of one shape only, and a mismatched rewrite
+    would silently miss spans (documented contract, same as reusing
+    an :class:`~.similarity.IvfPqIndex` against the corpus it was
+    fitted on). On a cluster, write the frame to parquet once per
+    corpus snapshot and read it per scope batch — it is one row per
+    DISTINCT duplicated gram, orders of magnitude smaller than the
+    corpus."""
+    pos_grams = docs.filter(F.expr(f"size({_TOKENS}) >= {gram}")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size({_TOKENS}) - {gram - 1}), "
+                f"i -> struct(i AS pos, "
+                f"concat_ws(' ', slice({_TOKENS}, i, {gram})) AS gram))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    dup_grams = (
+        pos_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gram")
+        .cache()
+    )
+    dup_grams.count()  # materialize: the fit IS the expensive pass
+    return dup_grams
+
+
 def remove_dup_spans_scoped(
-    docs: DataFrame, scope: DataFrame, gram: int = 8, min_count: int = 2
+    docs: DataFrame,
+    scope: DataFrame,
+    gram: int = 8,
+    min_count: int = 2,
+    dup_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Scoped twin of :func:`remove_dup_spans` (VERDICT r8 ask #5):
     rewrite ONLY the docs in ``scope`` (a frame whose first column is
@@ -1459,26 +1506,41 @@ def remove_dup_spans_scoped(
     305 s — at this corpus shape the corpus-global stats pass is ~95%
     of the cost, so the scoped tier buys a cheaper single pass ONLY
     when long documents make the rewrite tier dominant; its other
-    production value is amortizing one stats pass across many scopes."""
+    production value is amortizing one stats pass across many scopes
+    — pass ``dup_grams=``:func:`fit_dup_gram_stats`` for exactly that
+    (fit once per corpus snapshot, rewrite per scope; the caller must
+    reuse the fit's ``gram``/``min_count``)."""
     scope_ids = scope.select(F.col(scope.columns[0]).alias("doc_id")).distinct()
-    pos_grams = docs.filter(F.expr(f"size({_TOKENS}) >= {gram}")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size({_TOKENS}) - {gram - 1}), "
-                f"i -> struct(i AS pos, "
-                f"concat_ws(' ', slice({_TOKENS}, i, {gram})) AS gram))"
-            )
-        ).alias("pg"),
-    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
-    dup_grams = (
-        pos_grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_count)
-        .select("gram")
-    )
+
+    def _pos_grams(src: DataFrame) -> DataFrame:
+        return src.filter(F.expr(f"size({_TOKENS}) >= {gram}")).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({_TOKENS}) - {gram - 1}), "
+                    f"i -> struct(i AS pos, "
+                    f"concat_ws(' ', slice({_TOKENS}, i, {gram})) AS gram))"
+                )
+            ).alias("pg"),
+        ).select(
+            "doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram")
+        )
+
+    if dup_grams is None:
+        dup_grams = (
+            _pos_grams(docs)
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= min_count)
+            .select("gram")
+        )
+    # the starts side explodes SCOPED docs only — the semi-join cannot
+    # be pushed below a generate, so exploding before restricting would
+    # fan out the whole corpus even when the stats are prefit (the
+    # entire point of fit_dup_gram_stats is to make this the only
+    # non-trivial pass per scope)
     starts = (
-        pos_grams.join(scope_ids, "doc_id", "left_semi")
+        _pos_grams(docs.join(scope_ids, "doc_id", "left_semi"))
         .join(dup_grams, "gram")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("pos")).alias("_starts"))

@@ -145,6 +145,47 @@ def test_pq_fit_rejects_indivisible_threaded_dim(spark):
         _pq_fit(emb, m=5, k=8, iters=1, dim=64)
 
 
+# --- fit_dup_gram_stats (fit-once span-cut stats) -------------------------
+
+
+def test_dup_spans_scoped_prefit_equals_inline(spark):
+    """Prefit stats change WHERE the dup-gram frame comes from, never a
+    value: scoped rewrite with fit_dup_gram_stats == the inline op, for
+    two different scopes off one fit (the amortization contract)."""
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm import text
+    from myodish_peak_analysis_spark.schema import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    stats = text.fit_dup_gram_stats(docs)
+    for mod in (4, 7):
+        scope = docs.filter(F.col("doc_id") % mod == 0).select("doc_id")
+        inline = text.remove_dup_spans_scoped(docs, scope)
+        prefit = text.remove_dup_spans_scoped(docs, scope, dup_grams=stats)
+        assert sorted(map(tuple, inline.collect())) == sorted(
+            map(tuple, prefit.collect())
+        )
+
+
+def test_fit_dup_gram_stats_equals_full_op_grams(spark):
+    """The fitted frame is exactly the duplicated-gram set the full
+    remove_dup_spans derives internally: round-tripping it through the
+    scoped op with scope = ALL docs reproduces the full rewrite."""
+    from myodish_peak_analysis_spark.llm import text
+    from myodish_peak_analysis_spark.schema import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    stats = text.fit_dup_gram_stats(docs)
+    full = text.remove_dup_spans(docs)
+    via_fit = text.remove_dup_spans_scoped(
+        docs, docs.select("doc_id"), dup_grams=stats
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, via_fit.collect())
+    )
+
+
 # --- the rotation generator ----------------------------------------------
 
 
