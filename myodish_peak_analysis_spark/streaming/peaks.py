@@ -1228,3 +1228,40 @@ def make_ann_serve_fn(index, k: int = 10, nprobe: int = 2,
             sink(out, epoch_id)
 
     return fn
+
+
+def make_span_serve_fn(dup_grams, gram: int = 8, sink=None):
+    """Streaming span-cut serving (round 10): ``foreachBatch`` callable
+    rewriting each micro-batch of ``(doc_id, text)`` documents against
+    a PREFIT corpus duplicated-gram statistic
+    (:func:`..llm.text.fit_dup_gram_stats`) — the serve half of the
+    fit-once/rewrite-per-scope pattern, with each arriving batch as the
+    scope. Arriving docs do NOT update the statistic (serve-time
+    posture: the stats describe the ingested corpus snapshot; refit on
+    the next snapshot, exactly like re-fitting an
+    :class:`..llm.similarity.IvfPqIndex`). ``gram`` must match the
+    fit's — the same documented contract as the batch ``dup_grams=``
+    path.
+
+    foreachBatch — not a pure streaming DAG — for the same reason as
+    :func:`make_ann_serve_fn`: the rewrite needs a per-doc starts
+    aggregation after the gram join, which in an append-mode streaming
+    plan would hold every group in the state store until the watermark
+    passed, for groups that by construction never span micro-batches
+    (one input row explodes entirely within its batch). Each batch runs
+    the identical batch operator, so streaming results equal batch
+    results row-for-row (pinned by tests/test_streaming.py).
+    ``sink(result_df, epoch_id)`` owns delivery."""
+    from ..llm.text import remove_dup_spans_scoped
+
+    def fn(batch_df, epoch_id):
+        out = remove_dup_spans_scoped(
+            batch_df,
+            batch_df.select("doc_id"),
+            gram=gram,
+            dup_grams=dup_grams,
+        )
+        if sink is not None:
+            sink(out, epoch_id)
+
+    return fn

@@ -1252,6 +1252,61 @@ def test_streaming_ann_serve_matches_batch(spark, tmp_path):
     assert got == expect and len(epochs) >= 2
 
 
+def test_streaming_span_serve_matches_batch(spark, tmp_path):
+    """foreachBatch span-cut serving against prefit corpus stats:
+    micro-batch results equal the batch scoped rewrite row-for-row
+    (docs rewrite independently once the statistic is fixed, so
+    splitting the doc set across micro-batches changes nothing), and
+    the corpus statistic stays frozen — arriving docs never update it."""
+    import os
+
+    from myodish_peak_analysis_spark.llm.text import (
+        fit_dup_gram_stats,
+        remove_dup_spans_scoped,
+    )
+    from myodish_peak_analysis_spark.schema import read_table
+    from myodish_peak_analysis_spark.streaming.peaks import make_span_serve_fn
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter("doc_id % 10 != 0")
+    arriving = docs.filter("doc_id % 10 = 0").select("doc_id", "text")
+    stats = fit_dup_gram_stats(corpus)
+    src = os.path.join(str(tmp_path), "arriving")
+    # two files -> maxFilesPerTrigger=1 forces two genuine micro-batches
+    arriving.repartition(2).write.parquet(src)
+
+    collected = []
+    epochs = set()
+
+    def sink(df, epoch_id):
+        epochs.add(epoch_id)
+        collected.extend(df.collect())
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(
+        make_span_serve_fn(stats, sink=sink)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+           for r in collected}
+    expect = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in remove_dup_spans_scoped(
+            arriving, arriving.select("doc_id"), dup_grams=stats
+        ).collect()
+    }
+    assert got == expect and len(epochs) >= 2
+    assert len(got) == arriving.count()  # no-dup docs pass through too
+
+
 def test_streaming_find_peaks_recovers_state_from_checkpoint(spark, tmp_path):
     """Kill the flagship stateful op between micro-batches and restart
     from the same checkpoint: the constrained-peaks state (open plateau
