@@ -168,6 +168,29 @@ def test_dup_spans_scoped_prefit_equals_inline(spark):
         )
 
 
+def test_fit_dup_gram_stats_parquet_roundtrip(spark, tmp_path):
+    """The docstring's cluster posture — write the fitted frame once
+    per corpus snapshot, read it per scope batch — must be
+    search-identical to the in-session frame (the save/load_ivf_pq_index
+    precedent)."""
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm import text
+    from myodish_peak_analysis_spark.schema import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    stats = text.fit_dup_gram_stats(docs)
+    path = str(tmp_path / "dup_gram_stats")
+    stats.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    scope = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    live = text.remove_dup_spans_scoped(docs, scope, dup_grams=stats)
+    via_parquet = text.remove_dup_spans_scoped(docs, scope, dup_grams=loaded)
+    assert sorted(map(tuple, live.collect())) == sorted(
+        map(tuple, via_parquet.collect())
+    )
+
+
 def test_fit_dup_gram_stats_equals_full_op_grams(spark):
     """The fitted frame is exactly the duplicated-gram set the full
     remove_dup_spans derives internally: round-tripping it through the
