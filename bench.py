@@ -160,6 +160,13 @@ def main() -> None:
             dup_grams=_dup_stats["s"],
         )
 
+    _dsir_model: dict[str, object] = {}
+
+    def _prefit_dsir():
+        if "m" not in _dsir_model:
+            _dsir_model["m"] = sampling.fit_dsir_logratio(docs)
+        return sampling.dsir_logweights(docs, logratio=_dsir_model["m"])
+
     def _ann_serve():
         if "idx" not in _ivf_pq_idx:
             _ivf_pq_idx["idx"] = similarity.fit_ivf_pq_index(
@@ -347,6 +354,14 @@ def main() -> None:
             docs, docs.filter(F.col("doc_id") % 4 == 0).select("doc_id")
         ),
         "dup_spans_scoped_prefit": _prefit_dup_spans,
+        # round-10: DSIR importance resampling — the inline-fit weights
+        # (3 passes over the exploded grams: features, bucket stats,
+        # totals) and the Gumbel top-k sample; the prefit entry times
+        # the amortized serve path (fit the <=1024-row model on rep 1,
+        # later reps pay one explode pass + a broadcast join).
+        "dsir_weights": lambda: sampling.dsir_logweights(docs),
+        "dsir_sample": lambda: sampling.dsir_resample(docs),
+        "dsir_weights_prefit": _prefit_dsir,
         # round-7: external-query serving against the (cached) prefit
         # IVF-PQ index — the production request path; reuses the same
         # index the ivf_pq_topk_prefit entry fits, so this times ONLY

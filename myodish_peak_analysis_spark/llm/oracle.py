@@ -1373,3 +1373,14 @@ ORACLES["dup_spans_scoped"] = (
 # prefit stats change WHERE the dup-gram frame comes from, never a
 # value — the amortized entry shares the scoped oracle verbatim.
 ORACLES["dup_spans_scoped_prefit"] = ORACLES["dup_spans_scoped"]
+
+# DSIR importance resampling: quantized-log / exact-BIGINT-sum mirror
+# generated from the same params as the Spark plan.
+from .sampling import dsir_logweights_sql, dsir_resample_sql  # noqa: E402
+
+ORACLES["dsir_weights"] = dsir_logweights_sql()
+ORACLES["dsir_sample"] = dsir_resample_sql()
+
+# prefit model changes WHERE the log-ratio frame comes from, never a
+# value — the amortized entry shares the inline oracle verbatim.
+ORACLES["dsir_weights_prefit"] = ORACLES["dsir_weights"]

@@ -29,6 +29,15 @@ TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 FINGERPRINT_GRAM = 5  #: tokens per winnowing k-gram
 FINGERPRINT_WINDOW = 4  #: winnowing window (rolling min over this many grams)
 
+# --- DSIR importance resampling --------------------------------------------
+
+#: Hashed n-gram feature buckets (the paper uses 10k; 1024 keeps the
+#: broadcast log-ratio table trivially small while staying far above
+#: the corpus vocabulary collision floor at test scale).
+DSIR_BUCKETS = 1024
+#: Gumbel top-k resample size for the registered query.
+DSIR_SAMPLE_K = 100
+
 SHINGLE_K = 3  #: tokens per MinHash shingle
 MINHASH_PERMS = 16
 MINHASH_BANDS = 4

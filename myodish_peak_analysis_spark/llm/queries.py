@@ -763,3 +763,39 @@ def q_dup_spans_scoped_prefit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dup_spans_scoped_prefit"] = q_dup_spans_scoped_prefit
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weights (Xie et al. 2023) of every document
+    toward the 'src0' target slice: hashed unigram+bigram bag-of-words
+    models on target vs pool, micro-quantized log-ratio scoring. One
+    explode + two doc-keyed map-combinable aggregates + a <=1024-row
+    broadcast model — no global state, the paper's CommonCrawl shape."""
+    return sampling.dsir_logweights(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["dsir_weights"] = q_dsir_weights
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Gumbel top-k DSIR resample (k=100): the weight
+    plan plus a map-side md5-derived Gumbel key; top-k compiles to
+    TakeOrderedAndProject (no global sort materializes)."""
+    return sampling.dsir_resample(read_table(spark, sf_dir, "documents"))
+
+
+QUERIES["dsir_sample"] = q_dsir_sample
+
+
+def q_dsir_weights_prefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized DSIR path: fit the <=1024-row log-ratio model once
+    (:func:`sampling.fit_dsir_logratio` — persist/write it in
+    production), then score against the prefit model — identical
+    results to ``dsir_weights`` (same oracle SQL); the serve side is
+    ONE explode pass + a broadcast join, the daily-batch 100 TB shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    model = sampling.fit_dsir_logratio(docs)
+    return sampling.dsir_logweights(docs, logratio=model)
+
+
+QUERIES["dsir_weights_prefit"] = q_dsir_weights_prefit

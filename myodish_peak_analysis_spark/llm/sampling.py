@@ -341,3 +341,334 @@ def leakage_safe_split_sql(
            END AS split
     FROM cl
     """
+
+
+# --- DSIR: data selection via importance resampling -------------------------
+#
+# Xie et al., "Data Selection for Language Models via Importance
+# Resampling" (NeurIPS 2023, public): featurize every document as
+# hashed n-gram (unigram + word-bigram) counts, fit bag-of-words
+# models on a small TARGET corpus and on the RAW pool, score each raw
+# document with the log importance ratio sum_b n_b * (ln p_target(b) -
+# ln p_raw(b)), then resample via Gumbel top-k. Beyond-reference op
+# (the LLM-pipeline mandate); everything below derives from the paper
+# and the PySpark API.
+#
+# Determinism contract (the package standard, see text.token_entropy):
+# every ln is quantized to integer 1e-6 units with the engine-portable
+# floor trick floor(x*1e6 + 0.5), all downstream sums are BIGINT, so
+# aggregation order can never move a result; the bucket hash is the
+# md5-hex-prefix integer both engines compute identically.
+
+_DSIR_TK = "split(text, ' ')"
+
+#: unigrams ++ word-bigrams of the whitespace tokens (counts, not
+#: distinct — DSIR features are bag-of-ngram COUNTS). Single-token
+#: docs contribute their unigram only (slice(tk,1,0) is the typed
+#: empty array; sequence(1,0) would count DOWN in Spark).
+_DSIR_GRAMS = (
+    f"concat({_DSIR_TK}, "
+    f"CASE WHEN size({_DSIR_TK}) >= 2 THEN "
+    f"transform(sequence(1, size({_DSIR_TK}) - 1), "
+    f"i -> concat_ws(' ', slice({_DSIR_TK}, i, 2))) "
+    f"ELSE slice({_DSIR_TK}, 1, 0) END)"
+)
+
+
+def _ln_micro(col: F.Column) -> F.Column:
+    """floor(ln(x)*1e6 + 0.5) as BIGINT — the quantized-log brick."""
+    return F.floor(F.log(col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def _dsir_doc_buckets(
+    docs: "DataFrame", n_buckets: int, with_source: bool = True
+) -> "DataFrame":
+    """(doc_id[, source], bucket, n): per-doc hashed n-gram bucket
+    counts. ``with_source=False`` is the serve-time shape — scoring
+    against a prefit model needs only ``(doc_id, text)``, so streaming
+    batches without a ``source`` column score fine (source is
+    functionally dependent on doc_id, so the counts are identical).
+
+    Scale: one explode into ~2x token count rows (map-only), one
+    map-side-combinable count keyed (doc_id, bucket) — per-doc feature
+    state is bounded by min(doc grams, n_buckets), no global state.
+    """
+    keys = ["doc_id", "source"] if with_source else ["doc_id"]
+    bucket = (
+        F.conv(F.substring(F.md5("gram"), 1, 7), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+    return (
+        docs.select(*keys, F.explode(F.expr(_DSIR_GRAMS)).alias("gram"))
+        .select(*keys, bucket.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def dsir_bucket_logratio(
+    doc_buckets: "DataFrame", target_source: str, n_buckets: int
+) -> "DataFrame":
+    """Per-bucket Laplace-smoothed log importance ratio, micro-quantized:
+    lr_micro(b) = q(ln(c_t+1)) - q(ln(N_t+B)) - q(ln(c_r+1)) + q(ln(N_r+B)).
+
+    Scale: a second aggregation down to <= B rows (map-side partial,
+    B-bounded combiner state) plus a 1-row totals broadcast — the
+    fitted "model" is a <= B-row frame, broadcast to every scorer.
+    """
+    is_t = F.col("source") == F.lit(target_source)
+    per_bucket = doc_buckets.groupBy("bucket").agg(
+        F.sum(F.when(is_t, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c_t"),
+        F.sum(F.when(~is_t, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c_r"),
+    )
+    totals = per_bucket.agg(
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.sum("c_r").cast("long").alias("n_r"),
+    )
+    return per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "c_t",
+        "c_r",
+        (
+            _ln_micro(F.col("c_t") + F.lit(1))
+            - _ln_micro(F.col("n_t") + F.lit(n_buckets))
+            - _ln_micro(F.col("c_r") + F.lit(1))
+            + _ln_micro(F.col("n_r") + F.lit(n_buckets))
+        ).alias("lr_micro"),
+    )
+
+
+def fit_dsir_logratio(
+    docs: "DataFrame",
+    target_source: str = "src0",
+    n_buckets: int | None = None,
+) -> "DataFrame":
+    """Fit the DSIR model ONCE: the <= n_buckets-row
+    (bucket, c_t, c_r, lr_micro) log-ratio table. The fit-once /
+    serve-forever half of the package's prefit pattern
+    (:func:`..text.fit_dup_gram_stats`, ``fit_ivf_pq_index``): persist
+    or write this tiny frame to parquet, then score any number of
+    corpus batches by passing it as ``logratio=`` to
+    :func:`dsir_logweights` / :func:`dsir_resample` — the serve path
+    is then ONE explode pass + a broadcast join, the 100 TB shape
+    (the inline fit re-derives the model per call: 3 passes over the
+    exploded grams, fine for the oracle, wasteful as a daily batch)."""
+    from .params import DSIR_BUCKETS
+
+    nb = DSIR_BUCKETS if n_buckets is None else n_buckets
+    db = _dsir_doc_buckets(docs, nb)
+    model = dsir_bucket_logratio(db, target_source, nb).cache()
+    model.count()  # materialize: the fit IS the expensive pass
+    return model
+
+
+def _dsir_w_micro(
+    docs: "DataFrame",
+    target_source: str,
+    n_buckets: int,
+    logratio: "DataFrame | None" = None,
+) -> "DataFrame":
+    """(doc_id, w_micro, n_grams) for EVERY input doc — the integer
+    core shared by :func:`dsir_logweights` and :func:`dsir_resample`.
+
+    Scale: doc-bucket features join the broadcast <= B-row log-ratio
+    table (no shuffle on the big side beyond the feature groupBy),
+    then one doc-keyed map-combinable sum. Docs whose text produced no
+    grams keep weight 0 via the left join.
+    """
+    db = _dsir_doc_buckets(docs, n_buckets, with_source=logratio is None)
+    lr = (
+        logratio
+        if logratio is not None
+        else dsir_bucket_logratio(db, target_source, n_buckets)
+    )
+    w = (
+        db.join(F.broadcast(lr.select("bucket", "lr_micro")), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("lr_micro")).cast("long").alias("w_micro"),
+            F.sum("n").cast("long").alias("n_grams"),
+        )
+    )
+    return docs.select("doc_id").join(w, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("w_micro"), F.lit(0)).cast("long").alias("w_micro"),
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+    )
+
+
+def dsir_logweights(
+    docs: "DataFrame",
+    target_source: str = "src0",
+    n_buckets: int | None = None,
+    logratio: "DataFrame | None" = None,
+) -> "DataFrame":
+    """Per-document DSIR log importance weight of the raw pool toward
+    the ``target_source`` slice: (doc_id, n_grams, logw). Positive =
+    more target-like than the pool average under the hashed-ngram
+    bag-of-words models.
+
+    100 TB shape: the "fit" is two bounded aggregations (doc-keyed
+    features, then <= n_buckets rows); scoring is a broadcast join +
+    one doc-keyed sum. Nothing global beyond the <= B-row model —
+    exactly how DSIR was run at CommonCrawl scale in the paper.
+    """
+    from .params import DSIR_BUCKETS
+
+    nb = DSIR_BUCKETS if n_buckets is None else n_buckets
+    w = _dsir_w_micro(docs, target_source, nb, logratio=logratio)
+    return w.select(
+        "doc_id",
+        "n_grams",
+        (F.col("w_micro").cast("double") / F.lit(1e6)).alias("logw"),
+    )
+
+
+def dsir_resample(
+    docs: "DataFrame",
+    k: int | None = None,
+    target_source: str = "src0",
+    n_buckets: int | None = None,
+    logratio: "DataFrame | None" = None,
+) -> "DataFrame":
+    """Gumbel top-k importance resample (the paper's sampling-without-
+    replacement trick): key = logw + Gumbel(0,1), take the k largest.
+    The Gumbel noise is DETERMINISTIC — u = (md5-prefix(doc_id)+1) /
+    (16^7+1), g = -ln(-ln(u)) — so the sample is reproducible and
+    oracle-checkable; micro-quantized like every other log here.
+
+    Returns (doc_id, logw, sample_key), k rows. Scale: the weight plan
+    above plus one map-side key expression; top-k compiles to
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    from .params import DSIR_BUCKETS, DSIR_SAMPLE_K
+
+    kk = DSIR_SAMPLE_K if k is None else k
+    nb = DSIR_BUCKETS if n_buckets is None else n_buckets
+    w = _dsir_w_micro(docs, target_source, nb, logratio=logratio)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(268435457.0)  # (0, 1)
+    g_micro = F.floor(-F.log(-F.log(u)) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    keyed = w.select(
+        "doc_id",
+        "w_micro",
+        (F.col("w_micro") + g_micro).alias("_key_micro"),
+    )
+    return (
+        keyed.orderBy(F.col("_key_micro").desc(), "doc_id")
+        .limit(kk)
+        .select(
+            "doc_id",
+            (F.col("w_micro").cast("double") / F.lit(1e6)).alias("logw"),
+            (F.col("_key_micro").cast("double") / F.lit(1e6)).alias("sample_key"),
+        )
+    )
+
+
+def _dsir_core_sql(target_source: str, n_buckets: int) -> str:
+    """Shared DuckDB CTE chain ending in wfull(doc_id, w_micro, n_grams)."""
+    b = n_buckets
+    return f"""
+    tk AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source, unnest(tk) AS gram FROM tk
+        UNION ALL
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> array_to_string(tk[i:i+1], ' '))) AS gram
+        FROM tk
+    ),
+    db AS (
+        SELECT doc_id, source, bucket, COUNT(*)::BIGINT AS n
+        FROM (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5(gram), 1, 7))::BIGINT % {b} AS bucket
+            FROM grams
+        ) g GROUP BY doc_id, source, bucket
+    ),
+    pb AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN source = '{target_source}' THEN n ELSE 0 END)
+                    AS BIGINT) AS c_t,
+               CAST(SUM(CASE WHEN source <> '{target_source}' THEN n ELSE 0 END)
+                    AS BIGINT) AS c_r
+        FROM db GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+               CAST(SUM(c_r) AS BIGINT) AS n_r FROM pb
+    ),
+    lr AS (
+        SELECT bucket,
+               CAST(floor(ln(c_t + 1) * 1e6 + 0.5) AS BIGINT)
+             - CAST(floor(ln(n_t + {b}) * 1e6 + 0.5) AS BIGINT)
+             - CAST(floor(ln(c_r + 1) * 1e6 + 0.5) AS BIGINT)
+             + CAST(floor(ln(n_r + {b}) * 1e6 + 0.5) AS BIGINT) AS lr_micro
+        FROM pb, tot
+    ),
+    w AS (
+        SELECT db.doc_id,
+               CAST(SUM(db.n * lr.lr_micro) AS BIGINT) AS w_micro,
+               CAST(SUM(db.n) AS BIGINT) AS n_grams
+        FROM db JOIN lr USING (bucket)
+        GROUP BY db.doc_id
+    ),
+    wfull AS (
+        SELECT d.doc_id,
+               COALESCE(w.w_micro, 0) AS w_micro,
+               COALESCE(w.n_grams, 0) AS n_grams
+        FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+    )
+    """
+
+
+def dsir_logweights_sql(
+    target_source: str = "src0", n_buckets: int | None = None
+) -> str:
+    """DuckDB mirror of :func:`dsir_logweights` — identical
+    quantize-then-exact-sum formulation."""
+    from .params import DSIR_BUCKETS
+
+    nb = DSIR_BUCKETS if n_buckets is None else n_buckets
+    return f"""
+    WITH {_dsir_core_sql(target_source, nb)}
+    SELECT doc_id, n_grams,
+           CAST(w_micro AS DOUBLE) / 1e6 AS logw
+    FROM wfull
+    """
+
+
+def dsir_resample_sql(
+    k: int | None = None,
+    target_source: str = "src0",
+    n_buckets: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`dsir_resample`."""
+    from .params import DSIR_BUCKETS, DSIR_SAMPLE_K
+
+    kk = DSIR_SAMPLE_K if k is None else k
+    nb = DSIR_BUCKETS if n_buckets is None else n_buckets
+    return f"""
+    WITH {_dsir_core_sql(target_source, nb)},
+    keyed AS (
+        SELECT doc_id, w_micro,
+               w_micro + CAST(floor(-ln(-ln(
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT + 1)
+                   / 268435457.0)) * 1e6 + 0.5) AS BIGINT) AS key_micro
+        FROM wfull
+    )
+    SELECT doc_id,
+           CAST(w_micro AS DOUBLE) / 1e6 AS logw,
+           CAST(key_micro AS DOUBLE) / 1e6 AS sample_key
+    FROM keyed
+    ORDER BY key_micro DESC, doc_id
+    LIMIT {kk}
+    """

@@ -1230,6 +1230,34 @@ def make_ann_serve_fn(index, k: int = 10, nprobe: int = 2,
     return fn
 
 
+def make_dsir_serve_fn(logratio, n_buckets=None, sink=None):
+    """Streaming DSIR scoring (round 10): ``foreachBatch`` callable
+    scoring each micro-batch of ``(doc_id, text)`` documents against a
+    PREFIT <=n_buckets-row log-ratio model
+    (:func:`..llm.sampling.fit_dsir_logratio`) — the serve half of the
+    importance-resampling pipeline: the model describes the fitted
+    target/pool snapshot; arriving docs are scored, never folded into
+    the fit (refit on the next corpus snapshot, the
+    :func:`make_span_serve_fn` / ``IvfPqIndex`` posture).
+
+    foreachBatch for the same reason as the span server: scoring needs
+    a per-doc aggregation over the exploded gram features, whose groups
+    by construction never span micro-batches — a pure streaming DAG
+    would hold them in the state store for nothing. Each batch runs the
+    identical batch operator (``dsir_logweights(batch, logratio=...)``),
+    so streaming scores equal batch scores row-for-row (pinned by
+    tests/test_streaming.py). ``sink(result_df, epoch_id)`` owns
+    delivery."""
+    from ..llm.sampling import dsir_logweights
+
+    def fn(batch_df, epoch_id):
+        out = dsir_logweights(batch_df, n_buckets=n_buckets, logratio=logratio)
+        if sink is not None:
+            sink(out, epoch_id)
+
+    return fn
+
+
 def make_span_serve_fn(dup_grams, gram: int = 8, sink=None):
     """Streaming span-cut serving (round 10): ``foreachBatch`` callable
     rewriting each micro-batch of ``(doc_id, text)`` documents against

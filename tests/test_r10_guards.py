@@ -275,3 +275,120 @@ def test_compute_rotation_changed_in_backlog_not_duplicated(monkeypatch):
     head, tail = mod._compute_rotation(names)
     assert head == ["b", "a", "c", "d"][: len(head)]
     assert len(head) == len(set(head)) == 4 and tail == []
+
+
+# --- DSIR importance resampling (round-10 addition) -----------------------
+
+
+def _docs(spark):
+    from myodish_peak_analysis_spark.schema import read_table
+
+    return read_table(spark, "/root/testdata/sf0.01", "documents")
+
+
+def test_dsir_weights_separate_target_from_pool(spark):
+    """The whole point of DSIR: documents from the target source must
+    score higher on average than the pool (they ARE the distribution
+    the model was fit on)."""
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm import sampling as S
+
+    docs = _docs(spark)
+    w = S.dsir_logweights(docs, target_source="src0").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    rows = (
+        w.groupBy(F.col("source") == "src0")
+        .agg(F.avg("logw").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in rows}
+    # measured gap at sf0.01 is ~16 nats (-2.9 vs -19.2); any real
+    # separation clears 5 — equality would mean the model learned nothing
+    assert means[True] > means[False] + 5.0
+
+
+def test_dsir_weights_cover_every_doc(spark):
+    from myodish_peak_analysis_spark.llm import sampling as S
+
+    docs = _docs(spark)
+    w = S.dsir_logweights(docs)
+    assert w.count() == docs.count()
+    assert w.filter("n_grams <= 0").count() == 0  # corpus has no empty docs
+
+
+def test_dsir_resample_is_subset_with_k_rows(spark):
+    from myodish_peak_analysis_spark.llm import sampling as S
+
+    docs = _docs(spark)
+    sample = S.dsir_resample(docs, k=40)
+    assert sample.count() == 40
+    ids = {r.doc_id for r in sample.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert ids <= all_ids
+    # the Gumbel key must dominate-but-follow the weight: every sampled
+    # row's key is its logw plus a finite perturbation
+    for r in sample.collect():
+        assert r.sample_key == pytest.approx(r.logw, abs=25.0)
+
+
+def test_dsir_resample_prefers_high_weight_docs(spark):
+    """Gumbel top-k with k = 20% of corpus must over-select target-like
+    docs: the mean logw of the sample exceeds the corpus mean."""
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm import sampling as S
+
+    docs = _docs(spark)
+    corpus_mean = (
+        S.dsir_logweights(docs).agg(F.avg("logw")).collect()[0][0]
+    )
+    sample_mean = (
+        S.dsir_resample(docs, k=100).agg(F.avg("logw")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
+
+
+def test_dsir_bigram_features_present(spark):
+    """Single-token docs contribute exactly 1 gram; an n-token doc
+    contributes 2n-1 (n unigrams + n-1 bigrams) — pins the feature
+    definition the oracle mirrors."""
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm import sampling as S
+
+    docs = _docs(spark)
+    w = S.dsir_logweights(docs).join(
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        ),
+        "doc_id",
+    )
+    bad = w.filter(
+        F.col("n_grams")
+        != F.when(F.col("n_tok") >= 2, 2 * F.col("n_tok") - 1).otherwise(
+            F.col("n_tok")
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_dsir_prefit_model_equals_inline(spark):
+    """fit_dsir_logratio + logratio= must reproduce the inline fit
+    bit-for-bit — the prefit pattern's contract (same as
+    dup_spans_scoped_prefit)."""
+    from myodish_peak_analysis_spark.llm import sampling as S
+
+    docs = _docs(spark)
+    model = S.fit_dsir_logratio(docs)
+    inline = sorted(map(tuple, S.dsir_logweights(docs).collect()))
+    prefit = sorted(
+        map(tuple, S.dsir_logweights(docs, logratio=model).collect())
+    )
+    assert inline == prefit
+    sample_inline = sorted(map(tuple, S.dsir_resample(docs, k=30).collect()))
+    sample_prefit = sorted(
+        map(tuple, S.dsir_resample(docs, k=30, logratio=model).collect())
+    )
+    assert sample_inline == sample_prefit

@@ -1379,3 +1379,52 @@ def test_streaming_find_peaks_recovers_state_from_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert got == expect and 30 in got
+
+
+def test_streaming_dsir_serve_matches_batch(spark, tmp_path):
+    """foreachBatch DSIR scoring against a prefit log-ratio model:
+    micro-batch scores equal the batch prefit scores row-for-row (docs
+    score independently once the model is fixed), the model stays
+    frozen, and the serve path needs no `source` column."""
+    import os
+
+    from myodish_peak_analysis_spark.llm.sampling import (
+        dsir_logweights,
+        fit_dsir_logratio,
+    )
+    from myodish_peak_analysis_spark.schema import read_table
+    from myodish_peak_analysis_spark.streaming.peaks import make_dsir_serve_fn
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    model = fit_dsir_logratio(docs)
+    arriving = docs.filter("doc_id % 10 = 0").select("doc_id", "text")
+    src = os.path.join(str(tmp_path), "arriving_dsir")
+    arriving.repartition(2).write.parquet(src)
+
+    collected = []
+    epochs = set()
+
+    def sink(df, epoch_id):
+        epochs.add(epoch_id)
+        collected.extend(df.collect())
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(
+        make_dsir_serve_fn(model, sink=sink)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.doc_id: (r.n_grams, r.logw) for r in collected}
+    expect = {
+        r.doc_id: (r.n_grams, r.logw)
+        for r in dsir_logweights(arriving, logratio=model).collect()
+    }
+    assert got == expect and len(epochs) >= 2
+    assert len(got) == arriving.count()

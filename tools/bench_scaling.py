@@ -265,6 +265,25 @@ def _docs_ops():
                 )
             ),
         ),
+        # round 10: DSIR importance resampling decades — the inline-fit
+        # weights (3 exploded-gram passes) and the amortized prefit
+        # serve (fit_dsir_logratio materializes the <=1024-row model in
+        # rep 1's timed region; rep 2 records the one-explode-pass +
+        # broadcast-join serve cost, the prefit-index convention).
+        (
+            "dsir_weights",
+            lambda d, _n: _timed_build(
+                lambda: _sampling_mod().dsir_logweights(d)
+            ),
+        ),
+        (
+            "dsir_weights_prefit",
+            lambda d, _n: _timed_build(
+                lambda: _sampling_mod().dsir_logweights(
+                    d, logratio=_sampling_mod().fit_dsir_logratio(d)
+                )
+            ),
+        ),
         (
             "levenshtein_neardup",
             lambda d, _n: _timed_build(lambda: dedup.levenshtein_neardup(d)),
