@@ -362,6 +362,9 @@ def main() -> None:
         "dsir_weights": lambda: sampling.dsir_logweights(docs),
         "dsir_sample": lambda: sampling.dsir_resample(docs),
         "dsir_weights_prefit": _prefit_dsir,
+        "dsir_curated_sample": lambda: sampling.dsir_resample(
+            docs.join(curate.curated_corpus(docs).select("doc_id"), "doc_id")
+        ),
         # round-7: external-query serving against the (cached) prefit
         # IVF-PQ index — the production request path; reuses the same
         # index the ivf_pq_topk_prefit entry fits, so this times ONLY

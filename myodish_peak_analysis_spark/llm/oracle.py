@@ -1384,3 +1384,16 @@ ORACLES["dsir_sample"] = dsir_resample_sql()
 # prefit model changes WHERE the log-ratio frame comes from, never a
 # value — the amortized entry shares the inline oracle verbatim.
 ORACLES["dsir_weights_prefit"] = ORACLES["dsir_weights"]
+
+# DSIR over the curated pool: the curated_corpus oracle becomes the
+# fit+score relation via the parameterized core chain.
+from .curate import curated_corpus_sql as _ccs  # noqa: E402
+
+ORACLES["dsir_curated_sample"] = dsir_resample_sql(
+    rel="dsir_pool",
+    prelude=(
+        f"curated AS ({_ccs()}), "
+        "dsir_pool AS (SELECT d.* FROM documents d "
+        "JOIN curated USING (doc_id)), "
+    ),
+)

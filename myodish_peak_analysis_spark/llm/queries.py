@@ -799,3 +799,19 @@ def q_dsir_weights_prefit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dsir_weights_prefit"] = q_dsir_weights_prefit
+
+
+def q_dsir_curated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR composed into the curation pipeline: fit the hashed-ngram
+    model on the CURATED pool (dedup + quality + Gopher survivors) and
+    Gumbel-top-k sample from it — quality gates first, then
+    target-relevance selection, the order production stacks run (the
+    paper selects from the raw pool; gating first shrinks the fit and
+    sample space to documents worth training on)."""
+    docs = read_table(spark, sf_dir, "documents")
+    kept = curate.curated_corpus(docs).select("doc_id")
+    pool = docs.join(kept, "doc_id")
+    return sampling.dsir_resample(pool)
+
+
+QUERIES["dsir_curated_sample"] = q_dsir_curated_sample

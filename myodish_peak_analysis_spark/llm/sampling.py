@@ -456,7 +456,10 @@ def fit_dsir_logratio(
     :func:`dsir_logweights` / :func:`dsir_resample` — the serve path
     is then ONE explode pass + a broadcast join, the 100 TB shape
     (the inline fit re-derives the model per call: 3 passes over the
-    exploded grams, fine for the oracle, wasteful as a daily batch)."""
+    exploded grams, fine for the oracle, wasteful as a daily batch).
+    MEASURED at 5M docs (docs/PLANS.md "DSIR decades"): the prefit
+    serve holds ~34k docs/s flat from 500k to 5M (145.3 s at 5M) vs
+    593.7 s for the fit-inline path — 4.1× cheaper per batch."""
     from .params import DSIR_BUCKETS
 
     nb = DSIR_BUCKETS if n_buckets is None else n_buckets
@@ -571,12 +574,16 @@ def dsir_resample(
     )
 
 
-def _dsir_core_sql(target_source: str, n_buckets: int) -> str:
-    """Shared DuckDB CTE chain ending in wfull(doc_id, w_micro, n_grams)."""
+def _dsir_core_sql(
+    target_source: str, n_buckets: int, rel: str = "documents"
+) -> str:
+    """Shared DuckDB CTE chain ending in wfull(doc_id, w_micro, n_grams).
+    ``rel`` is the relation the model fits on AND scores — pass a CTE
+    name to run DSIR over a restricted pool (the curated composition)."""
     b = n_buckets
     return f"""
     tk AS (
-        SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+        SELECT doc_id, source, string_split(text, ' ') AS tk FROM {rel}
     ),
     grams AS (
         SELECT doc_id, source, unnest(tk) AS gram FROM tk
@@ -625,7 +632,7 @@ def _dsir_core_sql(target_source: str, n_buckets: int) -> str:
         SELECT d.doc_id,
                COALESCE(w.w_micro, 0) AS w_micro,
                COALESCE(w.n_grams, 0) AS n_grams
-        FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+        FROM {rel} d LEFT JOIN w ON d.doc_id = w.doc_id
     )
     """
 
@@ -650,14 +657,18 @@ def dsir_resample_sql(
     k: int | None = None,
     target_source: str = "src0",
     n_buckets: int | None = None,
+    rel: str = "documents",
+    prelude: str = "",
 ) -> str:
-    """DuckDB mirror of :func:`dsir_resample`."""
+    """DuckDB mirror of :func:`dsir_resample`. ``prelude`` prepends
+    extra CTEs (e.g. the curated pool) ahead of the core chain;
+    ``rel`` points the chain at one of them."""
     from .params import DSIR_BUCKETS, DSIR_SAMPLE_K
 
     kk = DSIR_SAMPLE_K if k is None else k
     nb = DSIR_BUCKETS if n_buckets is None else n_buckets
     return f"""
-    WITH {_dsir_core_sql(target_source, nb)},
+    WITH {prelude}{_dsir_core_sql(target_source, nb, rel=rel)},
     keyed AS (
         SELECT doc_id, w_micro,
                w_micro + CAST(floor(-ln(-ln(

@@ -392,3 +392,18 @@ def test_dsir_prefit_model_equals_inline(spark):
         map(tuple, S.dsir_resample(docs, k=30, logratio=model).collect())
     )
     assert sample_inline == sample_prefit
+
+
+def test_dsir_curated_sample_draws_from_curated_pool(spark):
+    """The composed query's sample must be a subset of the curated
+    survivors (quality gates run BEFORE target-relevance selection)."""
+    from myodish_peak_analysis_spark.llm import curate
+    from myodish_peak_analysis_spark.llm import sampling as S
+
+    docs = _docs(spark)
+    kept = curate.curated_corpus(docs).select("doc_id")
+    pool = docs.join(kept, "doc_id")
+    sample = S.dsir_resample(pool, k=50)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    sample_ids = {r.doc_id for r in sample.collect()}
+    assert sample_ids <= kept_ids and len(sample_ids) == 50
