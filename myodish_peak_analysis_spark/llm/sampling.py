@@ -429,16 +429,29 @@ def dsir_bucket_logratio(
         F.sum("c_t").cast("long").alias("n_t"),
         F.sum("c_r").cast("long").alias("n_r"),
     )
+    lr = (
+        _ln_micro(F.col("c_t") + F.lit(1))
+        - _ln_micro(F.col("n_t") + F.lit(n_buckets))
+        - _ln_micro(F.col("c_r") + F.lit(1))
+        + _ln_micro(F.col("n_r") + F.lit(n_buckets))
+    )
+    # loud, not silent (the tf-idf overflow-guard convention): a target
+    # slice that matched zero grams means the "model" is pure Laplace
+    # noise and every weight is a constant-per-gram artifact — name the
+    # mistake instead of returning plausible-looking numbers. n_t is a
+    # corpus total, so the branch is constant-folded per row batch and
+    # free on every healthy corpus.
+    guarded = F.when(
+        F.col("n_t") > 0, lr
+    ).otherwise(
+        F.expr(
+            "raise_error('DSIR_EMPTY_TARGET: target_source matched no "
+            "document grams — the target model is empty; check the "
+            "target_source value against the corpus source column')"
+        ).cast("long")
+    )
     return per_bucket.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        "c_t",
-        "c_r",
-        (
-            _ln_micro(F.col("c_t") + F.lit(1))
-            - _ln_micro(F.col("n_t") + F.lit(n_buckets))
-            - _ln_micro(F.col("c_r") + F.lit(1))
-            + _ln_micro(F.col("n_r") + F.lit(n_buckets))
-        ).alias("lr_micro"),
+        "bucket", "c_t", "c_r", guarded.alias("lr_micro")
     )
 
 

@@ -407,3 +407,16 @@ def test_dsir_curated_sample_draws_from_curated_pool(spark):
     kept_ids = {r.doc_id for r in kept.collect()}
     sample_ids = {r.doc_id for r in sample.collect()}
     assert sample_ids <= kept_ids and len(sample_ids) == 50
+
+
+def test_dsir_raises_loudly_on_empty_target(spark):
+    """A target_source matching no documents must raise a named error
+    (the tf-idf overflow-guard convention), not return Laplace-noise
+    weights that look plausible."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from myodish_peak_analysis_spark.llm import sampling as S
+
+    docs = _docs(spark)
+    with pytest.raises(SparkRuntimeException, match="DSIR_EMPTY_TARGET"):
+        S.dsir_logweights(docs, target_source="no_such_source").collect()
