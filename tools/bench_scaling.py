@@ -285,6 +285,23 @@ def _docs_ops():
             ),
         ),
         (
+            "dsir_sample",
+            lambda d, _n: _timed_build(
+                lambda: _sampling_mod().dsir_resample(d)
+            ),
+        ),
+        (
+            "dsir_curated_sample",
+            lambda d, _n: _timed_build(
+                lambda: _sampling_mod().dsir_resample(
+                    d.join(
+                        _curate_mod().curated_corpus(d).select("doc_id"),
+                        "doc_id",
+                    )
+                )
+            ),
+        ),
+        (
             "levenshtein_neardup",
             lambda d, _n: _timed_build(lambda: dedup.levenshtein_neardup(d)),
         ),
