@@ -412,9 +412,18 @@ def dsir_bucket_logratio(
     """Per-bucket Laplace-smoothed log importance ratio, micro-quantized:
     lr_micro(b) = q(ln(c_t+1)) - q(ln(N_t+B)) - q(ln(c_r+1)) + q(ln(N_r+B)).
 
+    ALL n_buckets rows are emitted, not just buckets the fit corpus
+    touched: an out-of-vocabulary serve-time gram must score the
+    Laplace default ratio (c_t = c_r = 0), not silently vanish from
+    the inner join — the bias a sparse fit would otherwise inject into
+    every streaming/prefit score. The frame also carries the
+    ``fit_n_buckets`` constant so scorers can verify a prefit model
+    was fitted with the bucket count they hash with.
+
     Scale: a second aggregation down to <= B rows (map-side partial,
-    B-bounded combiner state) plus a 1-row totals broadcast — the
-    fitted "model" is a <= B-row frame, broadcast to every scorer.
+    B-bounded combiner state), a B-row densifying join, and a 1-row
+    totals broadcast — the fitted "model" is an exactly-B-row frame,
+    broadcast to every scorer.
     """
     is_t = F.col("source") == F.lit(target_source)
     per_bucket = doc_buckets.groupBy("bucket").agg(
@@ -425,7 +434,18 @@ def dsir_bucket_logratio(
         .cast("long")
         .alias("c_r"),
     )
-    totals = per_bucket.agg(
+    all_buckets = doc_buckets.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    dense = (
+        all_buckets.join(per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("c_t"), F.lit(0)).cast("long").alias("c_t"),
+            F.coalesce(F.col("c_r"), F.lit(0)).cast("long").alias("c_r"),
+        )
+    )
+    totals = dense.agg(
         F.sum("c_t").cast("long").alias("n_t"),
         F.sum("c_r").cast("long").alias("n_r"),
     )
@@ -435,23 +455,38 @@ def dsir_bucket_logratio(
         - _ln_micro(F.col("c_r") + F.lit(1))
         + _ln_micro(F.col("n_r") + F.lit(n_buckets))
     )
-    # loud, not silent (the tf-idf overflow-guard convention): a target
-    # slice that matched zero grams means the "model" is pure Laplace
-    # noise and every weight is a constant-per-gram artifact — name the
-    # mistake instead of returning plausible-looking numbers. n_t is a
-    # corpus total, so the branch is constant-folded per row batch and
-    # free on every healthy corpus.
-    guarded = F.when(
-        F.col("n_t") > 0, lr
-    ).otherwise(
-        F.expr(
-            "raise_error('DSIR_EMPTY_TARGET: target_source matched no "
-            "document grams — the target model is empty; check the "
-            "target_source value against the corpus source column')"
-        ).cast("long")
+    # loud, not silent (the tf-idf overflow-guard convention), on BOTH
+    # sides: an empty target slice (n_t=0) means the "model" is pure
+    # Laplace noise; an empty pool (n_r=0, e.g. the pool accidentally
+    # scoped to only target docs) means every weight ranks against a
+    # uniform pool instead of the intended target-vs-pool ratio. Name
+    # the mistake instead of returning plausible-looking numbers; the
+    # branches test corpus totals, so they are free on healthy corpora.
+    guarded = (
+        F.when(
+            F.col("n_t") <= 0,
+            F.expr(
+                "raise_error('DSIR_EMPTY_TARGET: target_source matched no "
+                "document grams — the target model is empty; check the "
+                "target_source value against the corpus source column')"
+            ).cast("long"),
+        )
+        .when(
+            F.col("n_r") <= 0,
+            F.expr(
+                "raise_error('DSIR_EMPTY_POOL: every document gram belongs "
+                "to target_source — the pool model is empty; score against "
+                "a corpus that contains non-target documents')"
+            ).cast("long"),
+        )
+        .otherwise(lr)
     )
-    return per_bucket.crossJoin(F.broadcast(totals)).select(
-        "bucket", "c_t", "c_r", guarded.alias("lr_micro")
+    return dense.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "c_t",
+        "c_r",
+        guarded.alias("lr_micro"),
+        F.lit(n_buckets).cast("long").alias("fit_n_buckets"),
     )
 
 
@@ -472,7 +507,14 @@ def fit_dsir_logratio(
     exploded grams, fine for the oracle, wasteful as a daily batch).
     MEASURED at 5M docs (docs/PLANS.md "DSIR decades"): the prefit
     serve holds ~34k docs/s flat from 500k to 5M (145.3 s at 5M) vs
-    593.7 s for the fit-inline path — 4.1× cheaper per batch."""
+    593.7 s for the fit-inline path — 4.1× cheaper per batch.
+
+    Contract: scorers must hash with the SAME ``n_buckets`` the model
+    was fitted with (the ``fit_dup_gram_stats`` gram/min_count
+    contract) — the model frame carries ``fit_n_buckets`` and the
+    scorer raises DSIR_BUCKET_MISMATCH on first use if they differ.
+    The frame has exactly n_buckets rows: out-of-vocabulary serve-time
+    grams score the Laplace default ratio instead of being dropped."""
     from .params import DSIR_BUCKETS
 
     nb = DSIR_BUCKETS if n_buckets is None else n_buckets
@@ -497,11 +539,28 @@ def _dsir_w_micro(
     grams keep weight 0 via the left join.
     """
     db = _dsir_doc_buckets(docs, n_buckets, with_source=logratio is None)
-    lr = (
-        logratio
-        if logratio is not None
-        else dsir_bucket_logratio(db, target_source, n_buckets)
-    )
+    if logratio is not None and "fit_n_buckets" in logratio.columns:
+        # zero-action mismatch guard: a prefit model hashed with a
+        # different bucket count would join grams to wrong-bucket
+        # ratios and return silently wrong scores. The model carries
+        # its fit_n_buckets constant; any joined row with a different
+        # value raises on first use (no extra Spark action — the check
+        # rides the existing scoring projection).
+        lr_guarded = F.when(
+            F.col("fit_n_buckets") == F.lit(n_buckets), F.col("lr_micro")
+        ).otherwise(
+            F.expr(
+                "raise_error(concat('DSIR_BUCKET_MISMATCH: model fitted "
+                "with n_buckets=', fit_n_buckets, ' but scoring hashes "
+                f"with n_buckets={n_buckets}; refit or pass the fit''s "
+                "n_buckets to the scorer'))"
+            ).cast("long")
+        )
+        lr = logratio.select("bucket", lr_guarded.alias("lr_micro"))
+    elif logratio is not None:
+        lr = logratio
+    else:
+        lr = dsir_bucket_logratio(db, target_source, n_buckets)
     w = (
         db.join(F.broadcast(lr.select("bucket", "lr_micro")), "bucket")
         .groupBy("doc_id")

@@ -1246,8 +1246,12 @@ def make_dsir_serve_fn(logratio, n_buckets=None, sink=None):
     would hold them in the state store for nothing. Each batch runs the
     identical batch operator (``dsir_logweights(batch, logratio=...)``),
     so streaming scores equal batch scores row-for-row (pinned by
-    tests/test_streaming.py). ``sink(result_df, epoch_id)`` owns
-    delivery."""
+    tests/test_streaming.py). ``n_buckets`` must match the model's fit
+    (the model carries ``fit_n_buckets``; a mismatch raises
+    DSIR_BUCKET_MISMATCH on the first batch instead of scoring grams
+    against wrong-bucket ratios); out-of-vocabulary grams score the
+    model's Laplace default row, never silently drop.
+    ``sink(result_df, epoch_id)`` owns delivery."""
     from ..llm.sampling import dsir_logweights
 
     def fn(batch_df, epoch_id):

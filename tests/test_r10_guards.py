@@ -420,3 +420,62 @@ def test_dsir_raises_loudly_on_empty_target(spark):
     docs = _docs(spark)
     with pytest.raises(SparkRuntimeException, match="DSIR_EMPTY_TARGET"):
         S.dsir_logweights(docs, target_source="no_such_source").collect()
+
+
+def test_dsir_raises_loudly_on_empty_pool(spark):
+    """The symmetric guard: a pool scoped to ONLY target docs must
+    raise DSIR_EMPTY_POOL, not rank against a uniform Laplace pool."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from myodish_peak_analysis_spark.llm import sampling as S
+
+    docs = _docs(spark).filter("source = 'src0'")
+    with pytest.raises(SparkRuntimeException, match="DSIR_EMPTY_POOL"):
+        S.dsir_logweights(docs, target_source="src0").collect()
+
+
+def test_dsir_bucket_mismatch_raises(spark):
+    """A prefit model fitted with a different n_buckets must raise on
+    first use instead of joining grams to wrong-bucket ratios."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from myodish_peak_analysis_spark.llm import sampling as S
+
+    docs = _docs(spark)
+    model = S.fit_dsir_logratio(docs, n_buckets=64)
+    with pytest.raises(SparkRuntimeException, match="DSIR_BUCKET_MISMATCH"):
+        S.dsir_logweights(docs, n_buckets=256, logratio=model).collect()
+
+
+def test_dsir_oov_grams_score_laplace_default_not_dropped(spark):
+    """Serve-time grams hashing to buckets the fit corpus never touched
+    must score the model's Laplace default row (dense B-row model), so
+    n_grams keeps the 2n-1 invariant and logw carries the default
+    ratio — they must NOT vanish from the inner join."""
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm import sampling as S
+
+    docs = _docs(spark)
+    # tiny fit corpus + small B would still cover most buckets, so fit
+    # on 6 docs with B=1024: most buckets stay untouched by the fit
+    # (doc_id % 97 keeps the slice source-mixed — %100 would select
+    # only src0 docs and correctly trip the DSIR_EMPTY_POOL guard)
+    fit_docs = docs.filter("doc_id % 97 = 0")
+    model = S.fit_dsir_logratio(fit_docs)
+    assert model.count() == 1024  # dense: every bucket has a row
+    # score OOV-heavy docs (disjoint from the fit slice)
+    serve = docs.filter("doc_id % 100 = 7").select("doc_id", "text")
+    w = S.dsir_logweights(serve, logratio=model).join(
+        serve.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        ),
+        "doc_id",
+    )
+    bad = w.filter(
+        F.col("n_grams")
+        != F.when(F.col("n_tok") >= 2, 2 * F.col("n_tok") - 1).otherwise(
+            F.col("n_tok")
+        )
+    )
+    assert bad.count() == 0  # every gram scored, none dropped
