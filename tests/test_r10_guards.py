@@ -479,3 +479,24 @@ def test_dsir_oov_grams_score_laplace_default_not_dropped(spark):
         )
     )
     assert bad.count() == 0  # every gram scored, none dropped
+
+
+def test_newest_driver_rows_skips_stray_glob_matches(monkeypatch, tmp_path):
+    """A file matching the CORRECTNESS_r*.json glob but not the
+    _r<digits>.json regex (a .bak sibling, a retry copy) must be
+    skipped like a truncated artifact — not crash module import with
+    AttributeError on m.group."""
+    import glob as glob_mod
+    import json
+
+    import __spark_entry__ as e
+
+    good = tmp_path / "CORRECTNESS_r3.json"
+    good.write_text(json.dumps({"some_query": {}}))
+    stray = tmp_path / "CORRECTNESS_r3_retry.json"
+    stray.write_text("{}")
+    monkeypatch.setattr(
+        glob_mod, "glob", lambda pat: [str(stray), str(good)]
+    )
+    newest, latest = e._newest_driver_rows()
+    assert latest == 3 and newest == {"some_query": 3}
