@@ -167,6 +167,23 @@ def main() -> None:
             _dsir_model["m"] = sampling.fit_dsir_logratio(docs)
         return sampling.dsir_logweights(docs, logratio=_dsir_model["m"])
 
+    def _ann_serve_appended():
+        # the between-refits ingest path (round 10): the corpus index
+        # is fit once on rep 1 (cached, the prefit convention); every
+        # rep then pays assign-new + union + serve — the daily batch's
+        # amortized cost.
+        if "aidx" not in _ivf_pq_idx:
+            _ivf_pq_idx["aidx"] = similarity.fit_ivf_pq_index(
+                emb.filter(F.col("vec_id") % 10 != 3), n_clusters="auto"
+            )
+        idx2 = similarity.ivf_pq_append(
+            _ivf_pq_idx["aidx"], emb.filter(F.col("vec_id") % 10 == 3)
+        )
+        qs = emb.filter(
+            F.col("vec_id") % similarity.ANN_QUERY_MOD == 0
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        return similarity.ivf_pq_search(qs, idx2)
+
     def _ann_serve():
         if "idx" not in _ivf_pq_idx:
             _ivf_pq_idx["idx"] = similarity.fit_ivf_pq_index(
@@ -370,6 +387,7 @@ def main() -> None:
         # index the ivf_pq_topk_prefit entry fits, so this times ONLY
         # probe -> posting lists -> ADC -> re-rank on a fresh batch.
         "ann_serve": _ann_serve,
+        "ann_serve_appended": _ann_serve_appended,
     }
 
     # round-6 additions (VERDICT r5 ask #8): the heavy §2 singles,

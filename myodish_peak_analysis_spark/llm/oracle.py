@@ -347,7 +347,7 @@ SELECT * FROM (
 ) p WHERE cosine >= 0.4
 """
 
-def _kmeans_member_ctes(n_clusters: int, iters: int) -> str:
+def _kmeans_member_ctes(n_clusters: int, iters: int, src: str = "base") -> str:
     """Unrolled deterministic k-means: the Lloyd loop is a FIXED
     iteration count with a FIXED init (the ``n_clusters`` lowest
     vec_ids), so the "iterative" algorithm is just ``iters`` chained
@@ -357,20 +357,20 @@ def _kmeans_member_ctes(n_clusters: int, iters: int) -> str:
     assignment ranks round cosine to 9 decimals with centroid-id
     tie-break, identical on both sides. Ends with ``members``
     (vec_id, e, nrm, centroid_id) and ``c{iters}`` (final centroids);
-    expects ``base`` in scope."""
+    expects ``src`` (default ``base``) in scope."""
     assign = (
         "SELECT vec_id, e, nrm, centroid_id FROM ("
         "SELECT b.vec_id, b.e, b.nrm, c.centroid_id, "
         "ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY "
         "ROUND(list_dot_product(b.e, c.c) / (b.nrm * c.cn), 9) DESC, "
         "c.centroid_id) AS rk "
-        "FROM base b CROSS JOIN {cents} c) t WHERE rk = 1"
+        f"FROM {src} b CROSS JOIN {{cents}} c) t WHERE rk = 1"
     )
     ctes = [
         f"""c0 AS (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS centroid_id,
                e AS c, nrm AS cn
-        FROM base ORDER BY vec_id LIMIT {n_clusters})"""
+        FROM {src} ORDER BY vec_id LIMIT {n_clusters})"""
     ]
     for i in range(1, iters + 1):
         ctes.append(f"a{i} AS ({assign.format(cents=f'c{i - 1}')})")
@@ -653,13 +653,14 @@ def _fq(expr: str, dp: int) -> str:
     return f"(FLOOR(({expr}) * 1e{dp} + 0.5) / 1e{dp})"
 
 
-def _pq_member_ctes(m: int, k: int, iters: int) -> str:
+def _pq_member_ctes(m: int, k: int, iters: int, src: str = "base") -> str:
     """Product-quantization twin of :func:`_kmeans_member_ctes`:
     per-subspace deterministic k-means (init = subvectors of the k
     lowest vec_ids, fixed Lloyd rounds, squared-L2 assignment
     floor-quantized to 9 dp with centroid-id tie-break, per-dim means
     cast through FLOAT). Ends with ``pq_members``
-    (vec_id, sub_id, centroid_id, d); expects ``base`` in scope."""
+    (vec_id, sub_id, centroid_id, d); expects ``src`` (default
+    ``base``) in scope."""
     dsub = f"(len(e) // {m})"
     l2 = (
         "list_sum(list_transform(list_zip(s.se, c.c), "
@@ -679,14 +680,14 @@ def _pq_member_ctes(m: int, k: int, iters: int) -> str:
                list_transform(
                    e[((g.sub_id - 1) * {dsub} + 1):(g.sub_id * {dsub})],
                    x -> CAST(x AS DOUBLE)) AS se
-        FROM base CROSS JOIN UNNEST(generate_series(1, {m})) g(sub_id))""",
+        FROM {src} CROSS JOIN UNNEST(generate_series(1, {m})) g(sub_id))""",
         f"""pc0 AS (
         SELECT sub_id,
                CAST(ROW_NUMBER() OVER (PARTITION BY sub_id ORDER BY vec_id)
                     AS INT) AS centroid_id,
                se AS c
         FROM sub
-        WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT {k}))""",
+        WHERE vec_id IN (SELECT vec_id FROM {src} ORDER BY vec_id LIMIT {k}))""",
     ]
     for i in range(1, iters + 1):
         ctes.append(f"pa{i} AS ({assign.format(cents=f'pc{i - 1}')})")
@@ -869,6 +870,123 @@ ORACLES["ivf_pq_topk_prefit"] = ivf_pq_topk_sql()
 # self-match exclusion — an external query has no self row, and a
 # coincident corpus vector is a real exact-dup hit.
 ORACLES["ann_serve"] = ivf_pq_topk_sql(self_exclude=False)
+
+
+def ann_serve_appended_sql(
+    k: int = ANN_LSH_TOPK,
+    shortlist: int = 20,
+    query_mod: int = ANN_QUERY_MOD,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    ivf_iters: int = 3,
+    m: int = 4,
+    n_centroids: int = 16,
+    pq_iters: int = 2,
+    new_mod: int = 10,
+    new_rem: int = 3,
+) -> str:
+    """Serving against an APPENDED index (``similarity.ivf_pq_append``):
+    the fit chains run on the ``corpus`` slice only (vec_id % new_mod
+    <> new_rem), the held-out ``newv`` slice is assigned to the FROZEN
+    final centroids / codebooks with the exact same quantized assign
+    expressions the fit's last pass uses, the posting lists and code
+    table are unioned, and the ivf_pq_topk search stages run over the
+    union with queries drawn from the FULL corpus (no self-exclusion —
+    the serve contract)."""
+    dsub = f"(len(e) // {m})"
+    l2 = (
+        "list_sum(list_transform(list_zip(s.se, c.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    kchain = _kmeans_member_ctes(n_clusters, ivf_iters, src="corpus")
+    pchain = _pq_member_ctes(m, n_centroids, pq_iters, src="corpus")
+    return f"""
+    WITH {_BASE_CTE},
+    corpus AS (SELECT * FROM base WHERE vec_id % {new_mod} <> {new_rem}),
+    newv AS (SELECT * FROM base WHERE vec_id % {new_mod} = {new_rem}),
+    {kchain},
+    {pchain},
+    new_members AS (
+        SELECT vec_id, e, nrm, centroid_id FROM (
+            SELECT b.vec_id, b.e, b.nrm, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                       ROUND(list_dot_product(b.e, c.c) / (b.nrm * c.cn), 9) DESC,
+                       c.centroid_id) AS rk
+            FROM newv b CROSS JOIN c{ivf_iters} c) t WHERE rk = 1),
+    all_members AS (
+        SELECT vec_id, e, nrm, centroid_id FROM members
+        UNION ALL
+        SELECT vec_id, e, nrm, centroid_id FROM new_members),
+    new_sub AS (
+        SELECT vec_id, CAST(g.sub_id AS INT) AS sub_id,
+               list_transform(
+                   e[((g.sub_id - 1) * {dsub} + 1):(g.sub_id * {dsub})],
+                   x -> CAST(x AS DOUBLE)) AS se
+        FROM newv CROSS JOIN UNNEST(generate_series(1, {m})) g(sub_id)),
+    new_codes AS (
+        SELECT vec_id, sub_id, centroid_id FROM (
+            SELECT s.vec_id, s.sub_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+                       {_fq(l2, 9)} ASC, c.centroid_id) AS rk
+            FROM new_sub s JOIN pc{pq_iters} c USING (sub_id)) t WHERE rk = 1),
+    all_codes AS (
+        SELECT vec_id, sub_id, centroid_id FROM pq_members
+        UNION ALL
+        SELECT vec_id, sub_id, centroid_id FROM new_codes),
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM base
+          WHERE vec_id % {query_mod} = 0),
+    qprobe AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       ROUND(list_dot_product(q.qe, c.c) / (q.qn * c.cn), 9) DESC,
+                       c.centroid_id) AS rk
+            FROM q CROSS JOIN c{ivf_iters} c) t WHERE rk <= {nprobe}),
+    cand AS (
+        SELECT p.query_id, mm.vec_id
+        FROM qprobe p JOIN all_members mm USING (centroid_id)),
+    qsub AS (
+        SELECT b.vec_id AS query_id, CAST(g.sub_id AS INT) AS sub_id,
+               list_transform(
+                   b.e[((g.sub_id - 1) * {dsub} + 1):(g.sub_id * {dsub})],
+                   x -> CAST(x AS DOUBLE)) AS se
+        FROM base b CROSS JOIN UNNEST(generate_series(1, {m})) g(sub_id)
+        WHERE b.vec_id % {query_mod} = 0),
+    dtable AS (
+        SELECT q.query_id, q.sub_id, c.centroid_id,
+               (FLOOR(list_sum(list_transform(list_zip(q.se, c.c),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1e9 + 0.5) / 1e9) AS qd
+        FROM qsub q JOIN pc{pq_iters} c USING (sub_id)),
+    scored AS (
+        SELECT cd.query_id, cd.vec_id,
+               (FLOOR(SUM(d.qd) * 1e6 + 0.5) / 1e6) AS adc_dist
+        FROM cand cd
+        JOIN all_codes pm ON pm.vec_id = cd.vec_id
+        JOIN dtable d ON d.query_id = cd.query_id
+                     AND d.sub_id = pm.sub_id
+                     AND d.centroid_id = pm.centroid_id
+        GROUP BY cd.query_id, cd.vec_id),
+    sl AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist ASC, vec_id ASC) AS rk
+            FROM scored) t
+        WHERE rk <= {shortlist}),
+    rr AS (
+        SELECT s.query_id, s.vec_id,
+               ROUND(list_dot_product(qb.e, cb.e) / (qb.nrm * cb.nrm), 6) AS cosine
+        FROM sl s
+        JOIN base cb ON cb.vec_id = s.vec_id
+        JOIN base qb ON qb.vec_id = s.query_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM rr) t
+    WHERE rank <= {k}
+    """
+
+
+ORACLES["ann_serve_appended"] = ann_serve_appended_sql()
 
 ORACLES["encode_token_ids"] = f"""
 WITH toks AS (

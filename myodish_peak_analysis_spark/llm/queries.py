@@ -815,3 +815,26 @@ def q_dsir_curated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dsir_curated_sample"] = q_dsir_curated_sample
+
+
+def q_ann_serve_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving against an APPENDED index (round 10): fit on the corpus
+    slice (vec_id % 10 != 3), :func:`similarity.ivf_pq_append` the
+    held-out slice onto the frozen centroids/codebooks, then serve the
+    standard external-query batch — the between-refits ingest path
+    (FAISS ``add`` semantics; the ANN twin of incremental_neardup's
+    daily-crawl posture). Appended vectors are findable immediately,
+    pinned by test."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = similarity.fit_ivf_pq_index(emb.filter(F.col("vec_id") % 10 != 3))
+    idx2 = similarity.ivf_pq_append(
+        idx, emb.filter(F.col("vec_id") % 10 == 3)
+    )
+    qs = emb.filter(
+        F.col("vec_id") % similarity.ANN_QUERY_MOD == 0
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_pq_search(qs, idx2)
+    return _long(out, "rank")
+
+
+QUERIES["ann_serve_appended"] = q_ann_serve_appended

@@ -1346,6 +1346,73 @@ def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
     )
 
 
+def ivf_pq_append(index: IvfPqIndex, new_emb: DataFrame) -> IvfPqIndex:
+    """Append new vectors to a prefit index WITHOUT refitting — the
+    between-refits ingest path (FAISS ``add`` semantics; the batch twin
+    of ``incremental_neardup``'s daily-crawl posture): each new vector
+    is assigned to its nearest FROZEN coarse centroid (the same
+    cosine/max_by assign as the fit's final pass) and encoded against
+    the FROZEN per-subspace PQ codebooks (the same L2/min_by assign),
+    then unioned into the posting lists and code table. Searches over
+    the appended index therefore return EXACTLY what an index whose fit
+    had produced these centroids/codebooks over (corpus ∪ new) would —
+    pinned by the ``ann_serve_appended`` oracle and by the batch-split
+    associativity test. Centroid/codebook quality degrades as appended
+    mass shifts the true distribution; refit on snapshot cadence (the
+    documented ``fit_dup_gram_stats``/``fit_dsir_logratio`` posture).
+
+    Scale: assignment is one broadcast crossJoin + max_by reduce per
+    new vector (N_new rows shuffled, never N_new×k — the
+    `_centroid_assign` shape), encoding is m broadcast-joined min_by
+    reduces; the corpus-side frames are reused as-is, so a daily batch
+    pays O(batch), not O(corpus). Duplicate vec_ids would silently
+    shadow posting-list rows, so they are refused loudly.
+    """
+    spark = new_emb.sparkSession
+    dup = (
+        new_emb.select("vec_id")
+        .join(index.members.select("vec_id"), "vec_id")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "ivf_pq_append: new_emb shares vec_ids with the index corpus "
+            "— appending would shadow existing posting-list rows; "
+            "re-key the batch or dedup first"
+        )
+    new_base = _with_norm(new_emb).select("vec_id", "embedding", "_norm")
+    cent_rows = index.cents.collect()
+    cents = spark.createDataFrame(
+        cent_rows, "centroid_id int, c_emb array<float>, c_norm double"
+    )
+    new_members = _assign(new_base, cent_rows, cents)
+    members = index.members.unionByName(new_members).cache()
+    members.count()
+    pq_rows = index.pq_cents.collect()
+    pq_cents = spark.createDataFrame(
+        pq_rows, "sub_id int, centroid_id int, c array<double>"
+    )
+    subs = _pq_subvectors(new_emb, index.m)
+    j = subs.join(F.broadcast(pq_cents), "sub_id")
+    new_codes = (
+        j.withColumn("_d", _sub_l2sq("se", "c"))
+        .groupBy("vec_id", "sub_id")
+        .agg(
+            F.min_by(
+                F.struct("centroid_id"),
+                F.struct(F.col("_d").alias("d"), F.col("centroid_id").alias("i")),
+            ).alias("_b")
+        )
+        .select("vec_id", "sub_id", F.col("_b.centroid_id").alias("code_id"))
+    )
+    codes = index.codes.unionByName(new_codes).cache()
+    codes.count()
+    return IvfPqIndex(
+        members, index.cents, codes, index.pq_cents, index.m, index.n_centroids
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     k: int = ANN_LSH_TOPK,

@@ -500,3 +500,71 @@ def test_newest_driver_rows_skips_stray_glob_matches(monkeypatch, tmp_path):
     )
     newest, latest = e._newest_driver_rows()
     assert latest == 3 and newest == {"some_query": 3}
+
+
+# --- ivf_pq_append (between-refits ingest) ---------------------------------
+
+
+def _emb01(spark):
+    from myodish_peak_analysis_spark.schema import read_table
+
+    return read_table(spark, "/root/testdata/sf0.01", "embeddings")
+
+
+def test_ivf_pq_append_batch_split_associativity(spark):
+    """Appending in two batches must equal appending the union in one —
+    the daily-ingest contract (assignments depend only on the frozen
+    centroids/codebooks, never on co-appended vectors)."""
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    emb = _emb01(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 > 4)
+    a = emb.filter(F.col("vec_id") % 10 == 0)
+    b = emb.filter(F.col("vec_id") % 10 == 1)
+    idx = S.fit_ivf_pq_index(corpus)
+    two_step = S.ivf_pq_append(S.ivf_pq_append(idx, a), b)
+    one_step = S.ivf_pq_append(idx, a.unionByName(b))
+    qs = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r2 = sorted(map(tuple, S.ivf_pq_search(qs, two_step).collect()))
+    r1 = sorted(map(tuple, S.ivf_pq_search(qs, one_step).collect()))
+    assert r2 == r1
+
+
+def test_ivf_pq_append_makes_new_vectors_findable(spark):
+    """A query equal to an appended vector must return it at rank 1
+    with cosine 1.0 (its own probe centroid is its assigned centroid,
+    so the self row is always a candidate; exact re-rank tops it)."""
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    emb = _emb01(spark)
+    idx = S.fit_ivf_pq_index(emb.filter(F.col("vec_id") % 10 != 3))
+    new = emb.filter(F.col("vec_id") % 10 == 3)
+    idx2 = S.ivf_pq_append(idx, new)
+    qv = new.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = (
+        S.ivf_pq_search(qv, idx2)
+        .filter("rank = 1")
+        .select("query_id", "vec_id", "cosine")
+        .collect()
+    )
+    assert len(top) == 3
+    for r in top:
+        assert r.vec_id == r.query_id and r.cosine == 1.0
+
+
+def test_ivf_pq_append_refuses_duplicate_vec_ids(spark):
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    emb = _emb01(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 != 3)
+    idx = S.fit_ivf_pq_index(corpus)
+    with pytest.raises(ValueError, match="shares vec_ids"):
+        S.ivf_pq_append(idx, corpus.limit(1))
