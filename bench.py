@@ -176,9 +176,16 @@ def main() -> None:
             _ivf_pq_idx["aidx"] = similarity.fit_ivf_pq_index(
                 emb.filter(F.col("vec_id") % 10 != 3), n_clusters="auto"
             )
+        # release the previous rep's per-batch append caches before
+        # building this rep's (ADVICE r10: they leak otherwise; the
+        # parent aidx's fit-time caches are untouched — unpersisting
+        # the superseded index's lazy unions is a no-op on them)
+        if "aidx2" in _ivf_pq_idx:
+            _ivf_pq_idx["aidx2"].unpersist()
         idx2 = similarity.ivf_pq_append(
             _ivf_pq_idx["aidx"], emb.filter(F.col("vec_id") % 10 == 3)
         )
+        _ivf_pq_idx["aidx2"] = idx2
         qs = emb.filter(
             F.col("vec_id") % similarity.ANN_QUERY_MOD == 0
         ).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -415,9 +422,21 @@ def main() -> None:
     rows: dict[str, int] = {}
     spread: dict[str, list[float]] = {}
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # VERDICT r10 ask #7: the two slowest window queries (plus their
+    # constrained sibling) get 5 reps — with the peaks family's 0.22
+    # relative spread, best-of-3 could not separate a 1.5x move from
+    # host noise (the r10 `envelopes` 6.9->10.8 s verdict had to run
+    # ad-hoc A/B trees); 2 extra reps cost ~90 s and give the artifact
+    # its own per-query spread to judge round-over-round deltas against.
+    _extra_reps = {
+        "envelopes": 5,
+        "peak_attributes": 5,
+        "constrained_peak_attributes": 5,
+    }
     for name, build in queries.items():
+        nrep = max(reps, _extra_reps.get(name, 0))
         reptimes = []
-        for _ in range(reps):  # best-of-n: shields the recorded number
+        for _ in range(nrep):  # best-of-n: shields the recorded number
             t0 = time.time()  # from one-off JIT/GC/host-load noise
             # (r3's best-of-2 still let a 0.2s wobble on value_histogram
             # read as a regression; n=3 is the verdict's repeatability ask)
@@ -519,6 +538,14 @@ def main() -> None:
                 "unit": "sec",
                 "r4_subset_total": r4_subtotal,
                 "runs": reps,
+                # per-query warm-rep [min,max] for the 5-rep trio only
+                # (VERDICT r10 ask #7) — full spreads for every query
+                # ride the earlier rows line; these three earn a slot
+                # on the tail-preserved line because their round-over-
+                # round verdicts kept needing ad-hoc A/B attribution.
+                "spread_5rep": {
+                    q: spread[q] for q in _extra_reps if q in spread
+                },
                 "spread_rel_fam": fam_rel,
                 "queries": times,
                 "sf": sf,

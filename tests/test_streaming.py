@@ -1252,6 +1252,84 @@ def test_streaming_ann_serve_matches_batch(spark, tmp_path):
     assert got == expect and len(epochs) >= 2
 
 
+def test_streaming_ann_ingest_matches_batch_append(spark, tmp_path):
+    """foreachBatch ANN index ingest (round 11): after N micro-batches
+    the ingestor's index serves EXACTLY what one batch ivf_pq_append of
+    the union serves (the batch-split associativity contract carried
+    onto the stream), vectors appended in an EARLIER micro-batch stay
+    findable at rank 1 after later ones land, and the ingestor's
+    appended counter matches the streamed mass."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm.similarity import (
+        fit_ivf_pq_index,
+        ivf_pq_append,
+        ivf_pq_search,
+    )
+    from myodish_peak_analysis_spark.schema import read_table
+    from myodish_peak_analysis_spark.streaming.peaks import make_ann_ingest_fn
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 > 1)
+    new = emb.filter(F.col("vec_id") % 10 <= 1)
+    idx = fit_ivf_pq_index(corpus, n_clusters=4)
+
+    src = os.path.join(str(tmp_path), "vectors")
+    # two files -> maxFilesPerTrigger=1 forces two genuine micro-batches
+    new.select("vec_id", "embedding").repartition(2).write.parquet(src)
+    fn, ingestor = make_ann_ingest_fn(idx)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(fn).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    n_new = new.count()
+    assert ingestor.appended == n_new
+    assert ingestor.index is not idx  # at least one batch landed
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 7000).alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in ivf_pq_search(qs, ingestor.index, k=3).collect()
+    }
+    one_shot = ivf_pq_append(idx, new.select("vec_id", "embedding"))
+    expect = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in ivf_pq_search(qs, one_shot, k=3).collect()
+    }
+    assert got == expect
+
+    # cross-batch findability: every streamed vector — whichever
+    # micro-batch carried it — returns itself at rank 1, cosine 1.0
+    probes = new.limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = (
+        ivf_pq_search(probes, ingestor.index, k=1)
+        .filter("rank = 1")
+        .collect()
+    )
+    assert len(top) == 4
+    for r in top:
+        assert r.vec_id == r.query_id and r.cosine == 1.0
+
+    ingestor.release()
+    assert all(
+        not df.storageLevel.useMemory for df in ingestor.index.owned
+    )
+    one_shot.unpersist()
+    idx.unpersist()
+
+
 def test_streaming_span_serve_matches_batch(spark, tmp_path):
     """foreachBatch span-cut serving against prefit corpus stats:
     micro-batch results equal the batch scoped rewrite row-for-row

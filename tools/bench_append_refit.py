@@ -1,0 +1,205 @@
+"""Recall-vs-appended-fraction curve for `ivf_pq_append` (VERDICT r10
+ask #3): how far does serving recall decay as mass is appended to a
+FROZEN-centroid index, versus refitting on the grown corpus — and what
+does `index_health` read at each point?
+
+Protocol per appended fraction f in --fracs:
+  1. fit an IvfPqIndex on the base corpus C;
+  2. append a batch A with |A| = f*|C| — either SAME-distribution
+     (held-out rows of the harness embeddings) or DRIFTED (the
+     bench_scaling signed-permutation rotation of C's rows, which
+     moves vectors off the fitted centroids' coverage — the
+     distribution-shift proxy the decade benches use);
+  3. serve one fixed external query batch (rotated +shift ids) against
+     (a) the appended index and (b) a FRESH index fit on C ∪ A;
+  4. report recall@10 for both against brute-force cosine truth over
+     C ∪ A, plus index_health(appended index).
+
+Output: one JSON line per (mode, frac) cell; docs/SCALE.md records the
+table and `needs_refit`'s default thresholds are set from the knee.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+from myodish_peak_analysis_spark.llm import similarity as S  # noqa: E402
+from myodish_peak_analysis_spark.schema import read_table  # noqa: E402
+from myodish_peak_analysis_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = 10
+
+
+def _truth_topk(queries, corpus):
+    """Brute-force cosine top-K per query over the grown corpus —
+    self-matches included (external serving keeps coincident twins)."""
+    qn = S._with_norm(queries).select(
+        "query_id",
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    cn = S._with_norm(corpus).select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        qn.crossJoin(cn)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                S._dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id")
+    )
+
+
+def _recall(result, truth_df, n_truth):
+    hits = (
+        result.select("query_id", "vec_id")
+        .join(truth_df, ["query_id", "vec_id"])
+        .count()
+    )
+    return hits / n_truth
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fracs", type=str, default="0.1,0.5,1.0")
+    ap.add_argument(
+        "--modes", type=str, default="same,drift",
+        help="same = held-out harness rows; drift = signed-permutation "
+        "rotated copies (distribution shift off the fitted centroids)",
+    )
+    ap.add_argument("--nprobe", type=int, default=2)
+    ap.add_argument("--shortlist", type=int, default=20)
+    args = ap.parse_args()
+    fracs = [float(x) for x in args.fracs.split(",")]
+    modes = args.modes.split(",")
+
+    spark = get_spark("bench-append-refit")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_table(spark, SF_DIR, "embeddings").cache()
+    n_all = emb.count()
+
+    # base corpus C: half the harness rows; same-mode append pool: the
+    # other half (same distribution by construction); query batch: a
+    # fixed 40-ish external sample, ROTATED so drifted appends are
+    # reachable targets too (queries drawn from the base distribution
+    # alone would make drifted appends recall-invisible).
+    corpus = emb.filter(F.col("vec_id") % 2 == 0).cache()
+    pool_same = emb.filter(F.col("vec_id") % 2 == 1)
+    n_corpus = corpus.count()
+    qmod = max(2, (2 * n_all) // 40)
+    queries = (
+        emb.filter(F.col("vec_id") % qmod == 0)
+        .select((F.col("vec_id") + 10_000_000).alias("query_id"), "embedding")
+        .cache()
+    )
+    queries.count()
+
+    from tools.bench_scaling import _replicate_emb
+
+    # drifted pool: copy 1 of the signed-permutation replication of the
+    # corpus (copy 0 is verbatim and dropped) — same size as C, ids
+    # shifted by 1e9 so they never collide with C or the query ids.
+    pool_drift = (
+        _replicate_emb(corpus, 2).filter(F.col("vec_id") >= 1_000_000_000)
+    )
+
+    rows = []
+    for mode in modes:
+        pool = pool_same if mode == "same" else pool_drift
+        pool = pool.cache()
+        n_pool = pool.count()
+        idx = S.fit_ivf_pq_index(corpus, n_clusters="auto")
+        base_health = S.index_health(idx)
+        for frac in fracs:
+            take = int(round(frac * n_corpus))
+            if take > n_pool:
+                print(
+                    f"# skip {mode} f={frac}: pool has {n_pool} < {take}",
+                    file=sys.stderr,
+                )
+                continue
+            # deterministic prefix of the pool by vec_id order
+            w = Window.orderBy("vec_id")
+            batch = (
+                pool.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= take)
+                .drop("_r")
+            )
+            grown = corpus.unionByName(batch).cache()
+            truth = _truth_topk(queries, grown).cache()
+            n_truth = truth.count()
+
+            t0 = time.time()
+            idx_app = S.ivf_pq_append(idx, batch)
+            r_app = _recall(
+                S.ivf_pq_search(
+                    queries, idx_app, k=K,
+                    nprobe=args.nprobe, shortlist=args.shortlist,
+                ),
+                truth, n_truth,
+            )
+            t_app = time.time() - t0
+            health = S.index_health(idx_app)
+            verdict = S.needs_refit(idx_app, health=health)
+
+            t0 = time.time()
+            idx_ref = S.fit_ivf_pq_index(grown, n_clusters="auto")
+            r_ref = _recall(
+                S.ivf_pq_search(
+                    queries, idx_ref, k=K,
+                    nprobe=args.nprobe, shortlist=args.shortlist,
+                ),
+                truth, n_truth,
+            )
+            t_ref = time.time() - t0
+
+            row = {
+                "mode": mode,
+                "appended_fraction": round(health["appended_fraction"], 3),
+                "n_corpus": n_corpus,
+                "n_appended": take,
+                "recall_appended": round(r_app, 3),
+                "recall_refit": round(r_ref, 3),
+                "recall_gap": round(r_ref - r_app, 3),
+                "imbalance_fit": round(base_health["imbalance"], 2),
+                "imbalance_appended": round(health["imbalance"], 2),
+                "empty_lists": health["empty_lists"],
+                "needs_refit": verdict["refit"],
+                "sec_append_serve": round(t_app, 1),
+                "sec_refit_serve": round(t_ref, 1),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            idx_app.unpersist()  # releases the per-batch append caches
+            idx_ref.unpersist()
+            truth.unpersist()
+            grown.unpersist()
+        idx.unpersist()
+        pool.unpersist()
+    print(json.dumps({"cells": rows}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -629,6 +629,11 @@ def _emb_ops(n1_holder: dict, recall: bool = False):
         holder: dict = {}
         try:
             def build():
+                # release the previous rep's per-batch append caches
+                # (IvfPqIndex.unpersist cascades to the owned frames —
+                # the ADVICE-r10 leak fix; the parent idx stays cached)
+                if "idx2" in holder:
+                    holder["idx2"].unpersist()
                 holder["idx2"] = S.ivf_pq_append(idx, batch)
                 return S.ivf_pq_search(qs, holder["idx2"])
 
@@ -637,8 +642,7 @@ def _emb_ops(n1_holder: dict, recall: bool = False):
             idx.members.unpersist()
             idx.codes.unpersist()
             if "idx2" in holder:
-                holder["idx2"].members.unpersist()
-                holder["idx2"].codes.unpersist()
+                holder["idx2"].unpersist()
 
     def prefit_sq8(d: DataFrame, n: int) -> float:
         idx = S.fit_ivf_pq_index(d, n_clusters="auto")
