@@ -106,21 +106,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #: section (a)). Updated by hand each round alongside the code; if it
 #: goes stale the head degrades to pure backlog+filler coverage, which
 #: is still policy-valid (the generator, not this list, guarantees the
-#: staleness bound). Round 10: the five PQ-family entries whose fit
-#: route gate moved off the exploded-cache count (_pq_fit n_vectors /
-#: dim threading), ann_serve (its prefit index rides the same fit),
-#: and tfidf_verify (candidate-frame cache).
+#: staleness bound). Round 11: ann_serve_appended changed via the
+#: ADVICE-r10 ivf_pq_append hardening (owned-cache tracking, index-dim
+#: guard, in-batch duplicate refusal), and the four DSIR entries
+#: changed via the measured DSIR_BUCKETS bump 1024 -> 8192 (VERDICT
+#: r10 ask #6: B=1024 sat below the collision floor, Spearman 0.858
+#: vs the converged reference) — the 42-row r8-stale/new backlog takes
+#: the rest of the head (VERDICT r10 ask #2).
 _CHANGED_THIS_ROUND = [
-    "pq_topk",
-    "pq_rerank_topk",
-    "pq_codes",
-    "ivf_pq_topk",
-    "ivf_pq_topk_prefit",
-    "tfidf_verify",
-    # last: ann_serve's change is the most incidental (the shared dim
-    # probe inside fit_ivf_pq_index) — it is the entry displaced first
-    # when the backlog grows (e.g. a new never-verified op enters)
-    "ann_serve",
+    "ann_serve_appended",
+    "dsir_weights",
+    "dsir_weights_prefit",
+    "dsir_sample",
+    "dsir_curated_sample",
 ]
 
 #: The driver records only this many correctness rows per round.

@@ -381,7 +381,7 @@ def main() -> None:
         # round-10: DSIR importance resampling — the inline-fit weights
         # (3 passes over the exploded grams: features, bucket stats,
         # totals) and the Gumbel top-k sample; the prefit entry times
-        # the amortized serve path (fit the <=1024-row model on rep 1,
+        # the amortized serve path (fit the <=DSIR_BUCKETS-row model on rep 1,
         # later reps pay one explode pass + a broadcast join).
         "dsir_weights": lambda: sampling.dsir_logweights(docs),
         "dsir_sample": lambda: sampling.dsir_resample(docs),

@@ -428,6 +428,22 @@ def ivf_topk_sql(
 
 ORACLES["ann_ivf_topk"] = ivf_topk_sql()
 
+
+def ivf_list_sizes_sql(n_clusters: int = 16, iters: int = 3) -> str:
+    """Posting-list sizes of the deterministic IVF quantizer — the
+    :func:`..similarity.index_health` statistic, hash-checked against
+    the same unrolled k-means the search oracles chain."""
+    chain = _kmeans_member_ctes(n_clusters, iters)
+    return f"""
+    WITH {_BASE_CTE},
+    {chain}
+    SELECT centroid_id, COUNT(*) AS list_size
+    FROM members GROUP BY centroid_id
+    """
+
+
+ORACLES["ivf_list_sizes"] = ivf_list_sizes_sql()
+
 ORACLES["ann_lsh_topk"] = f"""
 WITH {_BASE_CTE},
 bucketed AS (SELECT *, CAST({_bucket_sql()} AS INTEGER) AS bucket FROM base),

@@ -31,10 +31,16 @@ FINGERPRINT_WINDOW = 4  #: winnowing window (rolling min over this many grams)
 
 # --- DSIR importance resampling --------------------------------------------
 
-#: Hashed n-gram feature buckets (the paper uses 10k; 1024 keeps the
-#: broadcast log-ratio table trivially small while staying far above
-#: the corpus vocabulary collision floor at test scale).
-DSIR_BUCKETS = 1024
+#: Hashed n-gram feature buckets. MEASURED round 11 (VERDICT r10 ask
+#: #6, docs/PLANS.md "DSIR bucket capacity"): on the sf0.01 corpus the
+#: old default B=1024 sat BELOW the collision floor — Spearman rank
+#: correlation of per-doc logw vs a converged reference (B=262144) was
+#: 0.858, i.e. hash collisions materially reorder the resampling
+#: ranking — while B=8192 is converged (0.997 vs 64k and 256k, and
+#: 64k-vs-256k at 0.9999 pins the reference itself). 8192 matches the
+#: paper's 10k-bucket order, and the dense log-ratio model stays a
+#: trivially-broadcast <=8192-row frame.
+DSIR_BUCKETS = 8192
 #: Gumbel top-k resample size for the registered query.
 DSIR_SAMPLE_K = 100
 

@@ -721,6 +721,26 @@ def q_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_serve"] = q_ann_serve
 
 
+def q_ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list size distribution of the IVF coarse quantizer —
+    the statistic :func:`similarity.index_health` reads for the refit
+    decision (round 11): one ``groupBy(centroid_id).count()`` over the
+    quantizer assignments (k output rows, map-side-combined). The
+    DuckDB oracle runs the identical unrolled deterministic k-means
+    and aggregation, so the health numbers an ops loop watches are
+    hash-checked end-to-end, not just unit-tested."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = (
+        similarity.ivf_index(emb)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("list_size"))
+    )
+    return _long(out, "list_size")
+
+
+QUERIES["ivf_list_sizes"] = q_ivf_list_sizes
+
+
 def q_tfidf_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidates-tier tf-idf verification (VERDICT r8 ask #5): score
     MinHash-LSH candidate pairs with the full-corpus tf-idf cosine —

@@ -1325,6 +1325,46 @@ def fit_ivf_pq_index(
     return IvfPqIndex(members, cents, codes, pq_cents, m, n_centroids)
 
 
+def refit_ivf_pq_index(
+    index: IvfPqIndex,
+    n_clusters: int | str | None = "auto",
+    release_old: bool = True,
+    **fit_kwargs,
+) -> IvfPqIndex:
+    """Refit an append-grown index on its FULL current corpus — the
+    action :func:`needs_refit` recommends, closing the ops loop::
+
+        if needs_refit(idx)["refit"]:
+            idx = refit_ivf_pq_index(idx)
+
+    Reads (vec_id, embedding) back off the index's posting lists (the
+    corpus-side cache plus the per-batch append caches — no source
+    re-scan) and runs the normal :func:`fit_ivf_pq_index`, so centroids
+    and codebooks are re-derived from the distribution that now
+    includes the appended mass. ``m``/``n_centroids`` default to the
+    OLD index's values (pass overrides via ``fit_kwargs``) while
+    ``n_clusters`` defaults to ``"auto"`` — the corpus GREW, so nlist
+    should be re-sized ≈ √N rather than frozen at the old fit's count.
+    ``release_old=True`` unpersists the caches the superseded index
+    OWNS once the new fit is materialized (the fit actions inside
+    ``fit_ivf_pq_index`` complete before the release, so nothing
+    recomputes): its fit-time members/codes if it is a plain fit
+    index, plus the whole per-batch append chain if it grew via
+    :func:`ivf_pq_append`. One deliberate boundary: an appended
+    index's members/codes are lazy unions over its BASE index's
+    caches, which this index does not own — callers that still hold
+    the base handle (the ``fit_ivf_pq_index`` return, or
+    ``AnnIngestor._base``) release it themselves when the refit
+    replaces the whole lineage."""
+    corpus = index.members.select("vec_id", "embedding")
+    fit_kwargs.setdefault("m", index.m)
+    fit_kwargs.setdefault("n_centroids", index.n_centroids)
+    new = fit_ivf_pq_index(corpus, n_clusters=n_clusters, **fit_kwargs)
+    if release_old:
+        index.unpersist()
+    return new
+
+
 def save_ivf_pq_index(index: IvfPqIndex, path: str) -> None:
     """Persist a fitted index as four parquet tables + a 1-row meta
     table — the cluster-native reuse shape the :class:`IvfPqIndex`

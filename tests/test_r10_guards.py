@@ -458,12 +458,14 @@ def test_dsir_oov_grams_score_laplace_default_not_dropped(spark):
 
     docs = _docs(spark)
     # tiny fit corpus + small B would still cover most buckets, so fit
-    # on 6 docs with B=1024: most buckets stay untouched by the fit
-    # (doc_id % 97 keeps the slice source-mixed — %100 would select
+    # on 6 docs at the default B: most buckets stay untouched by the
+    # fit (doc_id % 97 keeps the slice source-mixed — %100 would select
     # only src0 docs and correctly trip the DSIR_EMPTY_POOL guard)
+    from myodish_peak_analysis_spark.llm.params import DSIR_BUCKETS
+
     fit_docs = docs.filter("doc_id % 97 = 0")
     model = S.fit_dsir_logratio(fit_docs)
-    assert model.count() == 1024  # dense: every bucket has a row
+    assert model.count() == DSIR_BUCKETS  # dense: every bucket has a row
     # score OOV-heavy docs (disjoint from the fit slice)
     serve = docs.filter("doc_id % 100 = 7").select("doc_id", "text")
     w = S.dsir_logweights(serve, logratio=model).join(

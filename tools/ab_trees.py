@@ -101,7 +101,49 @@ for name, b in builders.items():
 print("ABRESULT " + json.dumps(out), flush=True)
 '''
 
-CHILDREN = {"peaks": CHILD, "pq": CHILD_PQ}
+# Round 11 (VERDICT r10 ask #1): the r10 driver artifact recorded
+# envelopes +57% / peak_attributes +14% / remove_dup_spans +49% vs r9
+# with NO code change to those operators since ~r4 — attribute host vs
+# code with the exact bench formulations (registered-builder scans for
+# the window queries, repartition+cache warm-up for the docs query).
+CHILD_ENV = r'''
+import json, os, sys, time
+tree = sys.argv[1]
+sys.path.insert(0, tree)
+from myodish_peak_analysis_spark.session import get_spark
+from myodish_peak_analysis_spark.schema import read_table
+from myodish_peak_analysis_spark.queries import (
+    q_envelopes, q_peak_attributes,
+)
+from myodish_peak_analysis_spark.llm import text
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark("ab-env")
+spark.sparkContext.setLogLevel("ERROR")
+par = spark.sparkContext.defaultParallelism
+docs = read_table(spark, SF, "documents").repartition(par).cache()
+docs.count()
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+builders = {
+    "envelopes": lambda: q_envelopes(spark, SF),
+    "peak_attributes": lambda: q_peak_attributes(spark, SF),
+    "remove_dup_spans": lambda: text.remove_dup_spans(docs),
+}
+out = {}
+for name, b in builders.items():
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        force(b())
+        reps.append(time.time() - t0)
+    out[name] = [round(min(reps), 3), round(max(reps), 3)]
+print("ABRESULT " + json.dumps(out), flush=True)
+'''
+
+CHILDREN = {"peaks": CHILD, "pq": CHILD_PQ, "env": CHILD_ENV}
 
 
 def run_tree(tree: str, child: str = CHILD) -> dict:
