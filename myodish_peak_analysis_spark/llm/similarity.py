@@ -1578,12 +1578,19 @@ def needs_refit(
     """Decide whether an append-grown index should be refit — the
     shipped-as-code form of the round-11 measurement (docs/SCALE.md
     "Append-without-refit recall decay"), in the
-    :func:`recommend_quantizer` style: same-distribution appends are
-    cheap (recall@10 within a few points of a fresh fit even at 100%
-    appended mass), but DRIFTED appends concentrate into few frozen
-    posting lists and the recall gap vs a refit index widens with
-    appended fraction — the default thresholds are set just below the
-    measured knee.
+    :func:`recommend_quantizer` style. What the measurement says the
+    two dials are FOR: same-distribution appends are cheap (the
+    appended-vs-refit recall@10 gap stayed inside the ±0.04 noise band
+    even with appended mass equal to the original corpus), so the
+    mass dial defaults loose (0.35) and guards slow staleness;
+    DRIFTED appends announce themselves through posting-list
+    imbalance long before recall visibly decays (a +1.0 mean-shift at
+    just 9% of index mass drove imbalance 1.24 → 3.78; 33% → 10.9),
+    so the imbalance dial (3.0, ~2.5× the measured fit-time band) is
+    the EARLY tripwire — and it must be early, because past ~1/3
+    drifted mass both the appended AND a refit index collapse (0.11
+    recall@10): refit before the drifted mass dominates, and re-dial
+    m/nprobe for genuine domain shifts (:func:`recommend_quantizer`).
 
     Returns a dict with ``refit`` (bool), ``reasons`` (list of
     sentences, empty when healthy), and ``health`` (the

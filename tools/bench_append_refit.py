@@ -6,12 +6,15 @@ does `index_health` read at each point?
 Protocol per appended fraction f in --fracs:
   1. fit an IvfPqIndex on the base corpus C;
   2. append a batch A with |A| = f*|C| — either SAME-distribution
-     (held-out rows of the harness embeddings) or DRIFTED (the
-     bench_scaling signed-permutation rotation of C's rows, which
-     moves vectors off the fitted centroids' coverage — the
-     distribution-shift proxy the decade benches use);
-  3. serve one fixed external query batch (rotated +shift ids) against
-     (a) the appended index and (b) a FRESH index fit on C ∪ A;
+     (held-out rows of the harness embeddings) or DRIFTED (a constant
+     mean-shift of held-out rows: every coordinate +1.0, the
+     new-domain ingest case — the shifted mass is cosine-coherent, so
+     a frozen quantizer funnels it into few posting lists and the
+     frozen PQ codebooks, fit on centered data, can't encode it);
+  3. serve one fixed query batch drawn HALF from C and HALF from A
+     (drifted neighbors must actually be queried, or the decay is
+     invisible to base-distribution queries) against (a) the appended
+     index and (b) a FRESH index fit on C ∪ A;
   4. report recall@10 for both against brute-force cosine truth over
      C ∪ A, plus index_health(appended index).
 
@@ -100,29 +103,23 @@ def main() -> None:
     emb = read_table(spark, SF_DIR, "embeddings").cache()
     n_all = emb.count()
 
-    # base corpus C: half the harness rows; same-mode append pool: the
-    # other half (same distribution by construction); query batch: a
-    # fixed 40-ish external sample, ROTATED so drifted appends are
-    # reachable targets too (queries drawn from the base distribution
-    # alone would make drifted appends recall-invisible).
-    corpus = emb.filter(F.col("vec_id") % 2 == 0).cache()
-    pool_same = emb.filter(F.col("vec_id") % 2 == 1)
-    n_corpus = corpus.count()
-    qmod = max(2, (2 * n_all) // 40)
-    queries = (
-        emb.filter(F.col("vec_id") % qmod == 0)
-        .select((F.col("vec_id") + 10_000_000).alias("query_id"), "embedding")
-        .cache()
+    # base corpus C: half the harness rows; append pools from the held-
+    # out other half — "same" keeps them verbatim, "drift" mean-shifts
+    # every coordinate +1.0 (ids shifted by 1e9 in both so they never
+    # collide with C).
+    corpus = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding"
+    ).cache()
+    held = emb.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding"
     )
-    queries.count()
-
-    from tools.bench_scaling import _replicate_emb
-
-    # drifted pool: copy 1 of the signed-permutation replication of the
-    # corpus (copy 0 is verbatim and dropped) — same size as C, ids
-    # shifted by 1e9 so they never collide with C or the query ids.
-    pool_drift = (
-        _replicate_emb(corpus, 2).filter(F.col("vec_id") >= 1_000_000_000)
+    n_corpus = corpus.count()
+    pool_same = held
+    pool_drift = held.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x + 1.0 AS FLOAT))"
+        ).alias("embedding"),
     )
 
     rows = []
@@ -146,8 +143,21 @@ def main() -> None:
                 pool.withColumn("_r", F.row_number().over(w))
                 .filter(F.col("_r") <= take)
                 .drop("_r")
-            )
+            ).cache()
             grown = corpus.unionByName(batch).cache()
+            # fixed-size query batch, HALF base / HALF appended mass
+            # (a drifted region no query lands in cannot lose recall)
+            qn = max(2, grown.count() // 40)
+            queries = (
+                corpus.filter(F.col("vec_id") % (2 * qn) == 0)
+                .unionByName(batch.filter(F.col("vec_id") % qn == 1))
+                .select(
+                    (F.col("vec_id") + 10_000_000).alias("query_id"),
+                    "embedding",
+                )
+                .cache()
+            )
+            queries.count()
             truth = _truth_topk(queries, grown).cache()
             n_truth = truth.count()
 
@@ -195,7 +205,9 @@ def main() -> None:
             idx_app.unpersist()  # releases the per-batch append caches
             idx_ref.unpersist()
             truth.unpersist()
+            queries.unpersist()
             grown.unpersist()
+            batch.unpersist()
         idx.unpersist()
         pool.unpersist()
     print(json.dumps({"cells": rows}), flush=True)
