@@ -1456,8 +1456,14 @@ def ivf_pq_append(
                 "corpus — appending would shadow existing posting-list "
                 "rows; re-key the batch or dedup first"
             )
-        n_batch = new_emb.count()
-        if new_emb.select("vec_id").distinct().count() != n_batch:
+        in_batch_dup = (
+            new_emb.groupBy("vec_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if in_batch_dup:
             raise ValueError(
                 "ivf_pq_append: new_emb contains duplicate vec_ids "
                 "within the batch — appending would create shadowed "

@@ -1264,6 +1264,43 @@ class AnnIngestor:
             except Exception:
                 pass
 
+    def maybe_refit(
+        self,
+        max_appended_fraction: float = 0.35,
+        max_imbalance: float = 3.0,
+        **refit_kwargs,
+    ) -> bool:
+        """Run the full ops loop inline: consult
+        :func:`..llm.similarity.needs_refit` on the live index (the
+        ``appended`` counter doubles as the externally-tracked mass
+        for loaded indexes) and, when either dial fires, refit on the
+        grown posting lists via
+        :func:`..llm.similarity.refit_ivf_pq_index`, release the
+        superseded chain AND base caches, and reset the counter. Call
+        it from the ``sink`` on snapshot cadence (every batch is fine
+        — the healthy-path cost is one k-row aggregation). Returns
+        True when a refit happened."""
+        from ..llm.similarity import needs_refit, refit_ivf_pq_index
+
+        verdict = needs_refit(
+            self.index,
+            appended_rows=self.appended,
+            max_appended_fraction=max_appended_fraction,
+            max_imbalance=max_imbalance,
+        )
+        if not verdict["refit"]:
+            return False
+        old_base = self._base
+        # refit reads the grown corpus off the posting lists; its
+        # release_old cascade frees the append chain, and the base
+        # fit caches (not owned by the chain) are freed explicitly.
+        self.index = refit_ivf_pq_index(self.index, **refit_kwargs)
+        if old_base is not self.index:
+            old_base.unpersist()
+        self._base = self.index
+        self.appended = 0
+        return True
+
 
 def make_ann_ingest_fn(index, sink=None):
     """Streaming ANN index ingest (round 11, VERDICT r10 ask #5): the

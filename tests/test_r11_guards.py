@@ -155,6 +155,34 @@ def test_refit_ivf_pq_index_closes_the_loop(spark):
     fresh.unpersist()
 
 
+def test_ann_ingestor_maybe_refit_runs_the_ops_loop(spark):
+    """AnnIngestor.maybe_refit: no-op while healthy, refits when the
+    mass dial fires, resets the appended counter, and the refit index
+    covers everything ingested so far."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+    from myodish_peak_analysis_spark.streaming.peaks import AnnIngestor
+
+    emb = _emb01(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 > 2)
+    ing = AnnIngestor(S.fit_ivf_pq_index(corpus))
+    assert ing.maybe_refit() is False  # pristine: both dials quiet
+    ing.ingest(emb.filter(F.col("vec_id") % 10 == 0))
+    n_after_first = S.index_health(ing.index)["n_vectors"]
+    # tight mass dial -> fires after the first ingested batch
+    assert ing.maybe_refit(max_appended_fraction=0.01) is True
+    assert ing.appended == 0
+    assert ing.index is ing._base
+    h = S.index_health(ing.index)
+    assert h["n_vectors"] == n_after_first and h["appended_rows"] == 0
+    # loop continues: next batch appends onto the refit snapshot
+    ing.ingest(emb.filter(F.col("vec_id") % 10 == 1))
+    assert S.index_health(ing.index)["n_vectors"] == (
+        n_after_first + emb.filter(F.col("vec_id") % 10 == 1).count()
+    )
+    ing.release()
+    ing._base.unpersist()
+
+
 # --- DSIR model-capacity sensitivity (VERDICT r10 ask #6) -------------------
 
 

@@ -94,13 +94,26 @@ def main() -> None:
     )
     ap.add_argument("--nprobe", type=int, default=2)
     ap.add_argument("--shortlist", type=int, default=20)
+    ap.add_argument(
+        "--factor", type=int, default=1,
+        help="replicate the corpus K× (signed-permutation rotations, "
+        "the emb-decade scheme) before the split — validates the "
+        "tripwire thresholds at the scale they serve",
+    )
     args = ap.parse_args()
     fracs = [float(x) for x in args.fracs.split(",")]
     modes = args.modes.split(",")
 
     spark = get_spark("bench-append-refit")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = read_table(spark, SF_DIR, "embeddings").cache()
+    emb = read_table(spark, SF_DIR, "embeddings")
+    if args.factor > 1:
+        from tools.bench_scaling import _replicate_emb
+
+        emb = _replicate_emb(emb, args.factor).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    emb = emb.cache()
     n_all = emb.count()
 
     # base corpus C: half the harness rows; append pools from the held-
