@@ -1580,6 +1580,7 @@ def needs_refit(
     max_appended_fraction: float = 0.35,
     max_imbalance: float = 3.0,
     health: "dict | None" = None,
+    baseline_imbalance: "float | None" = None,
 ) -> dict:
     """Decide whether an append-grown index should be refit — the
     shipped-as-code form of the round-11 measurement (docs/SCALE.md
@@ -1606,6 +1607,19 @@ def needs_refit(
     (:class:`..streaming.peaks.AnnIngestor`). Thresholds are dials:
     an ops loop serving recall-critical traffic tightens them, a
     cost-bound one loosens them — the measured curve is the map.
+
+    ``baseline_imbalance``: the fit-time imbalance, if the caller
+    captured it (``AnnIngestor`` does). The absolute ``max_imbalance``
+    default is calibrated to the harness corpora's 1.2–1.3 fit-time
+    band; a naturally-skewed corpus (Zipfian clusters) can sit well
+    above 3.0 when perfectly healthy, so when a baseline is provided
+    the imbalance dial trips RELATIVE to it (ratio > ``max_imbalance``
+    × baseline / measured-band-midpoint is overcomplicated — the rule
+    is simply ``imbalance > max_imbalance * baseline / 1.25``, i.e.
+    the same 2.4× margin over fit-time the absolute default encodes).
+    The 10× validation showed the drift signal GROWS with nlist (9.4×
+    at 9% drifted mass with ~100 lists vs 3.8× with ~30), so the
+    relative dial only gets more sensitive at scale, never less.
     """
     h = health if health is not None else index_health(
         index, appended_rows=appended_rows
@@ -1619,12 +1633,24 @@ def needs_refit(
             "quantize — measured recall gap vs a refit index widens "
             "with appended fraction (docs/SCALE.md)"
         )
-    if h["imbalance"] > max_imbalance:
+    imb_limit = (
+        max_imbalance
+        if baseline_imbalance is None
+        else max_imbalance * baseline_imbalance / 1.25
+    )
+    if h["imbalance"] > imb_limit:
         reasons.append(
             f"posting-list imbalance {h['imbalance']:.1f}x mean "
-            f"(> {max_imbalance:.1f}x): appended mass is funneling into "
-            "few lists, so nprobe scans lose coverage per probe and "
-            "skewed lists dominate ADC cost"
+            f"(> {imb_limit:.1f}x"
+            + (
+                f", {max_imbalance:.1f}x scaled by the fit-time "
+                f"baseline {baseline_imbalance:.2f}"
+                if baseline_imbalance is not None
+                else ""
+            )
+            + "): appended mass is funneling into few lists, so nprobe "
+            "scans lose coverage per probe and skewed lists dominate "
+            "ADC cost"
         )
     return {"refit": bool(reasons), "reasons": reasons, "health": h}
 

@@ -1243,6 +1243,20 @@ class AnnIngestor:
         self.index = index
         self._base = index
         self.appended = 0
+        self._fit_imbalance = None
+
+    @property
+    def fit_imbalance(self) -> float:
+        """Posting-list imbalance of the BASE prefit index (lazy, one
+        k-row aggregation, cached until a refit replaces the base) —
+        the baseline that makes ``needs_refit``'s imbalance dial
+        relative instead of absolute, so naturally-skewed corpora
+        aren't flagged healthy-as-fitted."""
+        if self._fit_imbalance is None:
+            from ..llm.similarity import index_health
+
+            self._fit_imbalance = index_health(self._base)["imbalance"]
+        return self._fit_imbalance
 
     def ingest(self, batch_df) -> None:
         from ..llm.similarity import ivf_pq_append
@@ -1287,6 +1301,7 @@ class AnnIngestor:
             appended_rows=self.appended,
             max_appended_fraction=max_appended_fraction,
             max_imbalance=max_imbalance,
+            baseline_imbalance=self.fit_imbalance,
         )
         if not verdict["refit"]:
             return False
@@ -1299,6 +1314,7 @@ class AnnIngestor:
             old_base.unpersist()
         self._base = self.index
         self.appended = 0
+        self._fit_imbalance = None  # re-derive lazily vs the new base
         return True
 
 

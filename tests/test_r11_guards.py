@@ -155,6 +155,35 @@ def test_refit_ivf_pq_index_closes_the_loop(spark):
     fresh.unpersist()
 
 
+def test_needs_refit_relative_imbalance_dial(spark):
+    """With a fit-time baseline, the imbalance dial trips RELATIVE to
+    it: a naturally-skewed corpus whose healthy imbalance exceeds the
+    absolute 3.0 default must NOT be flagged when the baseline says
+    that's its fitted state, and the same margin over baseline still
+    trips."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    emb = _emb01(spark)
+    idx = S.fit_ivf_pq_index(emb.filter(F.col("vec_id") % 10 > 1))
+    h = S.index_health(idx)
+    # simulate a skewed-at-fit corpus: absolute dial would trip at 1.0,
+    # relative dial with baseline == measured imbalance does not
+    v_abs = S.needs_refit(idx, health=h, max_imbalance=1.0)
+    assert v_abs["refit"] is True
+    v_rel = S.needs_refit(
+        idx, health=h, max_imbalance=1.0,
+        baseline_imbalance=h["imbalance"] * 1.5,
+    )
+    assert v_rel["refit"] is False
+    # the scaled limit appears in the reason when it does trip
+    v_trip = S.needs_refit(
+        idx, health=h, max_imbalance=1.0, baseline_imbalance=0.5
+    )
+    assert v_trip["refit"] is True
+    assert any("scaled by the fit-time baseline" in r for r in v_trip["reasons"])
+    idx.unpersist()
+
+
 def test_ann_ingestor_maybe_refit_runs_the_ops_loop(spark):
     """AnnIngestor.maybe_refit: no-op while healthy, refits when the
     mass dial fires, resets the appended counter, and the refit index
