@@ -2028,7 +2028,18 @@ def ivf_sq8_topk(
     Scale shape: the broadcast-centroid probe and centroid-keyed
     posting-list join of :func:`ivf_topk`, with candidates touched as
     int8 codes + the broadcast D-double scale vector instead of D
-    floats."""
+    floats.
+
+    Between-refits ingest (round 11): an :func:`ivf_pq_append`-grown
+    index serves SQ8 directly — pass the GROWN corpus as ``emb`` and
+    the appended index as ``index=`` (pinned by test): the posting
+    lists carry the appended vectors and the SQ8 codes/scales are
+    derived from the passed frame, so nothing in the SQ8 half goes
+    stale. Caveat for stored-code deployments (real warehouses persist
+    the int8 codes instead of re-deriving them): the per-dim scale
+    vector is fit-time state, and appended values beyond the fitted
+    max |x| CLIP at ±127 — drifted ingest with growing magnitudes is
+    another reason the :func:`needs_refit` dials exist."""
     if index is not None:
         members, cents = index.members, index.cents
     else:

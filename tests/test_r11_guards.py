@@ -155,6 +155,31 @@ def test_refit_ivf_pq_index_closes_the_loop(spark):
     fresh.unpersist()
 
 
+def test_ivf_sq8_serves_appended_index(spark):
+    """The SQ8 route (the recommend_quantizer-preferred serving path)
+    must work over an ivf_pq_append-grown index: append an exact twin
+    of corpus vector 0 under a fresh id, serve SQ8 with the grown
+    corpus frame — the twin is the rank-1 answer for vector 0's query
+    with cosine ~1.0 (SQ8 reconstruction is near-exact; the self row
+    is excluded)."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+
+    emb = _emb01(spark)
+    idx = S.fit_ivf_pq_index(emb)
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(1_000_000_001).cast("long").alias("vec_id"), "embedding"
+    )
+    idx2 = S.ivf_pq_append(idx, twin)
+    grown = emb.select("vec_id", "embedding").unionByName(twin)
+    res = S.ivf_sq8_topk(grown, index=idx2, query_mod=1_000_000_000, k=3)
+    top = res.filter("query_id = 0 AND rank = 1").collect()
+    assert len(top) == 1
+    assert top[0].vec_id == 1_000_000_001
+    assert top[0].cosine >= 0.999
+    idx2.unpersist()
+    idx.unpersist()
+
+
 def test_needs_refit_relative_imbalance_dial(spark):
     """With a fit-time baseline, the imbalance dial trips RELATIVE to
     it: a naturally-skewed corpus whose healthy imbalance exceeds the
