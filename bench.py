@@ -432,6 +432,12 @@ def main() -> None:
         "envelopes": 5,
         "peak_attributes": 5,
         "constrained_peak_attributes": 5,
+        # VERDICT r11 ask #1: the two queries whose r11 driver readings
+        # moved 4.8x / 2.15x with zero code change join the 5-rep set so
+        # the artifact carries its own warm spread for them — the same
+        # self-attribution the peaks trio earned in r10.
+        "native_peak_pipeline": 5,
+        "training_corpus_manifest": 5,
     }
     for name, build in queries.items():
         nrep = max(reps, _extra_reps.get(name, 0))
@@ -464,6 +470,17 @@ def main() -> None:
         warm = reptimes[1:] if len(reptimes) > 1 else reptimes
         spread[name] = [round(min(warm), 3), round(max(warm), 3)]
         rows[name] = df.count()  # untimed bookkeeping
+        if name == "ann_serve_appended":
+            # ADVICE r11: the inter-rep release inside
+            # _ann_serve_appended never runs for the FINAL rep, so the
+            # last rep's per-batch append caches (and the appended-
+            # corpus fit) stayed pinned for the rest of the process —
+            # every later query competed with dead cache for memory.
+            # Released here, AFTER the rows bookkeeping count (which
+            # still reads the appended index).
+            for _k in ("aidx2", "aidx"):
+                if _k in _ivf_pq_idx:
+                    _ivf_pq_idx.pop(_k).unpersist()
 
     total = round(sum(times.values()), 3)
     # The bench set grew from 25 (r4) to 39+ queries; this subtotal
@@ -530,24 +547,35 @@ def main() -> None:
     # no "metric" key: this line must not pattern-match the contract
     # object if the driver scans lines for it.
     print(json.dumps({"rows": rows, "rep_spread_sec": spread}), flush=True)
+    # VERDICT r11 ask #2: the driver preserves only the LAST ~2000
+    # chars of this final line, and r11's grown spread_5rep pushed the
+    # front-loaded headline scalars past the cut — BENCH_r11.json no
+    # longer contained its own headline number. json.dumps preserves
+    # insertion order, so the line is now ordered by survival priority
+    # FROM THE END: scalars (headline/r4/sf) dead last, the spread
+    # dicts just before them, and the per-query dict FIRST — sorted
+    # ascending by time so what truncation eats is the stable
+    # sub-second entries, never the slow movers cross-round
+    # comparison actually needs.
     print(
         json.dumps(
             {
+                "queries": dict(sorted(times.items(), key=lambda kv: kv[1])),
+                # per-query warm-rep [min,max] for the 5-rep set only
+                # (VERDICT r10 ask #7, r11 ask #1) — full spreads for
+                # every query ride the earlier rows line; these earn a
+                # slot on the tail-preserved line because their round-
+                # over-round verdicts kept needing ad-hoc A/B
+                # attribution.
+                "spread_rel_fam": fam_rel,
+                "spread_5rep": {
+                    q: spread[q] for q in _extra_reps if q in spread
+                },
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
                 "r4_subset_total": r4_subtotal,
                 "runs": reps,
-                # per-query warm-rep [min,max] for the 5-rep trio only
-                # (VERDICT r10 ask #7) — full spreads for every query
-                # ride the earlier rows line; these three earn a slot
-                # on the tail-preserved line because their round-over-
-                # round verdicts kept needing ad-hoc A/B attribution.
-                "spread_5rep": {
-                    q: spread[q] for q in _extra_reps if q in spread
-                },
-                "spread_rel_fam": fam_rel,
-                "queries": times,
                 "sf": sf,
                 "n_channels": n_channels,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),

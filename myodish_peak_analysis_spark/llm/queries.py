@@ -789,8 +789,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR log importance weights (Xie et al. 2023) of every document
     toward the 'src0' target slice: hashed unigram+bigram bag-of-words
     models on target vs pool, micro-quantized log-ratio scoring. One
-    explode + two doc-keyed map-combinable aggregates + a <=1024-row
-    broadcast model — no global state, the paper's CommonCrawl shape."""
+    explode + two doc-keyed map-combinable aggregates + a
+    <=DSIR_BUCKETS-row broadcast model — no global state, the paper's
+    CommonCrawl shape."""
     return sampling.dsir_logweights(read_table(spark, sf_dir, "documents"))
 
 
@@ -808,7 +809,7 @@ QUERIES["dsir_sample"] = q_dsir_sample
 
 
 def q_dsir_weights_prefit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The amortized DSIR path: fit the <=1024-row log-ratio model once
+    """The amortized DSIR path: fit the <=DSIR_BUCKETS-row log-ratio model once
     (:func:`sampling.fit_dsir_logratio` — persist/write it in
     production), then score against the prefit model — identical
     results to ``dsir_weights`` (same oracle SQL); the serve side is

@@ -1107,6 +1107,16 @@ class IvfPqIndex(NamedTuple):
     # no-op and the per-batch caches would otherwise leak across reps
     # of a long-lived session).
     owned: tuple = ()
+    # rows ingested since the FIT (the mass dial of :func:`needs_refit`).
+    # ``None`` means "derive from the in-session append chain" (the sum
+    # of the per-batch frames in ``owned`` — exact for any chain built
+    # by :func:`ivf_pq_append` in this session). A
+    # :func:`load_ivf_pq_index`-loaded index has an EMPTY chain, so the
+    # count is persisted in the meta table and restored here explicitly
+    # (VERDICT r11 ask #3: before this field, a loaded appended index
+    # silently reported appended_rows=0 and the mass dial went blind
+    # unless the caller tracked ingest externally).
+    appended: "int | None" = None
 
     def unpersist(self) -> None:
         """Release every cached frame this index holds: the fit-time
@@ -1381,8 +1391,18 @@ def save_ivf_pq_index(index: IvfPqIndex, path: str) -> None:
     index.codes.write.mode("overwrite").parquet(f"{path}/codes")
     index.pq_cents.write.mode("overwrite").parquet(f"{path}/pq_cents")
     spark = index.members.sparkSession
+    # appended-since-fit mass rides the meta row (VERDICT r11 ask #3):
+    # the written members table is the UNION of fit corpus + appends,
+    # indistinguishable after a load, so without this column a loaded
+    # index would report appended_rows=0 to needs_refit's mass dial.
+    appended = (
+        index.appended
+        if index.appended is not None
+        else sum(df.count() for df in index.owned if "embedding" in df.columns)
+    )
     spark.createDataFrame(
-        [(index.m, index.n_centroids)], "m int, n_centroids int"
+        [(index.m, index.n_centroids, appended)],
+        "m int, n_centroids int, appended_rows long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -1390,8 +1410,13 @@ def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
     """Read an index written by :func:`save_ivf_pq_index`. The loaded
     index is search-identical to the fitted one (pinned by test):
     ``members``/``codes`` are cached+counted exactly as the fit leaves
-    them, and the two centroid tables stay small broadcast-side frames."""
-    meta = spark.read.parquet(f"{path}/meta").first()
+    them, and the two centroid tables stay small broadcast-side frames.
+    The meta row restores ``appended``-since-fit, so
+    :func:`index_health` / :func:`needs_refit` reproduce the pre-save
+    verdict with no external bookkeeping (pinned by
+    tests/test_r12_guards.py). Indexes written before the meta column
+    existed load with ``appended=0`` — the pre-r12 behavior."""
+    md = spark.read.parquet(f"{path}/meta").first().asDict()
     members = spark.read.parquet(f"{path}/members").cache()
     members.count()
     codes = spark.read.parquet(f"{path}/codes").cache()
@@ -1401,8 +1426,9 @@ def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
         spark.read.parquet(f"{path}/cents"),
         codes,
         spark.read.parquet(f"{path}/pq_cents"),
-        int(meta.m),
-        int(meta.n_centroids),
+        int(md["m"]),
+        int(md["n_centroids"]),
+        appended=int(md.get("appended_rows") or 0),
     )
 
 
@@ -1476,11 +1502,30 @@ def ivf_pq_append(
     # would otherwise yield null-padded zip_with distances and silently
     # wrong codes (ADVICE r10); fail loudly like fit_ivf_pq_index does.
     index_dim = len(cent_rows[0].c_emb)
+    # validate the batch dim BEFORE caching anything (ADVICE r11: the
+    # old flow cached+materialized new_members first, so when the
+    # _pq_subvectors expect_dim guard raised later the cached frame
+    # leaked with no caller handle to unpersist it). One narrow
+    # O(batch) size probe; the per-row raise_error guard in
+    # _pq_subvectors stays as defense in depth for callers that reach
+    # the encoder without going through this path.
+    bad_dim = (
+        new_emb.filter(F.size("embedding") != index_dim)
+        .select(F.size("embedding").alias("d"))
+        .limit(1)
+        .collect()
+    )
+    if bad_dim:
+        raise ValueError(
+            f"ivf_pq_append: batch embedding dim {bad_dim[0].d} != index "
+            f"dim {index_dim} — assignment and PQ encoding against the "
+            "frozen centroids/codebooks would be silently wrong"
+        )
     cents = spark.createDataFrame(
         cent_rows, "centroid_id int, c_emb array<float>, c_norm double"
     )
     new_members = _assign(new_base, cent_rows, cents).cache()
-    new_members.count()  # materialize ONLY the batch side — O(batch)
+    n_new = new_members.count()  # materialize ONLY the batch side — O(batch)
     # the union stays a lazy view over two cached frames: re-caching it
     # would copy the whole corpus-side members again, an O(corpus) pass
     # that made the first cut of this function scale with the index
@@ -1519,6 +1564,12 @@ def ivf_pq_append(
         # fit-time caches stay live: unpersisting the lazy unions above
         # them is a Spark no-op on the underlying cached frames).
         owned=index.owned + (new_members, new_codes),
+        # a base with an EXPLICIT appended count (a loaded index) keeps
+        # it running — its pre-save appends are invisible to the owned
+        # chain; an in-session base stays on chain derivation (None).
+        appended=(
+            index.appended + n_new if index.appended is not None else None
+        ),
     )
 
 
@@ -1535,11 +1586,13 @@ def index_health(index: IvfPqIndex, appended_rows: "int | None" = None) -> dict:
     never a corpus-wide collect. Returns a dict with
 
     - ``n_vectors``: total posting-list rows (corpus + appended);
-    - ``appended_rows``: rows ingested since the fit — derived from the
-      index's append chain (``owned``); pass ``appended_rows=`` to
-      override for a :func:`load_ivf_pq_index`-loaded index whose
-      caller tracks ingest externally (e.g.
-      ``streaming.AnnIngestor.appended``);
+    - ``appended_rows``: rows ingested since the fit — the index's own
+      persisted count when it has one (a
+      :func:`load_ivf_pq_index`-loaded index restores it from the meta
+      table and :func:`ivf_pq_append` keeps it running), else derived
+      from the in-session append chain (``owned``); pass
+      ``appended_rows=`` to override with an externally-tracked count
+      (e.g. ``streaming.AnnIngestor.appended``);
     - ``appended_fraction``: appended_rows / n_vectors;
     - ``n_lists`` / ``empty_lists``: coarse posting lists total/empty;
     - ``max_list`` / ``mean_list`` / ``imbalance``: the largest list,
@@ -1554,9 +1607,15 @@ def index_health(index: IvfPqIndex, appended_rows: "int | None" = None) -> dict:
     counts = [r["count"] for r in sizes]
     n_vectors = sum(counts)
     if appended_rows is None:
-        appended_rows = sum(
-            df.count() for df in index.owned if "embedding" in df.columns
-        )
+        # precedence: caller override > the index's persisted count
+        # (set by load_ivf_pq_index and kept running by ivf_pq_append)
+        # > in-session append-chain derivation.
+        if index.appended is not None:
+            appended_rows = index.appended
+        else:
+            appended_rows = sum(
+                df.count() for df in index.owned if "embedding" in df.columns
+            )
     mean_list = n_vectors / len(counts) if counts else 0.0
     max_list = max(counts) if counts else 0
     nlist = index.cents.count()  # driver-literal frame: nlist rows

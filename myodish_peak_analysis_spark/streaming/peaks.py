@@ -1305,12 +1305,17 @@ class AnnIngestor:
         )
         if not verdict["refit"]:
             return False
-        old_base = self._base
+        old_base, pre_refit = self._base, self.index
         # refit reads the grown corpus off the posting lists; its
-        # release_old cascade frees the append chain, and the base
-        # fit caches (not owned by the chain) are freed explicitly.
-        self.index = refit_ivf_pq_index(self.index, **refit_kwargs)
-        if old_base is not self.index:
+        # release_old cascade frees the append chain (pre_refit), and
+        # the base fit caches (not owned by the chain) are freed
+        # explicitly — unless nothing was ever appended, in which case
+        # the base IS the refit input and release_old already freed it
+        # (ADVICE r11: the old `is not self.index` guard compared
+        # against the freshly-built index, which is always a new
+        # object, so it never expressed this condition).
+        self.index = refit_ivf_pq_index(pre_refit, **refit_kwargs)
+        if old_base is not pre_refit:
             old_base.unpersist()
         self._base = self.index
         self.appended = 0

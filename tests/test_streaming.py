@@ -1506,3 +1506,161 @@ def test_streaming_dsir_serve_matches_batch(spark, tmp_path):
     }
     assert got == expect and len(epochs) >= 2
     assert len(got) == arriving.count()
+
+
+def test_streaming_drifted_ingest_trips_imbalance_and_refit_recovers(
+    spark, tmp_path
+):
+    """The live ops loop end-to-end (VERDICT r11 ask #4): a foreachBatch
+    ingest stream whose later micro-batches are mean-shifted off the
+    fitted distribution. Expected from the measured decay curve
+    (docs/SCALE.md "Append-without-refit recall decay"): the same-dist
+    batch is quiet, drifted mass funnels into few frozen posting lists
+    and trips the RELATIVE imbalance dial mid-stream (the mass dial is
+    widened to 0.5 here so imbalance alone is demonstrably the
+    tripper), AnnIngestor.maybe_refit fires inside the stream, and
+    post-refit serving recall recovers to the fresh-fit level (the
+    refit reads the grown corpus off the posting lists and re-derives
+    centroids/codebooks, so it IS a fresh fit of corpus ∪ ingested)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from myodish_peak_analysis_spark.llm import similarity as S
+    from myodish_peak_analysis_spark.schema import read_table
+    from myodish_peak_analysis_spark.streaming.peaks import make_ann_ingest_fn
+    from tools.bench_append_refit import _recall, _truth_topk
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    held = emb.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding"
+    )
+
+    def drifted(df):
+        return df.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(x + 1.5 AS FLOAT))"
+            ).alias("embedding"),
+        )
+
+    # micro-batch 0: same-distribution; 1 and 2: mean-shifted (+1.5)
+    batches = [
+        held.filter(F.col("vec_id") % 10 == 1),
+        drifted(held.filter(F.col("vec_id") % 5 == 2)),
+        drifted(held.filter(F.col("vec_id") % 5 == 3)),
+    ]
+    src = os.path.join(str(tmp_path), "ingest")
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+    # one part file per write; pin the arrival ORDER the scenario needs
+    # (FileStreamSource processes by modification time) explicitly
+    parts = sorted(
+        (
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        ),
+        key=lambda p: os.stat(p).st_mtime_ns,
+    )
+    assert len(parts) == 3
+    t0 = time.time()
+    for i, p in enumerate(parts):
+        os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+
+    base = S.fit_ivf_pq_index(corpus, n_clusters="auto")
+    fit_imb = S.index_health(base)["imbalance"]
+    holder: dict = {}
+    events: list = []
+
+    def sink(index, epoch_id):
+        ing = holder["ing"]
+        v = S.needs_refit(
+            index,
+            appended_rows=ing.appended,
+            baseline_imbalance=ing.fit_imbalance,
+            max_appended_fraction=0.5,
+        )
+        fired = ing.maybe_refit(max_appended_fraction=0.5)
+        events.append(
+            {
+                "epoch": epoch_id,
+                "trip": v["refit"],
+                "imbalance": v["health"]["imbalance"],
+                "reasons": v["reasons"],
+                "fired": fired,
+            }
+        )
+
+    fn, ingestor = make_ann_ingest_fn(base, sink=sink)
+    holder["ing"] = ingestor
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(fn).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the healthy batch must not trip; a later DRIFTED batch must trip
+    # the imbalance dial and fire the refit INSIDE the stream
+    nonempty = [e for e in events]
+    assert nonempty[0]["fired"] is False and nonempty[0]["trip"] is False
+    fired = [e for e in events if e["fired"]]
+    assert fired, f"no refit fired mid-stream: {events}"
+    first = fired[0]
+    assert first["epoch"] > 0
+    assert any("imbalance" in r for r in first["reasons"])
+    # the MASS dial ("appended mass is N% of the index") must be quiet —
+    # matched on its unique phrase, because the imbalance reason's body
+    # also says "appended mass is funneling into few lists"
+    assert not any("of the index" in r for r in first["reasons"])
+    assert first["imbalance"] > 3.0 * fit_imb / 1.25
+
+    # post-refit: counter reset, base replaced, index healthy again
+    assert ingestor.appended == 0
+    assert ingestor._base is ingestor.index
+    assert ingestor.maybe_refit(max_appended_fraction=0.5) is False
+    grown = corpus
+    for b in batches:
+        grown = grown.unionByName(b)
+    grown = grown.cache()
+    assert S.index_health(ingestor.index)["n_vectors"] == grown.count()
+
+    # recall recovery: serve a mixed query set (half base, half drifted
+    # — a drifted region no query lands in cannot lose recall) and
+    # compare against a from-scratch fit on the identical grown corpus
+    queries = (
+        corpus.filter(F.col("vec_id") % 20 == 0)
+        .unionByName(batches[2].filter(F.col("vec_id") % 3 == 0))
+        .select((F.col("vec_id") + 10_000_000).alias("query_id"), "embedding")
+    )
+    truth = _truth_topk(queries, grown).cache()
+    n_truth = truth.count()
+    r_refit = _recall(
+        S.ivf_pq_search(queries, ingestor.index, k=10), truth, n_truth
+    )
+    fresh = S.fit_ivf_pq_index(grown, n_clusters="auto")
+    r_fresh = _recall(S.ivf_pq_search(queries, fresh, k=10), truth, n_truth)
+    assert r_refit >= r_fresh - 0.05, (r_refit, r_fresh)
+
+    # drifted vectors are first-class corpus members after the refit
+    probe = (
+        batches[1]
+        .limit(2)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    top = S.ivf_pq_search(probe, ingestor.index, k=1).collect()
+    assert len(top) == 2
+    for r in top:
+        assert r.vec_id == r.query_id and r.cosine == 1.0
+
+    fresh.unpersist()
+    truth.unpersist()
+    grown.unpersist()
+    ingestor.index.unpersist()
