@@ -106,19 +106,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: section (a)). Updated by hand each round alongside the code; if it
 #: goes stale the head degrades to pure backlog+filler coverage, which
 #: is still policy-valid (the generator, not this list, guarantees the
-#: staleness bound). Round 11: ann_serve_appended changed via the
-#: ADVICE-r10 ivf_pq_append hardening (owned-cache tracking, index-dim
-#: guard, in-batch duplicate refusal), and the four DSIR entries
-#: changed via the measured DSIR_BUCKETS bump 1024 -> 8192 (VERDICT
-#: r10 ask #6: B=1024 sat below the collision floor, Spearman 0.858
-#: vs the converged reference) — the 42-row r8-stale/new backlog takes
-#: the rest of the head (VERDICT r10 ask #2).
+#: staleness bound). Round 12: only ann_serve_appended's operator path
+#: changed (VERDICT r11 ask #3 + ADVICE r11: ivf_pq_append grew a
+#: pre-cache batch-dim probe and a persisted appended-since-fit count
+#: that save/load round-trips) — the 47-row r9-stale backlog takes the
+#: rest of the head (VERDICT r11 ask #5).
 _CHANGED_THIS_ROUND = [
     "ann_serve_appended",
-    "dsir_weights",
-    "dsir_weights_prefit",
-    "dsir_sample",
-    "dsir_curated_sample",
 ]
 
 #: The driver records only this many correctness rows per round.

@@ -1351,7 +1351,14 @@ def refit_ivf_pq_index(
     corpus-side cache plus the per-batch append caches — no source
     re-scan) and runs the normal :func:`fit_ivf_pq_index`, so centroids
     and codebooks are re-derived from the distribution that now
-    includes the appended mass. ``m``/``n_centroids`` default to the
+    includes the appended mass. Measured at the 10× drifted corpus
+    (docs/SCALE.md "Refit path vs cold fit at 10×"): this path has NO
+    wall-time or recall advantage over calling :func:`fit_ivf_pq_index`
+    on the grown source frame directly — both build the same index.
+    Its value is OPERATIONAL: it needs no path back to the original
+    source, so a restarted serving job holding only the index can
+    refit, and an object-store corpus is not re-scanned. When the
+    grown source frame is at hand, either route is equally good. ``m``/``n_centroids`` default to the
     OLD index's values (pass overrides via ``fit_kwargs``) while
     ``n_clusters`` defaults to ``"auto"`` — the corpus GREW, so nlist
     should be re-sized ≈ √N rather than frozen at the old fit's count.

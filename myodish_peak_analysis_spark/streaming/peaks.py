@@ -1242,7 +1242,12 @@ class AnnIngestor:
     def __init__(self, index):
         self.index = index
         self._base = index
-        self.appended = 0
+        # seed from the index's own since-fit count (round 12): a
+        # load_ivf_pq_index-ed index carries its pre-restart ingest in
+        # the persisted meta, and starting this counter at 0 would
+        # override exactly the mass the restart must not forget when
+        # maybe_refit passes `appended_rows=self.appended`.
+        self.appended = index.appended or 0
         self._fit_imbalance = None
 
     @property

@@ -194,3 +194,31 @@ def test_maybe_refit_after_appends_releases_old_base_and_chain(spark):
     top = S.ivf_pq_search(probe, ing.index, k=1).collect()
     assert top and top[0].vec_id == top[0].query_id
     ing.index.unpersist()
+
+
+def test_ann_ingestor_seeds_counter_from_loaded_index(spark, tmp_path):
+    """An AnnIngestor over a load_ivf_pq_index-ed index must start its
+    counter at the PERSISTED since-fit mass, not 0 — maybe_refit passes
+    `appended_rows=self.appended`, which would otherwise override
+    exactly the pre-restart ingest the meta table now remembers."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+    from myodish_peak_analysis_spark.streaming.peaks import AnnIngestor
+
+    emb = _emb01(spark)
+    idx = S.fit_ivf_pq_index(emb.filter(F.col("vec_id") % 10 > 2))
+    b1 = emb.filter(F.col("vec_id") % 10 == 0)
+    idx2 = S.ivf_pq_append(idx, b1)
+    S.save_ivf_pq_index(idx2, str(tmp_path / "restart"))
+    loaded = S.load_ivf_pq_index(spark, str(tmp_path / "restart"))
+    ing = AnnIngestor(loaded)
+    assert ing.appended == b1.count()
+    # the restarted loop keeps counting from there
+    b2 = emb.filter(F.col("vec_id") % 10 == 1)
+    ing.ingest(b2)
+    assert ing.appended == b1.count() + b2.count()
+    # a fresh-fit ingestor still starts at zero
+    assert AnnIngestor(idx).appended == 0
+    ing.index.unpersist()
+    loaded.unpersist()
+    idx2.unpersist()
+    idx.unpersist()

@@ -143,7 +143,58 @@ for name, b in builders.items():
 print("ABRESULT " + json.dumps(out), flush=True)
 '''
 
-CHILDREN = {"peaks": CHILD, "pq": CHILD_PQ, "env": CHILD_ENV}
+# Round 12 (VERDICT r11 ask #1): the r11 driver artifact recorded
+# training_corpus_manifest 3.54 -> 17.08 s (4.8x, the only out-of-band
+# mover — no r11 code change touched its plan) and native_peak_pipeline
+# 5.07 -> 10.89 (2.15x, just inside the peaks band). Exact bench
+# formulations: cached+pre-spread docs for the manifest, cached signal
+# frame for the pipeline.
+CHILD_MANIFEST = r'''
+import json, os, sys, time
+tree = sys.argv[1]
+sys.path.insert(0, tree)
+from myodish_peak_analysis_spark.session import get_spark
+from myodish_peak_analysis_spark.api import PeakPipeline
+from myodish_peak_analysis_spark.schema import (
+    auto_channels, read_table, signal_frame,
+)
+from myodish_peak_analysis_spark.llm import curate
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark("ab-manifest")
+spark.sparkContext.setLogLevel("ERROR")
+par = spark.sparkContext.defaultParallelism
+docs = read_table(spark, SF, "documents").repartition(par).cache()
+docs.count()
+n = auto_channels(spark, SF)
+sig = signal_frame(spark, SF, n_channels=n).cache()
+sig.count()
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+builders = {
+    "training_corpus_manifest": lambda: curate.training_corpus_manifest(docs),
+    "native_peak_pipeline": lambda: PeakPipeline(sig).smooth()
+        .envelopes().diastolic().detect_peaks().attributes(),
+}
+out = {}
+for name, b in builders.items():
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        force(b())
+        reps.append(time.time() - t0)
+    out[name] = [round(min(reps), 3), round(max(reps), 3)]
+print("ABRESULT " + json.dumps(out), flush=True)
+'''
+
+CHILDREN = {
+    "peaks": CHILD,
+    "pq": CHILD_PQ,
+    "env": CHILD_ENV,
+    "manifest": CHILD_MANIFEST,
+}
 
 
 def run_tree(tree: str, child: str = CHILD) -> dict:

@@ -14,9 +14,14 @@ Protocol per appended fraction f in --fracs:
   3. serve one fixed query batch drawn HALF from C and HALF from A
      (drifted neighbors must actually be queried, or the decay is
      invisible to base-distribution queries) against (a) the appended
-     index and (b) a FRESH index fit on C ∪ A;
-  4. report recall@10 for both against brute-force cosine truth over
-     C ∪ A, plus index_health(appended index).
+     index, (b) a COLD fit on the grown source frame C ∪ A, and
+     (c — round 12, VERDICT r11 ask #6) the REFIT PATH
+     `refit_ivf_pq_index(appended)` that reads the corpus back off the
+     appended index's posting lists;
+  4. report recall@10 for all three against brute-force cosine truth
+     over C ∪ A, plus index_health(appended index). (The cold-fit
+     column was named `sec_refit_serve` before round 12 —
+     `sec_coldfit_serve` since.)
 
 Output: one JSON line per (mode, frac) cell; docs/SCALE.md records the
 table and `needs_refit`'s default thresholds are set from the knee.
@@ -198,6 +203,23 @@ def main() -> None:
             )
             t_ref = time.time() - t0
 
+            # VERDICT r11 ask #6: the REFIT PATH (refit_ivf_pq_index —
+            # corpus read back off the appended index's posting lists,
+            # nlist re-sized ~ sqrt(N)) timed against the cold fit
+            # above (fit_ivf_pq_index on the grown source frame), both
+            # serving the same query batch — does reading off posting
+            # lists buy wall time at scale, and does it cost recall?
+            t0 = time.time()
+            idx_rp = S.refit_ivf_pq_index(idx_app, release_old=False)
+            r_rp = _recall(
+                S.ivf_pq_search(
+                    queries, idx_rp, k=K,
+                    nprobe=args.nprobe, shortlist=args.shortlist,
+                ),
+                truth, n_truth,
+            )
+            t_rp = time.time() - t0
+
             row = {
                 "mode": mode,
                 "appended_fraction": round(health["appended_fraction"], 3),
@@ -205,18 +227,21 @@ def main() -> None:
                 "n_appended": take,
                 "recall_appended": round(r_app, 3),
                 "recall_refit": round(r_ref, 3),
+                "recall_refit_path": round(r_rp, 3),
                 "recall_gap": round(r_ref - r_app, 3),
                 "imbalance_fit": round(base_health["imbalance"], 2),
                 "imbalance_appended": round(health["imbalance"], 2),
                 "empty_lists": health["empty_lists"],
                 "needs_refit": verdict["refit"],
                 "sec_append_serve": round(t_app, 1),
-                "sec_refit_serve": round(t_ref, 1),
+                "sec_coldfit_serve": round(t_ref, 1),
+                "sec_refitpath_serve": round(t_rp, 1),
             }
             rows.append(row)
             print(json.dumps(row), flush=True)
             idx_app.unpersist()  # releases the per-batch append caches
             idx_ref.unpersist()
+            idx_rp.unpersist()
             truth.unpersist()
             queries.unpersist()
             grown.unpersist()
