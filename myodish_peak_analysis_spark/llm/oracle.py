@@ -1531,3 +1531,11 @@ ORACLES["dsir_curated_sample"] = dsir_resample_sql(
         "JOIN curated USING (doc_id)), "
     ),
 )
+
+# warc_roundtrip: the Spark side encodes documents into WARC blobs and
+# parses them back, so the oracle is the identity projection — any
+# encoder/parser defect (octets-vs-chars Content-Length, boundary
+# scanning, header loss) breaks the value hash.
+ORACLES["warc_roundtrip"] = """
+SELECT doc_id, text, lang, source FROM documents
+"""

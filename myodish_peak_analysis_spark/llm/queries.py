@@ -859,3 +859,34 @@ def q_ann_serve_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_serve_appended"] = q_ann_serve_appended
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC encode→parse round trip (round 12): the documents table is
+    written to 8 in-memory WARC blobs with pure JVM expressions
+    (:func:`..sources.warc.encode_documents_warc` — Content-Length in
+    octets, binary ``||`` assembly) and read back through the real
+    ingestion path (:func:`..sources.warc.parse_warc` mapInPandas +
+    :func:`..sources.warc.warc_documents`), so the Content-Length-driven
+    parser that a Common Crawl ``binaryFile`` read would use is
+    oracle-verified against ``SELECT ... FROM documents`` on every
+    correctness round. Multibyte text exercises the octets-vs-chars
+    distinction wherever the corpus carries it."""
+    from ..sources.warc import (
+        encode_documents_warc,
+        parse_warc,
+        warc_documents,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    blobs = encode_documents_warc(docs, file_mod=8).select(
+        F.concat(F.lit("mem://warc/part-"), F.col("file_key").cast("string"))
+        .alias("path"),
+        "content",
+    )
+    return warc_documents(parse_warc(blobs)).select(
+        "doc_id", "text", "lang", "source"
+    )
+
+
+QUERIES["warc_roundtrip"] = q_warc_roundtrip
