@@ -44,6 +44,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 #: Output schema of :func:`parse_warc`: one row per WARC record.
@@ -128,26 +129,26 @@ def parse_warc(files: DataFrame) -> DataFrame:
     back on JVM columns."""
     import pandas as pd
 
+    names = [f.name for f in WARC_RECORD_SCHEMA.fields]
+
     def parse(batches):
         for pdf in batches:
-            rows = []
+            # columnar accumulation: pd.DataFrame from per-column lists
+            # is ~3x cheaper than from row tuples at 100x corpus scale
+            # (the construction cost was the measured ceiling, not the
+            # byte walk — tools/bench_warc.py)
+            cols: list = [[] for _ in names]
             for path, blob in zip(pdf["path"], pdf["content"]):
                 for h, payload in iter_warc_records(bytes(blob)):
-                    rows.append(
-                        (
-                            path,
-                            h.get("warc-record-id"),
-                            h.get("warc-type"),
-                            h.get("warc-date"),
-                            int(h["content-length"]),
-                            payload,
-                            h.get("x-doc-lang"),
-                            h.get("x-doc-source"),
-                        )
-                    )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
-            )
+                    cols[0].append(path)
+                    cols[1].append(h.get("warc-record-id"))
+                    cols[2].append(h.get("warc-type"))
+                    cols[3].append(h.get("warc-date"))
+                    cols[4].append(int(h["content-length"]))
+                    cols[5].append(payload)
+                    cols[6].append(h.get("x-doc-lang"))
+                    cols[7].append(h.get("x-doc-source"))
+            yield pd.DataFrame(dict(zip(names, cols)))
 
     return files.select("path", "content").mapInPandas(
         parse, WARC_RECORD_SCHEMA
@@ -167,6 +168,47 @@ def warc_documents(records: DataFrame) -> DataFrame:
         F.col("x_doc_lang").alias("lang"),
         F.col("x_doc_source").alias("source"),
     )
+
+
+#: the ``binaryFile`` source's fixed schema — needed explicitly for
+#: the STREAMING reader (file stream sources cannot infer it).
+BINARY_FILE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def read_warc(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Batch WARC ingestion: ``binaryFile`` scan → :func:`parse_warc`.
+    ``glob`` filters by filename (e.g. ``*.warc.gz``)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return parse_warc(reader.load(path))
+
+
+def read_warc_stream(
+    spark, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming WARC ingestion — the crawl-drop watcher: new WARC
+    files landing under ``path`` become record rows micro-batch by
+    micro-batch. The parse is a STATELESS map (each file's records
+    depend on nothing outside its bytes), so the batch
+    :func:`parse_warc` applies to the unbounded stream verbatim: no
+    state store, no watermark, and stream results equal the batch
+    parse row-for-row (pinned by tests/test_warc.py). Downstream, this
+    is the front of the ingest twins: records → ``warc_documents`` →
+    dedup/DSIR/ANN serving via the existing foreachBatch operators."""
+    reader = spark.readStream.format("binaryFile").schema(
+        BINARY_FILE_SCHEMA
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_warc(reader.load(path))
 
 
 #: fixed timestamp for deterministic encode (hash-checked round trip);

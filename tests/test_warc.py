@@ -3,7 +3,6 @@ the mapInPandas parse path, the JVM-expression encoder, and the
 encode→parse round trip on harness documents."""
 
 import gzip
-import zlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -122,3 +121,93 @@ def test_encoded_blobs_are_stdlib_parseable_and_deterministic(spark):
             payload.decode("utf-8")  # valid UTF-8 text payloads
             n += 1
     assert n == 40
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.binary(min_size=0, max_size=64),
+            min_size=1,
+            max_size=8,
+        ),
+        st.booleans(),
+    )
+    def test_warc_iter_roundtrip_property(payloads, gz):
+        """Property: ANY payload bytes — including ones full of CRLFs,
+        fake headers, or gzip magic — round-trip byte-exact through the
+        encoder shape and the Content-Length-driven iterator, plain or
+        per-record-gzipped."""
+        recs = [
+            _record(f"urn:doc:{i}", p) for i, p in enumerate(payloads)
+        ]
+        blob = (
+            b"".join(gzip.compress(r) for r in recs)
+            if gz
+            else b"".join(recs)
+        )
+        got = list(iter_warc_records(blob))
+        assert [p for _, p in got] == payloads
+        assert [h["warc-record-id"] for h, _ in got] == [
+            f"urn:doc:{i}" for i in range(len(payloads))
+        ]
+
+
+def test_read_warc_batch_and_stream_match(spark, tmp_path):
+    """Real files on disk through both ingestion fronts: the batch
+    binaryFile read and the streaming crawl-drop watcher yield the
+    identical record set (stateless map — batch↔stream parity is
+    structural), with maxFilesPerTrigger=2 forcing multiple genuine
+    micro-batches over 8 files."""
+    import os
+
+    from myodish_peak_analysis_spark.schema import read_table
+    from myodish_peak_analysis_spark.sources.warc import (
+        read_warc,
+        read_warc_stream,
+    )
+
+    docs = read_table(spark, SF001, "documents")
+    d = os.path.join(str(tmp_path), "crawl")
+    os.makedirs(d)
+    for r in encode_documents_warc(docs, file_mod=8).collect():
+        with open(os.path.join(d, f"part-{r.file_key}.warc"), "wb") as f:
+            f.write(bytes(r.content))
+
+    batch = read_warc(spark, d, glob="*.warc")
+    n_docs = docs.count()
+    assert batch.count() == n_docs
+
+    collected = []
+    epochs = set()
+
+    def sink(df, epoch_id):
+        epochs.add(epoch_id)
+        collected.extend(df.collect())
+
+    q = (
+        read_warc_stream(spark, d, max_files_per_trigger=2)
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(epochs) >= 2
+    got = {r.record_id: (r.payload, r.x_doc_lang) for r in collected}
+    expect = {
+        r.record_id: (r.payload, r.x_doc_lang) for r in batch.collect()
+    }
+    assert got == expect and len(got) == n_docs

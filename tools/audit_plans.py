@@ -22,14 +22,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # Arrow/pandas stages are allowed ONLY where they are the design:
 # the reference-exact fidelity twins (applyInPandas), the sparse
-# candidate-suppression step of the constrained peak family, and the
-# multimodal decode plumbing (mapInPandas over opaque binary columns —
-# the one place a JVM expression genuinely cannot express the work).
-# Every other query must be Python-free.
+# candidate-suppression step of the constrained peak family, the
+# multimodal decode plumbing, and the WARC byte-walk (round 12) —
+# mapInPandas over opaque binary columns, the places a JVM expression
+# genuinely cannot express the work. Every other query must be
+# Python-free.
 PYTHON_ALLOWED = {"fidelity_peaks", "fidelity_signal", "native_find_peaks",
                   "native_find_peaks_nodist", "constrained_peak_attributes",
                   "peak_interval_stats", "media_metadata",
-                  "audio_metadata", "video_metadata"}
+                  "audio_metadata", "video_metadata", "warc_roundtrip"}
 
 
 def main() -> None:
