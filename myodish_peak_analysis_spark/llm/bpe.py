@@ -370,3 +370,20 @@ APPLY_MERGES: list[tuple[str, str]] = [
     ("data+slow", "small"),
     ("the", "fast"),
 ]
+
+
+def bpe_decode(encoded: DataFrame) -> DataFrame:
+    """Inverse of :func:`bpe_apply`/:func:`bpe_encode`: merged tokens
+    are ``left+right`` strings, so decoding is one char-for-char
+    ``translate('+', ' ')`` — map-only, codegen, no shuffle. Exact
+    inverse whenever base-vocabulary tokens contain no ``'+'`` (true
+    for the whitespace pre-tokenizer used here; a byte-level
+    production vocab sidesteps the caveat structurally). The
+    registered ``bpe_roundtrip`` query pins decode(apply(corpus)) ==
+    corpus against the documents oracle every correctness round — the
+    merge fold cannot silently drop or duplicate a token without
+    breaking the hash."""
+    return encoded.select(
+        "doc_id",
+        F.translate("text_bpe", "+", " ").alias("text"),
+    )

@@ -194,3 +194,49 @@ def training_corpus_manifest_sql(
         CAST(start_off // {capacity} AS BIGINT),
         CAST((start_off + n_tok - 1) // {capacity} AS BIGINT))) AS t(chunk_id)
     """
+
+
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """``(doc_id, change)`` between two corpus snapshots — the
+    incremental-pipeline primitive that decides what a nightly run
+    actually has to process: ``added`` docs enter dedup/scoring
+    (``incremental_neardup``'s batch side), ``removed`` ones retire
+    from indexes, ``modified`` ones do both; unchanged docs (the
+    overwhelming majority at crawl cadence) are excluded and never
+    touch a downstream stage.
+
+    Scale shape: both sides are projected to ``(doc_id, md5)`` BEFORE
+    the full-outer join, so the doc_id-keyed shuffle carries 16-byte
+    digests, never text — on 100 TB snapshots this is two narrow
+    column scans plus one metadata-sized join; store snapshots
+    bucketed by doc_id and the shuffle disappears entirely. Content
+    equality via md5 (engine-portable, collision-safe at corpus
+    scale) rather than text compare keeps it that way."""
+    # presence rides explicit flags, NOT hash-nullness: md5(NULL text)
+    # is NULL, so inferring presence from the digest would misclassify
+    # every NULL-text doc as 'added' forever (self-review round 12);
+    # the null-safe digest compare likewise treats NULL text as a
+    # comparable content state instead of poisoning the CASE.
+    o = old.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("_oh"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("_nh"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    return (
+        j.select(
+            "doc_id",
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(
+                ~F.col("_oh").eqNullSafe(F.col("_nh")), F.lit("modified")
+            )
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )

@@ -1539,3 +1539,39 @@ ORACLES["dsir_curated_sample"] = dsir_resample_sql(
 ORACLES["warc_roundtrip"] = """
 SELECT doc_id, text, lang, source FROM documents
 """
+
+# corpus_diff: the same deterministic next-snapshot construction, with
+# the same md5-projection full-outer-join classification. DuckDB's
+# md5(text) hashes the UTF-8 bytes, matching Spark's
+# md5(encode(text,'utf-8')).
+ORACLES["corpus_diff"] = """
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 10 != 0
+    UNION ALL
+    SELECT doc_id + 1000000000 AS doc_id, text
+    FROM documents WHERE doc_id % 10 = 2
+),
+j AS (
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           o.doc_id IS NOT NULL AS in_old,
+           n.doc_id IS NOT NULL AS in_new,
+           md5(o.text) AS oh, md5(n.text) AS nh
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN oh IS DISTINCT FROM nh THEN 'modified' END AS change
+FROM j
+WHERE (NOT in_old OR NOT in_new OR oh IS DISTINCT FROM nh)
+"""
+
+# bpe_roundtrip: decode(apply(corpus)) is the identity wherever base
+# tokens contain no '+' (the harness corpus) — the oracle is the
+# plain projection.
+ORACLES["bpe_roundtrip"] = """
+SELECT doc_id, text FROM documents
+"""

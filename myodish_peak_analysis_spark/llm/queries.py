@@ -890,3 +890,58 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["warc_roundtrip"] = q_warc_roundtrip
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (round 12): simulate tomorrow's crawl snapshot
+    deterministically from the documents table — doc_id%10==0 removed,
+    %10==1 modified (text + ' v2'), a re-keyed copy of %10==2 added —
+    and emit :func:`..llm.curate.corpus_diff`'s (doc_id, change) rows.
+    The md5-projection join shape is the query under test; the oracle
+    mirrors the same snapshot construction in DuckDB."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.filter(F.col("doc_id") % 10 != 0)
+    new = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 2).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+        )
+    )
+    return curate.corpus_diff(docs, new)
+
+
+QUERIES["corpus_diff"] = q_corpus_diff
+
+
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer losslessness pin (round 12): apply the fixed
+    pre-trained merges, then :func:`..llm.bpe.bpe_decode` back —
+    byte-identical to the input corpus (oracle: identity SELECT).
+    Catches a merge fold that drops, duplicates, or reorders a token,
+    which per-query token counts alone would miss. A corpus whose raw
+    text already contains the ``'+'`` merge marker would make decode
+    LOSSY rather than wrong-and-loud, so such rows are refused with
+    raise_error up front (self-review round 12) — the query fails
+    visibly instead of silently mangling text into a hash mismatch."""
+    from . import bpe
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.expr(
+            "IF(text NOT LIKE '%+%', text, raise_error(concat("
+            "'bpe_roundtrip: text for doc_id ', CAST(doc_id AS STRING), "
+            "' contains the + merge marker; decode would be lossy')))"
+        ),
+    )
+    return bpe.bpe_decode(
+        bpe.bpe_apply(docs, bpe.APPLY_MERGES)
+    ).select("doc_id", "text")
+
+
+QUERIES["bpe_roundtrip"] = q_bpe_roundtrip

@@ -225,7 +225,21 @@ def encode_documents_warc(docs: DataFrame, file_mod: int = 8) -> DataFrame:
     wrong one corrupts every multibyte document), the record is binary
     ``||`` concat, and per-file assembly is an ``array_sort`` by
     doc_id (byte-deterministic blobs) + an ``aggregate`` binary fold.
-    One shuffle (the groupBy); no Python."""
+    One shuffle (the groupBy); no Python.
+
+    NULL text/lang/source is refused LOUDLY per row: ``concat`` would
+    null the record and the binary fold would then null the ENTIRE
+    file's content — silently losing every document sharing that
+    file_key (self-review round 12). An exporter feeding real corpora
+    coalesces or drops nulls explicitly BEFORE encoding."""
+    docs = docs.withColumn(
+        "text",
+        F.expr(
+            "IF(text IS NOT NULL AND lang IS NOT NULL AND source IS NOT "
+            "NULL, text, raise_error(concat('warc encode: NULL "
+            "text/lang/source for doc_id ', CAST(doc_id AS STRING))))"
+        ),
+    )
     header = F.concat(
         F.lit("WARC/1.0\r\n"),
         F.lit("WARC-Type: conversion\r\n"),

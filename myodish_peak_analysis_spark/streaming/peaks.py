@@ -1242,12 +1242,20 @@ class AnnIngestor:
     def __init__(self, index):
         self.index = index
         self._base = index
-        # seed from the index's own since-fit count (round 12): a
+        # seed from the index's own since-fit mass (round 12): a
         # load_ivf_pq_index-ed index carries its pre-restart ingest in
-        # the persisted meta, and starting this counter at 0 would
-        # override exactly the mass the restart must not forget when
-        # maybe_refit passes `appended_rows=self.appended`.
-        self.appended = index.appended or 0
+        # the persisted meta, and an in-session ivf_pq_append-grown one
+        # carries it as the owned per-batch chain. Starting this
+        # counter at 0 in either case would blind the mass dial —
+        # maybe_refit passes `appended_rows=self.appended`, whose
+        # explicit-override precedence SUPPRESSES the chain derivation
+        # index_health would otherwise perform (self-review round 12).
+        if index.appended is not None:
+            self.appended = index.appended
+        else:
+            self.appended = sum(
+                df.count() for df in index.owned if "embedding" in df.columns
+            )
         self._fit_imbalance = None
 
     @property

@@ -222,3 +222,110 @@ def test_ann_ingestor_seeds_counter_from_loaded_index(spark, tmp_path):
     loaded.unpersist()
     idx2.unpersist()
     idx.unpersist()
+
+
+# --- corpus snapshot diff (round 12) ----------------------------------------
+
+
+def test_corpus_diff_classifies_changes(spark):
+    """added/removed/modified classification on a hand-built snapshot
+    pair; unchanged docs are excluded; the join carries md5 digests,
+    not text (plan-asserted: no `text` column past the projections)."""
+    from myodish_peak_analysis_spark.llm.curate import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.change for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 3: "modified", 4: "added"}
+    # the join sides are md5 projections: `text` appears only below the
+    # digest computation, never as a join/shuffle output column
+    optimized = (
+        corpus_diff(old, new)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    join_part = optimized.split("Join", 1)[0]
+    assert "_oh" in optimized and "_nh" in optimized
+    assert "text" not in join_part
+
+
+def test_corpus_diff_null_text_presence_not_hash(spark):
+    """NULL-text docs must classify by ROW presence, not md5-nullness
+    (self-review round 12): unchanged NULL-text docs emit nothing,
+    removed ones say 'removed', NULL<->value transitions say
+    'modified'."""
+    from myodish_peak_analysis_spark.llm.curate import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (3, None), (4, "now set")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.change for r in corpus_diff(old, new).collect()}
+    # 1: NULL->NULL unchanged (absent); 2: removed; 3: value->NULL
+    # modified; 4: NULL->value modified
+    assert got == {2: "removed", 3: "modified", 4: "modified"}
+
+
+def test_warc_encode_refuses_null_fields(spark):
+    """A NULL lang (or text/source) must raise loudly instead of
+    nulling the record and, through the binary fold, the whole file's
+    content (self-review round 12)."""
+    import pytest as _pytest
+
+    from myodish_peak_analysis_spark.sources.warc import (
+        encode_documents_warc,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ok", "en", "s"), (2, "boom", None, "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    with _pytest.raises(Exception, match="NULL text/lang/source"):
+        encode_documents_warc(docs, file_mod=1).collect()
+
+
+def test_ann_ingestor_seeds_counter_from_in_session_chain(spark):
+    """An ingestor constructed over an ivf_pq_append-grown IN-SESSION
+    index must seed from the owned chain — maybe_refit's explicit
+    appended_rows= would otherwise suppress the chain derivation and
+    blind the mass dial to pre-construction appends (self-review
+    round 12)."""
+    from myodish_peak_analysis_spark.llm import similarity as S
+    from myodish_peak_analysis_spark.streaming.peaks import AnnIngestor
+
+    emb = _emb01(spark)
+    base = S.fit_ivf_pq_index(emb.filter(F.col("vec_id") % 10 > 2))
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    grown = S.ivf_pq_append(base, batch)
+    ing = AnnIngestor(grown)
+    assert ing.appended == batch.count()
+    # and the dial actually sees it: a tight mass dial trips at once
+    assert ing.maybe_refit(max_appended_fraction=0.01) is True
+    ing.index.unpersist()
+
+
+def test_bpe_decode_inverts_apply(spark):
+    """decode(apply(docs)) == docs on '+'-free text; the registered
+    round-trip query refuses marker-bearing text loudly."""
+    import pytest as _pytest
+
+    from myodish_peak_analysis_spark.llm import bpe
+    from myodish_peak_analysis_spark.llm.queries import q_bpe_roundtrip
+
+    out = q_bpe_roundtrip(spark, SF01)
+    from myodish_peak_analysis_spark.schema import read_table
+
+    docs = read_table(spark, SF01, "documents")
+    got = {r.doc_id: r.text for r in out.collect()}
+    expect = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert got == expect
+    plus = spark.createDataFrame(
+        [(1, "a+b c")], "doc_id long, text string"
+    )
+    dec = bpe.bpe_decode(bpe.bpe_apply(plus, bpe.APPLY_MERGES))
+    assert dec.first().text == "a b c"  # the documented lossy caveat
