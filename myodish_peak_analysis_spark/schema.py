@@ -169,13 +169,33 @@ def signal_frame_from_events(
     # order differs from its nanosecond order would get swapped sample_idx
     # values). Microseconds + event_id is the portable sort key.
     w = Window.partitionBy("channel_id").orderBy("ts_us", "event_id")
+    base = events.select(
+        (F.col("user_id") % F.lit(n_channels)).cast("long").alias("channel_id"),
+        ts_micros(events).alias("ts_us"),
+        F.col("event_id"),
+        F.col("value").cast("double").alias("signal_value"),
+    )
+    # RANGE-partition by channel before the channelization window
+    # (round 12, measured): hash partitioning deals n channels into
+    # shuffle-partition buckets with birthday collisions — at 50
+    # channels over 32 buckets one bucket measured FIVE channels, and
+    # that bucket's task is the straggler behind the peaks family's
+    # wide rep spreads (envelopes fresh-scan [6.67, 11.31] s hash vs
+    # [5.69, 6.33] ranged at sf0.1; docs/PLANS.md "Round-12 channel
+    # partitioning"). RangePartitioning(channel_id) satisfies the
+    # window's ClusteredDistribution just like hash, so the window
+    # reuses it with NO extra exchange — same shuffle count, balanced
+    # by rows instead of by hash luck, and every downstream
+    # channel-keyed window/groupBy inherits the balance. Partition
+    # count: one channel per partition while channels are few (the
+    # local/harness regime), capped at 2× parallelism when channels
+    # outnumber cores — contiguous channel ranges then balance by
+    # sampled row counts, which is the property hash can't give.
+    par = events.sparkSession.sparkContext.defaultParallelism
+    n_parts = int(min(n_channels, max(2 * par, 8)))
+    base = base.repartitionByRange(n_parts, "channel_id")
     return (
-        events.select(
-            (F.col("user_id") % F.lit(n_channels)).cast("long").alias("channel_id"),
-            ts_micros(events).alias("ts_us"),
-            F.col("event_id"),
-            F.col("value").cast("double").alias("signal_value"),
-        )
+        base
         .withColumn("sample_idx", (F.row_number().over(w) - F.lit(1)).cast("long"))
         .withColumn("time_index", F.col("sample_idx") / F.lit(float(fs)))
         .select("channel_id", "sample_idx", "time_index", "signal_value")

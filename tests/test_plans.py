@@ -39,12 +39,16 @@ def _plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_pipeline_plan_has_exactly_one_hash_exchange(spark):
+def test_pipeline_plan_has_exactly_one_channel_exchange(spark):
     """PLANS.md's headline claim, pinned: the whole native pipeline
     (smooth → envelopes → diastolic → peaks → attributes) shares ONE
-    channel-hash exchange; every window stage reuses or in-partition
-    re-sorts that distribution. A second hashpartitioning exchange
-    means someone broke the shared-partitioning discipline."""
+    channel exchange; every window stage reuses or in-partition
+    re-sorts that distribution. Since round 12 that single exchange is
+    RANGE partitioning (one channel per partition — the straggler fix,
+    PLANS.md "Round-12 channel partitioning"); rangepartitioning
+    satisfies the windows' ClusteredDistribution, so ANY
+    hashpartitioning exchange appearing means someone broke the
+    shared-partitioning discipline."""
     from myodish_peak_analysis_spark.api import PeakPipeline
     from myodish_peak_analysis_spark.schema import signal_frame
     from tests.conftest import SF001
@@ -59,7 +63,24 @@ def test_pipeline_plan_has_exactly_one_hash_exchange(spark):
         .attributes()
     )
     plan = _plan_of(pipe.df if hasattr(pipe, "df") else pipe)
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    n_ex = (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("ReusedExchange")
+    )
+    # n_channels=1 degenerates rangepartitioning(1) to SinglePartition,
+    # so the pin is structural: ONE shuffle total, and it is never the
+    # hash partitioner the round-12 fix replaced.
+    assert n_ex == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:2000]
+    multi = signal_frame(spark, SF001, n_channels=2)
+    mplan = _plan_of(
+        (lambda p: p.df if hasattr(p, "df") else p)(
+            PeakPipeline(multi).smooth().envelopes()
+        )
+    )
+    assert mplan.count("Exchange rangepartitioning") == 1, mplan[:2000]
+    assert mplan.count("Exchange hashpartitioning") == 0, mplan[:2000]
 
 
 def test_stratified_sample_plan_is_exchange_free(spark):
