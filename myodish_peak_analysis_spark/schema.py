@@ -186,14 +186,23 @@ def signal_frame_from_events(
     # window's ClusteredDistribution just like hash, so the window
     # reuses it with NO extra exchange — same shuffle count, balanced
     # by rows instead of by hash luck, and every downstream
-    # channel-keyed window/groupBy inherits the balance. Partition
-    # count: one channel per partition while channels are few (the
-    # local/harness regime), capped at 2× parallelism when channels
-    # outnumber cores — contiguous channel ranges then balance by
-    # sampled row counts, which is the property hash can't give.
+    # channel-keyed window/groupBy inherits the balance. One channel
+    # per partition while channels are few, capped at 2× parallelism.
+    #
+    # Regime cutoff, also measured: the collision pathology needs
+    # channels ≈ buckets. Once channels ≫ buckets the law of large
+    # numbers balances hash anyway (50k uniform channels into 32
+    # buckets is ±3%), and range's extra sampling pass over the full
+    # input is pure cost — the 100M-row/50k-channel decade read
+    # 27.9 s hash vs [31.8, 38.5] ranged. So range applies only while
+    # n_channels is within 8× of the partition budget; beyond that the
+    # window's own hash exchange is already the right plan. (Skewed
+    # channel SIZES at high channel counts would revisit this — the
+    # harness and the reference's episodic data are uniform.)
     par = events.sparkSession.sparkContext.defaultParallelism
     n_parts = int(min(n_channels, max(2 * par, 8)))
-    base = base.repartitionByRange(n_parts, "channel_id")
+    if n_channels <= 8 * n_parts:
+        base = base.repartitionByRange(n_parts, "channel_id")
     return (
         base
         .withColumn("sample_idx", (F.row_number().over(w) - F.lit(1)).cast("long"))
