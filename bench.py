@@ -322,15 +322,16 @@ def main() -> None:
         # lineage checkpoint, full-fit vs the 1/5 sample-fit knob. The
         # fit runs inside build() (driver actions per round, the Lloyd
         # cost shape); the delta quantifies per-round cost growth and
-        # what sample-fit buys back.
+        # what sample-fit buys back. Round 13 (VERDICT r12 ask #5):
+        # bpe_vocab's DEFAULT is now the batched posture (batch=4 cuts
+        # driver rounds 16 -> ~4), so "bpe_vocab16" here measures what
+        # a caller actually gets; the former "bpe_vocab16_batched"
+        # entry is gone because it became identical to this one, and
+        # classic (batch_merges=1) stays measured via the registry's
+        # oracle-pinned bpe_vocab/bpe_encode queries.
         "bpe_vocab16": lambda: bpe.bpe_vocab(docs, n_merges=16),
         "bpe_vocab16_sampled": lambda: bpe.bpe_vocab(
             docs, n_merges=16, fit_sample_mod=5
-        ),
-        # batch=4 cuts driver rounds 16 -> ~4: the production knob for
-        # the trainer's round-trip cost (classic semantics at batch=1)
-        "bpe_vocab16_batched": lambda: bpe.bpe_vocab(
-            docs, n_merges=16, batch_merges=4
         ),
         "incremental_neardup": lambda: dedup.incremental_neardup(
             docs.filter(F.col("doc_id") % 10 == 0),

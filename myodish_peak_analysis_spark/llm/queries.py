@@ -536,10 +536,21 @@ QUERIES["rp_project"] = q_rp_project
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE pair-merge trainer: 4 rounds of corpus-wide top-pair
     selection (map-combinable pair counts + distributed TakeOrdered,
-    one driver action per round — the Lloyd pattern)."""
+    one driver action per round — the Lloyd pattern).
+
+    ``batch_merges=1`` is pinned EXPLICITLY (round 13): the trainer's
+    default flipped to the measured batched posture, but the DuckDB
+    oracle mirrors classic per-round recount semantics, and batching
+    can legitimately pick a different rule set where consecutive top
+    pairs interfere (observed at sf0.001: classic's round-4 pick
+    ('order','order') shares a token with round-1's ('order','fast'),
+    so the batch defers it) — this entry is the classic-semantics
+    pin."""
     from . import bpe
 
-    return bpe.bpe_vocab(read_table(spark, sf_dir, "documents"))
+    return bpe.bpe_vocab(
+        read_table(spark, sf_dir, "documents"), batch_merges=1
+    )
 
 
 QUERIES["bpe_vocab"] = q_bpe_vocab
@@ -547,10 +558,14 @@ QUERIES["bpe_vocab"] = q_bpe_vocab
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus re-tokenized under the learned BPE merges (per-row LTR
-    fold inside codegen — no UDF, no shuffle in the apply)."""
+    fold inside codegen — no UDF, no shuffle in the apply).
+    ``batch_merges=1`` pinned for the same oracle-semantics reason as
+    ``bpe_vocab``."""
     from . import bpe
 
-    return bpe.bpe_encode(read_table(spark, sf_dir, "documents"))
+    return bpe.bpe_encode(
+        read_table(spark, sf_dir, "documents"), batch_merges=1
+    )
 
 
 QUERIES["bpe_encode"] = q_bpe_encode
@@ -931,12 +946,19 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     visibly instead of silently mangling text into a hash mismatch."""
     from . import bpe
 
+    # NULL text is refused EXPLICITLY before the marker check: IF(NULL,
+    # ...) takes the else arm, so without the outer guard a NULL-text
+    # doc would hit the raise_error branch with the misleading "contains
+    # the + merge marker" diagnosis (ADVICE r12) — fail with the actual
+    # cause instead.
     docs = read_table(spark, sf_dir, "documents").withColumn(
         "text",
         F.expr(
+            "IF(text IS NULL, raise_error(concat('bpe_roundtrip: NULL "
+            "text for doc_id ', CAST(doc_id AS STRING))), "
             "IF(text NOT LIKE '%+%', text, raise_error(concat("
             "'bpe_roundtrip: text for doc_id ', CAST(doc_id AS STRING), "
-            "' contains the + merge marker; decode would be lossy')))"
+            "' contains the + merge marker; decode would be lossy'))))"
         ),
     )
     return bpe.bpe_decode(

@@ -1516,15 +1516,25 @@ def ivf_pq_append(
     # O(batch) size probe; the per-row raise_error guard in
     # _pq_subvectors stays as defense in depth for callers that reach
     # the encoder without going through this path.
+    # NULL embeddings must fail the probe too (ADVICE r12): for a NULL
+    # embedding size() is NULL, `size != index_dim` is NULL, and the
+    # row would be DROPPED from the probe — the batch then slips past,
+    # new_members gets cached/materialized, and the failure surfaces
+    # only in the downstream per-row encoder, recreating exactly the
+    # cached-frame leak this probe exists to prevent.
     bad_dim = (
-        new_emb.filter(F.size("embedding") != index_dim)
+        new_emb.filter(
+            F.col("embedding").isNull()
+            | (F.size("embedding") != index_dim)
+        )
         .select(F.size("embedding").alias("d"))
         .limit(1)
         .collect()
     )
     if bad_dim:
+        got = "NULL" if bad_dim[0].d is None else bad_dim[0].d
         raise ValueError(
-            f"ivf_pq_append: batch embedding dim {bad_dim[0].d} != index "
+            f"ivf_pq_append: batch embedding dim {got} != index "
             f"dim {index_dim} — assignment and PQ encoding against the "
             "frozen centroids/codebooks would be silently wrong"
         )

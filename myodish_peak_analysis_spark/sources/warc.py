@@ -27,7 +27,7 @@ Spark-side shape:
   verified on every correctness round, not just unit-tested.
 
 Reference parity note: the reference ingests ABF files
-(``/root/reference/file_import.py``); WARC is an EXTENSION for the
+(``/root/reference/utils.py:5-22``); WARC is an EXTENSION for the
 LLM-pipeline surface (SURVEY.md §2.9 extensions), alongside the
 JSONL/CSV readers in :mod:`.text`.
 """
@@ -70,12 +70,22 @@ def _gzip_members(blob: bytes) -> Iterator[bytes]:
     ``zlib.decompressobj`` — each member yields without ever holding
     the whole file decompressed."""
     rest = blob
+    offset = 0
     while rest:
+        # anything after a member must itself be a gzip member: writer
+        # padding / stray trailing bytes would otherwise surface as a
+        # raw zlib.error with no offset context (ADVICE r12)
+        if rest[:2] != b"\x1f\x8b":
+            raise ValueError(
+                f"warc: trailing non-gzip bytes after member at offset "
+                f"{offset} ({rest[:4]!r})"
+            )
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
         out = d.decompress(rest)
         if not d.eof:
             raise ValueError("warc: truncated gzip member")
         yield out
+        offset += len(rest) - len(d.unused_data)
         rest = d.unused_data
 
 
@@ -231,13 +241,22 @@ def encode_documents_warc(docs: DataFrame, file_mod: int = 8) -> DataFrame:
     null the record and the binary fold would then null the ENTIRE
     file's content — silently losing every document sharing that
     file_key (self-review round 12). An exporter feeding real corpora
-    coalesces or drops nulls explicitly BEFORE encoding."""
+    coalesces or drops nulls explicitly BEFORE encoding. Lang/source
+    containing CR/LF are refused the same way (ADVICE r12): the values
+    are written verbatim into WARC headers, so an embedded newline is
+    header INJECTION — it corrupts the record framing into a malformed
+    blob (or silently misattributed headers) that surfaces only as an
+    opaque parse error downstream."""
     docs = docs.withColumn(
         "text",
         F.expr(
-            "IF(text IS NOT NULL AND lang IS NOT NULL AND source IS NOT "
-            "NULL, text, raise_error(concat('warc encode: NULL "
-            "text/lang/source for doc_id ', CAST(doc_id AS STRING))))"
+            "IF(text IS NULL OR lang IS NULL OR source IS NULL, "
+            "raise_error(concat('warc encode: NULL text/lang/source "
+            "for doc_id ', CAST(doc_id AS STRING))), "
+            "IF(lang RLIKE '[\\r\\n]' OR source RLIKE '[\\r\\n]', "
+            "raise_error(concat('warc encode: CR/LF in lang/source for "
+            "doc_id ', CAST(doc_id AS STRING), ' — header injection')), "
+            "text))"
         ),
     )
     header = F.concat(

@@ -222,16 +222,33 @@ def test_bpe_vocab_and_encode_small_corpus(spark):
     # merge: [big+cat, big+cat, big+cat] -> (big+cat,big+cat) x2;
     # doc2 [big+cat, dog] -> 1; doc3 (dog,dog) x2. Tie 2 vs 2 ->
     # lexicographic: 'big+cat' < 'dog' -> (big+cat, big+cat).
+    # batch_merges=1 pinned: this fixture's round-2 rule CONSUMES
+    # round 1's merged token, the exact case batched selection defers
+    # to the next recount (asserted below) — classic semantics are
+    # what this test pins (round 13: the trainer default is batched).
     vocab = [
         (r.merge_rank, r.left_tok, r.right_tok, r.n_pairs)
-        for r in bpe_vocab(docs, n_merges=2).collect()
+        for r in bpe_vocab(docs, n_merges=2, batch_merges=1).collect()
     ]
     assert vocab[0] == (1, "big", "cat", 4)
     assert vocab[1] == (2, "big+cat", "big+cat", 2)
-    enc = {r.doc_id: (r.text_bpe, r.n_tokens) for r in bpe_encode(docs, n_merges=2).collect()}
+    enc = {
+        r.doc_id: (r.text_bpe, r.n_tokens)
+        for r in bpe_encode(docs, n_merges=2, batch_merges=1).collect()
+    }
     assert enc[1] == ("big+cat+big+cat big+cat", 2)
     assert enc[2] == ("big+cat dog", 2)
     assert enc[3] == ("dog dog dog", 3)
+    # the batched DEFAULT diverges here by design: (big+cat,big+cat)
+    # only exists after round 1 applies, so the one-recount batch takes
+    # the disjoint (dog,dog) x2 instead — the documented batching
+    # semantics of _select_noninterfering.
+    batched = [
+        (r.merge_rank, r.left_tok, r.right_tok, r.n_pairs)
+        for r in bpe_vocab(docs, n_merges=2).collect()
+    ]
+    assert batched[0] == (1, "big", "cat", 4)
+    assert batched[1] == (2, "dog", "dog", 2)
     spark.catalog.clearCache()
 
 
