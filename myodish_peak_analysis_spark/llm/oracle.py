@@ -1540,6 +1540,21 @@ ORACLES["warc_roundtrip"] = """
 SELECT doc_id, text, lang, source FROM documents
 """
 
+# warc_extract_text: encode→parse→HTTP-split→HTML-extract is the
+# identity up to whitespace normalization (the extractor's contract:
+# runs → one space, stripped — the template's block separators wash
+# out), plus the deterministic provenance URL the encoder writes as
+# WARC-Target-URI (warc.doc_url / warc.CRAWL_URL_PREFIX, mirrored
+# verbatim here).
+ORACLES["warc_extract_text"] = """
+SELECT doc_id,
+       'https://crawl.example/' || source || '/' || CAST(doc_id AS VARCHAR)
+           AS url,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text,
+       lang, source
+FROM documents
+"""
+
 # corpus_diff: the same deterministic next-snapshot construction, with
 # the same md5-projection full-outer-join classification. DuckDB's
 # md5(text) hashes the UTF-8 bytes, matching Spark's

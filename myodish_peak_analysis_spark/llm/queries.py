@@ -907,6 +907,39 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["warc_roundtrip"] = q_warc_roundtrip
 
 
+def q_warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-shaped WARC ingest round trip (round 13): the documents
+    table is encoded as **response** records — full HTTP messages
+    (status line + Content-Type + Content-Length headers) carrying an
+    HTML body that wraps the escaped text in a template with title/
+    script/style blocks, plus ``WARC-Target-URI`` provenance
+    (:func:`..sources.warc.encode_documents_warc_http`) — then read
+    back through the real crawl path: Content-Length-driven parse →
+    JVM HTTP split (:func:`..sources.warc.split_http_responses`,
+    lossless ISO-8859-1 byte↔char trick) → charset-honoring stdlib
+    HTML→text extraction (:func:`..sources.warc.with_html_text`).
+    Oracle: whitespace-normalized identity projection + the same URL
+    concat — so tag stripping, skip-tag handling, entity decode, both
+    Content-Length byte counts, and the Target-URI plumbing are all
+    hash-checked every round."""
+    from ..sources.warc import (
+        crawl_documents,
+        encode_documents_warc_http,
+        parse_warc,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    blobs = encode_documents_warc_http(docs, file_mod=8).select(
+        F.concat(F.lit("mem://warc/part-"), F.col("file_key").cast("string"))
+        .alias("path"),
+        "content",
+    )
+    return crawl_documents(parse_warc(blobs))
+
+
+QUERIES["warc_extract_text"] = q_warc_extract_text
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (round 12): simulate tomorrow's crawl snapshot
     deterministically from the documents table — doc_id%10==0 removed,

@@ -211,3 +211,170 @@ def test_read_warc_batch_and_stream_match(spark, tmp_path):
         r.record_id: (r.payload, r.x_doc_lang) for r in batch.collect()
     }
     assert got == expect and len(got) == n_docs
+
+
+# --- round 13: crawl ingestion (Target-URI + HTTP split + HTML text) --------
+
+
+def test_html_to_text_adversarial():
+    """Nested/unclosed tags, skip-tag content (script with a '<'
+    inside, style, title), good/bad entities, and whitespace collapse."""
+    from myodish_peak_analysis_spark.sources.warc import html_to_text
+
+    assert html_to_text("<div><p>a<b>b</b>c</p><p>d</p></div>") == "abc d"
+    assert (
+        html_to_text(
+            "<html><head><title>skip me</title>"
+            "<script>if (a < b) { x(); }</script>"
+            "<style>p { color: red; }</style></head>"
+            "<body><p>kept</p></body></html>"
+        )
+        == "kept"
+    )
+    # entity decode: known refs decode; a bogus name is handled the way
+    # BROWSERS handle it (HTML5 longest-prefix matching — stdlib
+    # html.parser implements the spec table, so '&not' inside
+    # '&notarealentity;' decodes to U+00AC and the rest stays literal);
+    # a name with no valid prefix passes through untouched
+    assert html_to_text("<p>a &amp; b &lt;c&gt; &copy;</p>") == "a & b <c> \xa9"
+    assert html_to_text("<p>x &notarealentity; y</p>") == "x \xacarealentity; y"
+    assert html_to_text("<p>x &qqzz; y</p>") == "x &qqzz; y"
+    # numeric charrefs, including a malformed one
+    assert html_to_text("<p>&#65;&#x42;</p>") == "AB"
+    # unclosed inline tag + nested same-name skip tags
+    assert html_to_text("<p>a <b>bold</p>") == "a bold"
+    # whitespace runs collapse; block boundaries separate words
+    assert html_to_text("<p>  a \n\t b  </p><br>c") == "a b c"
+    # void/self-closing tags don't unbalance the skip depth
+    assert html_to_text("<p>a<br/>b</p>") == "a b"
+
+
+def test_parse_warc_surfaces_target_uri(spark):
+    """WARC-Target-URI (ISO 28500 §5.12) lands in the record frame and
+    rides through to crawl provenance."""
+    blob = _record(
+        "urn:doc:3",
+        b"payload",
+        extra="WARC-Target-URI: https://example.com/a?b=1\r\n",
+    )
+    files = spark.createDataFrame(
+        [("mem://f0", bytearray(blob))], "path string, content binary"
+    )
+    row = parse_warc(files).collect()[0]
+    assert row.target_uri == "https://example.com/a?b=1"
+    assert row.record_id == "urn:doc:3"
+
+
+def _http_record(rid, html_bytes, ctype="text/html; charset=UTF-8",
+                 uri="https://example.com/x"):
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode()
+        + b"\r\nContent-Length: " + str(len(html_bytes)).encode()
+        + b"\r\n\r\n" + html_bytes
+    )
+    return _record(rid, http, extra=f"WARC-Target-URI: {uri}\r\n").replace(
+        b"WARC-Type: conversion", b"WARC-Type: response"
+    )
+
+
+def test_split_http_responses_and_charset(spark):
+    """The JVM HTTP split recovers status/content-type/charset and the
+    exact body BYTES (ISO-8859-1 round trip), and the extractor honors
+    a declared non-UTF-8 charset."""
+    from myodish_peak_analysis_spark.sources.warc import (
+        split_http_responses,
+        with_html_text,
+    )
+
+    latin = "<p>caf\xe9 touch\xe9</p>".encode("iso-8859-1")
+    utf8 = "<p>caf\xe9 touch\xe9</p>".encode("utf-8")
+    blob = _http_record(
+        "urn:doc:1", latin, ctype="text/html; charset=ISO-8859-1"
+    ) + _http_record("urn:doc:2", utf8) + _record("urn:doc:3", b"not-http")
+    files = spark.createDataFrame(
+        [("mem://f0", bytearray(blob))], "path string, content binary"
+    )
+    out = with_html_text(split_http_responses(parse_warc(files)))
+    rows = {r.record_id: r for r in out.collect()}
+    r1, r2, r3 = rows["urn:doc:1"], rows["urn:doc:2"], rows["urn:doc:3"]
+    assert r1.http_status == 200
+    assert r1.http_charset.upper() == "ISO-8859-1"
+    assert bytes(r1.http_body) == latin
+    assert r1.text == "caf\xe9 touch\xe9"
+    assert r2.http_charset.upper() == "UTF-8"
+    assert r2.text == "caf\xe9 touch\xe9"
+    # non-response record: NULL http columns, NULL text (not a crash)
+    assert r3.http_status is None and r3.http_body is None and r3.text is None
+
+
+def test_split_http_unknown_charset_falls_back(spark):
+    """An unknown declared charset degrades to UTF-8+replacement, not a
+    dead task (malformed crawl records are data, not exceptions)."""
+    from myodish_peak_analysis_spark.sources.warc import (
+        split_http_responses,
+        with_html_text,
+    )
+
+    blob = _http_record(
+        "urn:doc:9", b"<p>ok</p>", ctype="text/html; charset=x-no-such-cs"
+    )
+    files = spark.createDataFrame(
+        [("mem://f0", bytearray(blob))], "path string, content binary"
+    )
+    out = with_html_text(split_http_responses(parse_warc(files)))
+    assert out.collect()[0].text == "ok"
+
+
+def test_crawl_documents_roundtrip_sf001(spark):
+    """encode_documents_warc_http -> parse -> split -> extract is the
+    whitespace-normalized identity on the harness documents table, with
+    the deterministic provenance URL (the registered warc_extract_text
+    query's contract at sf0.001)."""
+    from myodish_peak_analysis_spark.schema import read_table
+    from myodish_peak_analysis_spark.sources.warc import (
+        CRAWL_URL_PREFIX,
+        crawl_documents,
+        encode_documents_warc_http,
+    )
+
+    docs = read_table(spark, SF001, "documents")
+    blobs = encode_documents_warc_http(docs, file_mod=4).select(
+        F.concat(F.lit("mem://p"), F.col("file_key").cast("string")).alias(
+            "path"
+        ),
+        "content",
+    )
+    got = {
+        r.doc_id: (r.url, r.text, r.lang, r.source)
+        for r in crawl_documents(parse_warc(blobs)).collect()
+    }
+    expect = {
+        r.doc_id: (
+            f"{CRAWL_URL_PREFIX}{r.source}/{r.doc_id}",
+            " ".join(r.text.split()),
+            r.lang,
+            r.source,
+        )
+        for r in docs.collect()
+    }
+    assert got == expect
+
+
+def test_encode_http_escapes_markup_characters(spark):
+    """Text containing &, <, > survives the HTML wrap: escape order
+    (& first) prevents double-escaping, and the extractor decodes the
+    refs back."""
+    from myodish_peak_analysis_spark.sources.warc import (
+        crawl_documents,
+        encode_documents_warc_http,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a & b < c > d &amp; <script>evil()</script>", "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    blobs = encode_documents_warc_http(docs, file_mod=1).select(
+        F.lit("mem://p0").alias("path"), "content"
+    )
+    row = crawl_documents(parse_warc(blobs)).collect()[0]
+    assert row.text == "a & b < c > d &amp; <script>evil()</script>"
