@@ -1555,6 +1555,30 @@ SELECT doc_id,
 FROM documents
 """
 
+# URL curation ops (round 13): the canonicalization contract is
+# implemented twice by design (Spark Column expressions vs the DuckDB
+# expression from urls.canonical_url_sql); the messy-URL fabric is
+# mirrored verbatim. Grid-equality of the two canonicalizers is
+# additionally pinned in tests/test_urls.py.
+from .urls import canonical_url_sql, domain_caps_sql, synth_urls_sql  # noqa: E402
+
+ORACLES["url_canonicalize"] = f"""
+WITH u AS ({synth_urls_sql()})
+SELECT doc_id, url, {canonical_url_sql("url")} AS canonical_url FROM u
+"""
+
+ORACLES["url_dedup"] = f"""
+WITH u AS ({synth_urls_sql()})
+SELECT {canonical_url_sql("url")} AS canonical_url,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*)::BIGINT AS n_copies
+FROM u GROUP BY 1
+"""
+
+ORACLES["domain_caps"] = domain_caps_sql(
+    synth_urls_sql(), ORACLES["quality_score"], max_per_domain=100
+)
+
 # corpus_diff: the same deterministic next-snapshot construction, with
 # the same md5-projection full-outer-join classification. DuckDB's
 # md5(text) hashes the UTF-8 bytes, matching Spark's

@@ -940,6 +940,55 @@ def q_warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["warc_extract_text"] = q_warc_extract_text
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (round 13): the RFC 3986 §6 syntax rules +
+    tracking-param strip over the deterministic messy-URL fabric
+    (:func:`..llm.urls.synth_urls` — host/scheme case, default ports,
+    trailing slashes, tracking/mixed queries, fragments). Map-only JVM
+    codegen; the DuckDB oracle re-implements the same contract
+    expression-for-expression."""
+    from . import urls
+
+    return urls.with_canonical_url(
+        urls.synth_urls(read_table(spark, sf_dir, "documents"))
+    )
+
+
+QUERIES["url_canonicalize"] = q_url_canonicalize
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup: one hash-groupBy on the canonical URL —
+    variants 0-2 of each doc_id%200 class collide by construction, so
+    the collision groups exercise both the canonicalizer and the
+    keeper rule."""
+    from . import urls
+
+    return urls.url_dedup(
+        urls.synth_urls(read_table(spark, sf_dir, "documents"))
+    )
+
+
+QUERIES["url_dedup"] = q_url_dedup
+
+
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (the domain-keyed twin of quality_prune): at most
+    N docs per canonical-URL host, best quality first. The URL fabric
+    yields two hosts with very different populations, so the cap binds
+    on one and not the other."""
+    from . import urls
+
+    docs = read_table(spark, sf_dir, "documents")
+    return urls.domain_caps(
+        urls.synth_urls(docs).join(docs.select("doc_id", "text"), "doc_id"),
+        max_per_domain=100,
+    )
+
+
+QUERIES["domain_caps"] = q_domain_caps
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (round 12): simulate tomorrow's crawl snapshot
     deterministically from the documents table — doc_id%10==0 removed,
