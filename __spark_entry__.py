@@ -106,12 +106,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: section (a)). Updated by hand each round alongside the code; if it
 #: goes stale the head degrades to pure backlog+filler coverage, which
 #: is still policy-valid (the generator, not this list, guarantees the
-#: staleness bound). Round 12: only ann_serve_appended's operator path
-#: changed (VERDICT r11 ask #3 + ADVICE r11: ivf_pq_append grew a
-#: pre-cache batch-dim probe and a persisted appended-since-fit count
-#: that save/load round-trips) — the 47-row r9-stale backlog takes the
-#: rest of the head (VERDICT r11 ask #5).
+#: staleness bound). Round 13: the WARC encoder grew Target-URI +
+#: injection guards (warc_roundtrip), the BPE trainer default flipped
+#: to batched with the registry queries pinning classic explicitly
+#: (bpe_vocab/bpe_encode) and bpe_roundtrip grew the NULL-text guard,
+#: and ivf_pq_append's dim probe now refuses NULL embeddings
+#: (ann_serve_appended). The five NEW round-13 queries
+#: (warc_extract_text, url_canonicalize, url_dedup, domain_caps,
+#: incremental_manifest) are never-verified and therefore lead the
+#: computed backlog automatically.
 _CHANGED_THIS_ROUND = [
+    "warc_roundtrip",
+    "bpe_vocab",
+    "bpe_encode",
+    "bpe_roundtrip",
     "ann_serve_appended",
 ]
 

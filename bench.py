@@ -29,7 +29,9 @@ from myodish_peak_analysis_spark.llm import (  # noqa: E402
     sampling,
     similarity,
     text,
+    urls,
 )
+from myodish_peak_analysis_spark.llm import queries as _llm_q  # noqa: E402
 from myodish_peak_analysis_spark.operators.analytics import (  # noqa: E402
     mad_outliers,
     range_pairs,
@@ -125,6 +127,15 @@ def main() -> None:
             docs.filter(F.col("doc_id") % 10 == 0),
             docs.filter(F.col("doc_id") % 10 != 0),
             corpus_index=_corpus_idx["idx"],
+        )
+
+    _manifest_state: dict[str, object] = {}
+
+    def _incremental_manifest():
+        if "state" not in _manifest_state:
+            _manifest_state["state"] = curate.manifest_prefit_state(docs)
+        return curate.incremental_corpus_manifest(
+            _llm_q._next_snapshot(docs), _manifest_state["state"]
         )
 
     _ivf_pq_idx: dict[str, object] = {}
@@ -396,6 +407,24 @@ def main() -> None:
         # probe -> posting lists -> ADC -> re-rank on a fresh batch.
         "ann_serve": _ann_serve,
         "ann_serve_appended": _ann_serve_appended,
+        # round-13: the crawl-shaped WARC path (encode -> parse ->
+        # JVM HTTP split -> Arrow-batched HTML extract — the one
+        # Python stage rides ~300-byte bodies, never the blobs), the
+        # URL curation ops (map-only canonicalize feeding a hash
+        # groupBy / a per-domain rank window), and the incremental
+        # nightly manifest: the prefit state is built lazily on the
+        # FIRST rep (the amortized cross-snapshot asset, same pattern
+        # as the prefit ANN entries), so best-of-3 records what a
+        # nightly actually pays — diff + fresh per-doc work + the
+        # metadata-sized global stages.
+        "warc_extract_text": lambda: _llm_q.q_warc_extract_text(
+            spark, SF_DIR
+        ),
+        "url_dedup": lambda: urls.url_dedup(urls.synth_urls(docs)),
+        "domain_caps": lambda: urls.domain_caps(
+            urls.synth_urls(docs).join(docs.select("doc_id", "text"), "doc_id")
+        ),
+        "incremental_manifest": _incremental_manifest,
     }
 
     # round-6 additions (VERDICT r5 ask #8): the heavy §2 singles,
@@ -439,6 +468,11 @@ def main() -> None:
         # self-attribution the peaks trio earned in r10.
         "native_peak_pipeline": 5,
         "training_corpus_manifest": 5,
+        # VERDICT r12 ask #4: the two emb movers (+28%/+19% vs r11,
+        # outside the 0.14 family band) join the 5-rep set alongside
+        # the r11-vs-r12-vs-r13 ab_trees --family emb attribution run.
+        "ivf_pq_topk_prefit": 5,
+        "rp_ivf_topk": 5,
     }
     for name, build in queries.items():
         nrep = max(reps, _extra_reps.get(name, 0))

@@ -111,16 +111,41 @@ def training_corpus_manifest(
     :func:`.packing.pack_chunks` directly at production shard counts).
     """
     from .dedup import canonical_corpus
+
+    canon = canonical_corpus(docs).select("doc_id", "cluster_id", "source")
+    return _manifest_tail(
+        docs,
+        canon,
+        with_quality_score(docs),
+        keep_permille,
+        test_permille,
+        val_permille,
+        capacity,
+    )
+
+
+def _manifest_tail(
+    docs: DataFrame,
+    canon: DataFrame,
+    quality: DataFrame,
+    keep_permille: int,
+    test_permille: int,
+    val_permille: int,
+    capacity: int,
+) -> DataFrame:
+    """Stages 2-4 of the manifest (per-source prune → leakage-safe
+    split → packing), shared verbatim by the full rebuild and the
+    incremental path so the two can never drift. ``canon`` is
+    (doc_id, cluster_id, source) representatives; ``quality`` is
+    (doc_id, quality_score)."""
     from .packing import pack_chunks
     from .sampling import HASH_MULTIPLIER
 
-    canon = canonical_corpus(docs).select("doc_id", "cluster_id", "source")
-    q = with_quality_score(docs)
     w = Window.partitionBy("source").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()
     )
     ranked = (
-        canon.join(q, "doc_id")
+        canon.join(quality, "doc_id")
         .withColumn("src_rank", F.row_number().over(w))
         .withColumn(
             "src_n", F.count(F.lit(1)).over(Window.partitionBy("source"))
@@ -194,6 +219,192 @@ def training_corpus_manifest_sql(
         CAST(start_off // {capacity} AS BIGINT),
         CAST((start_off + n_tok - 1) // {capacity} AS BIGINT))) AS t(chunk_id)
     """
+
+
+def manifest_prefit_state(docs: DataFrame) -> dict:
+    """The per-document artifacts a nightly manifest build should
+    KEEP between snapshots — everything whose cost is proportional to
+    corpus size rather than diff size (round 13, VERDICT r12 ask #3):
+
+    - ``digests``: (doc_id, text_md5) — decides tomorrow's diff
+      without rescanning yesterday's text;
+    - ``bands``: (doc_id, band, band_key) MinHash-LSH band keys (the
+      :func:`.dedup.corpus_band_index` asset, per-doc deterministic);
+    - ``quality``: (doc_id, quality_score) — per-doc deterministic;
+    - ``edges``: (doc_id_a, doc_id_b, jaccard) verified near-dup pairs
+      (:func:`.dedup.neardup_verified`) — an edge between two docs
+      whose text didn't change cannot change.
+
+    Each frame is persisted and materialized (at 100 TB: bucketed
+    tables — digests/quality by doc_id, bands by (band, band_key), the
+    shuffle-free layout every nightly probe then reuses)."""
+    from pyspark import StorageLevel
+
+    from .dedup import (
+        minhash_band_keys,
+        minhash_signatures,
+        neardup_verified,
+    )
+
+    state = {
+        "digests": docs.select(
+            "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_md5")
+        ),
+        "bands": minhash_band_keys(minhash_signatures(docs)),
+        "quality": with_quality_score(docs),
+        "edges": neardup_verified(docs),
+    }
+    for df in state.values():
+        df.persist(StorageLevel.MEMORY_AND_DISK).count()
+    return state
+
+
+def release_manifest_state(state: dict) -> None:
+    """Unpersist every frame of a :func:`manifest_prefit_state`."""
+    for df in state.values():
+        df.unpersist()
+
+
+def incremental_corpus_manifest(
+    new_docs: DataFrame,
+    state: dict,
+    keep_permille: int = 700,
+    test_permille: int = 100,
+    val_permille: int = 100,
+    capacity: int = 128,
+) -> DataFrame:
+    """:func:`training_corpus_manifest` recomputed on a NEW snapshot
+    while paying per-document cost only for the docs that CHANGED —
+    the actual 100 TB operating mode: at crawl cadence the diff is a
+    small fraction of the corpus, and the expensive per-doc stages
+    (shingling + MinHash signatures, quality scoring, candidate
+    verification) should cost O(|diff|), not O(|corpus|).
+
+    OUTPUT EQUALITY is the contract: identical rows to
+    ``training_corpus_manifest(new_docs)`` (the registered
+    ``incremental_manifest`` query pins it against the full-rebuild
+    DuckDB oracle on the diffed snapshot; tests pin it Spark-vs-Spark
+    too). That holds because every carried artifact is a deterministic
+    function of a doc's text alone (digest, band keys, quality) or of
+    an UNCHANGED pair's texts (verified edges), while the genuinely
+    global stages — connected components over the edge set, the
+    canonical-representative window, per-source rank, split, packing —
+    are recomputed every run but are metadata-sized (they never touch
+    text except the final packing scan of the surviving train docs).
+
+    Stage shape:
+
+    1. diff via digest join (16-byte hashes, never text);
+    2. fresh band keys + quality for added/modified docs only;
+    3. candidate pairs = fresh keys ⋈ (carried ∪ fresh) keys — the
+       :func:`.dedup.incremental_neardup` probe shape, new×all only;
+    4. exact-Jaccard verify on those candidates only (token arrays
+       fetched by id for just the candidate partners);
+    5. edges = carried edges with BOTH endpoints unchanged ∪ fresh
+       verified edges; components via the large-star/small-star
+       contraction (:func:`.dedup.star_components` — output-identical
+       to the label-prop route, O(log^2 n) rounds);
+    6. the shared :func:`_manifest_tail`.
+    """
+    from .dedup import (
+        _TOKENS,
+        _jaccard_expr,
+        minhash_band_keys,
+        minhash_signatures,
+        star_components,
+    )
+
+    new_dig = new_docs.select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("_nh")
+    )
+    unchanged = (
+        state["digests"]
+        .join(new_dig, "doc_id")
+        .filter(F.col("text_md5").eqNullSafe(F.col("_nh")))
+        .select("doc_id")
+    )
+    changed = new_docs.join(unchanged, "doc_id", "left_anti")
+
+    fresh_bands = minhash_band_keys(minhash_signatures(changed))
+    carried_bands = state["bands"].join(unchanged, "doc_id")
+    all_bands = carried_bands.unionByName(fresh_bands)
+    cand = (
+        fresh_bands.select(
+            F.col("doc_id").alias("_fid"), "band", "band_key"
+        )
+        .join(
+            all_bands.select(
+                F.col("doc_id").alias("_oid"), "band", "band_key"
+            ),
+            ["band", "band_key"],
+        )
+        .filter(F.col("_fid") != F.col("_oid"))
+        .select(
+            F.least("_fid", "_oid").alias("doc_id_a"),
+            F.greatest("_fid", "_oid").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    t = new_docs.select(
+        "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks")
+    )
+    j = (
+        cand.join(
+            t.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("toks").alias("toks_a"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            t.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("toks").alias("toks_b"),
+            ),
+            "doc_id_b",
+        )
+    )
+    jac = _jaccard_expr("toks_a", "toks_b")
+    fresh_edges = j.select(
+        "doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.5)
+    carried_edges = (
+        state["edges"]
+        .join(unchanged.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a")
+        .join(unchanged.withColumnRenamed("doc_id", "doc_id_b"), "doc_id_b")
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+    edges = carried_edges.unionByName(fresh_edges)
+
+    clusters = star_components(
+        edges.select(
+            F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+        ),
+        new_docs.select("doc_id"),
+    )
+    scored = new_docs.join(clusters, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    canon = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", "cluster_id", "source")
+    )
+    quality = (
+        state["quality"]
+        .join(unchanged, "doc_id")
+        .unionByName(with_quality_score(changed))
+    )
+    return _manifest_tail(
+        new_docs,
+        canon,
+        quality,
+        keep_permille,
+        test_permille,
+        val_permille,
+        capacity,
+    )
 
 
 def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:

@@ -1540,6 +1540,40 @@ ORACLES["warc_roundtrip"] = """
 SELECT doc_id, text, lang, source FROM documents
 """
 
+# incremental_manifest (round 13): the oracle is the FULL manifest
+# rebuild on the diffed snapshot. A CTE named `documents` cannot
+# reference the `documents` view inside its own body (DuckDB binds
+# that as a circular CTE self-reference), so the snapshot CTE is
+# named `snap` and every `documents` table reference inside the
+# chained training_corpus_manifest mirror is token-rewritten to it —
+# the generated SQL uses `documents` only as the table name, asserted
+# below. Equality with this oracle is exactly the
+# incremental-equals-rebuild contract.
+_SNAP_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END AS text,
+       lang, source, n_chars
+FROM documents WHERE doc_id % 10 != 0
+UNION ALL
+SELECT doc_id + 1000000000 AS doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id % 10 = 2
+"""
+_TCM_PREFIX = "\n    WITH canon AS ("
+assert ORACLES["training_corpus_manifest"].startswith(_TCM_PREFIX), (
+    "training_corpus_manifest oracle shape changed"
+)
+import re as _re  # noqa: E402
+
+_TCM_ON_SNAP = _re.sub(
+    r"\bdocuments\b", "snap", ORACLES["training_corpus_manifest"]
+)
+assert "documents" not in _TCM_ON_SNAP
+ORACLES["incremental_manifest"] = _TCM_ON_SNAP.replace(
+    "\n    WITH canon AS (",
+    f"\n    WITH snap AS ({_SNAP_SQL}),\n    canon AS (",
+    1,
+)
+
 # warc_extract_text: encode→parse→HTTP-split→HTML-extract is the
 # identity up to whitespace normalization (the extractor's contract:
 # runs → one space, stripped — the template's block separators wash

@@ -989,6 +989,41 @@ def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["domain_caps"] = q_domain_caps
 
 
+def _next_snapshot(docs: DataFrame) -> DataFrame:
+    """Tomorrow's crawl snapshot, deterministically, full columns:
+    doc_id%10==0 removed, %10==1 modified (text + ' v2'), a re-keyed
+    copy of %10==2 added — the same construction q_corpus_diff uses
+    (and its oracle mirrors), widened to all document columns."""
+    kept = docs.filter(F.col("doc_id") % 10 != 0)
+    modified = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 10 == 2).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    return modified.unionByName(added)
+
+
+def q_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental nightly manifest (round 13, VERDICT r12 ask #3):
+    prefit per-doc state (digests/bands/quality/verified edges) on the
+    OLD snapshot, then :func:`..llm.curate.incremental_corpus_manifest`
+    on the deterministic next snapshot — per-doc cost only for the
+    ~28%% of docs the diff touches. The oracle is the FULL
+    ``training_corpus_manifest`` rebuilt on the same next snapshot
+    (the documents view shadowed by a snapshot CTE), so the hash check
+    IS the incremental-equals-rebuild contract."""
+    docs = read_table(spark, sf_dir, "documents")
+    state = curate.manifest_prefit_state(docs)
+    return curate.incremental_corpus_manifest(_next_snapshot(docs), state)
+
+
+QUERIES["incremental_manifest"] = q_incremental_manifest
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (round 12): simulate tomorrow's crawl snapshot
     deterministically from the documents table — doc_id%10==0 removed,

@@ -189,11 +189,60 @@ for name, b in builders.items():
 print("ABRESULT " + json.dumps(out), flush=True)
 '''
 
+# Round 13 (VERDICT r12 ask #4): the r12 driver artifact recorded
+# ivf_pq_topk_prefit 1.05 -> 1.34 s (+28%) and rp_ivf_topk 3.54 ->
+# 4.23 s (+19%) vs r11, outside the measured 0.14 emb-family rel
+# spread — and r12 DID touch the ANN path (persisted appended_rows
+# meta + the pre-cache dim probe in ivf_pq_append), so this could be
+# a real fixed cost on the prefit path rather than host noise. Exact
+# bench formulations: repartition+cache warm-up outside the timed
+# region; the prefit index fits lazily on the FIRST rep so min-of-3
+# records the search-only cost (bench.py's _prefit_ivf_pq_search).
+CHILD_EMB = r'''
+import json, os, sys, time
+tree = sys.argv[1]
+sys.path.insert(0, tree)
+from myodish_peak_analysis_spark.session import get_spark
+from myodish_peak_analysis_spark.schema import read_table
+from myodish_peak_analysis_spark.llm import similarity
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark("ab-emb")
+spark.sparkContext.setLogLevel("ERROR")
+par = spark.sparkContext.defaultParallelism
+emb = read_table(spark, SF, "embeddings").repartition(par).cache()
+emb.count()
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+_idx = {}
+def _prefit_search():
+    if "idx" not in _idx:
+        _idx["idx"] = similarity.fit_ivf_pq_index(emb, n_clusters="auto")
+    return similarity.ivf_pq_topk(emb, index=_idx["idx"])
+
+builders = {
+    "ivf_pq_topk_prefit": _prefit_search,
+    "rp_ivf_topk": lambda: similarity.rp_ivf_topk(emb),
+}
+out = {}
+for name, b in builders.items():
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        force(b())
+        reps.append(time.time() - t0)
+    out[name] = [round(min(reps), 3), round(max(reps), 3)]
+print("ABRESULT " + json.dumps(out), flush=True)
+'''
+
 CHILDREN = {
     "peaks": CHILD,
     "pq": CHILD_PQ,
     "env": CHILD_ENV,
     "manifest": CHILD_MANIFEST,
+    "emb": CHILD_EMB,
 }
 
 
