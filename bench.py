@@ -425,6 +425,7 @@ def main() -> None:
             urls.synth_urls(docs).join(docs.select("doc_id", "text"), "doc_id")
         ),
         "incremental_manifest": _incremental_manifest,
+        "crawl_corpus": lambda: _llm_q.q_crawl_corpus(spark, SF_DIR),
     }
 
     # round-6 additions (VERDICT r5 ask #8): the heavy §2 singles,

@@ -1613,6 +1613,38 @@ ORACLES["domain_caps"] = domain_caps_sql(
     synth_urls_sql(), ORACLES["quality_score"], max_per_domain=100
 )
 
+# crawl_corpus (round 13): the full crawl→corpus composition. The
+# post-extraction snapshot is reconstructed the warc_extract_text way
+# (whitespace-normalized identity) for the originals PLUS a re-keyed
+# mirror copy; the URL fabric matches the query's encoder expression;
+# the quality/gopher oracles are token-rewritten onto the URL-dedup
+# survivors (`kept_docs`, the incremental_manifest shadowing idiom).
+from .crawl import crawl_curated_corpus_sql  # noqa: E402
+
+_CRAWL_SNAP = """
+SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text,
+       lang, source
+FROM documents
+UNION ALL
+SELECT doc_id + 2000000000 AS doc_id,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text, lang, source
+FROM documents
+"""
+_CRAWL_URLS = """
+SELECT doc_id,
+       'https://' || source || '.crawl.example/doc/'
+       || CAST(doc_id % 2000000000 AS VARCHAR)
+       || CASE WHEN doc_id >= 2000000000
+               THEN '?utm_source=mirror&gclid=x' ELSE '' END AS url
+FROM snap
+"""
+_Q_ON_KEPT = _re.sub(r"\bdocuments\b", "kept_docs", ORACLES["quality_score"])
+_G_ON_KEPT = _re.sub(r"\bdocuments\b", "kept_docs", ORACLES["gopher_quality"])
+assert "documents" not in _Q_ON_KEPT and "documents" not in _G_ON_KEPT
+ORACLES["crawl_corpus"] = crawl_curated_corpus_sql(
+    _CRAWL_SNAP, _CRAWL_URLS, _Q_ON_KEPT, _G_ON_KEPT, max_per_domain=8
+)
+
 # corpus_diff: the same deterministic next-snapshot construction, with
 # the same md5-projection full-outer-join classification. DuckDB's
 # md5(text) hashes the UTF-8 bytes, matching Spark's

@@ -1024,6 +1024,46 @@ def q_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["incremental_manifest"] = q_incremental_manifest
 
 
+def q_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl→corpus composition (round 13): the documents table is
+    encoded TWICE as WARC response records — the original set, plus a
+    re-keyed mirror fetch of every page whose ``WARC-Target-URI``
+    differs only by tracking parameters (the real-crawl duplicate-URL
+    shape) — then run through the full
+    :func:`..llm.crawl.crawl_curated_corpus` pipeline: parse → HTTP
+    split → HTML extract → URL canonicalize (mirror URLs collapse) →
+    URL dedup (originals win the keeper rule) → per-domain caps (one
+    domain per source, cap 8 binds on every ~10-16-doc domain) →
+    quality + Gopher gates. One hash check covers the whole chain."""
+    from ..sources.warc import encode_documents_warc_http, parse_warc
+    from . import crawl
+
+    docs = read_table(spark, sf_dir, "documents")
+    both = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000_000))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".crawl.example/doc/"),
+        (F.col("doc_id") % F.lit(2_000_000_000)).cast("string"),
+        F.when(
+            F.col("doc_id") >= 2_000_000_000,
+            F.lit("?utm_source=mirror&gclid=x"),
+        ).otherwise(F.lit("")),
+    )
+    blobs = encode_documents_warc_http(both, file_mod=8, url=url).select(
+        F.concat(
+            F.lit("mem://crawl/part-"), F.col("file_key").cast("string")
+        ).alias("path"),
+        "content",
+    )
+    return crawl.crawl_curated_corpus(parse_warc(blobs), max_per_domain=8)
+
+
+QUERIES["crawl_corpus"] = q_crawl_corpus
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (round 12): simulate tomorrow's crawl snapshot
     deterministically from the documents table — doc_id%10==0 removed,

@@ -338,7 +338,7 @@ def doc_url():
 
 
 def encode_documents_warc_http(
-    docs: DataFrame, file_mod: int = 8
+    docs: DataFrame, file_mod: int = 8, url=None
 ) -> DataFrame:
     """``(file_key, content)`` WARC blobs of **response** records — the
     shape real Common Crawl ``.warc.gz`` files carry: each payload is a
@@ -354,8 +354,14 @@ def encode_documents_warc_http(
     ``<script>`` and a ``<style>`` block, so the extractor's
     tag-stripping, skip-tag and entity-decoding behavior is all
     exercised by the hash check, not just by unit fixtures. Both
-    Content-Lengths are ``octet_length`` (BYTES, not chars)."""
+    Content-Lengths are ``octet_length`` (BYTES, not chars).
+
+    ``url`` optionally overrides the ``WARC-Target-URI`` expression
+    (default :func:`doc_url`) — how a caller fabricates duplicate-URL
+    fetches for the URL-dedup path (``crawl_corpus``)."""
     docs = _refuse_bad_rows(docs)
+    if url is None:
+        url = doc_url()
     esc = F.replace(
         F.replace(
             F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
@@ -397,7 +403,7 @@ def encode_documents_warc_http(
             F.lit("\r\n"),
         ),
         F.lit(f"WARC-Date: {WARC_DATE}\r\n"),
-        F.concat(F.lit("WARC-Target-URI: "), doc_url(), F.lit("\r\n")),
+        F.concat(F.lit("WARC-Target-URI: "), url, F.lit("\r\n")),
         F.concat(F.lit("X-Doc-Lang: "), F.col("lang"), F.lit("\r\n")),
         F.concat(F.lit("X-Doc-Source: "), F.col("source"), F.lit("\r\n")),
         F.concat(

@@ -23,14 +23,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # Arrow/pandas stages are allowed ONLY where they are the design:
 # the reference-exact fidelity twins (applyInPandas), the sparse
 # candidate-suppression step of the constrained peak family, the
-# multimodal decode plumbing, and the WARC byte-walk (round 12) —
-# mapInPandas over opaque binary columns, the places a JVM expression
-# genuinely cannot express the work. Every other query must be
-# Python-free.
+# multimodal decode plumbing, the WARC byte-walk (round 12), and the
+# HTML text extraction over crawl response bodies (round 13: entity
+# tables + a real HTML tokenizer are not JVM-expressible) —
+# mapInPandas/pandas_udf over opaque binary columns, the places a JVM
+# expression genuinely cannot express the work. Every other query
+# must be Python-free.
 PYTHON_ALLOWED = {"fidelity_peaks", "fidelity_signal", "native_find_peaks",
                   "native_find_peaks_nodist", "constrained_peak_attributes",
                   "peak_interval_stats", "media_metadata",
-                  "audio_metadata", "video_metadata", "warc_roundtrip"}
+                  "audio_metadata", "video_metadata", "warc_roundtrip",
+                  "warc_extract_text", "crawl_corpus"}
 
 
 def main() -> None:
