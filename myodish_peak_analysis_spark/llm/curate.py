@@ -84,8 +84,11 @@ def training_corpus_manifest(
     val_permille: int = 100,
     capacity: int = 128,
 ) -> DataFrame:
-    """THE END-TO-END PIPELINE as one lazy Catalyst plan — what a
-    nightly training-data build actually materializes:
+    """THE END-TO-END PIPELINE as one composed Catalyst plan — what a
+    nightly training-data build actually materializes (the dedup
+    stage pins its multiply-consumed candidate caches with bounded
+    eager counts — the minhash_pairs race note — so calling this
+    triggers those jobs; the returned frame itself stays lazy):
 
     1. near-dup canonicalization (:func:`.dedup.canonical_corpus`:
        banded MinHash-LSH → verified edges → connected components →
@@ -306,6 +309,8 @@ def incremental_corpus_manifest(
        to the label-prop route, O(log^2 n) rounds);
     6. the shared :func:`_manifest_tail`.
     """
+    from pyspark import StorageLevel
+
     from .dedup import (
         _TOKENS,
         _jaccard_expr,
@@ -317,15 +322,30 @@ def incremental_corpus_manifest(
     new_dig = new_docs.select(
         "doc_id", F.md5(F.encode("text", "UTF-8")).alias("_nh")
     )
+    # persisted BY DESIGN (package cache contract, session.release_
+    # caches): `unchanged` feeds FIVE downstream branches (changed,
+    # carried bands, both carried-edge endpoints, carried quality) and
+    # `fresh_bands` BOTH sides of the candidate join — unpersisted,
+    # each consumer re-runs the digest diff (a full-corpus md5 scan)
+    # resp. the shingle+signature pipeline over the diff, exactly the
+    # double-subplan cost minhash_pairs' persist already removes from
+    # the rebuild path. Measured at 500k docs/10% diff: 49.7 s -> the
+    # docs/PLANS.md round-13 row; without these the incremental path
+    # LOSES to the rebuild above ~5% diff. Both frames are metadata-
+    # sized (doc_id keys; 4 band rows per changed doc).
     unchanged = (
         state["digests"]
         .join(new_dig, "doc_id")
         .filter(F.col("text_md5").eqNullSafe(F.col("_nh")))
         .select("doc_id")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    unchanged.count()  # eager: five consumers (minhash_pairs race note)
     changed = new_docs.join(unchanged, "doc_id", "left_anti")
 
-    fresh_bands = minhash_band_keys(minhash_signatures(changed))
+    fresh_bands = minhash_band_keys(minhash_signatures(changed)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    fresh_bands.count()  # eager: both candidate-join sides
     carried_bands = state["bands"].join(unchanged, "doc_id")
     all_bands = carried_bands.unionByName(fresh_bands)
     cand = (
@@ -344,8 +364,19 @@ def incremental_corpus_manifest(
             F.greatest("_fid", "_oid").alias("doc_id_b"),
         )
         .distinct()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()  # eager: id-list + both verify joins consume it
+    # tokenize AFTER the candidate-member semi-join (round 13, the
+    # neardup_verified shape): the exact-Jaccard verify only ever
+    # needs token arrays for candidate-pair members, so the full
+    # corpus scans stream doc_id against the broadcastable id list
+    # and split+array_distinct runs on candidates alone.
+    ids = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
     )
-    t = new_docs.select(
+    t = new_docs.join(ids, "doc_id").select(
         "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks")
     )
     j = (

@@ -131,6 +131,15 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     keys = minhash_band_keys(minhash_signatures(docs)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # materialize EAGERLY: the two self-join sides are submitted as
+    # concurrent stages, and whether they share one exchange is
+    # exchange-reuse luck — when reuse misses, both sides re-shuffle
+    # the (then-cold) cache and the whole signature subplan runs
+    # twice (observed: a duplicated 2M-record band-key exchange and a
+    # 60 s vs 26 s edge build on identical inputs, docs/PLANS.md
+    # "Round-13"). One bounded count pins the cache warm before
+    # either side consumes it.
+    keys.count()
     a, b = keys.alias("a"), keys.alias("b")
     return (
         a.join(
@@ -178,9 +187,31 @@ def neardup_verified(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     """The production near-dup pipeline: MinHash-LSH candidates verified
     by exact distinct-token Jaccard. Candidates come only from band
     buckets (O(cluster size) join), the exact check touches only those
-    pairs — never all-pairs."""
-    cand = minhash_pairs(docs)
-    t = docs.select("doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks"))
+    pairs — never all-pairs.
+
+    The token arrays are computed AFTER a semi-join against the
+    candidate-member ids (round 13): tokenizing before the pair join
+    ran split+array_distinct over the ENTIRE corpus twice (once per
+    join side) to verify a candidate set that is near-dup-rate-sized —
+    at 100 TB that is two full-corpus tokenize passes for a per-mille
+    subset. With the join-first shape the full scans only read/hash
+    doc_id against the broadcastable id list and tokenization touches
+    candidate members alone; ``cand`` is persisted (candidate-pair-
+    sized, package cache contract) because the id list and both verify
+    joins consume it. Persisted frames with multiple consumers are
+    materialized EAGERLY throughout (the minhash_pairs race note)."""
+    from pyspark import StorageLevel
+
+    cand = minhash_pairs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    ids = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    t = docs.join(ids, "doc_id").select(
+        "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks")
+    )
     j = (
         cand.join(t.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a")
         .withColumnRenamed("toks", "toks_a")
@@ -276,6 +307,7 @@ def containment_pairs(
     # keys: AQE broadcasts one side of the self-join, so without the
     # cache both sides execute the full winnowing subplan.
     fps = doc_fingerprints(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    fps.count()  # eager: both self-join sides must hit the cache
     fa, fb = fps.alias("fa"), fps.alias("fb")
     cand = (
         fa.join(
@@ -288,8 +320,19 @@ def containment_pairs(
             F.col("fb.doc_id").alias("doc_id_b"),
         )
         .distinct()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    # tokenize after the candidate-member semi-join (round 13, the
+    # neardup_verified shape): split+array_distinct runs on candidate
+    # members only, not the whole corpus per join side.
+    ids = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
     )
-    t = docs.select("doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks"))
+    t = docs.join(ids, "doc_id").select(
+        "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks")
+    )
     j = (
         cand.join(
             t.select(
@@ -688,16 +731,27 @@ def incremental_neardup(
             F.col("doc_id").alias("corpus_doc_id"), "band", "band_key"
         )
     )
+    from pyspark import StorageLevel
+
     cand = (
         new_keys.join(corpus_keys, ["band", "band_key"])
         .select("new_doc_id", "corpus_doc_id")
         .distinct()
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()  # eager: id-list + verify joins (minhash_pairs note)
+    # the corpus side tokenizes AFTER a semi-join against the
+    # candidate ids (round 13): without it, verifying a batch-sized
+    # candidate set ran split+array_distinct over the ENTIRE corpus —
+    # the exact O(|corpus|) stage this operator's O(batch) contract
+    # forbids. The batch side is already batch-sized.
     t_new = new_docs.select(
         F.col("doc_id").alias("new_doc_id"),
         F.expr(f"array_distinct({_TOKENS})").alias("toks_a"),
     )
-    t_corp = corpus.select(
+    corp_ids = cand.select(
+        F.col("corpus_doc_id").alias("doc_id")
+    ).distinct()
+    t_corp = corpus.join(corp_ids, "doc_id").select(
         F.col("doc_id").alias("corpus_doc_id"),
         F.expr(f"array_distinct({_TOKENS})").alias("toks_b"),
     )
