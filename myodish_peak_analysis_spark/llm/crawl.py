@@ -57,6 +57,8 @@ def crawl_curated_corpus(
     length (the post-extraction measure a crawl pipeline actually
     has), ``domain_rank`` the quality rank that justified the keep
     under the per-domain cap."""
+    from pyspark import StorageLevel
+
     docs = crawl_documents(records).withColumn(
         "n_chars", F.length("text").cast("long")
     )
@@ -69,7 +71,17 @@ def crawl_curated_corpus(
         canon.withColumn("_min", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("_min"))
         .drop("_min")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted + pinned EAGERLY (package cache contract): four
+    # downstream branches (quality, gopher, the rank window, the
+    # final projection) derive from `kept`, and without the cache
+    # each branch re-executes the WHOLE crawl front end — parse,
+    # HTTP split, and the Arrow-batched HTML extraction, the one
+    # genuinely expensive stage — once per branch (the round-13 plan
+    # audit counted the extraction subtree 3x in this query's plan).
+    # A production pipeline materializes extracted text to storage at
+    # exactly this point; the persist is the single-session analog.
+    kept.count()
     quality = with_quality_score(kept.select("doc_id", "text"))
     gopher = with_gopher_quality(kept.select("doc_id", "text")).select(
         "doc_id", F.col("keep").alias("gopher_keep")
