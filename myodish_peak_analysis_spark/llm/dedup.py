@@ -209,9 +209,17 @@ def neardup_verified(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
         .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
     )
-    t = docs.join(ids, "doc_id").select(
-        "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks")
+    # the token frame is persisted + pinned eagerly too (optimization
+    # round 13): both verify-join sides consume it, and those sides
+    # launch as concurrent stages — on an exchange-reuse miss each
+    # re-ran the ids semi-join + tokenize (the minhash_pairs race,
+    # one level down). Candidate-member-sized, package cache contract.
+    t = (
+        docs.join(ids, "doc_id")
+        .select("doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    t.count()
     j = (
         cand.join(t.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a")
         .withColumnRenamed("toks", "toks_a")
@@ -512,6 +520,25 @@ def dedup_clusters(
             docs.select("doc_id"),
             max_iters=max_iters,
         )
+    # Lineage discipline (optimization round 13): every per-round frame
+    # is localCheckpoint-ed, not cache()-d, matching star_components.
+    # cache() shares COMPUTATION but not the LOGICAL PLAN — each round's
+    # stepped plan still nests every previous round's plan plus the
+    # whole MinHash+verify subtree, so Catalyst re-analyzed a plan that
+    # doubled per round on every action (the per-round convergence
+    # count, then the final output join). Measured at sf0.1: rounds ran
+    # 2.5 s / 5.0 s and the final join 3.7 s under cache();
+    # 0.7 / 0.5 / 0.45 s checkpointed — all driver-side planning, no
+    # executor work difference. At 100 TB the effect is strictly worse
+    # (the verify subtree is bigger and rounds scale with diameter).
+    # Truncation point one: `edges` cuts the verify subtree out of
+    # every per-round plan. Storage: checkpoint blocks are near-dup-
+    # SUBGRAPH-sized (two longs per label row), spill-safe, released
+    # with the session; the per-round unpersist bookkeeping the cache()
+    # form needed no longer applies (checkpoint blocks have no public
+    # release API — same accepted trade as star_components, bounded by
+    # the 2-5 real convergence rounds). Cluster deployments should use
+    # reliable .checkpoint() (see the deployment note below).
     edges = (
         pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
         .union(
@@ -519,16 +546,15 @@ def dedup_clusters(
                 F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
             )
         )
-        .cache()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .cache()
+        .localCheckpoint()
     )
     converged = False
-    prev_cached = labels
     for _round in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -536,7 +562,7 @@ def dedup_clusters(
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
         # carry the old label through so the convergence check reads
-        # the one cached frame instead of re-joining old vs new
+        # the one checkpointed frame instead of re-joining old vs new
         stepped = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
             .select(
@@ -547,32 +573,24 @@ def dedup_clusters(
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = stepped.filter(F.col("cluster_id") != F.col("_old")).count()
-        prev_cached.unpersist()
-        prev_cached = stepped
         labels = stepped.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
             CONVERGENCE_ROUNDS["label"] = _round + 1
             break
     if not converged:
-        edges.unpersist()
-        prev_cached.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge within {max_iters} rounds — "
             "pathological near-dup chain; raise max_iters or switch to the "
             "large-star/small-star formulation"
         )
-    # Truncate the per-round lineage: without this, the returned frame
-    # SILENTLY depends on the session caches built above — a
-    # clearCache() before execution would recompute the whole unrolled
-    # chain, and each round references the previous labels twice
-    # (directly + through neighbor_min), so the uncached recompute is
-    # O(2^rounds) subplans. localCheckpoint materializes the tiny
-    # (doc_id, cluster_id) frame as executor blocks and cuts every
-    # upstream dependency, making the result self-contained.
+    # `labels` is already a projection of the last round's checkpointed
+    # frame, so the returned plan is self-contained (a clearCache()
+    # before execution cannot trigger the O(2^rounds) unrolled
+    # recompute the cache() formulation risked).
     #
     # Cluster-deployment note: localCheckpoint trades fault tolerance
     # for speed — the checkpointed blocks live only on executors, so
@@ -582,9 +600,6 @@ def dedup_clusters(
     # storage and use reliable `.checkpoint()` here instead (same
     # lineage-truncation effect, storage-backed); docs/SCALE.md
     # carries the deployment guidance.
-    labels = labels.localCheckpoint(eager=True)
-    prev_cached.unpersist()
-    edges.unpersist()
     out = (
         docs.select("doc_id")
         .join(labels.withColumnRenamed("cluster_id", "_cl"), "doc_id", "left")
