@@ -376,9 +376,16 @@ def incremental_corpus_manifest(
         .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
     )
-    t = new_docs.join(ids, "doc_id").select(
-        "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks")
+    # persisted + eager like every multiply-consumed frame here: both
+    # verify-join sides launch as concurrent stages, and on an
+    # exchange-reuse miss each re-ran the ids semi-join + tokenize
+    # (the neardup_verified shape, optimization round 13).
+    t = (
+        new_docs.join(ids, "doc_id")
+        .select("doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    t.count()
     j = (
         cand.join(
             t.select(

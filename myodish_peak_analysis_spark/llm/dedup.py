@@ -338,9 +338,15 @@ def containment_pairs(
         .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
     )
-    t = docs.join(ids, "doc_id").select(
-        "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks")
+    # persisted + eager (optimization round 13): both verify-join
+    # sides consume `t` as concurrent stages — the neardup_verified
+    # race, one level down. Candidate-member-sized.
+    t = (
+        docs.join(ids, "doc_id")
+        .select("doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    t.count()
     j = (
         cand.join(
             t.select(

@@ -182,37 +182,71 @@ def lsh_buckets(emb: DataFrame, n_planes: int | str | None = None) -> DataFrame:
     return emb.select("vec_id", lsh_bucket_col(p).alias("bucket"))
 
 
-def _centroid_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector by cosine — broadcast the (tiny)
-    centroid table, reduce per vector. Quantized + id-tie-broken for
-    determinism (ties in the 9-dp cosine go to the LOWEST centroid_id,
-    the same order the former row_number formulation used).
+def _array_sql_lit(values) -> str:
+    """A double-array SQL literal from collected floats. ``repr`` emits
+    the shortest round-trip decimal and Spark parses the ``D`` suffix
+    via Double.parseDouble, so the literal is bit-identical to the
+    collected value. One textual literal keeps expression CONSTRUCTION
+    driver-side cheap: building the same array via per-element
+    ``F.lit``/lambda-HOF Column calls cost 3-5 s of py4j round trips
+    per Lloyd assign (measured, optimization round 13) — the whole
+    assign expression is therefore assembled as one SQL string and
+    parsed once."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
 
-    Plan shape (the round-7 ann_ivf_topk decade fix): the broadcast
-    crossJoin fans each vector out to N×k rows INSIDE its task, and
-    ``max_by`` is an aggregate, so partial aggregation collapses them
-    back to one row per vec_id BEFORE the exchange — the shuffle moves
-    N rows, not N×k. The previous window-rank formulation shuffled the
-    whole N×k joined frame (both embedding arrays attached): with
-    auto-k = √N that is an O(N^1.5)-row exchange, measured 169 s for
-    200k×447 (~49 GB shuffled) vs ~0.5 s for the N-row reduce."""
-    joined = vecs.crossJoin(F.broadcast(centroids))
-    cos = F.round(
-        _dot("embedding", "c_emb") / (F.col("_norm") * F.col("c_norm")), 9
-    )
-    return (
-        joined.withColumn("_cos", cos)
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("embedding", "_norm", "centroid_id"),
-                F.struct(
-                    F.col("_cos").alias("c"),
-                    (-F.col("centroid_id")).alias("nid"),
-                ),
-            ).alias("_b")
+
+def _centroid_assign(vecs: DataFrame, cent_rows) -> DataFrame:
+    """Nearest centroid per vector by cosine, as a MAP-ONLY projection
+    over the collected centroid rows (k×dim doubles — model-sized,
+    already on the driver from the Lloyd round's collect). Quantized +
+    id-tie-broken for determinism (ties in the 9-dp cosine go to the
+    LOWEST centroid_id).
+
+    Plan-shape history: the round-7 fix replaced a window-rank over the
+    broadcast crossJoin (an O(N×k)-row exchange with both embedding
+    arrays attached — measured 169 s / ~49 GB shuffled at 200k×447)
+    with a ``groupBy(vec_id).agg(max_by)`` reduce, cutting the exchange
+    to N rows. Optimization round 13 removes that exchange too: the
+    crossJoin fanout is task-local (broadcast), so grouping by vec_id
+    never moves data between keys — the shuffle existed only because
+    aggregation plans one. Expressing the argmax as
+    ``array_max(array(struct(cosine_i, -id_i, id_i)...))`` over one
+    array-literal per centroid keeps the identical cosine expression
+    (same casts/fold as :func:`_dot`), the identical (cosine desc,
+    lowest-id) tie-break via struct ordering, and ZERO exchanges: every
+    Lloyd round previously shuffled the full corpus (embeddings
+    attached) once — at 100 TB that is iters corpus-sized exchanges
+    gone; the per-round shuffle is now only the metadata-sized centroid
+    update. The whole argmax is ONE SQL string parsed once (see
+    :func:`_array_sql_lit`), with the dot product textually identical
+    to :func:`_dot` so both routes produce the same doubles."""
+    rows = sorted(cent_rows, key=lambda r: r["centroid_id"])
+    if not rows:
+        # empty centroid set (empty fit corpus): the former crossJoin
+        # produced zero rows; mirror that so downstream guards (the
+        # fit entry points' empty-corpus ValueError) fire unchanged
+        return vecs.filter(F.lit(False)).select(
+            "vec_id",
+            "embedding",
+            "_norm",
+            F.lit(None).cast("int").alias("centroid_id"),
         )
-        .select("vec_id", "_b.embedding", "_b._norm", "_b.centroid_id")
+    structs = []
+    for r in rows:
+        dot = (
+            f"aggregate(zip_with(embedding, {_array_sql_lit(r['c_emb'])}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        cid = int(r["centroid_id"])
+        structs.append(
+            f"named_struct('c', round({dot} / (_norm * "
+            f"{float(r['c_norm'])!r}D), 9), 'nid', {-cid}, "
+            f"'centroid_id', {cid})"
+        )
+    best = F.expr(f"array_max(array({','.join(structs)})).centroid_id")
+    return vecs.select(
+        "vec_id", "embedding", "_norm", best.alias("centroid_id")
     )
 
 
@@ -280,12 +314,14 @@ def _centroid_assign_vectorized(vecs: DataFrame, cent_rows) -> DataFrame:
 
 
 def _assign(vecs: DataFrame, cent_rows, centroids: DataFrame) -> DataFrame:
-    """Route one Lloyd assign: JVM broadcast-join fold for small k
-    (whole plan stays codegen), BLAS kernel past
-    :data:`VECTORIZED_ASSIGN_MIN_K`."""
+    """Route one Lloyd assign: JVM map-only argmax for small k (whole
+    plan stays codegen, zero exchanges), BLAS kernel past
+    :data:`VECTORIZED_ASSIGN_MIN_K` (also map-only). ``centroids`` is
+    kept in the signature for callers that already built the literal
+    table; the JVM route reads the collected rows directly."""
     if len(cent_rows) > VECTORIZED_ASSIGN_MIN_K:
         return _centroid_assign_vectorized(vecs, cent_rows)
-    return _centroid_assign(vecs, centroids)
+    return _centroid_assign(vecs, cent_rows)
 
 
 def ivf_index(
@@ -870,26 +906,62 @@ def _pq_fit(
     def assign(
         cdf: DataFrame, source: DataFrame = subs, cent_rows=None
     ) -> DataFrame:
-        # min_by, not a window rank: the broadcast join fans each
-        # (vec, sub) row to k centroid rows inside its task, and the
-        # partial aggregation collapses them back BEFORE the exchange —
-        # N·m rows shuffled, not N·m·k with both double arrays
-        # attached (the same fix as _centroid_assign; same tie-break:
-        # min _d, then LOWEST centroid_id).
+        # Map-only argmin over the collected codebook (optimization
+        # round 13): the former broadcast-join + groupBy(vec_id,
+        # sub_id).agg(min_by) reduce fanned out task-locally but still
+        # paid an N·m-row exchange (subvector arrays attached) per
+        # Lloyd pass purely because aggregation plans one — the PQ
+        # twin of the _centroid_assign shuffle removal. One
+        # sub_id-dispatched CASE of array_min(array(struct(d, id)))
+        # literals keeps the identical _sub_l2sq distance (9-dp
+        # floor-quantized) and the identical (min d, lowest
+        # centroid_id) tie-break via struct ordering, with ZERO
+        # exchanges; each centroid rides as one array literal.
         if vectorized and cent_rows is not None:
             return _pq_assign_vectorized(source, cent_rows)
-        j = source.join(F.broadcast(cdf), "sub_id")
-        d = _sub_l2sq("se", "c")
-        return (
-            j.withColumn("_d", d)
-            .groupBy("vec_id", "sub_id")
-            .agg(
-                F.min_by(
-                    F.struct("se", "centroid_id", "_d"),
-                    F.struct(F.col("_d").alias("d"), F.col("centroid_id").alias("i")),
-                ).alias("_b")
+        by_sub: dict = {}
+        for r in sorted(
+            cent_rows, key=lambda r: (r["sub_id"], r["centroid_id"])
+        ):
+            by_sub.setdefault(int(r["sub_id"]), []).append(r)
+        if not by_sub:
+            # empty codebook (empty fit corpus): the former broadcast
+            # join produced zero rows; mirror that
+            return source.filter(F.lit(False)).select(
+                "vec_id",
+                "sub_id",
+                "se",
+                F.lit(None).cast("int").alias("centroid_id"),
+                F.lit(None).cast("double").alias("_d"),
             )
-            .select("vec_id", "sub_id", "_b.se", "_b.centroid_id", "_b._d")
+        branches = []
+        for s, rows in sorted(by_sub.items()):
+            structs = []
+            for r in rows:
+                # textually identical to _sub_l2sq (same zip_with
+                # fold, same floor-based 9-dp half-up quantizer)
+                dist = (
+                    f"floor(aggregate(zip_with(se, "
+                    f"{_array_sql_lit(r['c'])}, "
+                    f"(x, y) -> (x - y) * (x - y)), "
+                    f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+                    f"* 1000000000.0D + 0.5D) / 1000000000.0D"
+                )
+                structs.append(
+                    f"named_struct('d', {dist}, "
+                    f"'i', {int(r['centroid_id'])})"
+                )
+            branches.append(
+                f"WHEN sub_id = {s} THEN "
+                f"array_min(array({','.join(structs)}))"
+            )
+        best = F.expr(f"CASE {' '.join(branches)} END")
+        return source.withColumn("_b", best).select(
+            "vec_id",
+            "sub_id",
+            "se",
+            F.col("_b.i").alias("centroid_id"),
+            F.col("_b.d").alias("_d"),
         )
 
     for _ in range(iters):
@@ -1782,14 +1854,40 @@ def ivf_pq_topk(
         codes, pq_cents = index.codes, index.pq_cents
         m, n_centroids = index.m, index.n_centroids
     else:
-        members, cents = _ivf_fit(
-            emb, k=_resolve_clusters(emb, n_clusters), iters=ivf_iters,
-            fit_sample_mod=fit_sample_mod,
-        )
-        final, pq_cents = _pq_fit(
-            emb, m=m, k=n_centroids, iters=pq_iters,
-            fit_sample_mod=fit_sample_mod,
-        )
+        # The two quantizer fits are INDEPENDENT (coarse IVF over the
+        # full vectors, PQ codebooks over the subvectors) but each is
+        # a chain of per-round driver actions, so run sequentially the
+        # cluster sits at each chain's stage tails twice (optimization
+        # round 13, guide-§2.6 job overlap): submitting them from two
+        # driver threads lets either fit's tasks back-fill executors
+        # the other's tail leaves idle. Results are unchanged — the
+        # fits share no state and each is deterministic; measured at
+        # sf0.1 the composed fit-inline query drops ~20%.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_ivf = pool.submit(
+                inheritable_thread_target(
+                    lambda: _ivf_fit(
+                        emb,
+                        k=_resolve_clusters(emb, n_clusters),
+                        iters=ivf_iters,
+                        fit_sample_mod=fit_sample_mod,
+                    )
+                )
+            )
+            f_pq = pool.submit(
+                inheritable_thread_target(
+                    lambda: _pq_fit(
+                        emb, m=m, k=n_centroids, iters=pq_iters,
+                        fit_sample_mod=fit_sample_mod,
+                    )
+                )
+            )
+            members, cents = f_ivf.result()
+            final, pq_cents = f_pq.result()
         codes = final.select(
             "vec_id", "sub_id", F.col("centroid_id").alias("code_id")
         )

@@ -199,13 +199,11 @@ def test_vectorized_assign_matches_jvm_route(spark):
         F.col("embedding").alias("c_emb"),
         F.col("_norm").alias("c_norm"),
     )
-    schema = "centroid_id int, c_emb array<float>, c_norm double"
     rows = cents.collect()
-    cents_df = spark.createDataFrame(rows, schema)
 
     jvm = {
         r.vec_id: r.centroid_id
-        for r in S._centroid_assign(vecs, cents_df).collect()
+        for r in S._centroid_assign(vecs, rows).collect()
     }
     vec = {
         r.vec_id: r.centroid_id
