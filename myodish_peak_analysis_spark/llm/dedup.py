@@ -429,6 +429,7 @@ def star_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 64) -> 
         .distinct()
         .localCheckpoint()
     )
+    canon_cnt = canon.count()
     converged = False
     for _round in range(max_iters):
         # large-star: for each u, point every neighbor v > u at
@@ -458,9 +459,14 @@ def star_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 64) -> 
             .distinct()
             .localCheckpoint()
         )
-        same = (
-            small.count() == canon.count() and small.exceptAll(canon).isEmpty()
-        )
+        # convergence = same edge SET; counts are carried across
+        # rounds (this round's small.count() is next round's
+        # canon.count()), saving one driver action per round, and the
+        # exceptAll only runs when counts already agree (equal-size
+        # sets are equal iff the difference is empty)
+        cnt = small.count()
+        same = cnt == canon_cnt and small.exceptAll(canon).isEmpty()
+        canon_cnt = cnt
         canon = small
         if same:
             converged = True

@@ -539,6 +539,20 @@ def _dsir_w_micro(
     grams keep weight 0 via the left join.
     """
     db = _dsir_doc_buckets(docs, n_buckets, with_source=logratio is None)
+    if logratio is None:
+        # inline fit: `db` feeds BOTH the model aggregation and the
+        # scoring join, and the model side sits under a broadcast —
+        # unpersisted, the explode + (doc, bucket) groupBy pipeline
+        # executed twice per query (optimization round 13). Persisted
+        # + pinned eagerly (the concurrent-consumer race note in
+        # dedup.minhash_pairs); rows are bounded by
+        # Σ min(doc grams, n_buckets) — the doc-feature frame, not the
+        # gram explosion. Prefit serving (logratio given) has ONE
+        # consumer, so persisting there would only add a pass.
+        from pyspark import StorageLevel
+
+        db = db.persist(StorageLevel.MEMORY_AND_DISK)
+        db.count()
     if logratio is not None and "fit_n_buckets" in logratio.columns:
         # zero-action mismatch guard: a prefit model hashed with a
         # different bucket count would join grams to wrong-bucket

@@ -1867,9 +1867,10 @@ def ivf_pq_topk(
 
         from pyspark import inheritable_thread_target
 
+        _wrap = inheritable_thread_target(emb.sparkSession)
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_ivf = pool.submit(
-                inheritable_thread_target(
+                _wrap(
                     lambda: _ivf_fit(
                         emb,
                         k=_resolve_clusters(emb, n_clusters),
@@ -1879,7 +1880,7 @@ def ivf_pq_topk(
                 )
             )
             f_pq = pool.submit(
-                inheritable_thread_target(
+                _wrap(
                     lambda: _pq_fit(
                         emb, m=m, k=n_centroids, iters=pq_iters,
                         fit_sample_mod=fit_sample_mod,
