@@ -664,6 +664,64 @@ def _floor_q(col: F.Column, dp: int) -> F.Column:
     return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
 
 
+def _pq_code_argmin(source: DataFrame, cent_rows) -> DataFrame:
+    """Nearest PQ centroid per (vec, sub) row as a MAP-ONLY projection
+    over the collected codebook (optimization round 13): the former
+    broadcast-join + ``groupBy(vec_id, sub_id).agg(min_by)`` reduce
+    fanned out task-locally but still paid an N·m-row exchange
+    (subvector arrays attached) per pass purely because aggregation
+    plans one — the PQ twin of the `_centroid_assign` shuffle removal.
+    One sub_id-dispatched CASE of ``array_min(array(struct(d, id)))``
+    literals keeps the distance textually identical to
+    :func:`_sub_l2sq` (same zip_with fold, same floor-based 9-dp
+    half-up quantizer) and the identical (min d, lowest centroid_id)
+    tie-break via struct ordering, with ZERO exchanges; each centroid
+    rides as one array literal and the whole expression is one SQL
+    string parsed once (see :func:`_array_sql_lit`).
+
+    ``source`` must carry (vec_id, sub_id, se); output appends
+    (centroid_id, _d). Shared by the Lloyd passes of ``_pq_fit`` and
+    the frozen-codebook batch encode of :func:`ivf_pq_append`."""
+    by_sub: dict = {}
+    for r in sorted(cent_rows, key=lambda r: (r["sub_id"], r["centroid_id"])):
+        by_sub.setdefault(int(r["sub_id"]), []).append(r)
+    if not by_sub:
+        # empty codebook (empty fit corpus): the former broadcast
+        # join produced zero rows; mirror that
+        return source.filter(F.lit(False)).select(
+            "vec_id",
+            "sub_id",
+            "se",
+            F.lit(None).cast("int").alias("centroid_id"),
+            F.lit(None).cast("double").alias("_d"),
+        )
+    branches = []
+    for s, rows in sorted(by_sub.items()):
+        structs = []
+        for r in rows:
+            dist = (
+                f"floor(aggregate(zip_with(se, "
+                f"{_array_sql_lit(r['c'])}, "
+                f"(x, y) -> (x - y) * (x - y)), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+                f"* 1000000000.0D + 0.5D) / 1000000000.0D"
+            )
+            structs.append(
+                f"named_struct('d', {dist}, 'i', {int(r['centroid_id'])})"
+            )
+        branches.append(
+            f"WHEN sub_id = {s} THEN array_min(array({','.join(structs)}))"
+        )
+    best = F.expr(f"CASE {' '.join(branches)} END")
+    return source.withColumn("_b", best).select(
+        "vec_id",
+        "sub_id",
+        "se",
+        F.col("_b.i").alias("centroid_id"),
+        F.col("_b.d").alias("_d"),
+    )
+
+
 def _sub_l2sq(a: str, b: str) -> F.Column:
     """Squared L2 distance between two double arrays — quantized to
     9 dp (floor-based half-up, see :func:`_floor_q`) before ranking so
@@ -906,63 +964,9 @@ def _pq_fit(
     def assign(
         cdf: DataFrame, source: DataFrame = subs, cent_rows=None
     ) -> DataFrame:
-        # Map-only argmin over the collected codebook (optimization
-        # round 13): the former broadcast-join + groupBy(vec_id,
-        # sub_id).agg(min_by) reduce fanned out task-locally but still
-        # paid an N·m-row exchange (subvector arrays attached) per
-        # Lloyd pass purely because aggregation plans one — the PQ
-        # twin of the _centroid_assign shuffle removal. One
-        # sub_id-dispatched CASE of array_min(array(struct(d, id)))
-        # literals keeps the identical _sub_l2sq distance (9-dp
-        # floor-quantized) and the identical (min d, lowest
-        # centroid_id) tie-break via struct ordering, with ZERO
-        # exchanges; each centroid rides as one array literal.
         if vectorized and cent_rows is not None:
             return _pq_assign_vectorized(source, cent_rows)
-        by_sub: dict = {}
-        for r in sorted(
-            cent_rows, key=lambda r: (r["sub_id"], r["centroid_id"])
-        ):
-            by_sub.setdefault(int(r["sub_id"]), []).append(r)
-        if not by_sub:
-            # empty codebook (empty fit corpus): the former broadcast
-            # join produced zero rows; mirror that
-            return source.filter(F.lit(False)).select(
-                "vec_id",
-                "sub_id",
-                "se",
-                F.lit(None).cast("int").alias("centroid_id"),
-                F.lit(None).cast("double").alias("_d"),
-            )
-        branches = []
-        for s, rows in sorted(by_sub.items()):
-            structs = []
-            for r in rows:
-                # textually identical to _sub_l2sq (same zip_with
-                # fold, same floor-based 9-dp half-up quantizer)
-                dist = (
-                    f"floor(aggregate(zip_with(se, "
-                    f"{_array_sql_lit(r['c'])}, "
-                    f"(x, y) -> (x - y) * (x - y)), "
-                    f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
-                    f"* 1000000000.0D + 0.5D) / 1000000000.0D"
-                )
-                structs.append(
-                    f"named_struct('d', {dist}, "
-                    f"'i', {int(r['centroid_id'])})"
-                )
-            branches.append(
-                f"WHEN sub_id = {s} THEN "
-                f"array_min(array({','.join(structs)}))"
-            )
-        best = F.expr(f"CASE {' '.join(branches)} END")
-        return source.withColumn("_b", best).select(
-            "vec_id",
-            "sub_id",
-            "se",
-            F.col("_b.i").alias("centroid_id"),
-            F.col("_b.d").alias("_d"),
-        )
+        return _pq_code_argmin(source, cent_rows)
 
     for _ in range(iters):
         cent_rows = cents.collect()
@@ -1626,17 +1630,11 @@ def ivf_pq_append(
         pq_rows, "sub_id int, centroid_id int, c array<double>"
     )
     subs = _pq_subvectors(new_emb, index.m, expect_dim=index_dim)
-    j = subs.join(F.broadcast(pq_cents), "sub_id")
-    new_codes = (
-        j.withColumn("_d", _sub_l2sq("se", "c"))
-        .groupBy("vec_id", "sub_id")
-        .agg(
-            F.min_by(
-                F.struct("centroid_id"),
-                F.struct(F.col("_d").alias("d"), F.col("centroid_id").alias("i")),
-            ).alias("_b")
-        )
-        .select("vec_id", "sub_id", F.col("_b.centroid_id").alias("code_id"))
+    # frozen-codebook encode via the shared map-only argmin
+    # (optimization round 13): same distances/tie-break as the former
+    # broadcast-join min_by, one batch-sized exchange fewer.
+    new_codes = _pq_code_argmin(subs, pq_rows).select(
+        "vec_id", "sub_id", F.col("centroid_id").alias("code_id")
     )
     new_codes = new_codes.cache()
     new_codes.count()
