@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -406,7 +407,17 @@ def _ivf_fit(
         )
     cent_rows = centroids.collect()
     centroids = spark.createDataFrame(cent_rows, schema)
-    out = _assign(base, cent_rows, centroids)
+    # The final full-corpus assignment is persisted (optimization
+    # round 13): with the map-only argmax, `out` no longer ends at an
+    # aggregation exchange, so downstream consumers (searches derive
+    # both the query batch AND the posting-list side from it) would
+    # re-embed and re-evaluate the whole k×dim argmax expression per
+    # branch — the exchange the rewrite removed had doubled as a
+    # ReusedExchange sharing point. A members-sized lazy cache entry
+    # restores the sharing without the shuffle.
+    out = _assign(base, cent_rows, centroids).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # NO base.unpersist(): `out` is lazy and its full-corpus assignment
     # scan (the expensive consumer pass) still reads the cache —
     # releasing it here would force that pass to re-read from source.
