@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -196,6 +195,41 @@ def _array_sql_lit(values) -> str:
     return "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
 
 
+def _centroid_assign_reduce(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector as a broadcast fanout + max_by
+    reduce — the round-7 formulation, kept for the FINAL assignment of
+    a fit (optimization round 13): its output feeds MANY downstream
+    consumers (searches derive the query batch and the posting lists
+    from it; prefit indexes cache it), and the compact aggregate plan
+    keeps every consumer's per-action analysis cheap while the
+    exchange doubles as the ReusedExchange sharing point. Identical
+    cosine (9 dp) and (cosine desc, lowest-id) tie-break as
+    :func:`_centroid_assign`, which the per-round Lloyd passes use
+    instead — there the single-consumer means update makes the
+    map-only form strictly better (no corpus exchange per round).
+    Measured at sf0.1: a prefit ivf_pq_search rep over members rooted
+    in the map-only plan ran 2.1-2.9 s vs 1.6-1.8 s over this form —
+    pure driver-side analysis of the embedded k×dim argmax."""
+    joined = vecs.crossJoin(F.broadcast(centroids))
+    cos = F.round(
+        _dot("embedding", "c_emb") / (F.col("_norm") * F.col("c_norm")), 9
+    )
+    return (
+        joined.withColumn("_cos", cos)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("embedding", "_norm", "centroid_id"),
+                F.struct(
+                    F.col("_cos").alias("c"),
+                    (-F.col("centroid_id")).alias("nid"),
+                ),
+            ).alias("_b")
+        )
+        .select("vec_id", "_b.embedding", "_b._norm", "_b.centroid_id")
+    )
+
+
 def _centroid_assign(vecs: DataFrame, cent_rows) -> DataFrame:
     """Nearest centroid per vector by cosine, as a MAP-ONLY projection
     over the collected centroid rows (k×dim doubles — model-sized,
@@ -314,14 +348,18 @@ def _centroid_assign_vectorized(vecs: DataFrame, cent_rows) -> DataFrame:
     )
 
 
-def _assign(vecs: DataFrame, cent_rows, centroids: DataFrame) -> DataFrame:
-    """Route one Lloyd assign: JVM map-only argmax for small k (whole
-    plan stays codegen, zero exchanges), BLAS kernel past
-    :data:`VECTORIZED_ASSIGN_MIN_K` (also map-only). ``centroids`` is
-    kept in the signature for callers that already built the literal
-    table; the JVM route reads the collected rows directly."""
+def _assign(
+    vecs: DataFrame, cent_rows, centroids: DataFrame, final: bool = False
+) -> DataFrame:
+    """Route one Lloyd assign: JVM map-only argmax for small-k
+    per-round passes (zero exchanges — the means update is the only
+    consumer), the compact broadcast+reduce form for the FINAL
+    multi-consumer assignment (``final=True``), and the BLAS kernel
+    past :data:`VECTORIZED_ASSIGN_MIN_K` (map-only either way)."""
     if len(cent_rows) > VECTORIZED_ASSIGN_MIN_K:
         return _centroid_assign_vectorized(vecs, cent_rows)
+    if final:
+        return _centroid_assign_reduce(vecs, centroids)
     return _centroid_assign(vecs, cent_rows)
 
 
@@ -407,17 +445,11 @@ def _ivf_fit(
         )
     cent_rows = centroids.collect()
     centroids = spark.createDataFrame(cent_rows, schema)
-    # The final full-corpus assignment is persisted (optimization
-    # round 13): with the map-only argmax, `out` no longer ends at an
-    # aggregation exchange, so downstream consumers (searches derive
-    # both the query batch AND the posting-list side from it) would
-    # re-embed and re-evaluate the whole k×dim argmax expression per
-    # branch — the exchange the rewrite removed had doubled as a
-    # ReusedExchange sharing point. A members-sized lazy cache entry
-    # restores the sharing without the shuffle.
-    out = _assign(base, cent_rows, centroids).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # final=True: the multi-consumer full-corpus assignment keeps the
+    # compact reduce plan (see _centroid_assign_reduce) — the per-round
+    # map-only assigns above already removed the iters corpus
+    # exchanges, which is where the scale win lives.
+    out = _assign(base, cent_rows, centroids, final=True)
     # NO base.unpersist(): `out` is lazy and its full-corpus assignment
     # scan (the expensive consumer pass) still reads the cache —
     # releasing it here would force that pass to re-read from source.
@@ -673,6 +705,28 @@ def _floor_q(col: F.Column, dp: int) -> F.Column:
     which differs from HALF_UP for negatives; squared L2 is >= 0)."""
     s = 10.0 ** dp
     return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def _pq_code_reduce(source: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest PQ centroid per (vec, sub) row as a broadcast join +
+    min_by reduce — the compact-plan twin of :func:`_pq_code_argmin`,
+    kept for FINAL/encode passes whose output feeds many downstream
+    consumers (the `_centroid_assign_reduce` rationale). Identical
+    distances (:func:`_sub_l2sq`) and (min d, lowest centroid_id)
+    tie-break."""
+    j = source.join(F.broadcast(cdf), "sub_id")
+    d = _sub_l2sq("se", "c")
+    return (
+        j.withColumn("_d", d)
+        .groupBy("vec_id", "sub_id")
+        .agg(
+            F.min_by(
+                F.struct("se", "centroid_id", "_d"),
+                F.struct(F.col("_d").alias("d"), F.col("centroid_id").alias("i")),
+            ).alias("_b")
+        )
+        .select("vec_id", "sub_id", "_b.se", "_b.centroid_id", "_b._d")
+    )
 
 
 def _pq_code_argmin(source: DataFrame, cent_rows) -> DataFrame:
@@ -973,10 +1027,19 @@ def _pq_fit(
     schema = "sub_id int, centroid_id int, c array<double>"
 
     def assign(
-        cdf: DataFrame, source: DataFrame = subs, cent_rows=None
+        cdf: DataFrame,
+        source: DataFrame = subs,
+        cent_rows=None,
+        final: bool = False,
     ) -> DataFrame:
+        # per-round passes: map-only argmin (zero exchanges — the
+        # means update is the only consumer); final pass: compact
+        # reduce plan for the many downstream consumers (the
+        # _centroid_assign_reduce rationale).
         if vectorized and cent_rows is not None:
             return _pq_assign_vectorized(source, cent_rows)
+        if final:
+            return _pq_code_reduce(source, cdf)
         return _pq_code_argmin(source, cent_rows)
 
     for _ in range(iters):
@@ -999,7 +1062,7 @@ def _pq_fit(
         )
     cent_rows = cents.collect()
     cents = spark.createDataFrame(cent_rows, schema)
-    final = assign(cents, subs, cent_rows)
+    final = assign(cents, subs, cent_rows, final=True)
     # deliberately NO subs.unpersist() here — see docstring
     return final, cents
 
@@ -1628,7 +1691,7 @@ def ivf_pq_append(
     cents = spark.createDataFrame(
         cent_rows, "centroid_id int, c_emb array<float>, c_norm double"
     )
-    new_members = _assign(new_base, cent_rows, cents).cache()
+    new_members = _assign(new_base, cent_rows, cents, final=True).cache()
     n_new = new_members.count()  # materialize ONLY the batch side — O(batch)
     # the union stays a lazy view over two cached frames: re-caching it
     # would copy the whole corpus-side members again, an O(corpus) pass
@@ -1641,10 +1704,12 @@ def ivf_pq_append(
         pq_rows, "sub_id int, centroid_id int, c array<double>"
     )
     subs = _pq_subvectors(new_emb, index.m, expect_dim=index_dim)
-    # frozen-codebook encode via the shared map-only argmin
-    # (optimization round 13): same distances/tie-break as the former
-    # broadcast-join min_by, one batch-sized exchange fewer.
-    new_codes = _pq_code_argmin(subs, pq_rows).select(
+    # frozen-codebook encode via the compact reduce form: the encoded
+    # batch is unioned into every later serve plan (many consumers), so
+    # the small aggregate plan beats embedding the argmin literals
+    # (the _centroid_assign_reduce rationale); the exchange is
+    # batch-sized.
+    new_codes = _pq_code_reduce(subs, pq_cents).select(
         "vec_id", "sub_id", F.col("centroid_id").alias("code_id")
     )
     new_codes = new_codes.cache()
