@@ -116,11 +116,37 @@ def entry(spark: SparkSession) -> DataFrame:
 #: incremental_manifest) are never-verified and therefore lead the
 #: computed backlog automatically.
 _CHANGED_THIS_ROUND = [
+    # mid-build round-13 changes:
     "warc_roundtrip",
     "bpe_vocab",
     "bpe_encode",
     "bpe_roundtrip",
     "ann_serve_appended",
+    # optimization-round changes (lineage truncation + persisted verify
+    # frames in the near-dup subtree; map-only Lloyd assigns + hybrid
+    # final routing in the ANN fits; DSIR inline-fit persist; star
+    # convergence count carry):
+    "dedup_clusters",
+    "neardup_verified",
+    "containment_pairs",
+    "leakage_safe_split",
+    "training_corpus_manifest",
+    "canonical_corpus",
+    "dedup_report",
+    "ann_ivf_topk",
+    "ivf_pq_topk",
+    "ivf_pq_topk_prefit",
+    "pq_codes",
+    "pq_topk",
+    "pq_rerank_topk",
+    "semantic_dedup",
+    "ivf_sq8_topk",
+    "rp_ivf_topk",
+    "ann_serve",
+    "embedding_neardup",
+    "dsir_weights",
+    "dsir_sample",
+    "dsir_weights_prefit",
 ]
 
 #: The driver records only this many correctness rows per round.
