@@ -101,6 +101,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless. tests/test_entry_contract.py validates the GENERATOR
 # (coverage of the stale backlog, cap fill, disjointness) rather than
 # a frozen list — the checked property can't go stale.
+#
+# Round 14 (VERDICT r13 ask #4): queries with NO oracle_sql() entry
+# (the reference-exact fidelity twins) are PINNED OUT of the head —
+# the driver can only ever record `no_oracle` for them, so a head
+# slot spent there is a verification slot burned (48/50 instead of
+# 50/50 every round they rotated in: r02/r04/r07/r10/r13). Their
+# correctness is covered by the hash-checked native siblings plus the
+# 1e-9 parity pin in tests/test_golden.py; the freed slots go to
+# hash-verifiable backlog. The pin is COMPUTED (registry minus
+# oracle_sql keys), so a future no-oracle query inherits it.
 
 #: Queries whose implementation changed in the CURRENT round (rotation
 #: section (a)). Updated by hand each round alongside the code; if it
@@ -179,6 +189,13 @@ def _newest_driver_rows() -> tuple[dict, int]:
     return newest, latest
 
 
+def _no_oracle_names() -> set:
+    """Registered queries without an oracle_sql() entry — the driver
+    can never hash-verify these (it records ``no_oracle``), so the
+    rotation pins them out of the verification head (round 14)."""
+    return set(_registry()) - set(oracle_sql())
+
+
 def _compute_rotation(names: list[str]) -> tuple[list[str], list[str]]:
     """Derive (head, tail) for the registry order per the policy above.
 
@@ -186,11 +203,19 @@ def _compute_rotation(names: list[str]) -> tuple[list[str], list[str]]:
     ordered (newest-round, name) ascending, section (a) keeps its
     declared order. If the backlog alone exceeds the cap, the head is
     entirely backlog (oldest first) — the policy's degraded-but-maximal
-    mode."""
+    mode. No-oracle queries never take a head slot (see the round-14
+    policy note above): they are excluded from every section and always
+    land in the tail."""
     newest, latest = _newest_driver_rows()
+    all_names = list(names)
+    unverifiable = _no_oracle_names()
+    # head candidates exclude the unverifiable; the TAIL keeps every
+    # registered query (nothing may ever disappear from queries()).
+    names = [q for q in names if q not in unverifiable]
     cap = min(_DRIVER_CAP, len(names))
     if latest == 0:  # fresh clone, no artifacts: registry order
-        return names[:cap], names[cap:]
+        head = names[:cap]
+        return head, [q for q in all_names if q not in set(head)]
     by_age = sorted(names, key=lambda q: (newest.get(q, 0), q))
     backlog = [q for q in by_age if newest.get(q, 0) <= latest - 2]
     if len(backlog) >= cap:
@@ -204,7 +229,7 @@ def _compute_rotation(names: list[str]) -> tuple[list[str], list[str]]:
         filler = [q for q in by_age if q not in set(head)]
         head += filler[: cap - len(head)]
     head_set = set(head)
-    tail = [q for q in names if q not in head_set]
+    tail = [q for q in all_names if q not in head_set]
     return head, tail
 
 
@@ -279,12 +304,6 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(_llm_q.QUERIES)
     return out
-
-
-#: Rotation lists, derived from the committed artifacts at import time
-#: (see ROTATION POLICY above). Plain lists so tests and tools can
-#: introspect the round's verification window.
-_ROTATE_FIRST, _ROTATE_LAST = _compute_rotation(list(_registry()))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -364,3 +383,10 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(_llm_oracle.ORACLES)
     return out
+
+
+#: Rotation lists, derived from the committed artifacts at import time
+#: (see ROTATION POLICY above). Plain lists so tests and tools can
+#: introspect the round's verification window. Computed at the bottom
+#: of the module because the no-oracle pin-out needs oracle_sql().
+_ROTATE_FIRST, _ROTATE_LAST = _compute_rotation(list(_registry()))

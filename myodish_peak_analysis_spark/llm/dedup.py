@@ -421,13 +421,21 @@ def star_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 64) -> 
     on a real cluster use ``spark.sparkContext.setCheckpointDir`` +
     ``checkpoint()`` for executor-loss-safe truncation).
     """
+    # lazy checkpoint + count = ONE job per materialization
+    # (optimization round 14): eager localCheckpoint ran its own job
+    # and the convergence count ran another; the lazy mark lets the
+    # count trigger persist + lineage truncation in the same job. Safe
+    # here because each lazily-marked frame's FIRST consumer is the
+    # single-subtree count job (no sibling-stage race on a cold cache);
+    # every multi-consumer read (sym's two branches, exceptAll) happens
+    # after that materialization.
     canon = (
         edges.select(
             F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     canon_cnt = canon.count()
     converged = False
@@ -457,7 +465,7 @@ def star_components(edges: DataFrame, nodes: DataFrame, max_iters: int = 64) -> 
             .filter(F.col("v") != F.col("m"))
             .select(F.greatest("v", "m").alias("hi"), F.least("v", "m").alias("lo"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by cnt below
         )
         # convergence = same edge SET; counts are carried across
         # rounds (this round's small.count() is next round's
@@ -551,6 +559,13 @@ def dedup_clusters(
     # release API — same accepted trade as star_components, bounded by
     # the 2-5 real convergence rounds). Cluster deployments should use
     # reliable .checkpoint() (see the deployment note below).
+    # `edges` is lazily marked (optimization round 14): its first
+    # consumer is the `labels` checkpoint job, where it appears exactly
+    # once — the eager edges job was a redundant driver action. The
+    # `labels` checkpoint stays EAGER: round 1 consumes it from TWO
+    # sibling subtrees (neighbor_min and the stepped join), and on a
+    # real cluster a cold lazily-marked cache under sibling stages can
+    # compute twice (the minhash_pairs race, checkpoint flavor).
     edges = (
         pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
         .union(
@@ -558,7 +573,7 @@ def dedup_clusters(
                 F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -585,7 +600,11 @@ def dedup_clusters(
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
+            # lazy: the convergence count below is the single-subtree
+            # first consumer, so checkpoint + count fuse into one job
+            # (optimization round 14); next round's two sibling reads
+            # hit the then-warm blocks.
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("cluster_id") != F.col("_old")).count()
         labels = stepped.select("doc_id", "cluster_id")

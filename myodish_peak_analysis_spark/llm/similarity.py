@@ -191,8 +191,46 @@ def _array_sql_lit(values) -> str:
     ``F.lit``/lambda-HOF Column calls cost 3-5 s of py4j round trips
     per Lloyd assign (measured, optimization round 13) — the whole
     assign expression is therefore assembled as one SQL string and
-    parsed once."""
-    return "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
+    parsed once. (Round 14 measured the alternative of shipping the
+    values as ONE broadcast array<struct> row with a transform()-based
+    argmax: plan construction got cheaper but EXECUTION was 15× slower
+    — 4.1 s vs 0.25 s per sf0.1 assign pass — because the literal
+    arrays are constant-folded into flat primitive arrays while the
+    struct-field accesses re-extract and box per element. Literals
+    stay.) Non-finite doubles serialize as CAST('NaN'/'Infinity' AS
+    DOUBLE) — `repr` would emit nan/inf tokens Spark SQL cannot parse
+    (ADVICE r13), turning a NaN-polluted centroid into a ParseException
+    where the broadcast-join form evaluated it normally."""
+    return "array(" + ",".join(_double_sql_lit(v) for v in values) + ")"
+
+
+def _double_sql_lit(v) -> str:
+    """One double as a Spark SQL literal; NaN/Infinity via CAST
+    (``repr`` emits nan/inf tokens the SQL parser rejects)."""
+    import math
+
+    v = float(v)
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
+def _literal_df(spark, rows, schema: str) -> DataFrame:
+    """A model-sized literal table as ONE partition. Plain
+    ``createDataFrame(rows)`` parallelizes local rows into
+    defaultParallelism pickled slices, so every consumer job (broadcast
+    builds, per-round collects) schedules ~cores near-empty
+    Python-fed tasks; a ``coalesce(1)`` on top is WORSE — it funnels
+    all those slices sequentially through one Python worker (measured
+    round 14: 5.1 s vs 0.56 s per final assign at sf0.1). One slice at
+    parallelize time is both correct and cheap, and stays correct at
+    cluster scale: these frames are k/m·k rows by construction
+    (VERDICT r13 ask #5 — model-sized frames AQE cannot see)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
 
 
 def _centroid_assign_reduce(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -253,8 +291,10 @@ def _centroid_assign(vecs: DataFrame, cent_rows) -> DataFrame:
     attached) once — at 100 TB that is iters corpus-sized exchanges
     gone; the per-round shuffle is now only the metadata-sized centroid
     update. The whole argmax is ONE SQL string parsed once (see
-    :func:`_array_sql_lit`), with the dot product textually identical
-    to :func:`_dot` so both routes produce the same doubles."""
+    :func:`_array_sql_lit` — round 14 re-measured the literal-free
+    broadcast-struct alternative and kept the literals: 15× faster
+    execution), with the dot product textually identical to
+    :func:`_dot` so both routes produce the same doubles."""
     rows = sorted(cent_rows, key=lambda r: r["centroid_id"])
     if not rows:
         # empty centroid set (empty fit corpus): the former crossJoin
@@ -276,7 +316,7 @@ def _centroid_assign(vecs: DataFrame, cent_rows) -> DataFrame:
         cid = int(r["centroid_id"])
         structs.append(
             f"named_struct('c', round({dot} / (_norm * "
-            f"{float(r['c_norm'])!r}D), 9), 'nid', {-cid}, "
+            f"{_double_sql_lit(r['c_norm'])}), 9), 'nid', {-cid}, "
             f"'centroid_id', {cid})"
         )
     best = F.expr(f"array_max(array({','.join(structs)})).centroid_id")
@@ -425,7 +465,11 @@ def _ivf_fit(
     schema = "centroid_id int, c_emb array<float>, c_norm double"
     for _ in range(iters):
         cent_rows = centroids.collect()
-        centroids = spark.createDataFrame(cent_rows, schema)
+        # model-sized literal (k rows): one partition, not the
+        # defaultParallelism slices createDataFrame would give it —
+        # every broadcast build over it otherwise schedules ~cores
+        # near-empty tasks (optimization round 14, VERDICT r13 ask #5)
+        centroids = _literal_df(spark, cent_rows, schema)
         assigned = _assign(fit_base, cent_rows, centroids)
         dims = assigned.select(
             "centroid_id", F.posexplode("embedding").alias("dim", "x")
@@ -444,7 +488,7 @@ def _ivf_fit(
             "c_norm", F.sqrt(_dot("c_emb", "c_emb"))
         )
     cent_rows = centroids.collect()
-    centroids = spark.createDataFrame(cent_rows, schema)
+    centroids = _literal_df(spark, cent_rows, schema)
     # final=True: the multi-consumer full-corpus assignment keeps the
     # compact reduce plan (see _centroid_assign_reduce) — the per-round
     # map-only assigns above already removed the iters corpus
@@ -742,7 +786,14 @@ def _pq_code_argmin(source: DataFrame, cent_rows) -> DataFrame:
     half-up quantizer) and the identical (min d, lowest centroid_id)
     tie-break via struct ordering, with ZERO exchanges; each centroid
     rides as one array literal and the whole expression is one SQL
-    string parsed once (see :func:`_array_sql_lit`).
+    string parsed once (see :func:`_array_sql_lit`; round 14
+    re-measured the literal-free broadcast-struct alternative and kept
+    the literals — 15× faster execution, the `_centroid_assign` note).
+    A source row whose sub_id is absent from the codebook is DROPPED
+    (the CASE's ELSE NULL filtered out) — the former broadcast inner
+    join's semantics made explicit (ADVICE r13); unreachable while fit
+    sampling covers all sub_ids, but no longer silent if it ever
+    doesn't.
 
     ``source`` must carry (vec_id, sub_id, se); output appends
     (centroid_id, _d). Shared by the Lloyd passes of ``_pq_fit`` and
@@ -778,12 +829,23 @@ def _pq_code_argmin(source: DataFrame, cent_rows) -> DataFrame:
             f"WHEN sub_id = {s} THEN array_min(array({','.join(structs)}))"
         )
     best = F.expr(f"CASE {' '.join(branches)} END")
-    return source.withColumn("_b", best).select(
-        "vec_id",
-        "sub_id",
-        "se",
-        F.col("_b.i").alias("centroid_id"),
-        F.col("_b.d").alias("_d"),
+    # join-drop semantics for a sub_id with no codebook entry (ADVICE
+    # r13): filter on sub_id MEMBERSHIP (a cheap integer check) BEFORE
+    # the CASE — filtering on the CASE result itself would make the
+    # optimizer evaluate the whole k-literal argmin twice per row
+    # (filter + project), the guide-§4.4 duplication (measured +100%
+    # on every PQ assign pass when round 14 first tried it).
+    covered = sorted(by_sub)
+    return (
+        source.filter(F.col("sub_id").isin(covered))
+        .withColumn("_b", best)
+        .select(
+            "vec_id",
+            "sub_id",
+            "se",
+            F.col("_b.i").alias("centroid_id"),
+            F.col("_b.d").alias("_d"),
+        )
     )
 
 
@@ -1044,7 +1106,8 @@ def _pq_fit(
 
     for _ in range(iters):
         cent_rows = cents.collect()
-        cents = spark.createDataFrame(cent_rows, schema)
+        # model-sized literal (m·k rows): one partition (see _ivf_fit)
+        cents = _literal_df(spark, cent_rows, schema)
         a = assign(cents, fit_subs, cent_rows)
         cents = (
             a.select("sub_id", "centroid_id", F.posexplode("se").alias("dim", "x"))
@@ -1061,7 +1124,7 @@ def _pq_fit(
             )
         )
     cent_rows = cents.collect()
-    cents = spark.createDataFrame(cent_rows, schema)
+    cents = _literal_df(spark, cent_rows, schema)
     final = assign(cents, subs, cent_rows, final=True)
     # deliberately NO subs.unpersist() here — see docstring
     return final, cents
@@ -1622,74 +1685,85 @@ def ivf_pq_append(
     would be ~10x, not 1.5x).
     """
     spark = new_emb.sparkSession
-    if check_duplicates:
-        # cross-corpus shadows AND in-batch shadows (ADVICE r10: a
-        # batch with repeated vec_ids passed the corpus-only check yet
-        # created exactly the duplicated posting-list rows the check
-        # exists to refuse) — both scans are narrow vec_id projections.
-        dup = (
-            new_emb.select("vec_id")
-            .join(index.members.select("vec_id"), "vec_id")
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                "ivf_pq_append: new_emb shares vec_ids with the index "
-                "corpus — appending would shadow existing posting-list "
-                "rows; re-key the batch or dedup first"
-            )
-        in_batch_dup = (
-            new_emb.groupBy("vec_id")
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if in_batch_dup:
-            raise ValueError(
-                "ivf_pq_append: new_emb contains duplicate vec_ids "
-                "within the batch — appending would create shadowed "
-                "posting-list rows; dedup the batch first"
-            )
-    new_base = _with_norm(new_emb).select("vec_id", "embedding", "_norm")
     cent_rows = index.cents.collect()
     # the index's embedding dim, read off the already-collected coarse
     # centroids (free — no corpus touch): a batch whose dim differs
     # would otherwise yield null-padded zip_with distances and silently
     # wrong codes (ADVICE r10); fail loudly like fit_ivf_pq_index does.
     index_dim = len(cent_rows[0].c_emb)
-    # validate the batch dim BEFORE caching anything (ADVICE r11: the
-    # old flow cached+materialized new_members first, so when the
-    # _pq_subvectors expect_dim guard raised later the cached frame
-    # leaked with no caller handle to unpersist it). One narrow
-    # O(batch) size probe; the per-row raise_error guard in
-    # _pq_subvectors stays as defense in depth for callers that reach
-    # the encoder without going through this path.
-    # NULL embeddings must fail the probe too (ADVICE r12): for a NULL
-    # embedding size() is NULL, `size != index_dim` is NULL, and the
-    # row would be DROPPED from the probe — the batch then slips past,
-    # new_members gets cached/materialized, and the failure surfaces
-    # only in the downstream per-row encoder, recreating exactly the
-    # cached-frame leak this probe exists to prevent.
-    bad_dim = (
+    # Lifecycle guards, BATCHED into one driver action (optimization
+    # round 14, VERDICT r13 ask #1): the cross-corpus shadow probe, the
+    # in-batch shadow probe (ADVICE r10) and the dim/NULL probe
+    # (ADVICE r11/r12) used to run as three sequential ~0.3-0.5 s
+    # actions; unioned into ONE tagged limit-1 frame they run as
+    # concurrent stages of a single job — per-guard error specificity
+    # is preserved by inspecting the collected tags, and every guard
+    # still fires BEFORE anything is cached (the cached-frame-leak
+    # prevention the dim probe exists for). Each probe stays a narrow
+    # vec_id/size projection; the per-row raise_error guard in
+    # _pq_subvectors remains as defense in depth.
+    # NULL embeddings must fail the dim probe too (ADVICE r12): for a
+    # NULL embedding size() is NULL, `size != index_dim` is NULL, and
+    # the row would otherwise be DROPPED from the probe.
+    probes = []
+    if check_duplicates:
+        probes.append(
+            new_emb.select("vec_id")
+            .join(index.members.select("vec_id"), "vec_id")
+            .limit(1)
+            .select(
+                F.lit("shadow").alias("check"),
+                F.lit(None).cast("int").alias("d"),
+            )
+        )
+        probes.append(
+            new_emb.groupBy("vec_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .select(
+                F.lit("in_batch").alias("check"),
+                F.lit(None).cast("int").alias("d"),
+            )
+        )
+    probes.append(
         new_emb.filter(
             F.col("embedding").isNull()
             | (F.size("embedding") != index_dim)
         )
-        .select(F.size("embedding").alias("d"))
         .limit(1)
-        .collect()
+        .select(
+            F.lit("bad_dim").alias("check"),
+            F.size("embedding").alias("d"),
+        )
     )
-    if bad_dim:
-        got = "NULL" if bad_dim[0].d is None else bad_dim[0].d
+    p = probes[0]
+    for extra in probes[1:]:
+        p = p.unionByName(extra)
+    violations = {r["check"]: r for r in p.collect()}
+    if "shadow" in violations:
+        raise ValueError(
+            "ivf_pq_append: new_emb shares vec_ids with the index "
+            "corpus — appending would shadow existing posting-list "
+            "rows; re-key the batch or dedup first"
+        )
+    if "in_batch" in violations:
+        raise ValueError(
+            "ivf_pq_append: new_emb contains duplicate vec_ids "
+            "within the batch — appending would create shadowed "
+            "posting-list rows; dedup the batch first"
+        )
+    if "bad_dim" in violations:
+        d = violations["bad_dim"]["d"]
+        got = "NULL" if d is None else d
         raise ValueError(
             f"ivf_pq_append: batch embedding dim {got} != index "
             f"dim {index_dim} — assignment and PQ encoding against the "
             "frozen centroids/codebooks would be silently wrong"
         )
-    cents = spark.createDataFrame(
-        cent_rows, "centroid_id int, c_emb array<float>, c_norm double"
+    new_base = _with_norm(new_emb).select("vec_id", "embedding", "_norm")
+    cents = _literal_df(
+        spark, cent_rows, "centroid_id int, c_emb array<float>, c_norm double"
     )
     new_members = _assign(new_base, cent_rows, cents, final=True).cache()
     n_new = new_members.count()  # materialize ONLY the batch side — O(batch)
@@ -1700,8 +1774,8 @@ def ivf_pq_append(
     # before the fix)
     members = index.members.unionByName(new_members)
     pq_rows = index.pq_cents.collect()
-    pq_cents = spark.createDataFrame(
-        pq_rows, "sub_id int, centroid_id int, c array<double>"
+    pq_cents = _literal_df(
+        spark, pq_rows, "sub_id int, centroid_id int, c array<double>"
     )
     subs = _pq_subvectors(new_emb, index.m, expect_dim=index_dim)
     # frozen-codebook encode via the compact reduce form: the encoded
@@ -1927,7 +2001,28 @@ def ivf_pq_topk(
         members, cents = index.members, index.cents
         codes, pq_cents = index.codes, index.pq_cents
         m, n_centroids = index.m, index.n_centroids
+        # bound check counts the RAW filtered scan (filter-pushdown
+        # cheap), not q — counting q would force the IVF assignment.
+        _check_dtable_bound(
+            emb.filter(F.col("vec_id") % query_mod == 0), m, n_centroids
+        )
     else:
+        # Resolve the corpus-level scalars ONCE up front (optimization
+        # round 14, VERDICT r13 ask #2 — fewer driver actions): the
+        # auto-k resolver and _pq_fit's vectorized-route gate used to
+        # run two separate emb.count() actions; one count now feeds
+        # both, and the dim probe is shared with _pq_fit's
+        # divisibility check via its n_vectors/dim parameters.
+        if n_clusters == "auto":
+            n_vectors = emb.count()
+            k_ivf = kmeans_clusters_for(n_vectors)
+        else:
+            k_ivf = _resolve_clusters(emb, n_clusters)
+            n_vectors = None
+        row = emb.select(F.size("embedding").alias("d")).first()
+        dim = None if row is None or row["d"] is None else int(row["d"])
+        if n_vectors is None and dim is not None:
+            n_vectors = emb.count()
         # The two quantizer fits are INDEPENDENT (coarse IVF over the
         # full vectors, PQ codebooks over the subvectors) but each is
         # a chain of per-round driver actions, so run sequentially the
@@ -1936,33 +2031,47 @@ def ivf_pq_topk(
         # driver threads lets either fit's tasks back-fill executors
         # the other's tail leaves idle. Results are unchanged — the
         # fits share no state and each is deterministic; measured at
-        # sf0.1 the composed fit-inline query drops ~20%.
-        from concurrent.futures import ThreadPoolExecutor
+        # sf0.1 the composed fit-inline query drops ~20%. The ADC
+        # bound check is independent of both fits, so it rides the
+        # pool too instead of serializing after them.
+        # inheritable_thread_target(session) requires pinned-thread
+        # mode (ADVICE r13: under PYSPARK_PIN_THREAD=false it returns
+        # the session itself and _wrap(lambda) dies with TypeError) —
+        # fall back to sequential fits there; pinned mode is the
+        # PySpark default since 3.2.
+        import os as _os
 
-        from pyspark import inheritable_thread_target
+        pinned = _os.environ.get(
+            "PYSPARK_PIN_THREAD", "true"
+        ).lower() != "false"
+        fit_ivf = lambda: _ivf_fit(  # noqa: E731
+            emb, k=k_ivf, iters=ivf_iters, fit_sample_mod=fit_sample_mod,
+        )
+        fit_pq = lambda: _pq_fit(  # noqa: E731
+            emb, m=m, k=n_centroids, iters=pq_iters,
+            fit_sample_mod=fit_sample_mod,
+            n_vectors=n_vectors, dim=dim,
+        )
+        check = lambda: _check_dtable_bound(  # noqa: E731
+            emb.filter(F.col("vec_id") % query_mod == 0), m, n_centroids
+        )
+        if pinned:
+            from concurrent.futures import ThreadPoolExecutor
 
-        _wrap = inheritable_thread_target(emb.sparkSession)
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_ivf = pool.submit(
-                _wrap(
-                    lambda: _ivf_fit(
-                        emb,
-                        k=_resolve_clusters(emb, n_clusters),
-                        iters=ivf_iters,
-                        fit_sample_mod=fit_sample_mod,
-                    )
-                )
-            )
-            f_pq = pool.submit(
-                _wrap(
-                    lambda: _pq_fit(
-                        emb, m=m, k=n_centroids, iters=pq_iters,
-                        fit_sample_mod=fit_sample_mod,
-                    )
-                )
-            )
-            members, cents = f_ivf.result()
-            final, pq_cents = f_pq.result()
+            from pyspark import inheritable_thread_target
+
+            _wrap = inheritable_thread_target(emb.sparkSession)
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_ivf = pool.submit(_wrap(fit_ivf))
+                f_pq = pool.submit(_wrap(fit_pq))
+                f_chk = pool.submit(_wrap(check))
+                members, cents = f_ivf.result()
+                final, pq_cents = f_pq.result()
+                f_chk.result()
+        else:
+            members, cents = fit_ivf()
+            final, pq_cents = fit_pq()
+            check()
         codes = final.select(
             "vec_id", "sub_id", F.col("centroid_id").alias("code_id")
         )
@@ -1972,11 +2081,6 @@ def ivf_pq_topk(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("_norm").alias("q_norm"),
-    )
-    # bound check counts the RAW filtered scan (filter-pushdown cheap),
-    # not q — counting q would force the IVF assignment early.
-    _check_dtable_bound(
-        emb.filter(F.col("vec_id") % query_mod == 0), m, n_centroids
     )
     # 1. coarse probe: each query's nprobe nearest IVF centroids.
     qprobe = (

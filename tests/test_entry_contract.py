@@ -121,7 +121,13 @@ def test_rotation_covers_stalest_rows():
     newest, latest = _newest_driver_rows()
     if latest == 0:  # no artifacts (fresh clone) — nothing to enforce
         return
-    backlog = {q for q in qs if newest.get(q, 0) <= latest - 2}
+    # round 14: no-oracle queries are pinned OUT of the head (the
+    # driver can only record `no_oracle` for them — a burned slot), so
+    # the staleness guarantee applies to the verifiable registry only.
+    no_oracle = qs - set(mod.oracle_sql())
+    backlog = {
+        q for q in qs - no_oracle if newest.get(q, 0) <= latest - 2
+    }
     head = set(mod._ROTATE_FIRST)
     if len(backlog) <= 50:
         missing = backlog - head
@@ -137,10 +143,27 @@ def test_rotation_covers_stalest_rows():
         "head must fill every verification slot the driver offers"
     )
     # section (a) sanity: every changed-this-round entry is either in
-    # the head or displaced by backlog overflow (never silently lost)
+    # the head or displaced by backlog overflow (never silently lost);
+    # no-oracle entries are exempt — the pin-out overrides section (a)
     if len(backlog) + len(mod._CHANGED_THIS_ROUND) <= 50:
-        changed = {q for q in mod._CHANGED_THIS_ROUND if q in qs}
+        changed = {q for q in mod._CHANGED_THIS_ROUND if q in qs} - no_oracle
         assert changed <= head, (
             f"changed-this-round entries missing from head: "
             f"{sorted(changed - head)}"
         )
+
+
+def test_no_oracle_queries_pinned_out_of_head():
+    """VERDICT r13 ask #4: the fidelity twins (and any future
+    no-oracle query) can never pass the driver's hash check, so they
+    must never occupy one of the 50 verification slots — yet they must
+    STAY registered (dropping a query is a regression)."""
+    mod = _entry()
+    no_oracle = set(mod.queries()) - set(mod.oracle_sql())
+    assert no_oracle == {"fidelity_peaks", "fidelity_signal"}
+    assert not (no_oracle & set(mod._ROTATE_FIRST)), (
+        "no-oracle queries occupy driver verification slots"
+    )
+    assert no_oracle <= set(mod._ROTATE_LAST), (
+        "pinned-out queries must remain registered in the tail"
+    )
