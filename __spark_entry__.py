@@ -126,23 +126,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: incremental_manifest) are never-verified and therefore lead the
 #: computed backlog automatically.
 _CHANGED_THIS_ROUND = [
-    # mid-build round-13 changes:
-    "warc_roundtrip",
-    "bpe_vocab",
-    "bpe_encode",
-    "bpe_roundtrip",
-    "ann_serve_appended",
-    # optimization-round changes (lineage truncation + persisted verify
-    # frames in the near-dup subtree; map-only Lloyd assigns + hybrid
-    # final routing in the ANN fits; DSIR inline-fit persist; star
-    # convergence count carry):
-    "dedup_clusters",
-    "neardup_verified",
-    "containment_pairs",
-    "leakage_safe_split",
-    "training_corpus_manifest",
-    "canonical_corpus",
-    "dedup_report",
+    # optimization round 14: single-slice literal centroid/codebook
+    # tables + NaN-safe literals + explicit PQ join-drop semantics in
+    # the ANN fits; batched append lifecycle guards; lazy-checkpoint
+    # round fusion in the connected-components loops; one fewer eager
+    # count in the incremental manifest; BPE trainer round fusion.
     "ann_ivf_topk",
     "ivf_pq_topk",
     "ivf_pq_topk_prefit",
@@ -153,10 +141,18 @@ _CHANGED_THIS_ROUND = [
     "ivf_sq8_topk",
     "rp_ivf_topk",
     "ann_serve",
-    "embedding_neardup",
-    "dsir_weights",
-    "dsir_sample",
-    "dsir_weights_prefit",
+    "ann_serve_appended",
+    "dedup_clusters",
+    "canonical_corpus",
+    "dedup_report",
+    "leakage_safe_split",
+    "training_corpus_manifest",
+    "incremental_manifest",
+    "bpe_vocab",
+    "bpe_encode",
+    "bpe_roundtrip",
+    "vocab_coverage",
+    "encode_token_ids",
 ]
 
 #: The driver records only this many correctness rows per round.

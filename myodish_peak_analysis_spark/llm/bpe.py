@@ -143,6 +143,7 @@ def _bpe_run(
     checkpoint_every: int = CHECKPOINT_EVERY,
     batch_merges: int = 1,
     stats: dict | None = None,
+    materialize_final: bool = True,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Run merge rounds until ``n_merges`` rules are learned; returns
     (merge rules, final token frame). The final frame remains persisted
@@ -161,6 +162,17 @@ def _bpe_run(
     )
     merges: list[tuple[str, str, int]] = []
     rnd = 0
+    # Round fusion (optimization round 14): the per-round frame is
+    # persisted LAZILY and materialized by the NEXT round's top-pair
+    # collect — which consumes it exactly once, so the persist fills
+    # with no sibling-stage race — instead of paying a separate eager
+    # count per round. The superseded frame is released only AFTER its
+    # successor materialized (it is the successor's input), so nothing
+    # recomputes; `prev` holds that one-generation window. Saves one
+    # driver action per merge round; lineage-truncation rounds keep the
+    # same lazy pattern via localCheckpoint(eager=False).
+    prev: DataFrame | None = None
+    cur_cold = False  # True while `cur` is persist-marked but unmaterialized
     while len(merges) < n_merges:
         rnd += 1
         budget = min(batch_merges, n_merges - len(merges))
@@ -176,6 +188,10 @@ def _bpe_run(
             .limit(max(budget * 4, 1))
             .collect()
         )
+        cur_cold = False  # the collect materialized cur's persist
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         batch = _select_noninterfering(top, budget)
         if not batch:
             break
@@ -185,14 +201,28 @@ def _bpe_run(
             expr = _merge_apply_expr(expr, l, r)
         nxt = cur.selectExpr("doc_id", expr + " AS toks")
         if checkpoint_every and rnd % checkpoint_every == 0:
-            # lineage truncation round: the checkpoint materializes the
-            # frame as executor blocks itself, no extra persist needed.
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.localCheckpoint(eager=False)
         else:
             nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
-            nxt.count()
-        cur.unpersist()
+        prev = cur
         cur = nxt
+        cur_cold = True
+    if cur_cold:
+        # the loop exited right after building a frame no collect ever
+        # touched (merge budget reached): materialize it now — the
+        # returned frame stays persisted AND warm for the caller (the
+        # multi-consumer contract every eager pin in this package
+        # follows), and the input generation can then be released.
+        # Callers that only want the RULES pass materialize_final=False
+        # and unpersist the frame unread — no job is spent on it, and
+        # releasing `prev` stays safe: dropping persisted blocks keeps
+        # the lineage valid (and is a no-op on checkpointed frames), so
+        # the never-read lazy frame could still recompute if someone
+        # did read it.
+        if materialize_final:
+            cur.count()
+        if prev is not None:
+            prev.unpersist()
     if stats is not None:
         stats["rounds"] = rnd
     return merges, cur
@@ -230,7 +260,9 @@ def bpe_vocab(
         if fit_sample_mod
         else docs
     )
-    merges, final = _bpe_run(fit, n_merges, batch_merges=batch_merges)
+    merges, final = _bpe_run(
+        fit, n_merges, batch_merges=batch_merges, materialize_final=False
+    )
     final.unpersist()
     return spark.createDataFrame(
         [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
@@ -257,6 +289,7 @@ def bpe_encode(
             docs.filter(F.col("doc_id") % fit_sample_mod == 0),
             n_merges,
             batch_merges=batch_merges,
+            materialize_final=False,
         )
         final.unpersist()
         return bpe_apply(docs, [(l, r) for l, r, _ in merges])
